@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators over the TPC-H-ish corpus: scan/filter/
+  * project (pushdown-friendly), hash aggregate, broadcast + shuffle
+  * joins, top-k, window functions, semi/anti joins, set ops, rollup/
+  * cube, and event-time aggregation/sessionization.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension joins (region/nation/supplier/customer) are
+  *    `broadcast(...)` — they stay tiny relative to the fact tables;
+  *  - fact-side filters are plain `Column` predicates on the scan so
+  *    Catalyst pushes them into the parquet reader (verified via
+  *    .explain PushedFilters);
+  *  - aggregates are declarative groupBy/agg → partial+final
+  *    HashAggregate with map-side combine, no driver-side collect;
+  *  - window queries partition on high-cardinality keys (custkey /
+  *    suppkey / user_id) so state per partition stays bounded;
+  *  - every query has a deterministic total order for oracle parity.
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** TPC-H Q1 flavor: pricing summary. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r2(avg(col("l_quantity"))).as("avg_qty"),
+        r2(avg(col("l_extendedprice"))).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6 flavor: selective-filter scalar aggregate — the whole
+    * query collapses to a single pushdown scan + partial sums. */
+  def q6RevenueForecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** TPC-H Q3 flavor: shipping priority (3-way join, top-10). */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 flavor: revenue by nation for one region/year.
+    * All dimensions broadcast; only the lineitem⋈orders join shuffles. */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey")))
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top spenders: join + agg + deterministic top-k. */
+  def qTopCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(r2(sum(col("o_totalprice"))).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"),
+        col("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Pure pushdown scan: selective filter + narrow projection. The
+    * physical plan must show PushedFilters + a 4-column ReadSchema. */
+  def qFilterPushdown(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 49.5 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Distinct cardinalities (expanding-aggregate path). */
+  def qDistinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window: top-3 orders per customer by price. */
+  def qWindowTopOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(col("o_totalprice")).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Window: running quantity per supplier (deterministic frame). */
+  def qWindowRunningQty(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("running_qty", r2(sum(col("l_quantity")).over(w)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have orders. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS): customers without orders. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Set op: custkeys never seen in orders (EXCEPT = distinct). */
+  def qSetExcept(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+
+  /** Set op: custkeys present on both sides. */
+  def qSetIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+
+  /** ROLLUP over returnflag/linestatus. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over order status/priority. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Event-time tumbling-hour aggregation on the events stream table. */
+  def qEventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization: 30-min-gap sessions per user, fully windowed —
+    * no per-user collect, scales with user cardinality. */
+  def qEventsSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q6_revenue_forecast" -> (q6RevenueForecast _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_top_customers" -> (qTopCustomers _),
+    "q_filter_pushdown" -> (qFilterPushdown _),
+    "q_distinct_counts" -> (qDistinctCounts _),
+    "q_window_top_orders" -> (qWindowTopOrders _),
+    "q_window_running_qty" -> (qWindowRunningQty _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_set_except" -> (qSetExcept _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_events_sessions" -> (qEventsSessions _),
+  )
+
+  /** DuckDB-dialect equivalents for the driver's oracle. Column names
+    * and ordering must match the Spark results exactly. */
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),2) AS avg_qty,
+        |  round(avg(l_extendedprice),2) AS avg_price,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM region, nation, supplier, customer, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND s_nationkey = n_nationkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(o_totalprice),2) AS total_spend,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spend DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 49.5 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
+        |    AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value),2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev_us IS NULL
+        |               OR epoch_us(ts) - prev_us > 1800*1000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT user_id, ts,
+        |              lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) AS prev_us
+        |            FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,342 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact dedup, MinHash-LSH near-dedup, SimHash, n-gram Jaccard,
+  * token/quality stats, language ID, fingerprinting, and multimodal
+  * binary-column plumbing.
+  *
+  * Scale design: every operator is a pure column pipeline (whole-stage
+  * codegen'd higher-order functions, no UDFs) followed by at most one
+  * key-partitioned shuffle (groupBy hash / band bucket / shingle
+  * inverted index). Nothing collects to the driver; candidate
+  * generation (LSH bands, shingle postings) keeps the pairwise stage
+  * sparse so it survives 100 TB corpora where naive O(n²) cannot.
+  *
+  * Hash parity with the DuckDB oracle: 64-bit hashes are derived from
+  * the first 15 hex digits of md5 (`conv(...,16,10)` in Spark,
+  * `('0x'||substr(...))::BIGINT` in DuckDB) — identical values in both
+  * engines, no engine-specific hash functions.
+  */
+object TextOps {
+
+  /** 60-bit positive hash from md5 hex — engine-portable. */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens of normalized text. */
+  private def toks(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** Distinct 3-word shingles (guarded for short docs). */
+  private def shingles3(t: Column): Column =
+    when(size(t) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+
+  /** Exact dedup: canonical doc per normalized-text hash. A single
+    * hash-partitioned window — the standard 100 TB exact-dedup shape
+    * (shuffle by digest, keep min id). */
+  def tDedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    Tables.documents(s, d)
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("keep_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token statistics: counts + mean token length, all narrow ops.
+    * avg_tok_len rounds half-up at 2dp via exact integer arithmetic
+    * (floor((200L+n)/(2n))/100) — float `round` is engine-dependent
+    * on representational ties like 4.475. */
+  def tTokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_uniq_tokens"),
+        (floor((lit(200.0) * length(concat_ws("", col("t"))) + size(col("t"))) /
+          (size(col("t")) * 2)) / 100.0).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio + lexical diversity. */
+  def tQualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("stop_ratio",
+        round(size(filter(col("t"), t => t.isin(stop: _*))).cast("double") /
+          col("n_tokens"), 4))
+      .withColumn("lexical_div",
+        round(size(array_distinct(col("t"))).cast("double") /
+          col("n_tokens"), 4))
+      .withColumn("quality",
+        round(lit(0.4) * col("stop_ratio") + lit(0.6) * col("lexical_div"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("lexical_div"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID via marker-word counts (n-gram-heuristic style):
+    * deterministic argmax with a fixed tie-break chain. */
+  def tLangId(s: SparkSession, d: String): DataFrame = {
+    def score(t: Column, ws: Seq[String]): Column =
+      size(filter(t, x => x.isin(ws: _*)))
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("s_en", score(col("t"), Seq("the", "and", "of", "to", "is")))
+      .withColumn("s_de", score(col("t"), Seq("der", "die", "das", "und", "ist")))
+      .withColumn("s_fr", score(col("t"), Seq("le", "les", "et", "des", "une")))
+      .withColumn("s_es", score(col("t"), Seq("el", "los", "las", "y", "como")))
+      .withColumn("predicted_lang",
+        when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") > 0 && col("s_de") >= col("s_fr") &&
+            col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_es"), "fr")
+          .when(col("s_es") > 0, "es")
+          .otherwise("und"))
+      .select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
+        col("s_es"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: digest of the sorted distinct vocabulary
+    * (order-insensitive bag-of-words identity). */
+  def tFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("t"))))
+          .cast("binary")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    * Signature: 16 portable min-hashes over 3-word shingles, computed
+    * in ONE narrow projection (nested higher-order functions — no
+    * explode of the shingle set, no shuffle). LSH: 4 bands × 4 rows;
+    * the band digest (band index baked in) is the only join key, so
+    * the pairwise stage only sees hash-bucket collisions — the
+    * standard sub-quadratic shape that survives 100 TB corpora.
+    * Pairs with estimated Jaccard ≥ 0.5 are emitted. */
+  def tMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sig = transform(sequence(lit(0), lit(15)),
+      i => array_min(transform(col("sh"),
+        sh => h64(concat(i.cast("string"), lit("_"), sh)))))
+    val bands = transform(sequence(lit(0), lit(3)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
+          x => x.cast("string")))).cast("binary")))
+
+    val sigs = Tables.documents(s, d)
+      .withColumn("sh", shingles3(t))
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sig"), explode(bands).as("band_hash"))
+
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_hash"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_hash"))
+    a.join(b, Seq("band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / 16.0,
+          4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard over LSH-free candidate generation: an
+    * inverted index on 3-word shingles (explode → equi-join) keeps
+    * candidate pairs to documents that share at least one shingle. */
+  def tNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("sh", shingles3(toks(col("text"))))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val posting = docs.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val a = posting.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+      col("shingle"))
+    val b = posting.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+      col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 16-bit SimHash from distinct-token md5 nibble parities — one
+    * narrow projection per doc; near-dup grouping is then a plain
+    * hash shuffle on the signature. */
+  def tSimhash(s: SparkSession, d: String): DataFrame = {
+    val bits = transform(sequence(lit(1), lit(16)), pos =>
+      when(aggregate(col("td"), lit(0), (acc, t) =>
+        acc + when(substring(md5(t.cast("binary")), pos, lit(1))
+          .isin(oddHex: _*), 1).otherwise(-1)) > 0, 1).otherwise(0))
+    Tables.documents(s, d)
+      .withColumn("td", array_distinct(toks(col("text"))))
+      .select(col("doc_id"),
+        aggregate(bits, lit(0), (acc, x) => acc * 2 + x).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal plumbing: treat the text payload as an opaque binary
+    * blob (stand-in for image/audio bytes — the container has no
+    * codec libs) and extract typed metadata: byte length, magic
+    * prefix, content digest. The real decode step would slot in as a
+    * mapPartitions over the binary column with identical schema. */
+  def mmBinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("blob", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).as("byte_len"),
+        lower(hex(substring(col("text"), 1, 4).cast("binary"))).as("magic"),
+        sha2(col("blob"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle SQL — same tokens, same md5-derived hashes.
+  // ---------------------------------------------------------------
+
+  private val tokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private val shSql =
+    s"""CASE WHEN len(t) < 3 THEN []
+       |     ELSE list_distinct(list_transform(range(1, len(t)-1),
+       |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END"""
+      .stripMargin
+  private val h64Sql = (e: String) => s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dedup_exact" -> (tDedupExact _),
+    "t_token_stats" -> (tTokenStats _),
+    "t_quality_score" -> (tQualityScore _),
+    "t_lang_id" -> (tLangId _),
+    "t_fingerprint" -> (tFingerprint _),
+    "t_minhash_pairs" -> (tMinhashPairs _),
+    "t_ngram_jaccard" -> (tNgramJaccard _),
+    "t_simhash" -> (tSimhash _),
+    "mm_binary_meta" -> (mmBinaryMeta _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id,
+        |  count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_token_stats" ->
+      s"""SELECT doc_id, len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_uniq_tokens,
+         |  floor((200.0*length(array_to_string(t,'')) + len(t)) /
+         |    (2*len(t))) / 100.0 AS avg_tok_len
+         |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, lexical_div,
+         |  round(0.4*stop_ratio + 0.6*lexical_div, 4) AS quality
+         |FROM (SELECT doc_id, len(t) AS n_tokens,
+         |   round(len(list_filter(t, x -> x IN ('the','a','and','of','to',
+         |     'in','is','on','for','with')))::DOUBLE / len(t), 4)
+         |     AS stop_ratio,
+         |   round(len(list_distinct(t))::DOUBLE / len(t), 4) AS lexical_div
+         | FROM (SELECT doc_id, $tokSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
+         |            AND s_en >= s_es THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS predicted_lang
+         |FROM (SELECT doc_id,
+         |   len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+         |   len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |   len(list_filter(t, x -> x IN ('le','les','et','des','une'))) AS s_fr,
+         |   len(list_filter(t, x -> x IN ('el','los','las','y','como'))) AS s_es
+         | FROM (SELECT doc_id, $tokSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(t)), ' '))
+         |    AS fingerprint
+         |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t_minhash_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shSql AS sh
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(16), i -> list_min(list_transform(sh,
+         |      s -> ${h64Sql("i || '_' || s")}))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, sig,
+         |    unnest(list_transform(range(4), b -> md5(b || '|' ||
+         |      array_to_string(list_transform(sig[b*4+1:b*4+4],
+         |        x -> x::VARCHAR), ',')))) AS band_hash
+         |  FROM sigs)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(list_sum(list_transform(range(16),
+         |    i -> CASE WHEN a.sig[i+1] = b.sig[i+1] THEN 1 ELSE 0 END))
+         |    ::DOUBLE / 16.0, 4) AS est_jaccard
+         |FROM bands a JOIN bands b ON a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, sh, len(sh) AS n_sh
+         |  FROM (SELECT doc_id, $shSql AS sh
+         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+         |p AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM d)
+         |SELECT doc_a, doc_b,
+         |  round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
+         |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+         |      FROM p a JOIN p b ON a.shingle = b.shingle
+         |        AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "t_simhash" ->
+      s"""SELECT doc_id,
+         |  list_reduce([0] || list_transform(range(1,17), pos ->
+         |    CASE WHEN list_sum(list_transform(td, t ->
+         |      CASE WHEN substr(md5(t), pos::INT, 1) IN
+         |        ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
+         |      THEN 1 ELSE 0 END), (a, b) -> a*2 + b) AS simhash
+         |FROM (SELECT doc_id, list_distinct($tokSql) AS td FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
+        |  lower(hex(substr(text,1,4)::BLOB)) AS magic,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  * All dot products are pure column expressions (`zip_with` +
+  * `aggregate`, left-to-right double accumulation) — codegen-friendly,
+  * no UDFs, identical evaluation order to the DuckDB oracle.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one
+  * broadcast of the query vector, map-side partial top-k via
+  * TakeOrderedAndProject). The scale path is the random-hyperplane
+  * LSH variant: bucket assignment is a narrow projection against a
+  * broadcast plane matrix, then candidate ranking happens only within
+  * the query's bucket — at 100 TB the bucket join replaces the full
+  * scan with a hash-partition-local lookup.
+  */
+object VectorOps {
+
+  /** Deterministic ±1 hyperplanes derived from md5 parity — the same
+    * values are inlined into the DuckDB oracle SQL, so both engines
+    * use bit-identical planes without sharing code. */
+  private val Dim = 64
+  private val NPlanes = 8
+  private lazy val planes: Seq[Seq[Double]] = {
+    def firstHexDigit(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val b = md.digest(s.getBytes("UTF-8"))
+      (b(0) >> 4) & 0xf
+    }
+    (0 until NPlanes).map(j => (0 until Dim).map { i =>
+      if ((firstHexDigit(s"${j}_$i") & 1) == 1) 1.0 else -1.0
+    })
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Per-label vector statistics (count, mean L2 norm). */
+  def vVectorStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  /** Brute-force cosine top-10 for the query vector (vec_id = 0). */
+  def vAnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Bucket id from the sign pattern of the 8 hyperplane projections. */
+  private def bucketCol(v: Column): Column =
+    planes.foldLeft(lit(0)) { (acc, p) =>
+      acc * 2 + when(dot(v, typedLit(p)) > 0, 1).otherwise(0)
+    }
+
+  /** LSH-bucketed ANN: rank only candidates in the query's bucket. */
+  def vAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("bucket"),
+        round(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Small k-NN similarity join: top-3 cosine neighbors for each of
+    * the first 20 vectors (the per-query ranking pattern; at scale the
+    * candidate side comes from LSH buckets instead of a full scan). */
+  def vKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("nv"), col("qv")) /
+          (norm(col("nv")) * norm(col("qv"))), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_vector_stats" -> (vVectorStats _),
+    "v_ann_bruteforce" -> (vAnnBruteforce _),
+    "v_ann_lsh" -> (vAnnLsh _),
+    "v_knn_join" -> (vKnnJoin _),
+  )
+
+  // --- DuckDB oracle -------------------------------------------------
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> " +
+      s"$a[i+1]::DOUBLE * $b[i+1]::DOUBLE))"
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def planeLit(p: Seq[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** bucket expression with the plane literals inlined. */
+  private def bucketSql(v: String): String =
+    planes.map { p =>
+      s"(CASE WHEN ${dotSql(v, planeLit(p))} > 0 THEN 1 ELSE 0 END)"
+    }.zipWithIndex.map { case (bit, j) =>
+      val w = 1 << (NPlanes - 1 - j)
+      s"$bit * $w"
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "v_vector_stats" ->
+      s"""SELECT label, count(*) AS n,
+         |  round(avg(${normSql("embedding")}), 4) AS avg_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "v_ann_bruteforce" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(${dotSql("embedding", "qv")} /
+         |    (${normSql("embedding")} * ${normSql("qv")}), 4) AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket
+         |      FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket,
+         |  round(${dotSql("embedding", "qv")} /
+         |    (${normSql("embedding")} * ${normSql("qv")}), 4) AS cos_sim
+         |FROM e, q WHERE vec_id <> 0 AND bucket = qbucket
+         |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    "v_knn_join" ->
+      s"""SELECT qid, nid, cos_sim, rank FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    round(${dotSql("n.embedding", "q.embedding")} /
+         |      (${normSql("n.embedding")} * ${normSql("q.embedding")}), 4)
+         |      AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(${dotSql("n.embedding", "q.embedding")} /
+         |        (${normSql("n.embedding")} * ${normSql("q.embedding")}), 4)
+         |      DESC, n.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+  )
+}
