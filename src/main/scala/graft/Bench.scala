@@ -10,7 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional dev filter: pass query-name substrings to bench a subset.
+    val wanted = SparkEntry.queries.filter { case (name, _) =>
+      args.isEmpty || args.exists(name.contains)
+    }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -25,23 +25,27 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object TextOps {
 
-  /** 60-bit positive hash from md5 hex — engine-portable. */
-  private def h64(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
   /** Whitespace tokens of normalized text. */
   private def toks(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
   private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
-  /** Distinct 3-word shingles (guarded for short docs). */
-  private def shingles3(t: Column): Column =
-    when(size(t) < 3, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2)))))
+  /** Distinct 3-word shingles (guarded for short docs).
+    *
+    * Built with slice + zip_with rather than indexing `t` inside a
+    * lambda: interpreted higher-order functions re-evaluate captured
+    * subexpressions per element, so `element_at(t, i)` would re-run
+    * the upstream regex split O(tokens) times per row — quadratic on
+    * long documents. */
+  private def shingles3(t: Column): Column = {
+    val len = greatest(size(t) - 2, lit(0))
+    array_distinct(zip_with(
+      zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(t, lit(3), len),
+      (ab, c) => concat(ab, lit(" "), c)))
+  }
 
   /** Exact dedup: canonical doc per normalized-text hash. A single
     * hash-partitioned window — the standard 100 TB exact-dedup shape
@@ -127,25 +131,37 @@ object TextOps {
   /** MinHash + LSH near-duplicate pairs.
     * Signature: 16 portable min-hashes over 3-word shingles, computed
     * in ONE narrow projection (nested higher-order functions — no
-    * explode of the shingle set, no shuffle). LSH: 4 bands × 4 rows;
-    * the band digest (band index baked in) is the only join key, so
-    * the pairwise stage only sees hash-bucket collisions — the
-    * standard sub-quadratic shape that survives 100 TB corpora.
-    * Pairs with estimated Jaccard ≥ 0.5 are emitted. */
+    * explode of the shingle set, no shuffle). Each shingle is digested
+    * ONCE (md5 → 32 hex chars); the 16 hash families are the 16
+    * sliding 15-hex-digit windows of that digest — 16× less hashing
+    * than one digest per (family, shingle), same statistical behavior.
+    * LSH: 4 bands × 4 rows; the band digest (band index baked in) is
+    * the only join key, so the pairwise stage only sees hash-bucket
+    * collisions — the standard sub-quadratic shape that survives
+    * 100 TB corpora. Pairs with estimated Jaccard ≥ 0.5 are emitted. */
   def tMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val sig = transform(sequence(lit(0), lit(15)),
-      i => array_min(transform(col("sh"),
-        sh => h64(concat(i.cast("string"), lit("_"), sh)))))
+    // Signature via explode → 16 min() aggregates: whole-stage-codegen
+    // map side + one doc_id-partitioned shuffle. Docs with no shingles
+    // drop out here; they can never reach est_jaccard ≥ 0.5 (their
+    // null signatures compare unequal), so results are unchanged.
+    val minCols: List[Column] = (0 until 16).toList.map(i =>
+      min(conv(substring(col("m"), i + 1, 15), 16, 10).cast("long"))
+        .as(s"w$i"))
+    val sigs0 = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles3(toks(col("text")))).as("shingle"))
+      .withColumn("m", md5(col("shingle").cast("binary")))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig", array((0 until 16).map(i => col(s"w$i")): _*))
     val bands = transform(sequence(lit(0), lit(3)),
       b => md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
           x => x.cast("string")))).cast("binary")))
 
-    val sigs = Tables.documents(s, d)
-      .withColumn("sh", shingles3(t))
-      .withColumn("sig", sig)
+    val sigs = sigs0
       .select(col("doc_id"), col("sig"), explode(bands).as("band_hash"))
+      .persist()
 
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_hash"))
@@ -172,7 +188,7 @@ object TextOps {
       .withColumn("sh", shingles3(toks(col("text"))))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
     val posting = docs.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
+      explode(col("sh")).as("shingle")).persist()
     val a = posting.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
       col("shingle"))
     val b = posting.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
@@ -228,7 +244,6 @@ object TextOps {
        |     ELSE list_distinct(list_transform(range(1, len(t)-1),
        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END"""
       .stripMargin
-  private val h64Sql = (e: String) => s"('0x'||substr(md5($e),1,15))::BIGINT"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_exact" -> (tDedupExact _),
@@ -292,9 +307,10 @@ object TextOps {
          |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
          |sigs AS (
          |  SELECT doc_id,
-         |    list_transform(range(16), i -> list_min(list_transform(sh,
-         |      s -> ${h64Sql("i || '_' || s")}))) AS sig
-         |  FROM sh),
+         |    list_transform(range(16), i -> list_min(list_transform(shm,
+         |      m -> ('0x'||substr(m, i+1, 15))::BIGINT))) AS sig
+         |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm
+         |        FROM sh)),
          |bands AS (
          |  SELECT doc_id, sig,
          |    unnest(list_transform(range(4), b -> md5(b || '|' ||
