@@ -1,0 +1,97 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC changelog over a snapshot range (reference:
+  * iceberg_it.py:2301-2344; docs/spark-procedures.md:805-941).
+  *
+  * Changes are replayed from per-snapshot file diffs: rows in files
+  * added by a snapshot are inserts, rows in files it removed are
+  * deletes, `_change_ordinal` is the snapshot's position in the range.
+  * With identifier columns, a delete+insert of the same key in one
+  * snapshot becomes an update_before/update_after pair. Distributed
+  * end to end: each snapshot contributes parquet scans, the update
+  * pairing is one key-partitioned join.
+  */
+object Changelog {
+
+  def build(spark: SparkSession, meta: TableMeta, startId: Option[Long],
+      endId: Option[Long], identifierCols: Seq[String],
+      computeUpdates: Boolean): DataFrame = {
+    val head = meta.currentSnapshotId("main")
+    val chain = head.map(meta.ancestorsOf).getOrElse(Nil).reverse // oldest first
+    val inRange = chain
+      .dropWhile(s => startId.exists(s.snapshotId <= _))
+      .takeWhile(s => endId.forall(s.snapshotId <= _))
+
+    val schema = meta.schema
+    val parts = inRange.zipWithIndex.flatMap { case (s, ordinal) =>
+      val parentFiles = s.parentId.flatMap(meta.snapshotById)
+        .map(_.files).getOrElse(Nil)
+      val parentPaths = parentFiles.map(_.path).toSet
+      val curPaths = s.files.map(_.path).toSet
+      val added = s.files.filterNot(f => parentPaths(f.path)).map(_.path)
+      val removed = parentFiles.filterNot(f => curPaths(f.path)).map(_.path)
+      def read(paths: Seq[String], change: String): Option[DataFrame] =
+        if (paths.isEmpty) None
+        else Some(spark.read.schema(schema).parquet(paths: _*)
+          .withColumn("_change_type", lit(change))
+          .withColumn("_change_ordinal", lit(ordinal))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+      read(added, "insert") ++ read(removed, "delete")
+    }
+
+    val raw = parts.reduceOption(_.unionByName(_)).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_change_ordinal",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+            org.apache.spark.sql.types.LongType))))
+    }
+
+    if (!computeUpdates || identifierCols.isEmpty) return raw
+
+    // A row deleted and re-inserted with the same identifier in the
+    // same commit is an update; carryover rows (identical on all
+    // columns) cancel out.
+    val dataCols = schema.fieldNames.toSeq
+    val carry = dataCols.map(col) :+ col("_change_ordinal")
+    val counted = raw.groupBy(carry :+ col("_commit_snapshot_id"): _*)
+      .pivot("_change_type", Seq("insert", "delete"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("insert", "delete"))
+    val net = counted
+      .withColumn("__n", least(col("insert"), col("delete")))
+      .withColumn("insert", col("insert") - col("__n"))
+      .withColumn("delete", col("delete") - col("__n"))
+      .filter(col("insert") > 0 || col("delete") > 0)
+    val exploded = net.select(
+      (dataCols.map(col) ++ Seq(col("_change_ordinal"),
+        col("_commit_snapshot_id"),
+        explode(concat(
+          array_repeat(lit("insert"), col("insert").cast("int")),
+          array_repeat(lit("delete"), col("delete").cast("int"))))
+          .as("_change_type"))): _*)
+
+    val idCols = identifierCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCols :+ col("_change_ordinal"): _*)
+    val paired = exploded
+      .withColumn("__has_ins",
+        max(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+      .withColumn("__has_del",
+        max(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col("__has_ins") === 1 && col("__has_del") === 1,
+          when(col("_change_type") === "delete", "update_before")
+            .otherwise("update_after"))
+          .otherwise(col("_change_type")))
+      .drop("__has_ins", "__has_del")
+    paired.select((dataCols ++ Seq("_change_type", "_change_ordinal",
+      "_commit_snapshot_id")).map(col): _*)
+  }
+}

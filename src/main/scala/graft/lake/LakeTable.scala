@@ -1,0 +1,272 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** A snapshot-versioned table (SURVEY.md §1.1). Reads delegate to
+  * Spark's vectorized parquet scan pinned to the snapshot's file list
+  * (after file-level min/max pruning); epoch-grouped scans keep
+  * renamed columns readable in old files. Writes stage parquet into a
+  * fresh `data/<uuid>/` directory and commit a snapshot.
+  */
+class LakeTable(
+    val catalog: LakeCatalog,
+    val ident: Identifier,
+    val meta: TableMeta,
+    val pinnedSnapshot: Option[Long], // time travel / tag read
+    val ref: String)                  // commit target (branch)
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsDeleteV2 {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String =
+    (catalog.name() +: ident.namespace() :+ ident.name()).mkString(".")
+
+  def readSnapshotId: Option[Long] =
+    pinnedSnapshot.orElse(meta.currentSnapshotId(ref))
+
+  def readEpoch: Int = pinnedSnapshot match {
+    // time travel reads with the snapshot's schema; the live table
+    // always shows the current schema (ALTER is immediately visible)
+    case Some(id) => meta.snapshotById(id).map(_.schemaEpoch)
+      .getOrElse(meta.currentSchemaEpoch)
+    case None => meta.currentSchemaEpoch
+  }
+
+  override def schema(): StructType = meta.schemaAt(readEpoch)
+
+  override def partitioning(): Array[Transform] =
+    meta.partitionSpec.map(Transforms.toTransform).toArray
+
+  override def properties(): util.Map[String, String] =
+    (meta.properties ++ Map(
+      "format" -> "lake/parquet",
+      "location" -> meta.location,
+      "current-snapshot-id" -> meta.currentSnapshotId(ref).map(_.toString).getOrElse("none")
+    )).asJava
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+    if (meta.properties.get("write.spark.accept-any-schema").contains("true"))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // programmatic time travel via read options
+    // (docs/spark-queries.md:122-189)
+    val snap = Option(options.get("snapshot-id")).map(_.toLong)
+      .orElse(Option(options.get("as-of-timestamp")).map(ts =>
+        meta.snapshotAsOfTime(ts.toLong).map(_.snapshotId)
+          .getOrElse(throw new IllegalArgumentException(s"no snapshot at $ts"))))
+      .orElse(Option(options.get("tag")).map(t => meta.refs(t).snapshotId))
+      .orElse(Option(options.get("branch")).map(b => meta.refs(b).snapshotId))
+      .orElse(readSnapshotId)
+    new LakeScanBuilder(this, snap, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeWriteBuilder(this, info)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new LakeRowLevelOperation(LakeTable.this, info)
+    }
+
+  // ---- SupportsDeleteV2: file-granular copy-on-write fast path ----
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean = {
+    val v1 = predicates.map(Shims.predicateToV1(_))
+    v1.forall(_.isDefined) &&
+      v1.flatten.forall(LakeWriteUtil.filterToColumn(_).isDefined)
+  }
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit =
+    LakeWriteUtil.deleteWhere(this, predicates.flatMap(Shims.predicateToV1(_)))
+
+  override def truncateTable(): Boolean = {
+    val fresh = catalog.loadMeta(ident)
+    val parent = fresh.currentSnapshot(ref)
+    val snap = SnapshotMeta(fresh.lastSnapshotId + 1,
+      parent.map(_.snapshotId), System.currentTimeMillis(), "delete",
+      Map("deleted-by" -> "truncate"), Nil, fresh.currentSchemaEpoch)
+    catalog.commitMeta(fresh.withSnapshot(snap, Some(ref)))
+    true
+  }
+}
+
+/** Filter + column pushdown with file-level stats pruning.
+  *
+  * In `rowLevel` mode (group-based DELETE/UPDATE/MERGE) the pushed
+  * filters are the command condition: they select which FILES are
+  * rewritten (reported back through `onBuild` so the commit replaces
+  * exactly those), and must NOT skip rows inside a selected file —
+  * every surviving row of a replaced group has to flow to the write.
+  */
+class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
+    options: CaseInsensitiveStringMap,
+    rowLevel: Boolean = false,
+    onBuild: Seq[DataFileMeta] => Unit = _ => ())
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private val fullSchema = table.schema()
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all filters re-checked by Spark after the scan — safe
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val files = table.meta.filesOf(snapshotId)
+    val pruned = FileStats.prune(files, pushed.toSeq, fullSchema)
+    onBuild(pruned)
+    LakeScans.build(table, pruned, required,
+      if (rowLevel) Array.empty else pushed, options)
+  }
+}
+
+object LakeScans {
+
+  /** Build a (possibly epoch-composite) parquet scan over a pinned
+    * file list. Single-epoch tables get a bare ParquetScan — full
+    * vectorization, row-group skipping and exchange reuse, visible
+    * as such in .explain(). */
+  def build(table: LakeTable, files: Seq[DataFileMeta],
+      required: StructType, pushed: Array[Filter],
+      options: CaseInsensitiveStringMap): Scan = {
+    val spark = SparkSession.active
+    val currentSchema = table.schema()
+    val byEpoch = files.groupBy(_.schemaEpoch).toSeq.sortBy(_._1)
+    val scans = byEpoch match {
+      case Seq() => Seq(parquetScan(spark, table, Nil, currentSchema,
+        required, pushed, options))
+      case es => es.map { case (epoch, fs) =>
+        val epochSchema = table.meta.schemaAt(epoch)
+        val rename = renameMap(currentSchema, epochSchema)
+        val dataSchema = mapNames(currentSchema, rename)
+        val readSchema = mapNames(required, rename)
+        val filters = pushed.flatMap(renameFilter(_, rename))
+        parquetScan(spark, table, fs.map(_.path), dataSchema, readSchema,
+          filters, options)
+      }
+    }
+    if (scans.size == 1) scans.head
+    else new CompositeScan(scans, required)
+  }
+
+  private def parquetScan(spark: SparkSession, table: LakeTable,
+      paths: Seq[String], dataSchema: StructType, readSchema: StructType,
+      pushed: Array[Filter], options: CaseInsensitiveStringMap): ParquetScan = {
+    val index = new InMemoryFileIndex(spark,
+      paths.map(new org.apache.hadoop.fs.Path(_)), Map.empty[String, String],
+      Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema, readSchema, StructType(Nil), pushed, options,
+      None, Nil, Nil, Array.empty)
+  }
+
+  /** current name -> epoch name, joined on stable field id. */
+  private def renameMap(current: StructType, epoch: StructType): Map[String, String] = {
+    val byId = epoch.fields.flatMap(f => TableMeta.fieldId(f).map(_ -> f.name)).toMap
+    current.fields.flatMap { f =>
+      TableMeta.fieldId(f).flatMap(byId.get) match {
+        case Some(old) if old != f.name => Some(f.name -> old)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def mapNames(s: StructType, rename: Map[String, String]): StructType =
+    StructType(s.fields.map(f =>
+      rename.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+
+  private[lake] def renameFilter(f: Filter, rename: Map[String, String]): Option[Filter] = {
+    if (rename.isEmpty) return Some(f)
+    def rn(a: String) = rename.getOrElse(a, a)
+    f match {
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(rn(a), v))
+      case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(rn(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(rn(a), v))
+      case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(rn(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(rn(a), v))
+      case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(rn(a), v))
+      case sources.In(a, vs) => Some(sources.In(rn(a), vs))
+      case sources.IsNull(a) => Some(sources.IsNull(rn(a)))
+      case sources.IsNotNull(a) => Some(sources.IsNotNull(rn(a)))
+      case sources.StringStartsWith(a, v) => Some(sources.StringStartsWith(rn(a), v))
+      case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(rn(a), v))
+      case sources.StringContains(a, v) => Some(sources.StringContains(rn(a), v))
+      case sources.And(l, r) =>
+        for (l2 <- renameFilter(l, rename); r2 <- renameFilter(r, rename))
+          yield sources.And(l2, r2)
+      case sources.Or(l, r) =>
+        for (l2 <- renameFilter(l, rename); r2 <- renameFilter(r, rename))
+          yield sources.Or(l2, r2)
+      case sources.Not(c) => renameFilter(c, rename).map(sources.Not)
+      case sources.AlwaysTrue() => Some(f)
+      case sources.AlwaysFalse() => Some(f)
+      case _ => None // unknown shape: don't push for old epochs
+    }
+  }
+}
+
+/** Concatenates per-epoch scans; partitions route to their own
+  * delegate reader factory (columnar included). */
+class CompositeScan(scans: Seq[Scan], schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CompositeScan(${scans.map(_.description()).mkString("; ")})"
+
+  private lazy val delegates: Seq[Batch] = scans.map(_.toBatch)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegates.zipWithIndex.flatMap { case (b, i) =>
+      b.planInputPartitions().map(p => EpochPartition(p, i): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CompositeReaderFactory(delegates.map(_.createReaderFactory()))
+}
+
+case class EpochPartition(inner: InputPartition, idx: Int) extends InputPartition
+
+class CompositeReaderFactory(factories: Seq[PartitionReaderFactory])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    p match { case EpochPartition(inner, i) => factories(i).createReader(inner) }
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match { case EpochPartition(inner, i) => factories(i).createColumnarReader(inner) }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p match { case EpochPartition(inner, i) => factories(i).supportColumnarReads(inner) }
+}

@@ -1,0 +1,462 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Write path (SURVEY.md §7.1 "write-path" + §4.3): every batch write
+  * stages parquet via Spark's own vectorized writer into a fresh
+  * `data/<uuid>/` directory, then commits a snapshot whose file list
+  * is derived from the mode:
+  *
+  *  - append                  -> parent files ++ staged
+  *  - truncate / replace      -> staged only
+  *  - overwrite(filters)      -> copy-on-write against the predicate
+  *  - dynamic overwrite       -> replace only partitions present in
+  *                               the staged data
+  *
+  * Partitioned tables request a clustered distribution on the
+  * partition transforms ([[RequiresDistributionAndOrdering]]), so
+  * Spark shuffles rows once and files align with partitions — no
+  * engine-side row routing. Stats come from parquet footers at commit
+  * (no extra scan). WAP (`spark.wap.id` / `spark.wap.branch`,
+  * iceberg_it.py:1362-1365) redirects or stages the ref advance.
+  */
+class LakeWriteBuilder(table: LakeTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite
+  with SupportsTruncate {
+
+  private var mode: String = "append"
+  private var overwriteFilters: Array[Filter] = Array.empty
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) mode = "truncate"
+    else { mode = "overwrite"; overwriteFilters = filters }
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
+  }
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def build(): Write = new LakeWrite(table, info, mode, overwriteFilters)
+}
+
+class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
+    overwriteFilters: Array[Filter], operationOverride: Option[String] = None,
+    onCommit: Option[TableMeta => Unit] = None,
+    replacedFiles: () => Option[Seq[String]] = () => None)
+  extends Write with RequiresDistributionAndOrdering {
+
+  override def description(): String = s"LakeWrite(${table.name()}, $mode)"
+
+  override def requiredDistribution(): Distribution =
+    if (table.meta.partitionSpec.nonEmpty)
+      Distributions.clustered(
+        table.meta.partitionSpec.map(Transforms.toTransform).toArray)
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] =
+    table.meta.sortOrder.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def requiredNumPartitions(): Int = 0
+
+  override def toBatch: BatchWrite =
+    new LakeBatchWrite(table, info, mode, overwriteFilters,
+      operationOverride, onCommit, replacedFiles)
+
+  override def toStreaming: StreamingWrite =
+    new LakeStreamingWrite(table, info, mode)
+}
+
+class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
+    overwriteFilters: Array[Filter], operationOverride: Option[String],
+    onCommit: Option[TableMeta => Unit],
+    replacedFiles: () => Option[Seq[String]] = () => None)
+  extends BatchWrite {
+
+  private val stagingDir =
+    s"${table.meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
+
+  private val delegate: BatchWrite =
+    new ParquetWrite(Seq(stagingDir), "parquet", _ => true, info).toBatch
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val f = delegate.createBatchWriterFactory(pinfo)
+    // Row-level ReplaceData queries carry a leading __row_operation
+    // column that is not part of the table schema — strip it.
+    if (mode == "rewrite") ProjectingWriterFactory(f, info.schema()) else f
+  }
+
+  override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages)
+    val committed = LakeWriteUtil.commitStaged(table, stagingDir, mode,
+      overwriteFilters, info.schema(), operationOverride, replacedFiles())
+    onCommit.foreach(_(committed))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try delegate.abort(messages)
+    finally MetadataLog.dropTableDir(stagingDir, table.catalog.hadoopConf)
+  }
+}
+
+/** Streaming sink: each epoch commits one snapshot (append; or
+  * truncate-and-append for Complete mode). Reference:
+  * docs/spark-structured-streaming.md:43-93. */
+class LakeStreamingWrite(table: LakeTable, info: LogicalWriteInfo, mode: String)
+  extends StreamingWrite {
+
+  private def epochWrite(): LakeBatchWrite =
+    new LakeBatchWrite(table, info,
+      if (mode == "truncate") "truncate" else "append",
+      Array.empty, None, None)
+
+  @volatile private var current: LakeBatchWrite = _
+
+  override def createStreamingWriterFactory(
+      pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    current = epochWrite()
+    val f = current.createBatchWriterFactory(pinfo)
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      f.createWriter(partitionId, taskId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    current.commit(messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    current.abort(messages)
+}
+
+/** Drops leading extra columns (e.g. __row_operation from group-based
+  * row-level plans) so the parquet writer sees exactly the table
+  * schema. The projection is resolved from the first row's arity. */
+case class ProjectingWriterFactory(inner: DataWriterFactory,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      private var checked = false
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (!checked) {
+          checked = true
+          val extra = row.numFields - schema.size
+          if (extra > 0)
+            proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+              schema, extra until row.numFields)
+        }
+        if (proj != null) { proj.project(row); d.write(proj) }
+        else d.write(row)
+      }
+      override def commit(): WriterCommitMessage = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+    }
+  }
+}
+
+object LakeWriteUtil {
+
+  /** Harvest staged files, build the new snapshot per mode, commit. */
+  def commitStaged(table: LakeTable, stagingDir: String, mode: String,
+      overwriteFilters: Array[Filter], writeSchema: StructType,
+      operationOverride: Option[String],
+      replaced: Option[Seq[String]] = None): TableMeta = {
+    val spark = SparkSession.active
+    val conf = table.catalog.hadoopConf
+    val fresh = table.catalog.loadMeta(table.ident)
+
+    // write-side schema evolution (mergeSchema / accept-any-schema,
+    // iceberg_it.py:1640-1681): extra top-level fields are appended
+    val cur = fresh.schema
+    val extra = writeSchema.fields.filterNot(f =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    val evolved =
+      if (extra.nonEmpty) {
+        val ns = TableMeta.withFieldIds(StructType(cur.fields ++ extra))
+        fresh.copy(schemas = fresh.schemas :+ ns.json,
+          currentSchemaEpoch = fresh.schemas.size)
+      } else fresh
+
+    val epoch = evolved.currentSchemaEpoch
+    val schema = evolved.schema
+
+    val stagedPaths = listParquet(stagingDir, conf)
+    val specTuples = partitionTuples(spark, stagedPaths, evolved)
+    val staged = stagedPaths.map { p =>
+      val tuples = specTuples.getOrElse(normPath(p), Set.empty)
+      FileStats.fromFooter(p, conf, schema, epoch,
+        if (tuples.size == 1) tuples.head else Map.empty)
+    }
+
+    // WAP / branch routing
+    val sconf = spark.conf
+    val wapEnabled = evolved.properties.get("write.wap.enabled").contains("true")
+    val wapId = sconf.getOption("spark.wap.id").filter(_ => wapEnabled)
+    val wapBranch = sconf.getOption("spark.wap.branch")
+    val targetRef = wapBranch.getOrElse(table.ref)
+    val metaWithRef =
+      if (!evolved.refs.contains(targetRef) && evolved.refs.contains("main"))
+        evolved.copy(refs = evolved.refs +
+          (targetRef -> RefMeta("branch", evolved.refs("main").snapshotId)))
+      else evolved
+
+    val parent = metaWithRef.currentSnapshot(targetRef)
+    val parentFiles = parent.map(_.files).getOrElse(Nil)
+
+    val (files, op) = mode match {
+      case "append" => (parentFiles ++ staged, "append")
+      case "truncate" => (staged, "overwrite")
+      case "rewrite" =>
+        // group-based row-level op: replace exactly the scanned files
+        // (Spark pushed the command condition into the scan, so the
+        // unscanned files are untouched groups); a staged CTAS/RTAS
+        // has no scan and replaces everything.
+        val kept = replaced match {
+          case Some(paths) =>
+            val dropped = paths.toSet
+            parentFiles.filterNot(f => dropped(f.path))
+          case None => Nil
+        }
+        (kept ++ staged, operationOverride.getOrElse("replace"))
+      case "overwrite" =>
+        val kept = copyOnWrite(spark, table, metaWithRef, parentFiles,
+          overwriteFilters, conf)
+        (kept ++ staged, "overwrite")
+      case "dynamic" =>
+        val stagedTuples = specTuples.values.flatten.toSet
+        val kept =
+          if (metaWithRef.partitionSpec.isEmpty) Nil
+          else dynamicKeep(spark, metaWithRef, parentFiles, stagedTuples, conf)
+        (kept ++ staged, "overwrite")
+    }
+
+    val snap = SnapshotMeta(
+      snapshotId = metaWithRef.lastSnapshotId + 1,
+      parentId = parent.map(_.snapshotId),
+      timestampMs = System.currentTimeMillis(),
+      operation = operationOverride.getOrElse(op),
+      summary = Map(
+        "spark.app.id" -> spark.sparkContext.applicationId,
+        "added-data-files" -> staged.size.toString,
+        "added-records" -> staged.map(_.rowCount).sum.toString,
+        "total-data-files" -> files.size.toString,
+        "total-records" -> files.map(_.rowCount).sum.toString
+      ) ++ wapId.map("wap.id" -> _),
+      files = files,
+      schemaEpoch = epoch)
+
+    // WAP id staging: snapshot recorded, no ref advance until
+    // publish_changes (docs/spark-procedures.md:186)
+    val advance = if (wapId.isDefined) None else Some(targetRef)
+    table.catalog.commitMeta(metaWithRef.withSnapshot(snap, advance))
+  }
+
+  def listParquet(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val fs = MetadataLog.fs(dir, conf)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+    }
+    buf.result()
+  }
+
+  /** Partition-transform tuples per staged file (one small job over
+    * just the staged files, reading only the source columns). */
+  def partitionTuples(spark: SparkSession, paths: Seq[String],
+      meta: TableMeta): Map[String, Set[Map[String, String]]] = {
+    if (meta.partitionSpec.isEmpty || paths.isEmpty) return Map.empty
+    val schema = meta.schema
+    val cols = meta.partitionSpec.map(f => Transforms.eval(f, schema).as(f.name))
+    spark.read.parquet(paths: _*)
+      .select(input_file_name().as("__file") +: cols: _*)
+      .distinct().collect()
+      .groupBy(r => normPath(r.getString(0)))
+      .map { case (file, rows) =>
+        file -> rows.map(r => meta.partitionSpec.zipWithIndex.map {
+          case (f, i) => f.name -> String.valueOf(r.get(i + 1))
+        }.toMap).toSet
+      }
+  }
+
+  /** input_file_name() returns file:///x while Hadoop listings give
+    * file:/x — compare on the bare URI path. */
+  def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Copy-on-write for `overwrite(filters)` / DELETE WHERE: fully
+    * matching files are dropped, partially matching files rewritten
+    * with the negated predicate, untouched files kept. */
+  def copyOnWrite(spark: SparkSession, table: LakeTable, meta: TableMeta,
+      parentFiles: Seq[DataFileMeta], filters: Array[Filter],
+      conf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+    val schema = meta.schema
+    val (touched, untouched) = parentFiles.partition(f =>
+      filters.forall(FileStats.mayMatch(f, _, schema)))
+    val (full, partial) = touched.partition(fullyMatches(_, filters, schema))
+    val _ = full // dropped entirely
+    val rewritten =
+      if (partial.isEmpty) Nil
+      else {
+        val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
+          .getOrElse(lit(true))
+        rewriteFiles(spark, meta, partial,
+          df => df.filter(!coalesce(cond, lit(false))), conf)
+      }
+    untouched ++ rewritten
+  }
+
+  /** Rewrite a set of files (grouped by schema epoch, projected to
+    * current names) through `xform`, returning new file metas. */
+  def rewriteFiles(spark: SparkSession, meta: TableMeta,
+      files: Seq[DataFileMeta], xform: DataFrame => DataFrame,
+      conf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+    val outDir = s"${meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
+    val schema = meta.schema
+    files.groupBy(_.schemaEpoch).foreach { case (epoch, fs) =>
+      val epochSchema = meta.schemaAt(epoch)
+      val byId = epochSchema.fields.flatMap(f =>
+        TableMeta.fieldId(f).map(_ -> f.name)).toMap
+      val projections = schema.fields.map { f =>
+        val epochName = TableMeta.fieldId(f).flatMap(byId.get)
+        epochName match {
+          case Some(n) if epochSchema.fieldNames.contains(n) =>
+            col(n).cast(f.dataType).as(f.name)
+          case _ if epochSchema.fieldNames.contains(f.name) =>
+            col(f.name).cast(f.dataType).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      val df = spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
+        .select(projections.toIndexedSeq: _*)
+      xform(df).write.mode("append").parquet(outDir)
+    }
+    val epoch = meta.currentSchemaEpoch
+    val outPaths = listParquet(outDir, conf)
+    val tuples = partitionTuples(spark, outPaths, meta)
+    outPaths.map { p =>
+      val t = tuples.getOrElse(normPath(p), Set.empty)
+      FileStats.fromFooter(p, conf, schema, epoch,
+        if (t.size == 1) t.head else Map.empty)
+    }
+  }
+
+  /** Dynamic partition overwrite: drop/rewrite parent files that
+    * overlap the staged partition tuples. */
+  private def dynamicKeep(spark: SparkSession, meta: TableMeta,
+      parentFiles: Seq[DataFileMeta], stagedTuples: Set[Map[String, String]],
+      conf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+    if (stagedTuples.isEmpty) return parentFiles
+    val known = parentFiles.filter(_.partitionValues.nonEmpty)
+    val unknown = parentFiles.filter(_.partitionValues.isEmpty)
+    val keptKnown = known.filterNot(f => stagedTuples.contains(f.partitionValues))
+    // files without a recorded single partition tuple: resolve by job
+    val resolved =
+      if (unknown.isEmpty) Map.empty[String, Set[Map[String, String]]]
+      else partitionTuples(spark, unknown.map(_.path), meta)
+    val keptUnknown = unknown.filter { f =>
+      resolved.getOrElse(normPath(f.path), Set.empty)
+        .forall(t => !stagedTuples.contains(t))
+    }
+    val partials = unknown.filter { f =>
+      val tuples = resolved.getOrElse(normPath(f.path), Set.empty)
+      tuples.exists(stagedTuples.contains) && !tuples.forall(stagedTuples.contains)
+    }
+    val rewritten =
+      if (partials.isEmpty) Nil
+      else {
+        val schema = meta.schema
+        val sep = "\u0001"
+        val key = concat_ws(sep,
+          meta.partitionSpec.map(f => Transforms.eval(f, schema)): _*)
+        val stagedKeys = stagedTuples.map(t =>
+          meta.partitionSpec.map(f => t(f.name)).mkString(sep)).toSeq
+        rewriteFiles(spark, meta, partials,
+          df => df.filter(!key.isin(stagedKeys: _*)), conf)
+      }
+    keptKnown ++ keptUnknown ++ rewritten
+  }
+
+  /** SupportsDeleteV2 fast path — file-granular copy-on-write. */
+  def deleteWhere(table: LakeTable, filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val conf = table.catalog.hadoopConf
+    val fresh = table.catalog.loadMeta(table.ident)
+    val parent = fresh.currentSnapshot(table.ref)
+    val parentFiles = parent.map(_.files).getOrElse(Nil)
+    val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf)
+    val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
+      System.currentTimeMillis(), "delete",
+      Map("deleted-files" -> (parentFiles.size - kept.size).toString),
+      kept, fresh.currentSchemaEpoch)
+    table.catalog.commitMeta(fresh.withSnapshot(snap, Some(table.ref)))
+  }
+
+  /** Does every row of `file` definitely match all `filters`?
+    * (Requires provable negation + no nulls in referenced columns.) */
+  def fullyMatches(file: DataFileMeta, filters: Array[Filter],
+      schema: StructType): Boolean =
+    file.rowCount > 0 && filters.forall { f =>
+      f.references.forall(a => file.nullCounts.get(a).contains(0L)) &&
+        negate(f).exists(nf => !FileStats.mayMatch(file, nf, schema))
+    }
+
+  def negate(f: Filter): Option[Filter] = f match {
+    case sources.EqualTo(a, v) =>
+      Some(sources.Or(sources.LessThan(a, v), sources.GreaterThan(a, v)))
+    case sources.GreaterThan(a, v) => Some(sources.LessThanOrEqual(a, v))
+    case sources.GreaterThanOrEqual(a, v) => Some(sources.LessThan(a, v))
+    case sources.LessThan(a, v) => Some(sources.GreaterThanOrEqual(a, v))
+    case sources.LessThanOrEqual(a, v) => Some(sources.GreaterThan(a, v))
+    case sources.IsNull(a) => Some(sources.IsNotNull(a))
+    case sources.IsNotNull(a) => Some(sources.IsNull(a))
+    case sources.Not(c) => Some(c)
+    case sources.And(l, r) =>
+      for (nl <- negate(l); nr <- negate(r)) yield sources.Or(nl, nr)
+    case sources.Or(l, r) =>
+      for (nl <- negate(l); nr <- negate(r)) yield sources.And(nl, nr)
+    case _ => None
+  }
+
+  /** v1 Filter -> Column (for copy-on-write rewrite jobs). */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}

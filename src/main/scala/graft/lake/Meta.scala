@@ -1,0 +1,144 @@
+package graft.lake
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Table-format metadata model (the replacement for the missing
+  * Iceberg library — see SURVEY.md §0/§7.1 "format-core").
+  *
+  * A table is a directory: `data/<writeId>/part-*.parquet` plus
+  * `metadata/v{N}.json` (one immutable JSON document per commit) and
+  * `metadata/version-hint.text` (pointer to the current N). Commits
+  * are atomic single-writer metadata swaps, mirroring the reference's
+  * snapshot model (reference: docs/spark-queries.md:229-236,
+  * iceberg_it.py:1940-1967).
+  *
+  * Scale note: each snapshot embeds its full data-file manifest with
+  * per-file, per-column min/max/null-count stats. At 100 TB the file
+  * list itself becomes big data — the design seam for that is to spill
+  * manifests to parquet and store only manifest pointers here (the
+  * metadata-table scans already go through [[TableMeta.filesOf]], so
+  * only the (de)serialization would change).
+  */
+final case class PartitionFieldMeta(
+    name: String,        // display name, e.g. "ts_day", "id_bucket"
+    transform: String,   // identity|bucket|truncate|years|months|days|hours
+    sourceColumn: String,
+    param: Option[Int])  // bucket count / truncate width
+
+final case class DataFileMeta(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    schemaEpoch: Int,                 // index into TableMeta.schemas
+    minValues: Map[String, String],  // column -> encoded min (write-time names)
+    maxValues: Map[String, String],
+    nullCounts: Map[String, Long],
+    partitionValues: Map[String, String]) // spec field name -> encoded value
+
+final case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append|overwrite|delete|update|merge|replace|...
+    summary: Map[String, String],
+    files: Seq[DataFileMeta],
+    schemaEpoch: Int)
+
+final case class RefMeta(refType: String, snapshotId: Long) // branch|tag
+
+final case class TableMeta(
+    formatVersion: Int,
+    uuid: String,
+    location: String,
+    schemas: Seq[String], // StructType.json per schema epoch
+    currentSchemaEpoch: Int,
+    partitionSpec: Seq[PartitionFieldMeta],
+    sortOrder: Seq[String],
+    properties: Map[String, String],
+    snapshots: Seq[SnapshotMeta],
+    refs: Map[String, RefMeta],
+    version: Int,
+    lastSnapshotId: Long) {
+
+  def schema: StructType = schemaAt(currentSchemaEpoch)
+  def schemaAt(epoch: Int): StructType =
+    DataType.fromJson(schemas(epoch)).asInstanceOf[StructType]
+
+  def snapshotById(id: Long): Option[SnapshotMeta] =
+    snapshots.find(_.snapshotId == id)
+
+  def currentSnapshotId(ref: String = "main"): Option[Long] =
+    refs.get(ref).map(_.snapshotId)
+
+  def currentSnapshot(ref: String = "main"): Option[SnapshotMeta] =
+    currentSnapshotId(ref).flatMap(snapshotById)
+
+  def filesOf(snapshotId: Option[Long]): Seq[DataFileMeta] =
+    snapshotId.flatMap(snapshotById).map(_.files).getOrElse(Nil)
+
+  /** Snapshot that was current at `tsMs`, following main-branch history. */
+  def snapshotAsOfTime(tsMs: Long, ref: String = "main"): Option[SnapshotMeta] = {
+    val head = currentSnapshot(ref)
+    Iterator.iterate(head)(_.flatMap(s => s.parentId.flatMap(snapshotById)))
+      .takeWhile(_.isDefined).flatten
+      .find(_.timestampMs <= tsMs)
+  }
+
+  /** Ancestors of a snapshot, nearest first (inclusive). */
+  def ancestorsOf(id: Long): Seq[SnapshotMeta] =
+    Iterator.iterate(snapshotById(id))(_.flatMap(s => s.parentId.flatMap(snapshotById)))
+      .takeWhile(_.isDefined).flatten.toSeq
+
+  def withSnapshot(s: SnapshotMeta, advanceRef: Option[String]): TableMeta = {
+    val newRefs = advanceRef match {
+      case Some(r) => refs + (r -> RefMeta("branch", s.snapshotId))
+      case None => refs
+    }
+    copy(snapshots = snapshots :+ s, refs = newRefs,
+      lastSnapshotId = math.max(lastSnapshotId, s.snapshotId))
+  }
+}
+
+object TableMeta {
+  val FieldIdKey = "graft.field.id"
+
+  def empty(location: String, schema: StructType,
+      spec: Seq[PartitionFieldMeta], props: Map[String, String],
+      sortOrder: Seq[String] = Nil): TableMeta =
+    TableMeta(
+      formatVersion = 1,
+      uuid = java.util.UUID.randomUUID().toString,
+      location = location,
+      schemas = Seq(withFieldIds(schema).json),
+      currentSchemaEpoch = 0,
+      partitionSpec = spec,
+      sortOrder = sortOrder,
+      properties = props,
+      snapshots = Nil,
+      refs = Map.empty,
+      version = 0,
+      lastSnapshotId = 0L)
+
+  /** Assign stable field ids (top-level) so renames keep identity. */
+  def withFieldIds(schema: StructType): StructType = {
+    var next = maxFieldId(schema)
+    val fields = schema.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        next += 1
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
+        f.copy(metadata = md)
+      }
+    }
+    StructType(fields)
+  }
+
+  def maxFieldId(schema: StructType): Long =
+    schema.fields.collect {
+      case f if f.metadata.contains(FieldIdKey) => f.metadata.getLong(FieldIdKey)
+    }.foldLeft(0L)(math.max)
+
+  def fieldId(f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+}

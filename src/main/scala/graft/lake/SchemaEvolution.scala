@@ -1,0 +1,124 @@
+package graft.lake
+
+import org.apache.spark.sql.connector.catalog.TableChange
+import org.apache.spark.sql.connector.catalog.TableChange._
+import org.apache.spark.sql.types._
+
+/** ALTER TABLE schema/property evolution with stable field ids, so a
+  * renamed column still reads old data files (reference:
+  * iceberg_it.py:352-365 — add/rename/drop incl. nested `point.z`,
+  * int->bigint widening, DROP NOT NULL).
+  */
+object SchemaEvolution {
+
+  def applyChanges(meta: TableMeta, changes: Seq[TableChange]): TableMeta = {
+    var schema = meta.schema
+    var props = meta.properties
+    var schemaChanged = false
+
+    changes.foreach {
+      case c: SetProperty => props += (c.property() -> c.value())
+      case c: RemoveProperty => props -= c.property()
+      case c: AddColumn =>
+        schema = addColumn(schema, c.fieldNames().toSeq, c.dataType(),
+          c.isNullable, Option(c.comment()))
+        schemaChanged = true
+      case c: RenameColumn =>
+        schema = mapField(schema, c.fieldNames().toSeq)(f => f.copy(name = c.newName()))
+        schemaChanged = true
+      case c: UpdateColumnType =>
+        val from = fieldAt(schema, c.fieldNames().toSeq).dataType
+        require(widenOk(from, c.newDataType()),
+          s"cannot change ${c.fieldNames().mkString(".")} from $from to ${c.newDataType()}")
+        schema = mapField(schema, c.fieldNames().toSeq)(f => f.copy(dataType = c.newDataType()))
+        schemaChanged = true
+      case c: UpdateColumnNullability =>
+        schema = mapField(schema, c.fieldNames().toSeq)(f => f.copy(nullable = c.nullable()))
+        schemaChanged = true
+      case c: UpdateColumnComment =>
+        schema = mapField(schema, c.fieldNames().toSeq) { f =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("comment", c.newComment()).build())
+        }
+      case c: DeleteColumn =>
+        schema = deleteColumn(schema, c.fieldNames().toSeq)
+        schemaChanged = true
+      case c: UpdateColumnPosition => () // ordering is cosmetic here
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other")
+    }
+
+    if (schemaChanged) {
+      val stamped = TableMeta.withFieldIds(schema)
+      meta.copy(properties = props,
+        schemas = meta.schemas :+ stamped.json,
+        currentSchemaEpoch = meta.schemas.size)
+    } else meta.copy(properties = props)
+  }
+
+  /** Promotion rules (docs/spark-getting-started.md:163-166). */
+  private def widenOk(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType | ShortType | IntegerType, LongType) => true
+    case (ByteType | ShortType, IntegerType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale == a.scale && b.precision >= a.precision
+    case _ => false
+  }
+
+  private def fieldAt(schema: StructType, path: Seq[String]): StructField =
+    path match {
+      case Seq(one) => schema(schema.fieldIndex(one))
+      case head +: rest =>
+        schema(schema.fieldIndex(head)).dataType match {
+          case st: StructType => fieldAt(st, rest)
+          case other => throw new IllegalArgumentException(s"$head is $other, not a struct")
+        }
+    }
+
+  private def mapField(schema: StructType, path: Seq[String])(
+      f: StructField => StructField): StructType = path match {
+    case Seq(one) =>
+      StructType(schema.fields.map(fl => if (fl.name.equalsIgnoreCase(one)) f(fl) else fl))
+    case head +: rest =>
+      StructType(schema.fields.map { fl =>
+        if (fl.name.equalsIgnoreCase(head)) fl.dataType match {
+          case st: StructType => fl.copy(dataType = mapField(st, rest)(f))
+          case other => throw new IllegalArgumentException(s"$head is $other, not a struct")
+        } else fl
+      })
+  }
+
+  private def addColumn(schema: StructType, path: Seq[String], dt: DataType,
+      nullable: Boolean, comment: Option[String]): StructType = {
+    val md = comment.map(c => new MetadataBuilder().putString("comment", c).build())
+      .getOrElse(Metadata.empty)
+    path match {
+      case Seq(one) =>
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(one)), s"column $one exists")
+        StructType(schema.fields :+ StructField(one, dt, nullable, md))
+      case head +: rest =>
+        mapField(schema, Seq(head)) { fl =>
+          fl.dataType match {
+            case st: StructType => fl.copy(dataType = addColumn(st, rest, dt, nullable, comment))
+            case other => throw new IllegalArgumentException(s"$head is $other, not a struct")
+          }
+        }
+    }
+  }
+
+  private def deleteColumn(schema: StructType, path: Seq[String]): StructType =
+    path match {
+      case Seq(one) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(one)), s"no column $one")
+        StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(one)))
+      case head +: rest =>
+        mapField(schema, Seq(head)) { fl =>
+          fl.dataType match {
+            case st: StructType => fl.copy(dataType = deleteColumn(st, rest))
+            case other => throw new IllegalArgumentException(s"$head is $other, not a struct")
+          }
+        }
+    }
+}

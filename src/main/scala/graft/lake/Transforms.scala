@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+
+/** Hidden-partitioning transforms (reference: iceberg_it.py:278-288 —
+  * `bucket(16,id), days(ts), category, truncate(4,data)`; also
+  * hours/year at :1310/:382).
+  *
+  * Evaluation is a plain Column expression, so partition values are
+  * computed by a distributed job over the staged files at commit time,
+  * and write clustering requests the same transforms through
+  * `RequiresDistributionAndOrdering` — Spark shuffles rows so files
+  * align with partitions without an engine-side row path.
+  */
+object Transforms {
+
+  /** DSv2 Transform (from CREATE TABLE ... PARTITIONED BY) -> meta. */
+  def fromTransform(t: Transform): PartitionFieldMeta = {
+    def ref: String = t.references()(0).fieldNames().mkString(".")
+    t.name() match {
+      case "identity" => PartitionFieldMeta(ref, "identity", ref, None)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt
+        }.get
+        PartitionFieldMeta(s"${ref}_bucket", "bucket", ref, Some(n))
+      case "truncate" =>
+        val w = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt
+        }.get
+        PartitionFieldMeta(s"${ref}_trunc", "truncate", ref, Some(w))
+      case fn @ ("years" | "year" | "months" | "month" | "days" | "day" |
+                 "hours" | "hour") =>
+        val canonical = fn.stripSuffix("s") + "s"
+        PartitionFieldMeta(s"${ref}_${canonical.stripSuffix("s")}",
+          canonical, ref, None)
+      case other =>
+        throw new UnsupportedOperationException(s"transform $other")
+    }
+  }
+
+  def toTransform(f: PartitionFieldMeta): Transform = f.transform match {
+    case "identity" => Expressions.identity(f.sourceColumn)
+    case "bucket"   => Expressions.bucket(f.param.get, f.sourceColumn)
+    case "truncate" => Expressions.apply("truncate",
+      Expressions.literal(f.param.get), Expressions.column(f.sourceColumn))
+    case "years"    => Expressions.years(f.sourceColumn)
+    case "months"   => Expressions.months(f.sourceColumn)
+    case "days"     => Expressions.days(f.sourceColumn)
+    case "hours"    => Expressions.hours(f.sourceColumn)
+  }
+
+  /** Transform as a Column over the source column (string-encoded so
+    * partition values serialize uniformly into the manifest). */
+  def eval(f: PartitionFieldMeta,
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.types._
+    val c = col(f.sourceColumn)
+    val numeric = schema.find(_.name.equalsIgnoreCase(f.sourceColumn))
+      .exists(_.dataType match {
+        case _: NumericType => true
+        case _ => false
+      })
+    val v = f.transform match {
+      case "identity" => c
+      case "bucket"   => pmod(abs(xxhash64(c)), lit(f.param.get))
+      case "truncate" if numeric =>
+        c.cast("long") - pmod(c.cast("long"), lit(f.param.get.toLong))
+      case "truncate" => substring(c.cast("string"), 1, f.param.get)
+      case "years"    => year(c)
+      case "months"   => date_format(c, "yyyy-MM")
+      case "days"     => date_format(c, "yyyy-MM-dd")
+      case "hours"    => date_format(c, "yyyy-MM-dd-HH")
+    }
+    v.cast("string")
+  }
+}

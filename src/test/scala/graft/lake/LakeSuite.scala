@@ -1,0 +1,221 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end slice (SURVEY.md §7.2) + DML/time-travel/branch/WAP
+  * coverage mirroring the reference suite's assertions. */
+class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    wh = java.nio.file.Files.createTempDirectory("lake_wh").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("lake-suite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  private def sql(s: String) = spark.sql(s)
+  private def count(s: String): Long = sql(s).collect()(0).getLong(0)
+
+  test("create / insert / select / time travel / metadata tables") {
+    sql("CREATE TABLE lake.db.sample (id bigint NOT NULL, data string) USING lake")
+    sql("INSERT INTO lake.db.sample VALUES (1,'a'),(2,'b')")
+    sql("INSERT INTO lake.db.sample VALUES (3,'c')")
+
+    val rows = sql("SELECT * FROM lake.db.sample ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    val snaps = sql("SELECT snapshot_id, operation FROM lake.db.sample.snapshots ORDER BY snapshot_id").collect()
+    assert(snaps.length == 2)
+    assert(snaps.forall(_.getString(1) == "append"))
+
+    val v1 = snaps(0).getLong(0)
+    assert(sql(s"SELECT * FROM lake.db.sample VERSION AS OF $v1").count() == 2)
+    assert(sql("SELECT * FROM lake.db.sample.history").count() == 2)
+    assert(sql("SELECT * FROM lake.db.sample.files").count() >= 1)
+    assert(sql("SELECT * FROM lake.db.sample.refs").collect()
+      .exists(r => r.getString(0) == "main"))
+  }
+
+  test("ctas and rtas") {
+    sql("CREATE TABLE lake.db.ctas USING lake AS SELECT 1 AS id, 'x' AS v")
+    assert(count("SELECT count(*) FROM lake.db.ctas") == 1)
+    sql("CREATE OR REPLACE TABLE lake.db.ctas USING lake AS SELECT 2 AS id, 'y' AS v UNION ALL SELECT 3, 'z'")
+    assert(count("SELECT count(*) FROM lake.db.ctas") == 2)
+  }
+
+  test("delete / update / merge") {
+    sql("CREATE TABLE lake.db.dml (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.dml VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+
+    sql("DELETE FROM lake.db.dml WHERE id = 2")
+    assert(count("SELECT count(*) FROM lake.db.dml") == 3)
+
+    sql("UPDATE lake.db.dml SET v = 'updated' WHERE id = 3")
+    assert(sql("SELECT v FROM lake.db.dml WHERE id = 3").collect()(0).getString(0) == "updated")
+
+    sql("""MERGE INTO lake.db.dml t USING (
+          |  SELECT 1 AS id, 'merged' AS v UNION ALL SELECT 9, 'new'
+          |) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = sql("SELECT id, v FROM lake.db.dml ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((1L, "merged"), (3L, "updated"), (4L, "d"), (9L, "new")))
+
+    val ops = sql("SELECT operation FROM lake.db.dml.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("append", "delete", "update", "merge"))
+  }
+
+  test("insert overwrite static and dynamic") {
+    sql("CREATE TABLE lake.db.ow (id bigint, part string) USING lake PARTITIONED BY (part)")
+    sql("INSERT INTO lake.db.ow VALUES (1,'a'),(2,'b')")
+    sql("SET spark.sql.sources.partitionOverwriteMode=dynamic")
+    sql("INSERT OVERWRITE lake.db.ow VALUES (10,'a')")
+    val rows = sql("SELECT id, part FROM lake.db.ow ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "b"), (10L, "a")), s"dynamic overwrite got $rows")
+    sql("SET spark.sql.sources.partitionOverwriteMode=static")
+    sql("INSERT OVERWRITE lake.db.ow VALUES (7,'z')")
+    assert(count("SELECT count(*) FROM lake.db.ow") == 1)
+  }
+
+  test("branches, tags, wap") {
+    sql("CREATE TABLE lake.db.br (id bigint) USING lake")
+    sql("INSERT INTO lake.db.br VALUES (1),(2)")
+    sql("CALL lake.system.create_branch(table => 'db.br', branch => 'audit')")
+    sql("CALL lake.system.create_tag(table => 'db.br', tag => 'v1')")
+
+    // write to the branch; main must not move (iceberg_it.py:1521-1524)
+    sql("INSERT INTO lake.db.br.branch_audit VALUES (3)")
+    assert(count("SELECT count(*) FROM lake.db.br") == 2)
+    assert(count("SELECT count(*) FROM lake.db.br.branch_audit") == 3)
+    assert(count("SELECT count(*) FROM lake.db.br VERSION AS OF 'audit'") == 3)
+    assert(count("SELECT count(*) FROM lake.db.br VERSION AS OF 'v1'") == 2)
+
+    // fast-forward main to the branch head
+    sql("CALL lake.system.fast_forward(table => 'db.br', branch => 'main', to => 'audit')")
+    assert(count("SELECT count(*) FROM lake.db.br") == 3)
+
+    // WAP: stage a commit invisibly, then publish
+    sql("ALTER TABLE lake.db.br SET TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.conf.set("spark.wap.id", "wap1")
+    sql("INSERT INTO lake.db.br VALUES (99)")
+    assert(count("SELECT count(*) FROM lake.db.br") == 3, "WAP write must be invisible")
+    spark.conf.unset("spark.wap.id")
+    sql("CALL lake.system.publish_changes(table => 'db.br', wap_id => 'wap1')")
+    assert(count("SELECT count(*) FROM lake.db.br") == 4)
+  }
+
+  test("schema evolution incl. rename reads old files") {
+    sql("CREATE TABLE lake.db.se (id bigint, data string) USING lake")
+    sql("INSERT INTO lake.db.se VALUES (1,'old')")
+    sql("ALTER TABLE lake.db.se ADD COLUMN extra int")
+    sql("ALTER TABLE lake.db.se RENAME COLUMN data TO payload")
+    sql("INSERT INTO lake.db.se VALUES (2,'new',42)")
+    val rows = sql("SELECT id, payload, extra FROM lake.db.se ORDER BY id").collect()
+    assert(rows(0).getString(1) == "old", "renamed column must read old files")
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getString(1) == "new" && rows(1).getInt(2) == 42)
+
+    sql("ALTER TABLE lake.db.se ALTER COLUMN extra TYPE bigint")
+    assert(sql("SELECT extra FROM lake.db.se WHERE id = 2").collect()(0).getLong(0) == 42L)
+    sql("ALTER TABLE lake.db.se DROP COLUMN extra")
+    assert(sql("SELECT * FROM lake.db.se").columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("procedures: rollback, cherrypick, expire, orphans, compaction") {
+    sql("CREATE TABLE lake.db.proc (id bigint) USING lake")
+    sql("INSERT INTO lake.db.proc VALUES (1)")
+    sql("INSERT INTO lake.db.proc VALUES (2)")
+    sql("INSERT INTO lake.db.proc VALUES (3)")
+    val snaps = sql("SELECT snapshot_id FROM lake.db.proc.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+
+    sql(s"CALL lake.system.rollback_to_snapshot(table => 'db.proc', snapshot_id => ${snaps(1)})")
+    assert(count("SELECT count(*) FROM lake.db.proc") == 2)
+    sql(s"CALL lake.system.set_current_snapshot(table => 'db.proc', snapshot_id => ${snaps(2)})")
+    assert(count("SELECT count(*) FROM lake.db.proc") == 3)
+    assert(sql("CALL lake.system.ancestors_of(table => 'db.proc')").count() == 3)
+
+    val rw = sql("CALL lake.system.rewrite_data_files(table => 'db.proc')").collect()(0)
+    assert(rw.getInt(0) == 3, s"expected 3 rewritten, got $rw")
+    assert(count("SELECT count(*) FROM lake.db.proc") == 3)
+
+    val orphans = sql("CALL lake.system.remove_orphan_files(table => 'db.proc', dry_run => true)")
+    assert(orphans.count() >= 0)
+
+    sql("CALL lake.system.expire_snapshots(table => 'db.proc', retain_last => 1)")
+    assert(count("SELECT count(*) FROM lake.db.proc") == 3)
+  }
+
+  test("changelog view") {
+    sql("CREATE TABLE lake.db.cdc (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.cdc VALUES (1,'a'),(2,'b')")
+    sql("INSERT INTO lake.db.cdc VALUES (3,'c')")
+    sql("DELETE FROM lake.db.cdc WHERE id = 1")
+    sql("""CALL lake.system.create_changelog_view(table => 'db.cdc',
+          |changelog_view => 'cdc_changes')""".stripMargin)
+    val changes = sql("SELECT id, _change_type, _change_ordinal FROM cdc_changes ORDER BY _change_ordinal, id, _change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(changes.contains((3L, "insert", 1)))
+    assert(changes.exists(c => c._1 == 1L && c._2 == "delete"))
+  }
+
+  test("filter pushdown prunes files") {
+    sql("CREATE TABLE lake.db.prune (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.prune SELECT id, 'a' FROM range(1, 3)")      // ids 1-2
+    sql("INSERT INTO lake.db.prune SELECT id, 'x' FROM range(100, 201, 100)") // ids 100,200
+    val df = spark.sql("SELECT * FROM lake.db.prune WHERE id > 50")
+    assert(df.count() == 2)
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("PushedFilters") || scanDesc.contains("ParquetScan"),
+      s"expected a parquet scan with pushdown in:\n$scanDesc")
+    // file pruning: only one of the two files should be scanned
+    val scanned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.length
+          case _ => -1
+        }
+    }.sum
+    val total = sql("SELECT count(*) FROM lake.db.prune.files").collect()(0).getLong(0)
+    assert(scanned < total,
+      s"expected min/max pruning to skip low-id files: scanned $scanned of $total")
+  }
+
+  test("dataframe writer v2 and read options") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .writeTo("lake.db.dfw").using("lake").create()
+    assert(count("SELECT count(*) FROM lake.db.dfw") == 2)
+    Seq((3L, "c")).toDF("id", "v").writeTo("lake.db.dfw").append()
+    assert(count("SELECT count(*) FROM lake.db.dfw") == 3)
+    val firstSnap = sql("SELECT min(snapshot_id) FROM lake.db.dfw.snapshots")
+      .collect()(0).getLong(0)
+    val old = spark.read.option("snapshot-id", firstSnap.toString)
+      .table("lake.db.dfw")
+    assert(old.count() == 2)
+    Seq((9L, "z")).toDF("id", "v").writeTo("lake.db.dfw").overwritePartitions()
+    assert(count("SELECT count(*) FROM lake.db.dfw") == 1)
+  }
+}
