@@ -1,0 +1,41 @@
+package graft.mv
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Materialized-view metadata + thread-safe in-memory catalog
+  * (reference: spark-mv-plugin MaterializedViewCatalog.scala:19-75 —
+  * same design: defining SQL + physical backing table + freshness/
+  * storage stats; in-memory per reference, metastore persistence is
+  * future work).
+  */
+final case class MvMeta(
+    name: String,
+    query: String,
+    backingTable: String,
+    createdTs: Long,
+    lastRefreshTs: Long,
+    storageFormat: String,
+    storageLocation: String,
+    rowCount: Long,
+    sizeInBytes: Long)
+
+object MvCatalog {
+  private val views = new ConcurrentHashMap[String, MvMeta]()
+
+  def register(meta: MvMeta): Unit = views.put(meta.name.toLowerCase, meta)
+  def get(name: String): Option[MvMeta] = Option(views.get(name.toLowerCase))
+  def drop(name: String): Option[MvMeta] = Option(views.remove(name.toLowerCase))
+  def list(): Seq[MvMeta] = views.values().asScala.toSeq.sortBy(_.name)
+  def clear(): Unit = views.clear()
+
+  /** Re-entrancy guard: MV definition queries must not themselves be
+    * rewritten (reference: MaterializedViewOptimizationRule.scala:86-90). */
+  private val disabled = ThreadLocal.withInitial[Boolean](() => false)
+  def isRewriteDisabled: Boolean = disabled.get()
+  def withRewriteDisabled[T](f: => T): T = {
+    val prev = disabled.get()
+    disabled.set(true)
+    try f finally disabled.set(prev)
+  }
+}

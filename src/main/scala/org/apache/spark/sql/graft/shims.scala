@@ -10,4 +10,12 @@ import org.apache.spark.sql.sources.Filter
   */
 object Shims {
   def predicateToV1(p: Predicate): Option[Filter] = PredicateUtils.toV1(p)
+
+  /** Unwrap the private[sql] RowLevelOperationTable wrapper that
+    * group-based DELETE/UPDATE/MERGE plans put around the target. */
+  def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table): org.apache.spark.sql.connector.catalog.Table =
+    t match {
+      case rl: org.apache.spark.sql.connector.write.RowLevelOperationTable => rl.table
+      case other => other
+    }
 }
