@@ -84,7 +84,21 @@ class LakeTable(
       .orElse(Option(options.get("tag")).map(t => meta.refs(t).snapshotId))
       .orElse(Option(options.get("branch")).map(b => meta.refs(b).snapshotId))
       .orElse(readSnapshotId)
-    new LakeScanBuilder(this, snap, options)
+    // incremental append-only batch read (docs/spark-queries.md:193-213)
+    val incremental = Option(options.get("start-snapshot-id")).map { st =>
+      val start = st.toLong
+      val end = Option(options.get("end-snapshot-id")).map(_.toLong)
+        .orElse(meta.currentSnapshotId("main")).getOrElse(start)
+      meta.snapshots
+        .filter(x => x.snapshotId > start && x.snapshotId <= end)
+        .sortBy(_.snapshotId)
+        .flatMap { sn =>
+          val parentPaths = sn.parentId.flatMap(meta.snapshotById)
+            .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+          sn.files.filterNot(f => parentPaths(f.path))
+        }
+    }
+    new LakeScanBuilder(this, snap, options, filesOverride = incremental)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -129,7 +143,8 @@ class LakeTable(
 class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     options: CaseInsensitiveStringMap,
     rowLevel: Boolean = false,
-    onBuild: Seq[DataFileMeta] => Unit = _ => ())
+    onBuild: Seq[DataFileMeta] => Unit = _ => (),
+    filesOverride: Option[Seq[DataFileMeta]] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -147,7 +162,7 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     required = requiredSchema
 
   override def build(): Scan = {
-    val files = table.meta.filesOf(snapshotId)
+    val files = filesOverride.getOrElse(table.meta.filesOf(snapshotId))
     val pruned = FileStats.prune(files, pushed.toSeq, fullSchema)
     onBuild(pruned)
     LakeScans.build(table, pruned, required,
@@ -190,9 +205,14 @@ object LakeScans {
     val index = new InMemoryFileIndex(spark,
       paths.map(new org.apache.hadoop.fs.Path(_)), Map.empty[String, String],
       Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
-    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+    // a ParquetScan that can also serve as a streaming source
+    new ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
       dataSchema, readSchema, StructType(Nil), pushed, options,
-      None, Nil, Nil, Array.empty)
+      None, Nil, Nil, Array.empty) {
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new LakeMicroBatchStream(table, readSchema, options, checkpointLocation)
+    }
   }
 
   /** current name -> epoch name, joined on stable field id. */

@@ -127,6 +127,11 @@ class LakeStreamingWrite(table: LakeTable, info: LogicalWriteInfo, mode: String)
 
   @volatile private var current: LakeBatchWrite = _
 
+  // the batch OutputCommitCoordinator denies task commits inside
+  // micro-batch jobs; staged files are attempt-unique so tasks can
+  // commit directly
+  override def useCommitCoordinator(): Boolean = false
+
   override def createStreamingWriterFactory(
       pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
     current = epochWrite()

@@ -1,0 +1,79 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming read (snapshot-incremental micro-batches) and streaming
+  * write (append snapshots per epoch) — reference:
+  * docs/spark-structured-streaming.md. */
+class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var ckpt: String = _
+
+  override def beforeAll(): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("lakestream_wh").toString
+    ckpt = java.nio.file.Files.createTempDirectory("lakestream_ckpt").toString
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("lake-streaming-suite")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming read: appends arrive as incremental micro-batches") {
+    spark.sql("CREATE TABLE lake.db.src (id bigint) USING lake")
+    spark.sql("INSERT INTO lake.db.src VALUES (1),(2)")
+
+    val q = spark.readStream.table("lake.db.src")
+      .writeStream.format("memory").queryName("sink1")
+      .option("checkpointLocation", s"$ckpt/q1")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sink1").count() == 2)
+
+      spark.sql("INSERT INTO lake.db.src VALUES (3)")
+      q.processAllAvailable()
+      assert(spark.table("sink1").count() == 3)
+
+      // compaction must not re-emit rows
+      spark.sql("CALL lake.system.rewrite_data_files(table => 'db.src', options => map('min-input-files','1'))")
+      spark.sql("INSERT INTO lake.db.src VALUES (4)")
+      q.processAllAvailable()
+      assert(spark.table("sink1").count() == 4)
+    } finally q.stop()
+  }
+
+  test("streaming write: each epoch commits an append snapshot") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE lake.db.snk (value bigint) USING lake")
+    val mem = MemoryStream[Long](spark)
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$ckpt/q2")
+      .toTable("lake.db.snk")
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM lake.db.snk").collect()(0).getLong(0) == 2)
+      mem.addData(3L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM lake.db.snk").collect()(0).getLong(0) == 3)
+      val ops = spark.sql("SELECT operation FROM lake.db.snk.snapshots")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops.forall(_ == "append") && ops.size == 2)
+    } finally q.stop()
+  }
+}
