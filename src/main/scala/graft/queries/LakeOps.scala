@@ -1,0 +1,320 @@
+package graft.queries
+
+import graft.lake.LakeCatalog
+import graft.mv.{CreateMaterializedViewCommand, MvCommands}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate coverage for the lakehouse engine: each entry creates
+  * its own uniquely-named table in a per-JVM temp warehouse, drives a
+  * SURVEY.md §2 operator surface (CTAS, inserts, DELETE/UPDATE/MERGE,
+  * dynamic overwrite, time travel, branches, schema evolution,
+  * incremental reads, compaction, changelog, MV), and returns a
+  * DataFrame whose content is expressible as DuckDB SQL over the
+  * SOURCE parquet tables — so the generic oracle harness verifies the
+  * engine's end-to-end semantics, not just its unit tests.
+  *
+  * The side effects run eagerly inside the builder; only the final
+  * SELECT is returned lazily (tables are left in the temp warehouse
+  * so the driver can materialize the result after return).
+  */
+object LakeOps {
+
+  private val wh = sys.props("java.io.tmpdir") +
+    "/graft_lakeq_" + java.util.UUID.randomUUID().toString.take(8)
+
+  private def cat(s: SparkSession): String = {
+    s.conf.set("spark.sql.catalog.lakeq", classOf[LakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.lakeq.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS lakeq.db")
+    "lakeq"
+  }
+
+  private def fresh(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def srcView(s: SparkSession, d: String, table: String): String = {
+    val v = fresh(s"src_$table")
+    graft.Tables.load(s, d, table).createOrReplaceTempView(v)
+    v
+  }
+
+  /** CTAS + plain read-back. */
+  def lakeCtas(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "region")
+    val t = fresh("ctas")
+    s.sql(s"CREATE TABLE lakeq.db.$t USING lake AS SELECT r_regionkey, r_name FROM $v")
+    s.sql(s"SELECT r_regionkey, r_name FROM lakeq.db.$t ORDER BY r_regionkey")
+  }
+
+  /** Two append snapshots reassemble the source. */
+  def lakeInsert(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("ins")
+    s.sql(s"CREATE TABLE lakeq.db.$t (n_nationkey bigint, n_name string) USING lake")
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name FROM $v WHERE n_nationkey < 12")
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name FROM $v WHERE n_nationkey >= 12")
+    s.sql(s"SELECT n_nationkey, n_name FROM lakeq.db.$t ORDER BY n_nationkey")
+  }
+
+  /** Copy-on-write DELETE. */
+  def lakeDelete(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "customer")
+    val t = fresh("del")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake AS
+             |SELECT c_custkey, c_name, c_mktsegment FROM $v""".stripMargin)
+    s.sql(s"DELETE FROM lakeq.db.$t WHERE c_mktsegment = 'BUILDING'")
+    s.sql(s"SELECT c_custkey, c_name, c_mktsegment FROM lakeq.db.$t ORDER BY c_custkey")
+  }
+
+  /** Row-level UPDATE. */
+  def lakeUpdate(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "supplier")
+    val t = fresh("upd")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake AS
+             |SELECT s_suppkey, s_nationkey, s_acctbal FROM $v""".stripMargin)
+    s.sql(s"UPDATE lakeq.db.$t SET s_acctbal = s_acctbal + 1000 WHERE s_nationkey = 5")
+    s.sql(s"""SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS bal
+             |FROM lakeq.db.$t ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** MERGE with matched-update, not-matched-insert and
+    * not-matched-by-source-delete. */
+  def lakeMerge(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "customer")
+    val t = fresh("mrg")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake AS
+             |SELECT c_custkey, c_name, c_acctbal AS bal FROM $v
+             |WHERE c_custkey <= 100""".stripMargin)
+    s.sql(s"""MERGE INTO lakeq.db.$t t USING (
+             |  SELECT c_custkey, c_name, c_acctbal + 1000 AS bal FROM $v
+             |  WHERE c_custkey BETWEEN 51 AND 150) s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET t.bal = s.bal
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE AND t.c_custkey <= 10 THEN DELETE""".stripMargin)
+    s.sql(s"""SELECT c_custkey, c_name, round(bal, 2) AS bal
+             |FROM lakeq.db.$t ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Snapshot isolation: read the pre-delete version. */
+  def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("tt")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake AS
+             |SELECT n_nationkey, n_name FROM $v""".stripMargin)
+    val v1 = s.sql(s"SELECT min(snapshot_id) FROM lakeq.db.$t.snapshots")
+      .collect()(0).getLong(0)
+    s.sql(s"DELETE FROM lakeq.db.$t WHERE n_nationkey >= 10")
+    s.sql(s"""SELECT n_nationkey, n_name FROM lakeq.db.$t VERSION AS OF $v1
+             |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Branch writes stay off main (write-audit without publish). */
+  def lakeBranchIsolation(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "region")
+    val t = fresh("br")
+    s.sql(s"CREATE TABLE lakeq.db.$t USING lake AS SELECT r_regionkey, r_name FROM $v")
+    s.sql(s"CALL lakeq.system.create_branch(table => 'db.$t', branch => 'audit')")
+    s.sql(s"INSERT INTO lakeq.db.$t.branch_audit SELECT r_regionkey + 100, r_name FROM $v")
+    val branchRows = s.sql(s"SELECT count(*) FROM lakeq.db.$t.branch_audit")
+      .collect()(0).getLong(0)
+    require(branchRows == 10, s"branch should see 10 rows, got $branchRows")
+    s.sql(s"SELECT r_regionkey, r_name FROM lakeq.db.$t ORDER BY r_regionkey")
+  }
+
+  /** Add + rename columns; old files remain readable. */
+  def lakeSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("se")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake AS
+             |SELECT r_regionkey, r_name FROM
+             |(SELECT n_nationkey AS r_regionkey, n_name AS r_name FROM $v)""".stripMargin)
+    s.sql(s"ALTER TABLE lakeq.db.$t ADD COLUMN extra bigint")
+    s.sql(s"ALTER TABLE lakeq.db.$t RENAME COLUMN r_name TO region_name")
+    s.sql(s"""INSERT INTO lakeq.db.$t
+             |SELECT n_nationkey + 100, n_name, n_nationkey FROM $v
+             |WHERE n_nationkey < 3""".stripMargin)
+    s.sql(s"""SELECT r_regionkey, region_name, extra FROM lakeq.db.$t
+             |ORDER BY r_regionkey""".stripMargin)
+  }
+
+  /** Dynamic partition overwrite replaces only the touched region. */
+  def lakeDynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("dyn")
+    s.sql(s"""CREATE TABLE lakeq.db.$t
+             |(n_nationkey bigint, n_name string, n_regionkey bigint)
+             |USING lake PARTITIONED BY (n_regionkey)""".stripMargin)
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name, n_regionkey FROM $v")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try s.sql(s"""INSERT OVERWRITE lakeq.db.$t
+                 |SELECT n_nationkey + 1000, n_name, n_regionkey FROM $v
+                 |WHERE n_regionkey = 2""".stripMargin)
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.sql(s"""SELECT n_nationkey, n_name, n_regionkey FROM lakeq.db.$t
+             |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Incremental read: only the second snapshot's rows. */
+  def lakeIncrementalRead(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("inc")
+    s.sql(s"CREATE TABLE lakeq.db.$t (n_nationkey bigint, n_name string) USING lake")
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name FROM $v WHERE n_nationkey < 12")
+    val v1 = s.sql(s"SELECT min(snapshot_id) FROM lakeq.db.$t.snapshots")
+      .collect()(0).getLong(0)
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name FROM $v WHERE n_nationkey >= 12")
+    s.read.option("start-snapshot-id", v1.toString).table(s"lakeq.db.$t")
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Compaction preserves content (bin-pack rewrite_data_files). */
+  def lakeCompaction(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "supplier")
+    val t = fresh("cmp")
+    s.sql(s"CREATE TABLE lakeq.db.$t (s_suppkey bigint, s_name string) USING lake")
+    (0 until 4).foreach(i =>
+      s.sql(s"""INSERT INTO lakeq.db.$t SELECT s_suppkey, s_name FROM $v
+               |WHERE s_suppkey % 4 = $i""".stripMargin))
+    s.sql(s"""CALL lakeq.system.rewrite_data_files(table => 'db.$t',
+             |options => map('min-input-files','1'))""".stripMargin)
+    val nFiles = s.sql(s"SELECT count(*) FROM lakeq.db.$t.files")
+      .collect()(0).getLong(0)
+    require(nFiles < 4, s"compaction should shrink the file count, got $nFiles")
+    s.sql(s"SELECT s_suppkey, s_name FROM lakeq.db.$t ORDER BY s_suppkey")
+  }
+
+  /** CDC changelog over append+delete snapshots. */
+  def lakeChangelog(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("cdc")
+    s.sql(s"CREATE TABLE lakeq.db.$t (n_nationkey bigint, n_regionkey bigint) USING lake")
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_regionkey FROM $v WHERE n_nationkey < 12")
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_regionkey FROM $v WHERE n_nationkey >= 12")
+    s.sql(s"DELETE FROM lakeq.db.$t WHERE n_regionkey = 0")
+    val view = fresh("cdcview")
+    s.sql(s"""CALL lakeq.system.create_changelog_view(table => 'db.$t',
+             |changelog_view => '$view',
+             |identifier_columns => array('n_nationkey'))""".stripMargin)
+    s.sql(s"""SELECT _change_type, count(*) AS n, sum(n_nationkey) AS s
+             |FROM $view GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
+  /** Materialized view: exact-match rewrite serves the aggregate. */
+  def lakeMvRollup(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "lineitem")
+    val mv = fresh("mv")
+    CreateMaterializedViewCommand(mv,
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         |count(*) AS cnt FROM $v
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin, ifNotExists = false)
+      .run(s)
+    s.sql(s"""SELECT l_returnflag, l_linestatus, round(sum_qty, 2) AS sum_qty, cnt
+             |FROM ${MvCommands.backingName(mv)}
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Rows-only check: snapshot log introspection (not SQL-expressible
+    * against the source tables — driver records a weaker check). */
+  def lakeMetadata(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "region")
+    val t = fresh("meta")
+    s.sql(s"CREATE TABLE lakeq.db.$t USING lake AS SELECT r_regionkey FROM $v")
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT r_regionkey + 10 FROM $v")
+    s.sql(s"DELETE FROM lakeq.db.$t WHERE r_regionkey = 1")
+    s.sql(s"""SELECT snapshot_id, operation FROM lakeq.db.$t.snapshots
+             |ORDER BY snapshot_id""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_ctas" -> (lakeCtas _),
+    "lake_insert" -> (lakeInsert _),
+    "lake_delete" -> (lakeDelete _),
+    "lake_update" -> (lakeUpdate _),
+    "lake_merge" -> (lakeMerge _),
+    "lake_time_travel" -> (lakeTimeTravel _),
+    "lake_branch_isolation" -> (lakeBranchIsolation _),
+    "lake_schema_evolution" -> (lakeSchemaEvolution _),
+    "lake_dynamic_overwrite" -> (lakeDynamicOverwrite _),
+    "lake_incremental_read" -> (lakeIncrementalRead _),
+    "lake_compaction" -> (lakeCompaction _),
+    "lake_changelog" -> (lakeChangelog _),
+    "lake_mv_rollup" -> (lakeMvRollup _),
+    "lake_metadata" -> (lakeMetadata _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lake_ctas" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "lake_insert" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "lake_delete" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment <> 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "lake_update" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  round(CASE WHEN s_nationkey = 5 THEN s_acctbal + 1000
+        |             ELSE s_acctbal END, 2) AS bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "lake_merge" ->
+      """SELECT c_custkey, c_name,
+        |  round(CASE WHEN c_custkey >= 51 THEN c_acctbal + 1000
+        |             ELSE c_acctbal END, 2) AS bal
+        |FROM customer
+        |WHERE c_custkey BETWEEN 11 AND 150
+        |ORDER BY c_custkey""".stripMargin,
+    "lake_time_travel" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "lake_branch_isolation" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "lake_schema_evolution" ->
+      """SELECT n_nationkey AS r_regionkey, n_name AS region_name,
+        |  CAST(NULL AS BIGINT) AS extra FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_nationkey FROM nation
+        |WHERE n_nationkey < 3
+        |ORDER BY r_regionkey""".stripMargin,
+    "lake_dynamic_overwrite" ->
+      """SELECT CASE WHEN n_regionkey = 2 THEN n_nationkey + 1000
+        |            ELSE n_nationkey END AS n_nationkey,
+        |       n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "lake_incremental_read" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 12
+        |ORDER BY n_nationkey""".stripMargin,
+    "lake_compaction" ->
+      "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "lake_changelog" ->
+      """SELECT 'delete' AS _change_type, count(*) AS n,
+        |  sum(n_nationkey) AS s
+        |FROM nation WHERE n_regionkey = 0
+        |UNION ALL
+        |SELECT 'insert', count(*), sum(n_nationkey) FROM nation
+        |ORDER BY _change_type""".stripMargin,
+    "lake_mv_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // lake_metadata intentionally has no oracle (rows-only check)
+  )
+}
