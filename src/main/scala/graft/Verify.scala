@@ -9,6 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.lake.LakeExtensions)
       .withExtensions(new graft.mv.MvExtensions)
       .withExtensions(new graft.readonly.ReadOnlyExtensions)
       .config("spark.sql.shuffle.partitions", cpus)

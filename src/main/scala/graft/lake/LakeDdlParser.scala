@@ -1,0 +1,215 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delegating parser for the lake DDL extensions the stock grammar
+  * lacks (SURVEY.md §2.A; reference iceberg_it.py:379-396, 617-860):
+  *
+  *   ALTER TABLE t CREATE [OR REPLACE] BRANCH/TAG [IF NOT EXISTS] b
+  *       [AS OF VERSION n] [RETAIN d DAYS]
+  *   ALTER TABLE t REPLACE BRANCH/TAG b AS OF VERSION n
+  *   ALTER TABLE t DROP BRANCH/TAG [IF EXISTS] b
+  *   ALTER TABLE t ADD PARTITION FIELD <transform> [AS name]
+  *   ALTER TABLE t DROP PARTITION FIELD <transform>
+  *   ALTER TABLE t WRITE ORDERED BY c1 [, c2 ...]
+  *   ALTER TABLE t WRITE LOCALLY ORDERED BY c1 [, c2 ...]
+  *   ALTER TABLE t WRITE UNORDERED
+  *   ALTER TABLE t WRITE DISTRIBUTED BY PARTITION
+  *   ALTER TABLE t SET IDENTIFIER FIELDS c1 [, c2 ...]
+  *   ALTER TABLE t DROP IDENTIFIER FIELDS c1 [, c2 ...]
+  */
+class LakeDdlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val refDdl =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+""" +
+      """(CREATE(?:\s+OR\s+REPLACE)?|REPLACE|DROP)\s+(BRANCH|TAG)\s+""" +
+      """(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([\w`]+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
+      """(?:\s+RETAIN\s+\d+\s+DAYS)?\s*""").r
+  private val addPartField =
+    """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+ADD\s+PARTITION\s+FIELD\s+([\w`().,\s]+?)(?:\s+AS\s+([\w`]+))?\s*""".r
+  private val dropPartField =
+    """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+DROP\s+PARTITION\s+FIELD\s+([\w`().,\s]+?)\s*""".r
+  private val writeOrdered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+WRITE\s+(?:LOCALLY\s+)?ORDERED\s+BY\s+([\w`,\s]+?)\s*""".r
+  private val writeUnordered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+WRITE\s+UNORDERED\s*""".r
+  private val writeDistributed =
+    """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+WRITE\s+DISTRIBUTED\s+BY\s+PARTITION\s*""".r
+  private val identifierFields =
+    """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+(SET|DROP)\s+IDENTIFIER\s+FIELDS\s+([\w`,\s]+?)\s*""".r
+
+  private def parts(t: String): Seq[String] =
+    t.replace("`", "").split("\\.").toSeq
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case refDdl(t, verb, kind, name, version) =>
+      val v = verb.toUpperCase.replaceAll("\\s+", " ")
+      val ifNotExists = sqlText.toUpperCase.contains("IF NOT EXISTS")
+      val ifExists = !ifNotExists && sqlText.toUpperCase.contains("IF EXISTS")
+      LakeRefCommand(parts(t), v, kind.toUpperCase == "TAG",
+        name.replace("`", ""), Option(version).map(_.toLong),
+        ifNotExists, ifExists)
+    case addPartField(t, transform, name) =>
+      LakePartitionFieldCommand(parts(t), add = true, transform.trim,
+        Option(name).map(_.replace("`", "")))
+    case dropPartField(t, transform) =>
+      LakePartitionFieldCommand(parts(t), add = false, transform.trim, None)
+    case writeOrdered(t, cols) =>
+      LakeWriteOrderCommand(parts(t),
+        cols.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+    case writeUnordered(t) => LakeWriteOrderCommand(parts(t), Nil)
+    case writeDistributed(t) => LakeWriteDistributionCommand(parts(t))
+    case identifierFields(t, verb, cols) =>
+      LakeIdentifierFieldsCommand(parts(t),
+        set = verb.equalsIgnoreCase("SET"),
+        cols.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+}
+
+object LakeDdl {
+  /** Resolve a multipart name against registered LakeCatalogs. */
+  def resolve(spark: SparkSession, parts: Seq[String]): (LakeCatalog, Identifier) = {
+    val cm = spark.sessionState.catalogManager
+    val (catName, rest) =
+      if (parts.length >= 3) (parts.head, parts.tail)
+      else (cm.currentCatalog.name(), parts)
+    cm.catalog(catName) match {
+      case lc: LakeCatalog =>
+        val ident =
+          if (rest.length == 1) Identifier.of(Array("default"), rest.head)
+          else Identifier.of(rest.dropRight(1).toArray, rest.last)
+        (lc, ident)
+      case other => throw new IllegalArgumentException(
+        s"$catName is not a lake catalog (${other.getClass.getName})")
+    }
+  }
+}
+
+case class LakeRefCommand(table: Seq[String], verb: String, isTag: Boolean,
+    refName: String, version: Option[Long], ifNotExists: Boolean,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = LakeDdl.resolve(spark, table)
+    val meta = cat.loadMeta(ident)
+    verb match {
+      case "DROP" =>
+        if (!meta.refs.contains(refName) && !ifExists)
+          throw new IllegalArgumentException(s"ref $refName does not exist")
+        cat.commitMeta(meta.copy(refs = meta.refs - refName))
+      case v =>
+        val exists = meta.refs.contains(refName)
+        if (exists && v == "CREATE" && !ifNotExists)
+          throw new IllegalArgumentException(s"ref $refName already exists")
+        if (!exists && v == "REPLACE")
+          throw new IllegalArgumentException(s"ref $refName does not exist")
+        if (!(exists && v == "CREATE")) {
+          val snap = version.orElse(meta.currentSnapshotId("main")).getOrElse(
+            throw new IllegalStateException("table has no snapshots yet"))
+          require(meta.snapshotById(snap).isDefined, s"no snapshot $snap")
+          cat.commitMeta(meta.copy(refs = meta.refs +
+            (refName -> RefMeta(if (isTag) "tag" else "branch", snap))))
+        }
+    }
+    Nil
+  }
+}
+
+case class LakePartitionFieldCommand(table: Seq[String], add: Boolean,
+    transform: String, asName: Option[String]) extends LeafRunnableCommand {
+
+  private val fnPat = """(?i)(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?([\w`]+)\s*\)""".r
+
+  private def parseField: PartitionFieldMeta = transform match {
+    case fnPat(fn, param, col0) =>
+      val col = col0.replace("`", "")
+      val canonical = fn.toLowerCase match {
+        case "year" => "years" case "month" => "months"
+        case "day" => "days" case "hour" => "hours"
+        case other => other
+      }
+      val defName = canonical match {
+        case "bucket" => s"${col}_bucket"
+        case "truncate" => s"${col}_trunc"
+        case t => s"${col}_${t.stripSuffix("s")}"
+      }
+      PartitionFieldMeta(asName.getOrElse(defName), canonical, col,
+        Option(param).map(_.toInt))
+    case bare =>
+      val col = bare.replace("`", "").trim
+      PartitionFieldMeta(asName.getOrElse(col), "identity", col, None)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = LakeDdl.resolve(spark, table)
+    val meta = cat.loadMeta(ident)
+    val field = parseField
+    val newSpec =
+      if (add) meta.partitionSpec :+ field
+      else meta.partitionSpec.filterNot(f =>
+        f.name == field.name ||
+          (f.transform == field.transform && f.sourceColumn == field.sourceColumn))
+    // old files keep their old partition values; only new writes use
+    // the evolved spec (spec-versioned layout, SURVEY.md §7.4.2)
+    cat.commitMeta(meta.copy(partitionSpec = newSpec))
+    Nil
+  }
+}
+
+case class LakeWriteOrderCommand(table: Seq[String], cols: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = LakeDdl.resolve(spark, table)
+    val meta = cat.loadMeta(ident)
+    cat.commitMeta(meta.copy(sortOrder = cols))
+    Nil
+  }
+}
+
+case class LakeWriteDistributionCommand(table: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = LakeDdl.resolve(spark, table)
+    val meta = cat.loadMeta(ident)
+    cat.commitMeta(meta.copy(properties =
+      meta.properties + ("write.distribution-mode" -> "hash")))
+    Nil
+  }
+}
+
+case class LakeIdentifierFieldsCommand(table: Seq[String], set: Boolean,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = LakeDdl.resolve(spark, table)
+    val meta = cat.loadMeta(ident)
+    val updated =
+      if (set) meta.properties + ("identifier-fields" -> cols.mkString(","))
+      else meta.properties - "identifier-fields"
+    cat.commitMeta(meta.copy(properties = updated))
+    Nil
+  }
+}
+
+/** `.withExtensions(new LakeExtensions)` or
+  * `spark.sql.extensions=graft.lake.LakeExtensions`. */
+class LakeExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new LakeDdlParser(delegate))
+}

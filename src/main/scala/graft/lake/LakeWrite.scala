@@ -62,8 +62,13 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
 
   override def requiredDistribution(): Distribution =
     if (table.meta.partitionSpec.nonEmpty)
-      Distributions.clustered(
-        table.meta.partitionSpec.map(Transforms.toTransform).toArray)
+      // cluster on the SOURCE columns: finer than the transforms
+      // themselves (every file still lands in exactly one partition
+      // tuple) and convertible by Spark without a FunctionCatalog
+      // binding for days/bucket/truncate
+      Distributions.clustered(table.meta.partitionSpec
+        .map(f => Expressions.identity(f.sourceColumn): org.apache.spark.sql.connector.expressions.Expression)
+        .toArray)
     else Distributions.unspecified()
 
   override def requiredOrdering(): Array[SortOrder] =
