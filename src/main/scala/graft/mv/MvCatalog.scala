@@ -18,14 +18,31 @@ final case class MvMeta(
     storageFormat: String,
     storageLocation: String,
     rowCount: Long,
-    sizeInBytes: Long)
+    sizeInBytes: Long,
+    baseTables: Set[String] = Set.empty) // lowercased relation names
 
 object MvCatalog {
   private val views = new ConcurrentHashMap[String, MvMeta]()
 
-  def register(meta: MvMeta): Unit = views.put(meta.name.toLowerCase, meta)
+  def register(meta: MvMeta): Unit = {
+    views.put(meta.name.toLowerCase, meta)
+    analyzedCache.clear()
+  }
+
+  /** Analyzed-plan cache for MV definition texts — re-analyzing the
+    * defining query on every candidate plan would dominate analysis
+    * time once an MV is registered. Invalidated on register/drop. */
+  private val analyzedCache =
+    new ConcurrentHashMap[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+  def cachedPlan(key: String,
+      f: => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    analyzedCache.computeIfAbsent(key, _ => f)
   def get(name: String): Option[MvMeta] = Option(views.get(name.toLowerCase))
-  def drop(name: String): Option[MvMeta] = Option(views.remove(name.toLowerCase))
+  def drop(name: String): Option[MvMeta] = {
+    analyzedCache.clear()
+    Option(views.remove(name.toLowerCase))
+  }
   def list(): Seq[MvMeta] = views.values().asScala.toSeq.sortBy(_.name)
   def clear(): Unit = views.clear()
 

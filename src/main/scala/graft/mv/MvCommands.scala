@@ -16,9 +16,19 @@ object MvCommands {
   private[mv] def materialize(spark: SparkSession, name: String,
       query: String): MvMeta = {
     val backing = backingName(name)
-    MvCatalog.withRewriteDisabled {
+    val baseTables = MvCatalog.withRewriteDisabled {
       val df = spark.sql(query)
       df.write.mode("overwrite").format("parquet").saveAsTable(backing)
+      df.queryExecution.analyzed.collectLeaves().flatMap {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          Some(r.table.name().toLowerCase)
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.unquotedString.toLowerCase)
+        case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          Some(h.tableMeta.identifier.unquotedString.toLowerCase)
+        case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+          Some(l.nodeName.toLowerCase)
+      }.toSet
     }
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(backing)
@@ -28,7 +38,8 @@ object MvCommands {
     MvMeta(name, query, backing, now, now,
       tbl.provider.getOrElse("parquet"),
       tbl.location.toString, rowCount,
-      tbl.stats.map(_.sizeInBytes.toLong).getOrElse(0L))
+      tbl.stats.map(_.sizeInBytes.toLong).getOrElse(0L),
+      baseTables)
   }
 }
 

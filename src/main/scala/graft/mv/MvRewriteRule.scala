@@ -34,16 +34,23 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!plan.resolved || plan.isInstanceOf[Command]) return plan
     if (plan.exists(_.isInstanceOf[Command])) return plan
 
-    MvCatalog.list().iterator.flatMap(mv => tryRewrite(plan, mv)).nextOption()
+    // cheap guard: only consider MVs whose base tables appear in the
+    // plan — avoids analyzing MV texts against unrelated queries
+    val planTables = plan.collectLeaves().flatMap(relationName).toSet
+    if (planTables.isEmpty) return plan
+    val candidates = MvCatalog.list().filter(mv =>
+      mv.baseTables.isEmpty || mv.baseTables.subsetOf(planTables))
+    candidates.iterator.flatMap(mv => tryRewrite(plan, mv)).nextOption()
       .getOrElse(plan)
   }
 
   private def tryRewrite(plan: LogicalPlan, mv: MvMeta): Option[LogicalPlan] =
     try {
-      val mvPlan = MvCatalog.withRewriteDisabled {
-        spark.sessionState.analyzer.execute(
-          spark.sessionState.sqlParser.parsePlan(mv.query))
-      }
+      val mvPlan = MvCatalog.cachedPlan(s"${mv.name}@${mv.lastRefreshTs}",
+        MvCatalog.withRewriteDisabled {
+          spark.sessionState.analyzer.execute(
+            spark.sessionState.sqlParser.parsePlan(mv.query))
+        })
       // avoid self-rewrite of scans over the backing table itself
       if (referencesTable(plan, mv.backingTable)) return None
 

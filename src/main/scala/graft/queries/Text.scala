@@ -234,6 +234,37 @@ object TextOps {
         sha2(col("blob"), 256).as("digest"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal decode plumbing: the real image/audio decoder slots in
+    * as this exact mapPartitions (batch-per-partition, the Scala
+    * analog of mapInPandas) — here the decode step is a STUB: a
+    * deterministic arithmetic "decoder" over the leading bytes, so the
+    * Spark-side shape (schema, partitioning, per-partition batching)
+    * is real and oracle-checked while the codec is fake (container has
+    * no codec libs). */
+  def mmDecodeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // one "decoder" per partition, amortized over its batch —
+        // exactly where a JNI/codec handle would live
+        it.map { case (id, text) =>
+          val width =
+            if (text.length >= 2) (text.charAt(0) * 256 + text.charAt(1)) % 1024
+            else 0
+          val frames = text.getBytes("UTF-8").length % 30 + 1
+          val luma =
+            if (text.nonEmpty)
+              text.take(64).map(_.toInt.toLong).sum % 256
+            else 0L
+          (id, width, frames, luma)
+        }
+      }
+      .toDF("doc_id", "width", "n_frames", "luma")
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same tokens, same md5-derived hashes.
   // ---------------------------------------------------------------
@@ -255,6 +286,7 @@ object TextOps {
     "t_ngram_jaccard" -> (tNgramJaccard _),
     "t_simhash" -> (tSimhash _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_decode_stub" -> (mmDecodeStub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,6 +385,17 @@ object TextOps {
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,
         |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 2
+        |       THEN (ord(substr(text,1,1))*256 + ord(substr(text,2,1))) % 1024
+        |       ELSE 0 END AS width,
+        |  octet_length(text::BLOB) % 30 + 1 AS n_frames,
+        |  CASE WHEN length(text) > 0
+        |       THEN list_sum(list_transform(range(1, least(length(text),64)+1),
+        |         i -> ord(substr(text, i::INT, 1)))) % 256
+        |       ELSE 0 END AS luma
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
