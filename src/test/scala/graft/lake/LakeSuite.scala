@@ -124,6 +124,26 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.br") == 4)
   }
 
+  test("wap.branch conf redirects writes; truncate table") {
+    sql("CREATE TABLE lake.db.wapb (id bigint) USING lake")
+    sql("INSERT INTO lake.db.wapb VALUES (1)")
+    sql("CALL lake.system.create_branch(table => 'db.wapb', branch => 'stage')")
+    spark.conf.set("spark.wap.branch", "stage")
+    try sql("INSERT INTO lake.db.wapb VALUES (2)")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(count("SELECT count(*) FROM lake.db.wapb") == 1, "main unchanged")
+    assert(count("SELECT count(*) FROM lake.db.wapb.branch_stage") == 2)
+    sql("CALL lake.system.fast_forward(table => 'db.wapb', branch => 'main', to => 'stage')")
+    assert(count("SELECT count(*) FROM lake.db.wapb") == 2)
+
+    sql("TRUNCATE TABLE lake.db.wapb")
+    assert(count("SELECT count(*) FROM lake.db.wapb") == 0)
+    // history retained: pre-truncate snapshot still readable
+    val pre = sql("SELECT max(snapshot_id) FROM lake.db.wapb.snapshots WHERE operation <> 'delete'")
+      .collect()(0).getLong(0)
+    assert(sql(s"SELECT * FROM lake.db.wapb VERSION AS OF $pre").count() == 2)
+  }
+
   test("schema evolution incl. rename reads old files") {
     sql("CREATE TABLE lake.db.se (id bigint, data string) USING lake")
     sql("INSERT INTO lake.db.se VALUES (1,'old')")
