@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader paths, file listings) so
+    // timings measure query cost, not first-touch cost.
+    try {
+      Seq("lineitem", "orders", "customer", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t).count())
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
     // Optional dev filter: pass query-name substrings to bench a subset.
     val wanted = SparkEntry.queries.filter { case (name, _) =>
       args.isEmpty || args.exists(name.contains)

@@ -65,9 +65,9 @@ object VectorOps {
       .limit(10)
   }
 
-  /** Bucket id from the sign pattern of the 8 hyperplane projections. */
-  private def bucketCol(v: Column): Column =
-    planes.foldLeft(lit(0)) { (acc, p) =>
+  /** Bucket id from the sign pattern of the hyperplane projections. */
+  private def bucketCol(v: Column, nPlanes: Int = NPlanes): Column =
+    planes.take(nPlanes).foldLeft(lit(0)) { (acc, p) =>
       acc * 2 + when(dot(v, typedLit(p)) > 0, 1).otherwise(0)
     }
 
@@ -106,7 +106,35 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup mode
+    * (exact / MinHash / SimHash / n-gram / embedding). Candidates come
+    * from the random-hyperplane buckets (near-identical vectors agree
+    * on all 8 sign bits with high probability), so the pairwise cosine
+    * runs per bucket, not over the cross product — the shape that
+    * survives 100 TB embedding stores. */
+  def vNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // coarser 4-bit buckets: the synthetic corpus has no true dups, so
+    // widen the candidate net while keeping the join sub-quadratic
+    // norms are computed once per vector BEFORE the bucket join —
+    // the pairwise stage then does one dot product per candidate pair
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketCol(col("embedding"), 4))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_neardup_pairs" -> (vNearDupPairs _),
     "v_vector_stats" -> (vVectorStats _),
     "v_ann_bruteforce" -> (vAnnBruteforce _),
     "v_ann_lsh" -> (vAnnLsh _),
@@ -124,15 +152,26 @@ object VectorOps {
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
   /** bucket expression with the plane literals inlined. */
-  private def bucketSql(v: String): String =
-    planes.map { p =>
+  private def bucketSql(v: String, nPlanes: Int = NPlanes): String =
+    planes.take(nPlanes).map { p =>
       s"(CASE WHEN ${dotSql(v, planeLit(p))} > 0 THEN 1 ELSE 0 END)"
     }.zipWithIndex.map { case (bit, j) =>
-      val w = 1 << (NPlanes - 1 - j)
+      val w = 1 << (nPlanes - 1 - j)
       s"$bit * $w"
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "v_neardup_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotSql("a.embedding", "b.embedding")} /
+         |    (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4)
+         |    AS cos_sim
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.embedding", "b.embedding")} /
+         |    (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "v_vector_stats" ->
       s"""SELECT label, count(*) AS n,
          |  round(avg(${normSql("embedding")}), 4) AS avg_norm
