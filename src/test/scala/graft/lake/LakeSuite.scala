@@ -199,6 +199,19 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes.exists(c => c._1 == 1L && c._2 == "delete"))
   }
 
+  test("metadata tables are time-travelable") {
+    sql("CREATE TABLE lake.db.mtt (id bigint) USING lake")
+    sql("INSERT INTO lake.db.mtt VALUES (1)")
+    sql("INSERT INTO lake.db.mtt VALUES (2)")
+    val v1 = sql("SELECT min(snapshot_id) FROM lake.db.mtt.snapshots")
+      .collect()(0).getLong(0)
+    // snapshot log pinned to v1 sees one commit; live log sees two
+    assert(sql(s"SELECT * FROM lake.db.mtt.snapshots VERSION AS OF $v1").count() == 1)
+    assert(sql("SELECT * FROM lake.db.mtt.snapshots").count() == 2)
+    assert(sql(s"SELECT * FROM lake.db.mtt.files VERSION AS OF $v1").count() <
+      sql("SELECT * FROM lake.db.mtt.files").count())
+  }
+
   test("filter pushdown prunes files") {
     sql("CREATE TABLE lake.db.prune (id bigint, v string) USING lake")
     sql("INSERT INTO lake.db.prune SELECT id, 'a' FROM range(1, 3)")      // ids 1-2
