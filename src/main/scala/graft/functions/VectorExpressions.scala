@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two float/double array columns.
+  *
+  * Semantically identical to the interpreted higher-order-function
+  * chain `aggregate(zip_with(a, b, (x, y) => x.cast(double) *
+  * y.cast(double)), 0.0, _ + _)` — each element is widened to double,
+  * products are accumulated left-to-right from 0.0 — but it runs as a
+  * single generated loop inside whole-stage codegen instead of ~4
+  * interpreted array passes with per-element lambda dispatch. On the
+  * 100 TB path every embedding comparison (ANN ranking, k-NN join,
+  * near-dup cosine) sits in the innermost hot loop, so this is the
+  * "custom Catalyst Expression beats UDF beats interpreted HOF" rung
+  * of the extension ladder.
+  *
+  * Null semantics match the HOF chain: null array -> null; any null
+  * element pair position -> null. Arrays of unequal length contribute
+  * only the common prefix (callers use fixed-dimension embeddings).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other => other
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double> inputs, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, dt: DataType): String = dt match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xa.isNullAt($i) || $ya.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
+         |  $acc += ${get(xa, elemType(left))} * ${get(ya, elemType(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-level dot product backed by the codegen'd [[DotProduct]]. */
+  def dot(a: Column, b: Column): Column =
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+}

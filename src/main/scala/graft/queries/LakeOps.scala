@@ -305,10 +305,10 @@ object LakeOps {
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
     "lake_changelog" ->
       """SELECT 'delete' AS _change_type, count(*) AS n,
-        |  sum(n_nationkey) AS s
+        |  sum(n_nationkey)::BIGINT AS s
         |FROM nation WHERE n_regionkey = 0
         |UNION ALL
-        |SELECT 'insert', count(*), sum(n_nationkey) FROM nation
+        |SELECT 'insert', count(*), sum(n_nationkey)::BIGINT FROM nation
         |ORDER BY _change_type""".stripMargin,
     "lake_mv_rollup" ->
       """SELECT l_returnflag, l_linestatus,

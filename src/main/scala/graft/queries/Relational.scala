@@ -61,8 +61,10 @@ object Relational {
       .filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
+    // customer grows with scale factor — no broadcast hint; AQE
+    // converts to broadcast at runtime when the build side is small
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
@@ -71,19 +73,21 @@ object Relational {
   }
 
   /** TPC-H Q5 flavor: revenue by nation for one region/year.
-    * All dimensions broadcast; only the lineitem⋈orders join shuffles. */
+    * No broadcast hints: region/nation are tiny (AQE broadcasts them),
+    * but supplier and customer grow with scale factor, so the planner
+    * must stay free to shuffle-join them at 100 TB. */
   def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
-    val dims = broadcast(
+    val dims =
       Tables.region(s, d).filter(col("r_name") === "ASIA")
         .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
-        .join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey")))
+        .join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey"))
     val cust = Tables.customer(s, d)
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
         col("o_orderdate") < ts("1997-01-01 00:00:00"))
     Tables.lineitem(s, d)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(dims, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
@@ -98,7 +102,7 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(r2(sum(col("o_totalprice"))).as("total_spend"),
         count(lit(1)).as("n_orders"))
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("total_spend"),
         col("n_orders"))
@@ -338,7 +342,7 @@ object Relational {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_events_sessions" ->
-      """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM (SELECT user_id,
         |        CASE WHEN prev_us IS NULL
         |               OR epoch_us(ts) - prev_us > 1800*1000000

@@ -180,15 +180,32 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard over LSH-free candidate generation: an
-    * inverted index on 3-word shingles (explode → equi-join) keeps
-    * candidate pairs to documents that share at least one shingle. */
+  /** Max document frequency for a shingle to stay in the inverted
+    * index: a shingle appearing in more than MaxShingleDf docs is a
+    * "stop shingle" and is dropped from the Jaccard universe entirely
+    * (its posting list alone would contribute O(df²) candidate pairs
+    * on one join key — the classic skew blowup at corpus scale). */
+  private val MaxShingleDf = 100
+
+  /** n-gram Jaccard over an inverted index on 3-word shingles
+    * (explode → equi-join), with a document-frequency cap: shingles
+    * with df > MaxShingleDf are removed from the universe before the
+    * self-join, and per-doc set sizes are recomputed over the capped
+    * universe — so the reported value is the exact Jaccard of the
+    * non-stop-shingle sets, and no single join key can go quadratic.
+    * The df window partitions by shingle, the same key as the
+    * self-join, so the exchange is planned once and reused. */
   def tNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("sh", shingles3(toks(col("text"))))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-    val posting = docs.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle")).persist()
+    val wSh = Window.partitionBy(col("shingle"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val posting = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles3(toks(col("text")))).as("shingle"))
+      .withColumn("dfreq", count(lit(1)).over(wSh))
+      .filter(col("dfreq") <= MaxShingleDf)
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+      .persist()
     val a = posting.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
       col("shingle"))
     val b = posting.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
@@ -358,11 +375,15 @@ object TextOps {
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "t_ngram_jaccard" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, sh, len(sh) AS n_sh
+      s"""WITH p0 AS (
+         |  SELECT doc_id, unnest(sh) AS shingle
          |  FROM (SELECT doc_id, $shSql AS sh
          |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
-         |p AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM d)
+         |p1 AS (SELECT doc_id, shingle,
+         |         count(*) OVER (PARTITION BY shingle) AS dfreq FROM p0),
+         |p AS (SELECT doc_id, shingle,
+         |        count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |      FROM p1 WHERE dfreq <= 100)
          |SELECT doc_a, doc_b,
          |  round(inter::DOUBLE / (na + nb - inter), 4) AS jaccard
          |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -393,8 +414,8 @@ object TextOps {
         |       ELSE 0 END AS width,
         |  octet_length(text::BLOB) % 30 + 1 AS n_frames,
         |  CASE WHEN length(text) > 0
-        |       THEN list_sum(list_transform(range(1, least(length(text),64)+1),
-        |         i -> ord(substr(text, i::INT, 1)))) % 256
+        |       THEN (list_sum(list_transform(range(1, least(length(text),64)+1),
+        |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
         |       ELSE 0 END AS luma
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,20 +27,25 @@ object VectorOps {
     * use bit-identical planes without sharing code. */
   private val Dim = 64
   private val NPlanes = 8
+  // 16 planes total: planes 0-7 back the 8-bit ANN bucket, and the
+  // banded near-dup LSH uses 4 independent bands of 4 planes each
+  // (bands 0-3 = planes 0-3, 4-7, 8-11, 12-15).
+  private val NBands = 4
+  private val PlanesPerBand = 4
   private lazy val planes: Seq[Seq[Double]] = {
     def firstHexDigit(s: String): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val b = md.digest(s.getBytes("UTF-8"))
       (b(0) >> 4) & 0xf
     }
-    (0 until NPlanes).map(j => (0 until Dim).map { i =>
+    (0 until NBands * PlanesPerBand).map(j => (0 until Dim).map { i =>
       if ((firstHexDigit(s"${j}_$i") & 1) == 1) 1.0 else -1.0
     })
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.DotProduct) — one fused
+    * loop per pair instead of interpreted zip_with+aggregate chains. */
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -88,44 +94,70 @@ object VectorOps {
 
   /** Small k-NN similarity join: top-3 cosine neighbors for each of
     * the first 20 vectors (the per-query ranking pattern; at scale the
-    * candidate side comes from LSH buckets instead of a full scan). */
+    * candidate side comes from LSH buckets instead of a full scan).
+    *
+    * Norms are computed ONCE per vector before the join (same values,
+    * same float order as computing them per pair — just hoisted), so
+    * each candidate pair costs exactly one fused dot product. */
   def vKnnJoin(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
     val qs = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
-    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("nrm").as("nn"))
       .crossJoin(broadcast(qs))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(dot(col("nv"), col("qv")) /
-          (norm(col("nv")) * norm(col("qv"))), 4).as("cos_sim"))
+          (col("nn") * col("qn")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** 4-bit bucket for band j from that band's 4 private planes. */
+  private def bandBucket(v: Column, band: Int): Column =
+    planes.slice(band * PlanesPerBand, (band + 1) * PlanesPerBand)
+      .foldLeft(lit(0)) { (acc, p) =>
+        acc * 2 + when(dot(v, typedLit(p)) > 0, 1).otherwise(0)
+      }
+
   /** Embedding-cosine near-duplicate pairs — the fifth dedup mode
-    * (exact / MinHash / SimHash / n-gram / embedding). Candidates come
-    * from the random-hyperplane buckets (near-identical vectors agree
-    * on all 8 sign bits with high probability), so the pairwise cosine
-    * runs per bucket, not over the cross product — the shape that
-    * survives 100 TB embedding stores. */
+    * (exact / MinHash / SimHash / n-gram / embedding).
+    *
+    * Banded multi-table LSH (4 independent bands × 4 hyperplanes, the
+    * same band/row structure as MinHash-LSH): a pair is a candidate
+    * iff it agrees on ALL 4 sign bits of at least one band. Compared
+    * to a single k-bit bucket this keeps per-bucket population small
+    * (2^4 buckets per band, independent keys) while multi-probe-style
+    * recall comes from the 4 independent chances — the standard
+    * sub-quadratic shape for 100 TB embedding stores. Candidate pairs
+    * are deduplicated on (id_a, id_b) BEFORE the vectors are joined
+    * back, so each pair costs one fused dot product. */
   def vNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    // coarser 4-bit buckets: the synthetic corpus has no true dups, so
-    // widen the candidate net while keeping the join sub-quadratic
-    // norms are computed once per vector BEFORE the bucket join —
-    // the pairwise stage then does one dot product per candidate pair
-    val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", bucketCol(col("embedding"), 4))
-      .withColumn("nrm", norm(col("embedding")))
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val raw = Tables.embeddings(s, d)
+    // (vec_id, band, bkt) postings — B rows per vector, narrow ints
+    val bandStructs = (0 until NBands).map(j =>
+      struct(lit(j).as("band"), bandBucket(col("embedding"), j).as("bkt")))
+    val postings = raw
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val cand = postings.as("a")
+      .join(postings.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val emb = raw.withColumn("nrm", norm(col("embedding")))
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))
@@ -160,18 +192,37 @@ object VectorOps {
       s"$bit * $w"
     }.mkString("(", " + ", ")")
 
+  /** band-j bucket expression over that band's 4 private planes. */
+  private def bandSql(v: String, band: Int): String =
+    planes.slice(band * PlanesPerBand, (band + 1) * PlanesPerBand).map { p =>
+      s"(CASE WHEN ${dotSql(v, planeLit(p))} > 0 THEN 1 ELSE 0 END)"
+    }.zipWithIndex.map { case (bit, j) =>
+      val w = 1 << (PlanesPerBand - 1 - j)
+      s"$bit * $w"
+    }.mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
-    "v_neardup_pairs" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${bucketSql("embedding", 4)} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    "v_neardup_pairs" -> {
+      val bandSelects = (0 until NBands).map(j =>
+        s"SELECT vec_id, $j AS band, ${bandSql("embedding", j)} AS bkt " +
+          "FROM embeddings").mkString("\n  UNION ALL ")
+      s"""WITH x AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM x a JOIN x b ON a.band = b.band AND a.bkt = b.bkt
+         |    AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
          |  round(${dotSql("a.embedding", "b.embedding")} /
          |    (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4)
          |    AS cos_sim
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM cand
+         |JOIN embeddings a ON a.vec_id = id_a
+         |JOIN embeddings b ON b.vec_id = id_b
          |WHERE round(${dotSql("a.embedding", "b.embedding")} /
          |    (${normSql("a.embedding")} * ${normSql("b.embedding")}), 4) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "v_vector_stats" ->
       s"""SELECT label, count(*) AS n,
          |  round(avg(${normSql("embedding")}), 4) AS avg_norm

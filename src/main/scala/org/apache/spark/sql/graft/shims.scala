@@ -11,6 +11,15 @@ import org.apache.spark.sql.sources.Filter
 object Shims {
   def predicateToV1(p: Predicate): Option[Filter] = PredicateUtils.toV1(p)
 
+  /** Wrap a raw Catalyst expression as a user-facing Column (the
+    * Spark-4 replacement for the removed `new Column(expr)`). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a classic Column. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Unwrap the private[sql] RowLevelOperationTable wrapper that
     * group-based DELETE/UPDATE/MERGE plans put around the target. */
   def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table): org.apache.spark.sql.connector.catalog.Table =

@@ -62,10 +62,22 @@ def main(sf_dir, out_dir):
         try:
             oc = con.execute(sql)
             orows, ocols = oc.fetchall(), [d[0] for d in oc.description]
+            # driver's hash is type-sensitive: surface e.g. DuckDB
+            # HUGEINT sums vs Spark BIGINT locally via arrow types
+            otypes = {f.name: str(f.type) for f in
+                      con.execute(sql).arrow().schema}
+            gtypes = {f.name: str(f.type) for f in con.execute(
+                f"SELECT * FROM read_parquet("
+                f"'{out_dir}/{name}/*.parquet')").arrow().schema}
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_bad += 1
             continue
+        for cname, ot in sorted(otypes.items()):
+            gt = gtypes.get(cname)
+            if gt is not None and gt != ot:
+                print(f"WARN {name}: column {cname} type spark={gt} "
+                      f"oracle={ot} (driver hash may mismatch)")
         gc, g = canon(grows, gcols)
         oc_, o = canon(orows, ocols)
         if gc != oc_:
