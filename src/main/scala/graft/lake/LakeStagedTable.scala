@@ -54,7 +54,10 @@ class LakeStagedTable(catalog: LakeCatalog, ident: Identifier,
   override def abortStagedChanges(): Unit = preVersion match {
     case None => MetadataLog.dropTableDir(base.location, catalog.hadoopConf)
     case Some(v) =>
+      // restore the pre-stage content as a NEW version on top of the
+      // current head (commit() only ever writes base.version + 1)
       val old = MetadataLog.loadVersion(base.location, v, catalog.hadoopConf)
-      catalog.commitMeta(old)
+      val cur = MetadataLog.currentVersion(base.location, catalog.hadoopConf)
+      catalog.commitMeta(old.copy(version = cur))
   }
 }

@@ -65,7 +65,10 @@ class LakeMicroBatchStream(table: LakeTable, readSchema: StructType,
           val parentPaths = snap.parentId.flatMap(meta.snapshotById)
             .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
           snap.files.filterNot(f => parentPaths(f.path))
-        case "overwrite" | "replace" if skipOverwrite => Nil
+        // CoW row-level ops (UPDATE/MERGE) commit overwrite-shaped
+        // snapshots — the skip option must cover them too, or it can
+        // never skip the very snapshots it exists for
+        case "overwrite" | "replace" | "update" | "merge" if skipOverwrite => Nil
         case "delete" if skipDelete => Nil
         case "replace" => Nil // compaction adds no new rows
         case other =>

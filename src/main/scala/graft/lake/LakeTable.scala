@@ -84,19 +84,32 @@ class LakeTable(
       .orElse(Option(options.get("tag")).map(t => meta.refs(t).snapshotId))
       .orElse(Option(options.get("branch")).map(b => meta.refs(b).snapshotId))
       .orElse(readSnapshotId)
-    // incremental append-only batch read (docs/spark-queries.md:193-213)
+    // incremental append-only batch read (docs/spark-queries.md:193-213):
+    // the range is walked along MAIN-BRANCH ANCESTRY, not raw snapshot
+    // ids — branch/WAP-staged snapshots sharing the id space must not
+    // leak in — and non-append snapshots in range raise, because a CoW
+    // overwrite/update/merge would otherwise re-emit rewritten survivor
+    // rows as fresh appends.
     val incremental = Option(options.get("start-snapshot-id")).map { st =>
       val start = st.toLong
       val end = Option(options.get("end-snapshot-id")).map(_.toLong)
         .orElse(meta.currentSnapshotId("main")).getOrElse(start)
-      meta.snapshots
-        .filter(x => x.snapshotId > start && x.snapshotId <= end)
-        .sortBy(_.snapshotId)
-        .flatMap { sn =>
-          val parentPaths = sn.parentId.flatMap(meta.snapshotById)
-            .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
-          sn.files.filterNot(f => parentPaths(f.path))
-        }
+      val ancestry = meta.ancestorsOf(end)
+      require(ancestry.nonEmpty,
+        s"end snapshot $end is not a known snapshot")
+      require(start == 0L || ancestry.exists(_.snapshotId == start),
+        s"start snapshot $start is not an ancestor of end snapshot $end " +
+          "on the main branch")
+      val range = ancestry.filter(_.snapshotId > start).sortBy(_.snapshotId)
+      range.foreach(sn => require(sn.operation == "append",
+        s"found '${sn.operation}' snapshot ${sn.snapshotId} in the " +
+          "incremental range; incremental batch reads support " +
+          "append-only history"))
+      range.flatMap { sn =>
+        val parentPaths = sn.parentId.flatMap(meta.snapshotById)
+          .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        sn.files.filterNot(f => parentPaths(f.path))
+      }
     }
     new LakeScanBuilder(this, snap, options, filesOverride = incremental)
   }
@@ -215,13 +228,26 @@ object LakeScans {
     }
   }
 
-  /** current name -> epoch name, joined on stable field id. */
+  /** current name -> epoch name, joined on stable field id.
+    *
+    * A current field whose id does NOT exist in the epoch schema but
+    * whose NAME does (a column dropped and later re-added under the
+    * same name) must not pick up the dropped column's values from old
+    * files — it is remapped to a sentinel name absent from the files,
+    * so the parquet reader yields nulls for it. */
   private def renameMap(current: StructType, epoch: StructType): Map[String, String] = {
     val byId = epoch.fields.flatMap(f => TableMeta.fieldId(f).map(_ -> f.name)).toMap
+    val epochNames = epoch.fields.map(_.name.toLowerCase).toSet
     current.fields.flatMap { f =>
-      TableMeta.fieldId(f).flatMap(byId.get) match {
-        case Some(old) if old != f.name => Some(f.name -> old)
-        case _ => None
+      TableMeta.fieldId(f) match {
+        case Some(id) => byId.get(id) match {
+          case Some(old) if old != f.name => Some(f.name -> old)
+          case Some(_) => None
+          case None if epochNames(f.name.toLowerCase) =>
+            Some(f.name -> s"${f.name}__graft_absent_$id")
+          case None => None
+        }
+        case None => None
       }
     }.toMap
   }

@@ -198,7 +198,8 @@ object LakeWriteUtil {
       cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
     val evolved =
       if (extra.nonEmpty) {
-        val ns = TableMeta.withFieldIds(StructType(cur.fields ++ extra))
+        val ns = TableMeta.withFieldIds(StructType(cur.fields ++ extra),
+          fresh.highestFieldId)
         fresh.copy(schemas = fresh.schemas :+ ns.json,
           currentSchemaEpoch = fresh.schemas.size)
       } else fresh

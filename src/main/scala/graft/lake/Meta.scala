@@ -64,6 +64,14 @@ final case class TableMeta(
   def schemaAt(epoch: Int): StructType =
     DataType.fromJson(schemas(epoch)).asInstanceOf[StructType]
 
+  /** Highest field id ever assigned across ALL schema epochs — new
+    * columns must be numbered above this so a dropped-then-re-added
+    * column never reuses the dropped column's id (which would read the
+    * old files' values into the new column instead of nulls). */
+  def highestFieldId: Long =
+    schemas.indices.map(e => TableMeta.maxFieldId(schemaAt(e)))
+      .foldLeft(0L)(math.max)
+
   def snapshotById(id: Long): Option[SnapshotMeta] =
     snapshots.find(_.snapshotId == id)
 
@@ -119,9 +127,11 @@ object TableMeta {
       version = 0,
       lastSnapshotId = 0L)
 
-  /** Assign stable field ids (top-level) so renames keep identity. */
-  def withFieldIds(schema: StructType): StructType = {
-    var next = maxFieldId(schema)
+  /** Assign stable field ids (top-level) so renames keep identity.
+    * `minFieldId` is the table's highest-ever id (across all schema
+    * epochs) so re-added columns get FRESH ids. */
+  def withFieldIds(schema: StructType, minFieldId: Long = 0L): StructType = {
+    var next = math.max(maxFieldId(schema), minFieldId)
     val fields = schema.fields.map { f =>
       if (f.metadata.contains(FieldIdKey)) f
       else {

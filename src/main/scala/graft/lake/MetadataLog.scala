@@ -55,16 +55,27 @@ object MetadataLog {
       .sortBy(_._1)
   }
 
-  /** Commit: write v{N+1}.json with create-if-absent (optimistic lock),
-    * then repoint the hint. Retries are the caller's concern. */
+  /** Commit: write v{base+1}.json with create-if-absent (optimistic
+    * lock), then repoint the hint. The version is derived from the
+    * CALLER's base metadata only — if another commit landed after the
+    * caller loaded, the create collides and the conflict surfaces as
+    * ConcurrentModificationException (the caller reloads and
+    * reapplies) instead of silently erasing the concurrent commit's
+    * snapshots by skipping past it. */
   def commit(meta: TableMeta, conf: Configuration): TableMeta = {
-    val onDisk =
-      if (exists(meta.location, conf)) currentVersion(meta.location, conf) else 0
-    val next = meta.copy(version = math.max(meta.version, onDisk) + 1)
+    val next = meta.copy(version = meta.version + 1)
     val f = fs(meta.location, conf)
     f.mkdirs(metaDir(meta.location))
     val vf = versionFile(meta.location, next.version)
-    val out = f.create(vf, false) // fails if a concurrent writer won
+    val out =
+      try f.create(vf, false) // fails if a concurrent writer won
+      catch {
+        case e: java.io.IOException if f.exists(vf) =>
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit to ${meta.location}: v${next.version} " +
+              s"already exists (base version ${meta.version} is stale); " +
+              "reload the table metadata and reapply", e)
+      }
     try out.write(Serialization.write(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val hint = f.create(hintFile(meta.location), true)

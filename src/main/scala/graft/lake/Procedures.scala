@@ -230,7 +230,11 @@ object Procedures {
       def run(spark: SparkSession, a: Args): Seq[Row] = {
         val (m, _) = meta(a)
         val explicit = a.longArr("snapshot_ids").toSet
+        // default max snapshot age mirrors the reference's 5 days —
+        // a bare CALL must not wipe all history (ADVICE round 1)
+        val defaultMaxAgeMs = 5L * 24 * 3600 * 1000
         val olderThanMs = a.lngOpt("older_than").map(_ / 1000L)
+          .getOrElse(System.currentTimeMillis() - defaultMaxAgeMs)
         val retain = a.intOpt("retain_last").getOrElse(1)
         // protected: every ref head and its retained ancestry
         val protectedIds = m.refs.values.flatMap(r =>
@@ -239,7 +243,7 @@ object Procedures {
         val expired = m.snapshots.filter { s =>
           !protectedIds(s.snapshotId) &&
             (explicit(s.snapshotId) ||
-              (explicit.isEmpty && olderThanMs.forall(s.timestampMs < _)))
+              (explicit.isEmpty && s.timestampMs < olderThanMs))
         }
         val expIds = expired.map(_.snapshotId).toSet
         val remaining = m.snapshots.filterNot(s => expIds(s.snapshotId))
@@ -266,9 +270,19 @@ object Procedures {
         val conf = catalog.hadoopConf
         val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
         val all = LakeWriteUtil.listParquet(s"${m.location}/data", conf)
-        val orphans = all.filterNot(referenced)
+        val fs = MetadataLog.fs(m.location, conf)
+        // only files older than the cutoff are orphan candidates: a
+        // file staged by an in-flight, not-yet-committed write is
+        // unreferenced but NOT an orphan — the reference defaults to
+        // a 3-day age guard for exactly this race (ADVICE round 1)
+        val cutoffMs = a.lngOpt("older_than").map(_ / 1000L)
+          .getOrElse(System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+        val orphans = all.filterNot(referenced).filter { p =>
+          try fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+            .getModificationTime < cutoffMs
+          catch { case _: java.io.FileNotFoundException => false }
+        }
         if (!a.boolOpt("dry_run").getOrElse(false)) {
-          val fs = MetadataLog.fs(m.location, conf)
           orphans.foreach(p =>
             fs.delete(new org.apache.hadoop.fs.Path(p), false))
         }

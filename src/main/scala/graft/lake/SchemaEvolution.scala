@@ -49,7 +49,7 @@ object SchemaEvolution {
     }
 
     if (schemaChanged) {
-      val stamped = TableMeta.withFieldIds(schema)
+      val stamped = TableMeta.withFieldIds(schema, meta.highestFieldId)
       meta.copy(properties = props,
         schemas = meta.schemas :+ stamped.json,
         currentSchemaEpoch = meta.schemas.size)

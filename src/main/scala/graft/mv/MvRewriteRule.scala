@@ -174,12 +174,16 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }.toMap
     }
 
+    // every extra-predicate column must bind BY FINGERPRINT to an
+    // MV-projected base column; a name-only match could hit a
+    // same-named aggregate output (e.g. sum(salary) AS salary) and
+    // silently change semantics — bail out of the rewrite instead
+    if (!extraPreds.forall(_.references.forall(a => mvOutByFp.contains(fp(a)))))
+      return None
+
     def compensate(base: LogicalPlan): LogicalPlan = {
       val remapped = extraPreds.map(_.transform {
-        case a: AttributeReference =>
-          mvOutByFp.getOrElse(fp(a),
-            scan.output.find(_.name.equalsIgnoreCase(a.name))
-              .getOrElse(throw new NoSuchElementException(a.name)))
+        case a: AttributeReference => mvOutByFp(fp(a))
       })
       if (remapped.isEmpty) base
       else Filter(remapped.reduceLeft(And), base)

@@ -251,4 +251,70 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     Seq((9L, "z")).toDF("id", "v").writeTo("lake.db.dfw").overwritePartitions()
     assert(count("SELECT count(*) FROM lake.db.dfw") == 1)
   }
+
+  test("dropped-then-re-added column reads null in old files") {
+    sql("CREATE TABLE lake.db.readd (id bigint, x bigint) USING lake")
+    sql("INSERT INTO lake.db.readd VALUES (1, 100)")
+    sql("ALTER TABLE lake.db.readd DROP COLUMN x")
+    sql("ALTER TABLE lake.db.readd ADD COLUMN x bigint")
+    sql("INSERT INTO lake.db.readd VALUES (2, 200)")
+    val rows = sql("SELECT id, x FROM lake.db.readd ORDER BY id").collect()
+    // old file's dropped x=100 must NOT leak into the re-added column
+    assert(rows(0).isNullAt(1), s"expected null for re-added column, got ${rows(0)}")
+    assert(rows(1).getLong(1) == 200)
+  }
+
+  test("stale-base commit surfaces a concurrent-modification conflict") {
+    sql("CREATE TABLE lake.db.conflict (id bigint) USING lake")
+    sql("INSERT INTO lake.db.conflict VALUES (1)")
+    val conf = spark.sessionState.newHadoopConf()
+    val loc = s"$wh/db/conflict"
+    val stale = MetadataLog.load(loc, conf)
+    sql("INSERT INTO lake.db.conflict VALUES (2)") // concurrent commit
+    intercept[java.util.ConcurrentModificationException] {
+      MetadataLog.commit(stale, conf) // would erase the concurrent insert
+    }
+    // the concurrent commit survived
+    assert(count("SELECT count(*) FROM lake.db.conflict") == 2)
+  }
+
+  test("incremental read rejects non-append history and branch snapshots") {
+    sql("CREATE TABLE lake.db.incr (id bigint) USING lake")
+    sql("INSERT INTO lake.db.incr VALUES (1)")
+    sql("INSERT INTO lake.db.incr VALUES (2)")
+    val snaps = sql("SELECT snapshot_id FROM lake.db.incr.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+    // append-only range works
+    assert(spark.read.option("start-snapshot-id", snaps(0).toString)
+      .table("lake.db.incr").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    sql("DELETE FROM lake.db.incr WHERE id = 1")
+    val ex = intercept[Exception] {
+      spark.read.option("start-snapshot-id", snaps(0).toString)
+        .table("lake.db.incr").collect()
+    }
+    assert(ex.getMessage.contains("append"), ex.getMessage)
+  }
+
+  test("remove_orphan_files age guard protects freshly staged files") {
+    sql("CREATE TABLE lake.db.fresh_orphan (id bigint) USING lake")
+    sql("INSERT INTO lake.db.fresh_orphan VALUES (1)")
+    // plant an unreferenced file that is brand new (in-flight write)
+    val dataDir = new java.io.File(s"$wh/db/fresh_orphan/data/inflight")
+    dataDir.mkdirs()
+    val planted = new java.io.File(dataDir, "part-inflight.parquet")
+    java.nio.file.Files.write(planted.toPath, Array[Byte](1, 2, 3))
+    val deleted = sql(
+      "CALL lake.system.remove_orphan_files(table => 'db.fresh_orphan')")
+      .collect()
+    assert(deleted.isEmpty, s"fresh file must be protected: ${deleted.mkString}")
+    assert(planted.exists())
+    // with an explicit future cutoff it IS removed
+    val cutoff = java.time.Instant.now().plusSeconds(60)
+    val removed = sql(
+      s"""CALL lake.system.remove_orphan_files(table => 'db.fresh_orphan',
+         |older_than => TIMESTAMP '${java.sql.Timestamp.from(cutoff)}')""".stripMargin)
+      .collect()
+    assert(removed.length == 1 && !planted.exists())
+    assert(count("SELECT count(*) FROM lake.db.fresh_orphan") == 1)
+  }
 }

@@ -132,6 +132,89 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     assert(df.collect().map(_.getLong(1)).sum == 15)
   }
 
+  test("negative: query predicate on base column shadowed by same-named MV aggregate") {
+    // MV projects sum(amount) under the NAME amount; a query filter on
+    // the base column amount must NOT bind to that aggregate output
+    // (ADVICE round 1: name-based fallback produced wrong results)
+    sql("""CREATE MATERIALIZED VIEW mv_shadow AS
+          |SELECT region, sum(amount) AS amount
+          |FROM sales GROUP BY region""".stripMargin)
+    val df = sql("""SELECT region, sum(amount) AS amount FROM sales
+                   |WHERE amount > 150 GROUP BY region""".stripMargin)
+    assert(!usesBacking(df, "mv_shadow"), df.queryExecution.optimizedPlan.toString)
+    val res = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res == Map("east" -> 200L, "west" -> 1200L))
+  }
+
+  test("negative: query groups by a column outside the MV grouping") {
+    sql("""CREATE MATERIALIZED VIEW mv_reg AS
+          |SELECT region, sum(amount) AS s FROM sales GROUP BY region""".stripMargin)
+    val df = sql("SELECT product, sum(amount) AS s FROM sales GROUP BY product")
+    assert(!usesBacking(df, "mv_reg"))
+    assert(df.count() == 3)
+  }
+
+  test("negative: AVG cannot derive without a COUNT in the MV") {
+    sql("""CREATE MATERIALIZED VIEW mv_sum_only AS
+          |SELECT region, product, sum(amount) AS s
+          |FROM sales GROUP BY region, product""".stripMargin)
+    val df = sql("SELECT region, avg(amount) AS a FROM sales GROUP BY region")
+    assert(!usesBacking(df, "mv_sum_only"), df.queryExecution.optimizedPlan.toString)
+    val res = df.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(res("east") == 150.0 && res("west") == 400.0)
+  }
+
+  test("negative: count distinct does not roll up") {
+    sql("""CREATE MATERIALIZED VIEW mv_cd AS
+          |SELECT region, product, count(*) AS c
+          |FROM sales GROUP BY region, product""".stripMargin)
+    val df = sql("SELECT region, count(DISTINCT product) AS c FROM sales GROUP BY region")
+    assert(!usesBacking(df, "mv_cd"), df.queryExecution.optimizedPlan.toString)
+    val res = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res == Map("east" -> 2L, "west" -> 3L))
+  }
+
+  test("negative: disjoint MV and query predicates must not fire") {
+    sql("""CREATE MATERIALIZED VIEW mv_east AS
+          |SELECT region, product, sum(amount) AS s FROM sales
+          |WHERE region = 'east' GROUP BY region, product""".stripMargin)
+    val df = sql("""SELECT region, sum(amount) AS s FROM sales
+                   |WHERE region = 'west' GROUP BY region""".stripMargin)
+    assert(!usesBacking(df, "mv_east"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("west", 1200L)))
+  }
+
+  test("negative: aggregate over a different expression must not fire") {
+    sql("""CREATE MATERIALIZED VIEW mv_expr AS
+          |SELECT region, product, sum(amount) AS s
+          |FROM sales GROUP BY region, product""".stripMargin)
+    val df = sql("SELECT region, sum(amount * 2) AS s FROM sales GROUP BY region")
+    assert(!usesBacking(df, "mv_expr"))
+    val res = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res == Map("east" -> 600L, "west" -> 2400L))
+  }
+
+  test("negative: different join condition must not fire") {
+    sql("""CREATE MATERIALIZED VIEW mv_jc AS
+          |SELECT s.region AS region, s.amount AS amount, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    val df = sql("""SELECT s.region AS region, s.amount AS amount, r.country AS country
+                   |FROM sales s JOIN regions r ON s.product = r.region""".stripMargin)
+    assert(!usesBacking(df, "mv_jc"))
+    assert(df.count() == 0)
+  }
+
+  test("negative: outer join does not match an inner-join MV") {
+    sql("""CREATE MATERIALIZED VIEW mv_inner AS
+          |SELECT s.region AS region, s.amount AS amount, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    val df = sql("""SELECT s.region AS region, s.amount AS amount, r.country AS country
+                   |FROM sales s LEFT JOIN regions r ON s.region = r.region""".stripMargin)
+    assert(!usesBacking(df, "mv_inner"))
+    assert(df.count() == 5)
+  }
+
   test("join rewrite: same join tree projects from backing") {
     sql("""CREATE MATERIALIZED VIEW mv_join AS
           |SELECT s.region AS region, s.amount AS amount, r.country AS country
