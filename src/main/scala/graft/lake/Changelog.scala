@@ -18,7 +18,10 @@ object Changelog {
 
   def build(spark: SparkSession, meta: TableMeta, startId: Option[Long],
       endId: Option[Long], identifierCols: Seq[String],
-      computeUpdates: Boolean): DataFrame = {
+      computeUpdates: Boolean, netChanges: Boolean = false): DataFrame = {
+    require(!(netChanges && computeUpdates),
+      "net_changes cannot be combined with compute_updates/identifier " +
+        "columns (matches the reference procedure's restriction)")
     val head = meta.currentSnapshotId("main")
     val chain = head.map(meta.ancestorsOf).getOrElse(Nil).reverse // oldest first
     val inRange = chain
@@ -51,6 +54,35 @@ object Changelog {
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("_commit_snapshot_id",
             org.apache.spark.sql.types.LongType))))
+    }
+
+    // net_changes (docs/spark-procedures.md:885-941): collapse the
+    // whole range to its net effect per distinct row VALUE — a row
+    // inserted then deleted (or deleted then re-inserted: a carryover)
+    // contributes nothing; surviving changes carry the metadata of the
+    // LAST change of their kind. One hash aggregation on the data
+    // columns: no window, no self-join, scale-safe.
+    if (netChanges) {
+      val dataCols = schema.fieldNames.toSeq
+      val lastOf = (t: String) => max(when(col("_change_type") === t,
+        struct(col("_change_ordinal"), col("_commit_snapshot_id"))))
+      val counted = raw.groupBy(dataCols.map(col): _*)
+        .agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("__ins"),
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("__del"),
+          lastOf("insert").as("__li"), lastOf("delete").as("__ld"))
+        .withColumn("__net", col("__ins") - col("__del"))
+        .filter(col("__net") =!= 0L)
+      val side = when(col("__net") > 0, col("__li")).otherwise(col("__ld"))
+      return counted.select(
+        dataCols.map(col) ++ Seq(
+          when(col("__net") > 0, lit("insert")).otherwise(lit("delete"))
+            .as("_change_type"),
+          side.getField("_change_ordinal").as("_change_ordinal"),
+          side.getField("_commit_snapshot_id").as("_commit_snapshot_id"),
+          abs(col("__net")).cast("int").as("__n")): _*)
+        .withColumn("__e", explode(array_repeat(lit(1), col("__n"))))
+        .drop("__n", "__e")
     }
 
     if (!computeUpdates || identifierCols.isEmpty) return raw

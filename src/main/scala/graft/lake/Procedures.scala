@@ -529,9 +529,12 @@ object Procedures {
         val opts = a.strMap("options")
         val startId = opts.get("start-snapshot-id").map(_.toLong)
         val endId = opts.get("end-snapshot-id").map(_.toLong)
+        val net = a.boolOpt("net_changes").getOrElse(false)
         val df = Changelog.build(spark, m, startId, endId,
           a.strArr("identifier_columns"),
-          a.boolOpt("compute_updates").getOrElse(a.strArr("identifier_columns").nonEmpty))
+          a.boolOpt("compute_updates").getOrElse(
+            !net && a.strArr("identifier_columns").nonEmpty),
+          netChanges = net)
         df.createOrReplaceTempView(viewName.stripPrefix("`").stripSuffix("`"))
         Seq(Row(viewName))
       }

@@ -114,7 +114,7 @@ object VectorOps {
       .select(col("qid"), col("nid"),
         round(dot(col("nv"), col("qv")) /
           (col("nn") * col("qn")), 4).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy(col("qid"), col("rank"))
   }

@@ -199,6 +199,26 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes.exists(c => c._1 == 1L && c._2 == "delete"))
   }
 
+  test("changelog view with net_changes collapses intermediate states") {
+    sql("CREATE TABLE lake.db.cdcnet (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.cdcnet VALUES (1,'a'),(2,'b')")
+    sql("DELETE FROM lake.db.cdcnet WHERE id = 1")   // (1,'a') ins+del nets out
+    sql("INSERT INTO lake.db.cdcnet VALUES (3,'c')")
+    sql("""CALL lake.system.create_changelog_view(table => 'db.cdcnet',
+          |changelog_view => 'cdcnet_changes', net_changes => true)""".stripMargin)
+    val changes = sql(
+      "SELECT id, v, _change_type FROM cdcnet_changes ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(changes == Seq((2L, "b", "insert"), (3L, "c", "insert")), changes.toString)
+    // net_changes + compute_updates is rejected, matching the reference
+    val ex = intercept[Exception] {
+      sql("""CALL lake.system.create_changelog_view(table => 'db.cdcnet',
+            |net_changes => true, compute_updates => true,
+            |identifier_columns => array('id'))""".stripMargin)
+    }
+    assert(ex.getMessage.contains("net_changes"))
+  }
+
   test("metadata tables are time-travelable") {
     sql("CREATE TABLE lake.db.mtt (id bigint) USING lake")
     sql("INSERT INTO lake.db.mtt VALUES (1)")
