@@ -27,10 +27,25 @@ object MetadataLog {
   def exists(location: String, conf: Configuration): Boolean =
     fs(location, conf).exists(hintFile(location))
 
+  /** Resolve the current version. The hint file is only a pointer —
+    * if it is missing or caught mid-replace (empty), fall back to the
+    * max version present in the directory listing, so readers never
+    * fail on a concurrent commit's hint swap. */
   def currentVersion(location: String, conf: Configuration): Int = {
     val f = fs(location, conf)
-    val in = new BufferedReader(new InputStreamReader(f.open(hintFile(location)), StandardCharsets.UTF_8))
-    try in.readLine().trim.toInt finally in.close()
+    val hinted =
+      try {
+        val in = new BufferedReader(new InputStreamReader(
+          f.open(hintFile(location)), StandardCharsets.UTF_8))
+        try Option(in.readLine()).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    hinted.getOrElse {
+      val listed = metadataFiles(location, conf)
+      if (listed.isEmpty) throw new java.io.FileNotFoundException(
+        s"no metadata versions under $location")
+      listed.last._1
+    }
   }
 
   def load(location: String, conf: Configuration): TableMeta =
@@ -78,9 +93,22 @@ object MetadataLog {
       }
     try out.write(Serialization.write(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val hint = f.create(hintFile(meta.location), true)
+    // Repoint the hint via write-temp + atomic rename so concurrent
+    // readers never observe a truncated/empty hint file.
+    val tmp = new Path(metaDir(meta.location),
+      s".version-hint.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val hint = f.create(tmp, true)
     try hint.write(next.version.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      fc.rename(tmp, hintFile(meta.location),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception => // fallback: non-atomic replace; readers
+        f.delete(hintFile(meta.location), false) // fall back to listing
+        f.rename(tmp, hintFile(meta.location))
+    }
     next
   }
 

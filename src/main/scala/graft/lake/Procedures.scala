@@ -306,26 +306,47 @@ object Procedures {
         val opts = a.strMap("options")
         val target = opts.getOrElse("target-file-size-bytes", "134217728").toLong
         val minInput = opts.getOrElse("min-input-files", "2").toInt
-        val where = a.strOpt("where")
-        val candidates = where match {
-          case Some(_) => files // conservatively rewrite matching scope
+        // `where` scopes the rewrite at the METADATA level (reference:
+        // docs/spark-procedures.md:408-412): the predicate is translated
+        // to v1 filters and evaluated against each file's footer
+        // min/max stats — exactly the scan-planning prune — so files
+        // that cannot contain matching rows are left byte-identical.
+        val candidates = a.strOpt("where") match {
+          case Some(w) =>
+            FileStats.prune(files, RewriteUtil.whereToFilters(spark, m.schema, w),
+              m.schema)
           case None => files
         }
-        val (small, big) = candidates.partition(_.sizeBytes < target)
+        val rewriteAll = opts.get("rewrite-all").exists(_.toBoolean)
+        val (small, big) =
+          if (rewriteAll) (candidates, Nil)
+          else candidates.partition(_.sizeBytes < target)
         if (small.size < minInput) return Seq(Row(0, 0, 0L))
         val strategy = a.strOpt("strategy").getOrElse("binpack")
-        val sortCols = a.strOpt("sort_order").toSeq
+        val sortSpec = a.strOpt("sort_order").map(_.trim)
+        val zorderCols = sortSpec.collect {
+          case RewriteUtil.ZorderSpec(inner) =>
+            inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        }
+        val sortCols = sortSpec.filter(_ => zorderCols.isEmpty).toSeq
           .flatMap(_.split(",")).map(_.trim.split("\\s+"))
           .map(p => if (p.length > 1 && p(1).equalsIgnoreCase("DESC"))
             col(p(0)).desc else col(p(0)).asc)
         val nOut = math.max(1, (small.map(_.sizeBytes).sum / target).toInt)
         val xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (strategy.equalsIgnoreCase("sort") && sortCols.nonEmpty)
-            df => df.repartition(nOut).sortWithinPartitions(sortCols: _*)
-          else df => df.repartition(nOut)
+          zorderCols match {
+            case Some(zc) if strategy.equalsIgnoreCase("sort") =>
+              val z = RewriteUtil.zvalue(small, m.schema, zc)
+              df => df.repartitionByRange(nOut, z).sortWithinPartitions(z)
+            case _ if strategy.equalsIgnoreCase("sort") && sortCols.nonEmpty =>
+              df => df.repartitionByRange(nOut, sortCols: _*)
+                .sortWithinPartitions(sortCols: _*)
+            case _ => df => df.repartition(nOut)
+          }
         val rewritten = LakeWriteUtil.rewriteFiles(spark, m, small, xform,
           catalog.hadoopConf)
-        val newFiles = big ++ rewritten
+        val untouched = files.filterNot(f => small.exists(_.path == f.path))
+        val newFiles = untouched ++ rewritten
         val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
           System.currentTimeMillis(), "replace",
           Map("rewritten-data-files" -> small.size.toString),

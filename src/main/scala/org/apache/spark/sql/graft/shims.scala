@@ -20,6 +20,12 @@ object Shims {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Catalyst expression -> v1 source Filter (the method is
+    * protected[sql] on DataSourceStrategy). */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Unwrap the private[sql] RowLevelOperationTable wrapper that
     * group-based DELETE/UPDATE/MERGE plans put around the target. */
   def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table): org.apache.spark.sql.connector.catalog.Table =

@@ -186,6 +186,33 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.proc") == 3)
   }
 
+  test("rewrite_data_files honors where scope and zorder sort") {
+    sql("CREATE TABLE lake.db.zrw (id bigint, cat string) USING lake")
+    sql("INSERT INTO lake.db.zrw SELECT id, concat('c', id % 3) FROM range(1, 11, 1, 1)")
+    sql("INSERT INTO lake.db.zrw SELECT id, concat('c', id % 3) FROM range(11, 21, 1, 1)")
+    sql("INSERT INTO lake.db.zrw SELECT id, concat('c', id % 3) FROM range(21, 31, 1, 1)")
+    def paths() = sql("SELECT file_path FROM lake.db.zrw.files")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    assert(before.size == 3)
+    // ids 21-30 live only in the third file; its stats exclude id <= 20
+    val rw = sql("""CALL lake.system.rewrite_data_files(table => 'db.zrw',
+        |where => 'id <= 20')""".stripMargin).collect()(0)
+    assert(rw.getInt(0) == 2, s"expected 2 files in scope, got $rw")
+    val after = paths()
+    val untouched = before.intersect(after)
+    assert(untouched.size == 1, s"one out-of-scope file must survive: $untouched")
+    assert(count("SELECT count(*) FROM lake.db.zrw") == 30)
+    // zorder: accepted spelling, runs, and keeps the data intact
+    sql("INSERT INTO lake.db.zrw SELECT id, concat('c', id % 3) FROM range(31, 41, 1, 1)")
+    val z = sql("""CALL lake.system.rewrite_data_files(table => 'db.zrw',
+        |strategy => 'sort', sort_order => 'zorder(id, cat)')""".stripMargin)
+      .collect()(0)
+    assert(z.getInt(0) >= 2, s"zorder rewrite ran: $z")
+    assert(count("SELECT count(*) FROM lake.db.zrw") == 40)
+    assert(count("SELECT count(DISTINCT id) FROM lake.db.zrw") == 40)
+  }
+
   test("changelog view") {
     sql("CREATE TABLE lake.db.cdc (id bigint, v string) USING lake")
     sql("INSERT INTO lake.db.cdc VALUES (1,'a'),(2,'b')")
