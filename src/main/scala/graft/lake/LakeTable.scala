@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
@@ -178,9 +178,53 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     val files = filesOverride.getOrElse(table.meta.filesOf(snapshotId))
     val pruned = FileStats.prune(files, pushed.toSeq, fullSchema)
     onBuild(pruned)
-    LakeScans.build(table, pruned, required,
+    if (rowLevel && table.meta.partitionSpec.nonEmpty)
+      new LakeRowLevelScan(table, pruned, required, options, onBuild)
+    else LakeScans.build(table, pruned, required,
       if (rowLevel) Array.empty else pushed, options)
   }
+}
+
+/** Row-level-operation scan with runtime group filtering
+  * (SupportsRuntimeV2Filtering): Spark evaluates the MERGE/UPDATE
+  * matching-rows subquery first, collects the distinct partition
+  * source-column values it touched, and calls [[filter]] — so the
+  * copy-on-write rewrite replaces only files in matched partitions
+  * instead of every file the static condition couldn't exclude.
+  * Filter attributes are the partition SOURCE columns (bounded
+  * cardinality ≈ #partitions); value pruning reuses the same
+  * stats/partition-tuple check as planning-time file skipping, and
+  * [[onFiles]] re-narrows the file set the commit will replace.
+  * Unpartitioned tables skip the wrapper (one group = whole table).
+  */
+class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
+    required: StructType, options: CaseInsensitiveStringMap,
+    onFiles: Seq[DataFileMeta] => Unit)
+  extends Scan with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[DataFileMeta] = initial
+  @volatile private var delegate: Scan =
+    LakeScans.build(table, files, required, Array.empty, options)
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"LakeRowLevelScan(${table.name()}, files=${files.size})"
+
+  override def filterAttributes(): Array[NamedReference] =
+    table.meta.partitionSpec.map(_.sourceColumn).distinct
+      .map(Shims.columnRef).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap(p =>
+      org.apache.spark.sql.graft.Shims.predicateToV1(p))
+    if (v1.nonEmpty) {
+      files = FileStats.prune(files, v1.toSeq, table.schema())
+      onFiles(files)
+      delegate = LakeScans.build(table, files, required, Array.empty, options)
+    }
+  }
+
+  override def toBatch: Batch = delegate.toBatch
 }
 
 object LakeScans {

@@ -20,6 +20,10 @@ object Shims {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Column-name NamedReference (FieldReference is private[sql]). */
+  def columnRef(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
+
   /** Catalyst expression -> v1 source Filter (the method is
     * protected[sql] on DataSourceStrategy). */
   def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Filter] =

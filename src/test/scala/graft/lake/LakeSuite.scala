@@ -186,6 +186,28 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.proc") == 3)
   }
 
+  test("merge rewrites only matched-partition files (runtime group filtering)") {
+    sql("CREATE TABLE lake.db.rgf (id bigint, part string) USING lake PARTITIONED BY (part)")
+    sql("INSERT INTO lake.db.rgf VALUES (1,'a'),(2,'a')")
+    sql("INSERT INTO lake.db.rgf VALUES (3,'b'),(4,'b')")
+    def files() = sql("SELECT file_path, partition FROM lake.db.rgf.files")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val before = files()
+    val bFiles = before.filter(_._2.contains("b")).keySet
+    assert(bFiles.nonEmpty && before.size > bFiles.size, s"need a/b files: $before")
+    sql("""MERGE INTO lake.db.rgf t USING (SELECT 1 AS id, 'a' AS part) s
+          |ON t.id = s.id AND t.part = s.part
+          |WHEN MATCHED THEN UPDATE SET t.id = t.id + 100""".stripMargin)
+    val after = files()
+    assert(bFiles.subsetOf(after.keySet),
+      s"unmatched partition-b files must survive the merge untouched: " +
+        s"before=$before after=$after")
+    assert(before.keySet.diff(after.keySet).nonEmpty, "partition-a was rewritten")
+    val rows = sql("SELECT id FROM lake.db.rgf ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L, 3L, 4L, 101L), rows.toString)
+  }
+
   test("rewrite_data_files honors where scope and zorder sort") {
     sql("CREATE TABLE lake.db.zrw (id bigint, cat string) USING lake")
     sql("INSERT INTO lake.db.zrw SELECT id, concat('c', id % 3) FROM range(1, 11, 1, 1)")
