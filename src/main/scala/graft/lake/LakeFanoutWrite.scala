@@ -1,0 +1,135 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Partition-aware staging writer for partitioned tables.
+  *
+  * The generic v2 ParquetWrite writes one file per task regardless of
+  * content, so a task holding rows of several partition tuples staged
+  * a single multi-tuple file — breaking the one-file-one-partition
+  * invariant that dynamic overwrite, runtime group filtering and the
+  * partitions metadata table rely on. This writer instead evaluates
+  * the partition transforms per row and ROLLS to a new file whenever
+  * the tuple changes. Combined with the write's required clustering +
+  * ordering on the partition source columns, each task keeps exactly
+  * ONE open parquet writer (bounded memory at any partition count) and
+  * produces one file per tuple; if the input somehow arrives unsorted
+  * the writer still splits correctly, just into more files.
+  *
+  * Atomicity: rows are written under
+  * `stagingDir/_temporary/attempt-<partition>-<task>/` and moved into
+  * the staging root only at task commit, so a failed or speculative
+  * attempt never leaks rows into the snapshot commit (which lists the
+  * staging root).
+  */
+object LakeFanoutWrite {
+
+  /** Driver side: resolve the partition transform expressions against
+    * the write schema once, bind them to ordinals, and capture a
+    * serializable parquet OutputWriterFactory. */
+  def factory(spark: SparkSession, meta: TableMeta, schema: StructType,
+      stagingDir: String): DataWriterFactory = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(
+      org.apache.spark.sql.classic.SparkSession.active, job, Map.empty, schema)
+    // Resolve the transform Columns through a real (empty) Dataset so
+    // the analyzed plan carries plain catalyst expressions, then bind
+    // them to the write schema's ordinals for executor-side eval.
+    val cols = meta.partitionSpec.zipWithIndex.map { case (f, i) =>
+      Transforms.eval(f, schema).as(s"__p$i")
+    }
+    val analyzed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .select(cols: _*).queryExecution.analyzed
+    val bound = analyzed.collectFirst {
+      case p: Project =>
+        val input = p.child.output
+        p.projectList.map {
+          case a: Alias => BindReferences.bindReference(a.child, input)
+          case e => BindReferences.bindReference(e: Expression, input)
+        }
+    }.getOrElse(throw new IllegalStateException(
+      s"could not resolve partition transforms for ${meta.location}"))
+    new LakeFanoutWriterFactory(owf, bound, schema, stagingDir,
+      new SerializableConfiguration(job.getConfiguration))
+  }
+}
+
+class LakeFanoutWriterFactory(owf: OutputWriterFactory,
+    tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeFanoutDataWriter(owf, tupleExprs, schema, stagingDir,
+      conf.value, partitionId, taskId)
+}
+
+case class LakeFanoutCommit(files: Seq[String]) extends WriterCommitMessage
+
+class LakeFanoutDataWriter(owf: OutputWriterFactory,
+    tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
+    conf: Configuration, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val fs = new Path(stagingDir).getFileSystem(conf)
+  private val attemptDir = new Path(stagingDir,
+    s"_temporary/attempt-$partitionId-$taskId")
+  private val proj = UnsafeProjection.create(tupleExprs)
+  private var current: OutputWriter = _
+  private var currentKey: String = null
+  private var fileCount = 0
+  private val written = Seq.newBuilder[Path]
+
+  private def tupleKey(row: InternalRow): String = {
+    val t = proj(row) // all transforms are cast to string in Transforms.eval
+    (0 until tupleExprs.size).map(i =>
+      if (t.isNullAt(i)) "__NULL__" else t.getUTF8String(i).toString)
+      .mkString("//|//")
+  }
+
+  private def roll(): Unit = {
+    if (current != null) { current.close(); current = null }
+    val file = new Path(attemptDir,
+      f"part-$partitionId%05d-$taskId-$fileCount%04d.parquet")
+    fileCount += 1
+    written += file
+    val attemptId = new TaskAttemptID("lake", 0, TaskType.MAP, partitionId, fileCount)
+    current = owf.newInstance(file.toString, schema,
+      new TaskAttemptContextImpl(conf, attemptId))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = tupleKey(row)
+    if (current == null || key != currentKey) { roll(); currentKey = key }
+    current.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (current != null) { current.close(); current = null }
+    val files = written.result()
+    files.foreach(f => fs.rename(f, new Path(stagingDir, f.getName)))
+    fs.delete(attemptDir, true)
+    LakeFanoutCommit(files.map(f => new Path(stagingDir, f.getName).toString))
+  }
+
+  override def abort(): Unit = {
+    if (current != null) { try current.close() catch { case _: Exception => () }; current = null }
+    fs.delete(attemptDir, true)
+  }
+
+  override def close(): Unit =
+    if (current != null) { current.close(); current = null }
+}

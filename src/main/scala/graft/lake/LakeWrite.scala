@@ -71,9 +71,14 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
         .toArray)
     else Distributions.unspecified()
 
-  override def requiredOrdering(): Array[SortOrder] =
-    table.meta.sortOrder.map(c =>
+  override def requiredOrdering(): Array[SortOrder] = {
+    // partition source columns first: with clustering this makes each
+    // task's rows contiguous per partition tuple, so the fanout writer
+    // holds exactly one open file at a time
+    val partCols = table.meta.partitionSpec.map(_.sourceColumn).distinct
+    (partCols ++ table.meta.sortOrder.filterNot(partCols.contains)).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  }
 
   override def requiredNumPartitions(): Int = 0
 
@@ -94,27 +99,36 @@ class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
   private val stagingDir =
     s"${table.meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
 
-  private val delegate: BatchWrite =
+  // Partitioned tables stage through the fanout/roll-over writer so
+  // every staged file covers exactly one partition tuple; others use
+  // the stock v2 ParquetWrite.
+  private val partitioned = table.meta.partitionSpec.nonEmpty
+
+  private lazy val delegate: BatchWrite =
     new ParquetWrite(Seq(stagingDir), "parquet", _ => true, info).toBatch
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
-    val f = delegate.createBatchWriterFactory(pinfo)
+    val f =
+      if (partitioned) LakeFanoutWrite.factory(SparkSession.active,
+        table.meta, info.schema(), stagingDir)
+      else delegate.createBatchWriterFactory(pinfo)
     // Row-level ReplaceData queries carry a leading __row_operation
     // column that is not part of the table schema — strip it.
     if (mode == "rewrite") ProjectingWriterFactory(f, info.schema()) else f
   }
 
-  override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+  override def useCommitCoordinator(): Boolean =
+    if (partitioned) true else delegate.useCommitCoordinator()
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    delegate.commit(messages)
+    if (!partitioned) delegate.commit(messages)
     val committed = LakeWriteUtil.commitStaged(table, stagingDir, mode,
       overwriteFilters, info.schema(), operationOverride, replacedFiles())
     onCommit.foreach(_(committed))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    try delegate.abort(messages)
+    try if (!partitioned) delegate.abort(messages)
     finally MetadataLog.dropTableDir(stagingDir, table.catalog.hadoopConf)
   }
 }
@@ -286,7 +300,8 @@ object LakeWriteUtil {
     val buf = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.toString.contains("/_temporary/")) buf += f.getPath.toString
     }
     buf.result()
   }

@@ -188,8 +188,9 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   test("merge rewrites only matched-partition files (runtime group filtering)") {
     sql("CREATE TABLE lake.db.rgf (id bigint, part string) USING lake PARTITIONED BY (part)")
-    sql("INSERT INTO lake.db.rgf VALUES (1,'a'),(2,'a')")
-    sql("INSERT INTO lake.db.rgf VALUES (3,'b'),(4,'b')")
+    // one INSERT spanning two partitions: the fanout staging writer
+    // must split it into one file per partition tuple
+    sql("INSERT INTO lake.db.rgf VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b')")
     def files() = sql("SELECT file_path, partition FROM lake.db.rgf.files")
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     val before = files()
