@@ -527,11 +527,34 @@ object Procedures {
     }),
 
     "compute_partition_stats" -> (c => new Proc(c, "compute_partition_stats") {
-      val params = Seq(in("table", StringType))
+      val params = Seq(in("table", StringType), opt("snapshot_id", LongType))
       val resultSchema = result("statistics_file" -> StringType)
+      // Per-partition row/file/byte counts aggregated from the manifest
+      // alone (docs/spark-procedures.md:982) — no data scan; the stats
+      // file lands beside the metadata log.
       def run(spark: SparkSession, a: Args): Seq[Row] = {
         val (m, _) = meta(a)
-        Seq(Row(s"${m.location}/metadata/partition-stats.json"))
+        val snap = a.lngOpt("snapshot_id")
+          .flatMap(id => m.snapshots.find(_.snapshotId == id))
+          .orElse(m.currentSnapshot("main"))
+          .getOrElse(return Seq(Row(null)))
+        val byPart = snap.files.groupBy(_.partitionValues).toSeq
+          .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+        val entries = byPart.map { case (tuple, fs) =>
+          Map(
+            "partition" -> tuple,
+            "row_count" -> fs.map(_.rowCount).sum,
+            "file_count" -> fs.size,
+            "total_size_in_bytes" -> fs.map(_.sizeBytes).sum)
+        }
+        val path = new org.apache.hadoop.fs.Path(m.location,
+          f"metadata/partition-stats-${snap.snapshotId}.json")
+        val fs = MetadataLog.fs(m.location, catalog.hadoopConf)
+        val out = fs.create(path, true)
+        try out.write(org.json4s.jackson.Serialization.write(entries)(
+          org.json4s.DefaultFormats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        Seq(Row(path.toString))
       }
     }),
 

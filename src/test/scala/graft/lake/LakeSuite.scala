@@ -236,6 +236,18 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(DISTINCT id) FROM lake.db.zrw") == 40)
   }
 
+  test("compute_partition_stats writes manifest-derived stats") {
+    sql("CREATE TABLE lake.db.pstats (id bigint, part string) USING lake PARTITIONED BY (part)")
+    sql("INSERT INTO lake.db.pstats VALUES (1,'a'),(2,'a'),(3,'b')")
+    val f = sql("CALL lake.system.compute_partition_stats(table => 'db.pstats')")
+      .collect()(0).getString(0)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f.stripPrefix("file:"))))
+    assert(content.contains("row_count"), content)
+    assert(content.contains("\"part\":\"a\"") || content.contains("part\" : \"a"),
+      s"partition tuple present: $content")
+  }
+
   test("changelog view") {
     sql("CREATE TABLE lake.db.cdc (id bigint, v string) USING lake")
     sql("INSERT INTO lake.db.cdc VALUES (1,'a'),(2,'b')")
