@@ -199,7 +199,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeTable(this, ident, committed, None, "main")
   }
 
-  override def dropTable(ident: Identifier): Boolean = purgeTable(ident)
+  // Non-purge DROP removes the catalog entry (the metadata log) but
+  // keeps data files, mirroring Iceberg's gc-disabled drop — so a
+  // dropped table can be re-created via register_table from a saved
+  // metadata file. PURGE deletes the whole table directory.
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists0(ident)) return false
+    MetadataLog.fs(warehouse, hadoopConf)
+      .delete(new Path(tableLocation(ident), "metadata"), true)
+    true
+  }
 
   override def purgeTable(ident: Identifier): Boolean = {
     if (!tableExists0(ident)) return false
@@ -207,7 +216,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    // Spark hands RENAME TO's destination through un-stripped: a
+    // `lake.db.t` target arrives with namespace ["lake","db"]. Peel the
+    // catalog's own name off so the table lands in the right namespace.
+    val newIdent =
+      if (rawNewIdent.namespace().headOption.contains(name()))
+        Identifier.of(rawNewIdent.namespace().drop(1), rawNewIdent.name())
+      else rawNewIdent
     if (!tableExists0(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists0(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val fs = MetadataLog.fs(warehouse, hadoopConf)

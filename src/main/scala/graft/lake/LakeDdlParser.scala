@@ -37,6 +37,9 @@ class LakeDdlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+ADD\s+PARTITION\s+FIELD\s+([\w`().,\s]+?)(?:\s+AS\s+([\w`]+))?\s*""".r
   private val dropPartField =
     """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+DROP\s+PARTITION\s+FIELD\s+([\w`().,\s]+?)\s*""".r
+  private val replacePartField =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+REPLACE\s+PARTITION\s+FIELD\s+""" +
+      """([\w`().,\s]+?)\s+WITH\s+([\w`().,\s]+?)(?:\s+AS\s+([\w`]+))?\s*""").r
   private val writeOrdered =
     """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+WRITE\s+(?:LOCALLY\s+)?ORDERED\s+BY\s+([\w`,\s]+?)\s*""".r
   private val writeUnordered =
@@ -60,6 +63,9 @@ class LakeDdlParser(delegate: ParserInterface) extends ParserInterface {
     case addPartField(t, transform, name) =>
       LakePartitionFieldCommand(parts(t), add = true, transform.trim,
         Option(name).map(_.replace("`", "")))
+    case replacePartField(t, oldField, newTransform, name) =>
+      LakeReplacePartitionFieldCommand(parts(t), oldField.trim,
+        newTransform.trim, Option(name).map(_.replace("`", "")))
     case dropPartField(t, transform) =>
       LakePartitionFieldCommand(parts(t), add = false, transform.trim, None)
     case writeOrdered(t, cols) =>
@@ -137,6 +143,8 @@ case class LakePartitionFieldCommand(table: Seq[String], add: Boolean,
 
   private val fnPat = """(?i)(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?([\w`]+)\s*\)""".r
 
+  private[lake] def parsedField: PartitionFieldMeta = parseField
+
   private def parseField: PartitionFieldMeta = transform match {
     case fnPat(fn, param, col0) =>
       val col = col0.replace("`", "")
@@ -169,6 +177,28 @@ case class LakePartitionFieldCommand(table: Seq[String], add: Boolean,
     // old files keep their old partition values; only new writes use
     // the evolved spec (spec-versioned layout, SURVEY.md §7.4.2)
     cat.commitMeta(meta.copy(partitionSpec = newSpec))
+    Nil
+  }
+}
+
+/** REPLACE PARTITION FIELD old WITH transform [AS name]: atomic
+  * drop+add in one metadata commit. `old` may be the FIELD name
+  * (ts_day) or a transform spelling (days(ts)). */
+case class LakeReplacePartitionFieldCommand(table: Seq[String],
+    oldField: String, newTransform: String, asName: Option[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = LakeDdl.resolve(spark, table)
+    val meta = cat.loadMeta(ident)
+    val newField =
+      LakePartitionFieldCommand(table, add = true, newTransform, asName)
+        .parsedField
+    val oldName = oldField.replace("`", "")
+    val dropped = meta.partitionSpec.filterNot(_.name == oldName)
+    require(dropped.size < meta.partitionSpec.size,
+      s"partition field $oldName does not exist " +
+        s"(have: ${meta.partitionSpec.map(_.name).mkString(", ")})")
+    cat.commitMeta(meta.copy(partitionSpec = dropped :+ newField))
     Nil
   }
 }

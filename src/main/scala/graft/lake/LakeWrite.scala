@@ -208,8 +208,11 @@ object LakeWriteUtil {
     // write-side schema evolution (mergeSchema / accept-any-schema,
     // iceberg_it.py:1640-1681): extra top-level fields are appended
     val cur = fresh.schema
+    // appended columns are forced nullable: rows written before the
+    // evolution necessarily read NULL for them
     val extra = writeSchema.fields.filterNot(f =>
       cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .map(_.copy(nullable = true))
     val evolved =
       if (extra.nonEmpty) {
         val ns = TableMeta.withFieldIds(StructType(cur.fields ++ extra),

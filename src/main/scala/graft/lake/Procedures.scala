@@ -385,12 +385,26 @@ object Procedures {
         opt("location", StringType))
       val resultSchema = result("imported_files_count" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (src, _) = meta(a, "source_table")
         val destIdent = catalog.parseIdent(a.str("table"))
         val loc = catalog.tableLocation(destIdent)
-        val files = src.currentSnapshot("main").map(_.files).getOrElse(Nil)
-        val base = TableMeta.empty(loc, src.schema, src.partitionSpec,
-          src.properties + ("snapshot-source" -> a.str("source_table")))
+        // Lake source: zero-copy snapshot of its current manifest.
+        // Non-lake source (e.g. a session-catalog parquet table, the
+        // reference's main use: docs/spark-procedures.md snapshot):
+        // import its files zero-copy, leaving the source untouched.
+        val (schema, spec, props, files) =
+          scala.util.Try(meta(a, "source_table")) match {
+            case scala.util.Success((src, _)) =>
+              (src.schema, src.partitionSpec, src.properties,
+                src.currentSnapshot("main").map(_.files).getOrElse(Nil))
+            case scala.util.Failure(_) =>
+              val df = spark.table(a.str("source_table"))
+              val fs = df.inputFiles.toSeq.filter(_.endsWith(".parquet"))
+                .map(p => FileStats.fromFooter(p, catalog.hadoopConf,
+                  df.schema, 0, Map.empty))
+              (df.schema, Nil, Map.empty[String, String], fs)
+          }
+        val base = TableMeta.empty(loc, schema, spec,
+          props + ("snapshot-source" -> a.str("source_table")))
         val snap = SnapshotMeta(1L, None, System.currentTimeMillis(),
           "append", Map("imported" -> "true"), files, 0)
         catalog.commitMeta(base.withSnapshot(snap, Some("main")))

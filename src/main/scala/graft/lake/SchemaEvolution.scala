@@ -40,6 +40,7 @@ object SchemaEvolution {
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putString("comment", c.newComment()).build())
         }
+        schemaChanged = true
       case c: DeleteColumn =>
         schema = deleteColumn(schema, c.fieldNames().toSeq)
         schemaChanged = true
