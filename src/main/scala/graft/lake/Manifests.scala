@@ -1,0 +1,82 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Encoders, SparkSession}
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Parquet manifest spill for large snapshots (the 100 TB seam).
+  *
+  * A snapshot whose file list exceeds the table's
+  * `write.metadata.manifest.spill-threshold` (default 500) gets its
+  * manifest written once — immutably — as a parquet directory
+  * `metadata/manifests/m-<snapshotId>-<rand>/`, and the metadata JSON
+  * keeps only the pointer. Spilling/hydration happens entirely inside
+  * [[MetadataLog]] commit/load, so the rest of the engine always sees
+  * hydrated `SnapshotMeta.files`.
+  *
+  * The manifest is columnar and splittable: a future cluster-side
+  * planner can scan it distributed instead of collecting to the
+  * driver. Reads are cached process-wide — manifests are immutable, so
+  * the cache needs no invalidation.
+  */
+object Manifests {
+
+  val ThresholdKey = "write.metadata.manifest.spill-threshold"
+  val DefaultThreshold = 500
+
+  private val cache = new ConcurrentHashMap[String, Seq[DataFileMeta]]()
+  private val MaxCacheEntries = 64
+
+  def threshold(meta: TableMeta): Int =
+    meta.properties.get(ThresholdKey).map(_.toInt).getOrElse(DefaultThreshold)
+
+  /** Slim a snapshot for JSON serialization: spill an oversized file
+    * list to parquet (once — an existing pointer is reused as long as
+    * the hydrated list still matches its cached content), keep small
+    * ones inline. */
+  def slim(meta: TableMeta, s: SnapshotMeta, conf: Configuration): SnapshotMeta = {
+    if (s.files.size <= threshold(meta)) {
+      // small (or emptied) list: inline, and drop a stale pointer
+      if (s.manifestPath.isDefined) s.copy(manifestPath = None) else s
+    } else s.manifestPath match {
+      case Some(p) if Option(cache.get(p)).contains(s.files) => s.copy(files = Nil)
+      case _ =>
+        val dir = s"${meta.location}/metadata/manifests/" +
+          s"m-${s.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}"
+        write(dir, s.files)
+        cachePut(dir, s.files)
+        s.copy(files = Nil, manifestPath = Some(dir))
+    }
+  }
+
+  /** Hydrate a snapshot loaded from JSON. */
+  def hydrate(s: SnapshotMeta, conf: Configuration): SnapshotMeta =
+    s.manifestPath match {
+      case Some(p) if s.files.isEmpty => s.copy(files = read(p, conf))
+      case _ => s
+    }
+
+  private def write(dir: String, files: Seq[DataFileMeta]): Unit = {
+    val spark = SparkSession.active
+    spark.createDataset(files)(Encoders.product[DataFileMeta])
+      .coalesce(math.max(1, files.size / 100000))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private def read(dir: String, conf: Configuration): Seq[DataFileMeta] = {
+    val cached = cache.get(dir)
+    if (cached != null) return cached
+    val spark = SparkSession.active
+    val files = spark.read.parquet(dir)
+      .as(Encoders.product[DataFileMeta]).collect().toSeq
+    cachePut(dir, files)
+    files
+  }
+
+  private def cachePut(dir: String, files: Seq[DataFileMeta]): Unit = {
+    if (cache.size >= MaxCacheEntries) cache.clear()
+    cache.put(dir, files)
+  }
+}

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * iceberg_it.py:1940-1967).
   *
   * Scale note: each snapshot embeds its full data-file manifest with
-  * per-file, per-column min/max/null-count stats. At 100 TB the file
-  * list itself becomes big data — the design seam for that is to spill
-  * manifests to parquet and store only manifest pointers here (the
-  * metadata-table scans already go through [[TableMeta.filesOf]], so
-  * only the (de)serialization would change).
+  * per-file, per-column min/max/null-count stats. Above
+  * `write.metadata.manifest.spill-threshold` files (default 500) a
+  * snapshot's manifest is spilled to a parquet directory under
+  * metadata/manifests/ and the JSON stores only the pointer — see
+  * [[Manifests]]; hydration happens at load through an
+  * immutable-manifest cache, so at 100 TB the JSON document stays
+  * metadata-sized and the file list lives in columnar form.
   */
 final case class PartitionFieldMeta(
     name: String,        // display name, e.g. "ts_day", "id_bucket"
@@ -42,7 +44,12 @@ final case class SnapshotMeta(
     operation: String, // append|overwrite|delete|update|merge|replace|...
     summary: Map[String, String],
     files: Seq[DataFileMeta],
-    schemaEpoch: Int)
+    schemaEpoch: Int,
+    // Set when the file list is spilled to a parquet manifest under
+    // metadata/manifests/ (see [[Manifests]]): the JSON then stores the
+    // pointer instead of the (possibly millions-long) file list. In
+    // memory the snapshot is always hydrated — `files` is authoritative.
+    manifestPath: Option[String] = None)
 
 final case class RefMeta(refType: String, snapshotId: Long) // branch|tag
 

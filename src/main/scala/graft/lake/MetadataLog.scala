@@ -54,10 +54,14 @@ object MetadataLog {
   def loadVersion(location: String, v: Int, conf: Configuration): TableMeta = {
     val f = fs(location, conf)
     val in = f.open(versionFile(location, v))
-    try {
-      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      Serialization.read[TableMeta](new String(bytes, StandardCharsets.UTF_8))
-    } finally in.close()
+    val parsed =
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Serialization.read[TableMeta](new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    // hydrate spilled manifests so in-memory SnapshotMeta.files is
+    // always authoritative
+    parsed.copy(snapshots = parsed.snapshots.map(Manifests.hydrate(_, conf)))
   }
 
   def metadataFiles(location: String, conf: Configuration): Seq[(Int, String, Long)] = {
@@ -78,7 +82,15 @@ object MetadataLog {
     * reapplies) instead of silently erasing the concurrent commit's
     * snapshots by skipping past it. */
   def commit(meta: TableMeta, conf: Configuration): TableMeta = {
-    val next = meta.copy(version = meta.version + 1)
+    // Spill oversized manifests to parquet; the JSON gets the slim
+    // form (pointers), the CALLER gets back the hydrated form (full
+    // file lists + pointers) so in-memory reads never dehydrate.
+    val spilled = meta.snapshots.map { s =>
+      val slim = Manifests.slim(meta, s, conf)
+      (slim, s.copy(manifestPath = slim.manifestPath))
+    }
+    val next = meta.copy(snapshots = spilled.map(_._1),
+      version = meta.version + 1)
     val f = fs(meta.location, conf)
     f.mkdirs(metaDir(meta.location))
     val vf = versionFile(meta.location, next.version)
@@ -109,7 +121,7 @@ object MetadataLog {
         f.delete(hintFile(meta.location), false) // fall back to listing
         f.rename(tmp, hintFile(meta.location))
     }
-    next
+    next.copy(snapshots = spilled.map(_._2))
   }
 
   def dropTableDir(location: String, conf: Configuration): Unit = {

@@ -332,19 +332,27 @@ object Procedures {
           .flatMap(_.split(",")).map(_.trim.split("\\s+"))
           .map(p => if (p.length > 1 && p(1).equalsIgnoreCase("DESC"))
             col(p(0)).desc else col(p(0)).asc)
-        val nOut = math.max(1, (small.map(_.sizeBytes).sum / target).toInt)
-        val xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        def xform(group: Seq[DataFileMeta]):
+            org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+          val nOut = math.max(1, (group.map(_.sizeBytes).sum / target).toInt)
           zorderCols match {
             case Some(zc) if strategy.equalsIgnoreCase("sort") =>
-              val z = RewriteUtil.zvalue(small, m.schema, zc)
+              val z = RewriteUtil.zvalue(group, m.schema, zc)
               df => df.repartitionByRange(nOut, z).sortWithinPartitions(z)
             case _ if strategy.equalsIgnoreCase("sort") && sortCols.nonEmpty =>
               df => df.repartitionByRange(nOut, sortCols: _*)
                 .sortWithinPartitions(sortCols: _*)
             case _ => df => df.repartition(nOut)
           }
-        val rewritten = LakeWriteUtil.rewriteFiles(spark, m, small, xform,
-          catalog.hadoopConf)
+        }
+        // Compact WITHIN partitions (like the reference's per-partition
+        // bin packing): grouping keeps every rewritten file inside one
+        // partition tuple, preserving partition-level pruning/ops.
+        val rewritten = small.groupBy(_.partitionValues).toSeq
+          .flatMap { case (_, group) =>
+            LakeWriteUtil.rewriteFiles(spark, m, group, xform(group),
+              catalog.hadoopConf)
+          }
         val untouched = files.filterNot(f => small.exists(_.path == f.path))
         val newFiles = untouched ++ rewritten
         val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
@@ -500,8 +508,9 @@ object Procedures {
         val staging = a.strOpt("staging_location")
           .getOrElse(s"${m.location}/metadata/rewrite-staging")
         val rewritten = m.copy(location = m.location.replace(src, dst),
-          snapshots = m.snapshots.map(s => s.copy(files = s.files.map(f =>
-            f.copy(path = f.path.replace(src, dst))))))
+          snapshots = m.snapshots.map(s => s.copy(
+            files = s.files.map(f => f.copy(path = f.path.replace(src, dst))),
+            manifestPath = None))) // paths changed: old spill is stale
         implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
         val fs = MetadataLog.fs(staging, catalog.hadoopConf)
         fs.mkdirs(new org.apache.hadoop.fs.Path(staging))

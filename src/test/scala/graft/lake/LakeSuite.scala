@@ -236,6 +236,29 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(DISTINCT id) FROM lake.db.zrw") == 40)
   }
 
+  test("manifest spill: large snapshots round-trip through parquet manifests") {
+    sql("""CREATE TABLE lake.db.spill (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.spill SELECT id FROM range(0, 10, 1, 4)") // 4 files
+    assert(count("SELECT count(*) FROM lake.db.spill") == 10)
+    val loc = sql("SELECT file_path FROM lake.db.spill.files LIMIT 1")
+      .collect()(0).getString(0).replaceAll("/data/.*", "")
+    val metaDir = new java.io.File(loc.stripPrefix("file:"), "metadata")
+    val latest = metaDir.listFiles().filter(_.getName.matches("v\\d+\\.json"))
+      .maxBy(_.getName)
+    val json = new String(java.nio.file.Files.readAllBytes(latest.toPath))
+    assert(!json.contains(".parquet\""),
+      "spilled JSON must not inline the file list")
+    assert(json.contains("manifestPath"), json.take(500))
+    assert(new java.io.File(metaDir, "manifests").exists)
+    // rows survive a fresh load (hydration path) and further commits
+    sql("INSERT INTO lake.db.spill VALUES (100)")
+    assert(count("SELECT count(*) FROM lake.db.spill") == 11)
+    val v1 = sql("SELECT min(snapshot_id) FROM lake.db.spill.snapshots")
+      .collect()(0).getLong(0)
+    assert(sql(s"SELECT * FROM lake.db.spill VERSION AS OF $v1").count() == 10)
+  }
+
   test("compute_partition_stats writes manifest-derived stats") {
     sql("CREATE TABLE lake.db.pstats (id bigint, part string) USING lake PARTITIONED BY (part)")
     sql("INSERT INTO lake.db.pstats VALUES (1,'a'),(2,'a'),(3,'b')")
