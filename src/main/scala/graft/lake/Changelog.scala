@@ -27,6 +27,14 @@ object Changelog {
     val inRange = chain
       .dropWhile(s => startId.exists(s.snapshotId <= _))
       .takeWhile(s => endId.forall(s.snapshotId <= _))
+    inRange.foreach { sn =>
+      val parentDels = sn.parentId.flatMap(meta.snapshotById)
+        .map(_.deleteFiles).getOrElse(Nil)
+      require(sn.deleteFiles == parentDels,
+        s"snapshot ${sn.snapshotId} adds merge-on-read position deletes; " +
+          "changelog reads over merge-on-read delete snapshots are not " +
+          "supported — run rewrite_position_delete_files first")
+    }
 
     val schema = meta.schema
     val parts = inRange.zipWithIndex.flatMap { case (s, ordinal) =>

@@ -178,10 +178,18 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     val files = filesOverride.getOrElse(table.meta.filesOf(snapshotId))
     val pruned = FileStats.prune(files, pushed.toSeq, fullSchema)
     onBuild(pruned)
+    // merge-on-read position deletes of the scanned snapshot (none for
+    // filesOverride scans — changelog diffs pin their own file lists)
+    val deleted =
+      if (filesOverride.isDefined) Map.empty[String, Array[Long]]
+      else snapshotId.flatMap(table.meta.snapshotById)
+        .filter(_.deleteFiles.nonEmpty)
+        .map(s => PosDeletes.deletedMap(s.deleteFiles, table.catalog.hadoopConf))
+        .getOrElse(Map.empty)
     if (rowLevel && table.meta.partitionSpec.nonEmpty)
-      new LakeRowLevelScan(table, pruned, required, options, onBuild)
+      new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted)
     else LakeScans.build(table, pruned, required,
-      if (rowLevel) Array.empty else pushed, options)
+      if (rowLevel) Array.empty else pushed, options, deleted)
   }
 }
 
@@ -199,12 +207,13 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
   */
 class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
     required: StructType, options: CaseInsensitiveStringMap,
-    onFiles: Seq[DataFileMeta] => Unit)
+    onFiles: Seq[DataFileMeta] => Unit,
+    deleted: Map[String, Array[Long]] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[DataFileMeta] = initial
   @volatile private var delegate: Scan =
-    LakeScans.build(table, files, required, Array.empty, options)
+    LakeScans.build(table, files, required, Array.empty, options, deleted)
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -220,7 +229,8 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
     if (v1.nonEmpty) {
       files = FileStats.prune(files, v1.toSeq, table.schema())
       onFiles(files)
-      delegate = LakeScans.build(table, files, required, Array.empty, options)
+      delegate = LakeScans.build(table, files, required, Array.empty, options,
+        deleted)
     }
   }
 
@@ -235,9 +245,22 @@ object LakeScans {
     * as such in .explain(). */
   def build(table: LakeTable, files: Seq[DataFileMeta],
       required: StructType, pushed: Array[Filter],
-      options: CaseInsensitiveStringMap): Scan = {
+      options: CaseInsensitiveStringMap,
+      deleted: Map[String, Array[Long]] = Map.empty): Scan = {
     val spark = SparkSession.active
     val currentSchema = table.schema()
+    // Files with position-delete masks route through the row-based
+    // delete-applying scan; clean files keep the vectorized path.
+    val (dirty, clean) =
+      if (deleted.isEmpty) (Nil, files)
+      else files.partition(f => deleted.contains(PosDeletes.norm(f.path)))
+    if (dirty.nonEmpty) {
+      val cleanScan =
+        if (clean.isEmpty) Nil
+        else Seq(build(table, clean, required, pushed, options))
+      val all = cleanScan :+ new PosDeleteScan(table, dirty, required, deleted)
+      return if (all.size == 1) all.head else new CompositeScan(all, required)
+    }
     val byEpoch = files.groupBy(_.schemaEpoch).toSeq.sortBy(_._1)
     val scans = byEpoch match {
       case Seq() => Seq(parquetScan(spark, table, Nil, currentSchema,
@@ -279,7 +302,7 @@ object LakeScans {
     * same name) must not pick up the dropped column's values from old
     * files — it is remapped to a sentinel name absent from the files,
     * so the parquet reader yields nulls for it. */
-  private def renameMap(current: StructType, epoch: StructType): Map[String, String] = {
+  private[lake] def renameMap(current: StructType, epoch: StructType): Map[String, String] = {
     val byId = epoch.fields.flatMap(f => TableMeta.fieldId(f).map(_ -> f.name)).toMap
     val epochNames = epoch.fields.map(_.name.toLowerCase).toSet
     current.fields.flatMap { f =>
@@ -340,23 +363,167 @@ class CompositeScan(scans: Seq[Scan], schema: StructType) extends Scan with Batc
 
   private lazy val delegates: Seq[Batch] = scans.map(_.toBatch)
 
+  private lazy val partitionsByDelegate: Seq[Array[InputPartition]] =
+    delegates.map(_.planInputPartitions())
+
   override def planInputPartitions(): Array[InputPartition] =
-    delegates.zipWithIndex.flatMap { case (b, i) =>
-      b.planInputPartitions().map(p => EpochPartition(p, i): InputPartition)
+    partitionsByDelegate.zipWithIndex.flatMap { case (ps, i) =>
+      ps.map(p => EpochPartition(p, i): InputPartition)
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CompositeReaderFactory(delegates.map(_.createReaderFactory()))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val factories = delegates.map(_.createReaderFactory())
+    // Spark requires every partition of one scan to be uniformly
+    // columnar or row-based. If the delegates disagree (vectorized
+    // parquet + row-based position-delete scans), run the whole
+    // composite row-based: columnar delegates decode vectorized
+    // internally and hand rows out through an adapter.
+    val support = factories.zip(partitionsByDelegate).flatMap {
+      case (f, ps) => ps.map(f.supportColumnarReads)
+    }
+    val mixed = support.contains(true) && support.contains(false)
+    new CompositeReaderFactory(factories, forceRows = mixed)
+  }
 }
 
 case class EpochPartition(inner: InputPartition, idx: Int) extends InputPartition
 
-class CompositeReaderFactory(factories: Seq[PartitionReaderFactory])
+class CompositeReaderFactory(factories: Seq[PartitionReaderFactory],
+    forceRows: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    p match { case EpochPartition(inner, i) => factories(i).createReader(inner) }
+    p match {
+      case EpochPartition(inner, i) =>
+        if (forceRows && factories(i).supportColumnarReads(inner))
+          columnarToRows(factories(i).createColumnarReader(inner))
+        else factories(i).createReader(inner)
+    }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match { case EpochPartition(inner, i) => factories(i).createColumnarReader(inner) }
   override def supportColumnarReads(p: InputPartition): Boolean =
-    p match { case EpochPartition(inner, i) => factories(i).supportColumnarReads(inner) }
+    !forceRows && (p match {
+      case EpochPartition(inner, i) => factories(i).supportColumnarReads(inner)
+    })
+
+  private def columnarToRows(
+      batches: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var rows: java.util.Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+        java.util.Collections.emptyIterator()
+      override def next(): Boolean = {
+        while (!rows.hasNext) {
+          if (!batches.next()) return false
+          rows = batches.get().rowIterator()
+        }
+        true
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = rows.next()
+      override def close(): Unit = batches.close()
+    }
+}
+
+/** Row-based scan applying merge-on-read position deletes.
+  *
+  * One input partition per data file (never split — positions are
+  * file ordinals, so a file must be counted by a single task), read
+  * through the non-vectorized v1 parquet reader so rows arrive in
+  * exact file order; rows whose ordinal is in the (sorted) mask are
+  * skipped, the rest are projected to the required schema with
+  * epoch renames/casts applied. Only files that actually carry
+  * deletes pay this path — clean files keep whole-stage vectorized
+  * reads (see LakeScans.build), and rewrite_position_delete_files
+  * restores the fast path by folding masks back into data files.
+  */
+class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
+    required: StructType, deleted: Map[String, Array[Long]])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PosDeleteScan(${table.name()}, ${files.size} masked files)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)
+    files.map { f =>
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f.path)).getLen
+      PosDeletePartition(f.path, f.schemaEpoch, len,
+        deleted.getOrElse(PosDeletes.norm(f.path), Array.empty))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal}
+    val spark = SparkSession.active
+    val noVec = Shims.cloneSessionRowBasedParquet(spark)
+    val hconf = noVec.sessionState.newHadoopConf()
+    val current = table.schema()
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val perEpoch = files.map(_.schemaEpoch).distinct.map { e =>
+      val epochSchema = table.meta.schemaAt(e)
+      val rename = LakeScans.renameMap(current, epochSchema)
+      val epochRead = StructType(required.fields.flatMap { f =>
+        val en = rename.getOrElse(f.name, f.name)
+        epochSchema.fields.find(_.name == en)
+      }.distinct)
+      val exprs: Seq[Expression] = required.fields.toSeq.map { f =>
+        val en = rename.getOrElse(f.name, f.name)
+        epochRead.fieldNames.indexOf(en) match {
+          case -1 => Literal(null, f.dataType)
+          case i =>
+            val ef = epochRead(i)
+            val ref = BoundReference(i, ef.dataType, nullable = true)
+            if (ef.dataType == f.dataType) ref
+            else Cast(ref, f.dataType, Some(tz))
+        }
+      }
+      val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .buildReaderWithPartitionValues(noVec, epochSchema,
+          StructType(Nil), epochRead, Nil, Map.empty, hconf)
+      e -> (readFunc, exprs)
+    }.toMap
+    new PosDeleteReaderFactory(
+      perEpoch.map { case (e, (f, _)) => e -> f },
+      perEpoch.map { case (e, (_, x)) => e -> x })
+  }
+}
+
+case class PosDeletePartition(path: String, epoch: Int, fileLen: Long,
+    deletedSorted: Array[Long]) extends InputPartition
+
+class PosDeleteReaderFactory(
+    readFuncs: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow]],
+    projections: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val part = p.asInstanceOf[PosDeletePartition]
+    val rows = readFuncs(part.epoch)(
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(part.path),
+        0, part.fileLen))
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(projections(part.epoch).toArray)
+    val mask = part.deletedSorted
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var di = 0
+      private var pos = -1L
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val r = rows.next(); pos += 1
+          while (di < mask.length && mask(di) < pos) di += 1
+          if (di < mask.length && mask(di) == pos) di += 1
+          else { cur = proj(r); return true }
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }

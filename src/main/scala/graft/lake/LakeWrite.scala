@@ -287,7 +287,13 @@ object LakeWriteUtil {
         "total-records" -> files.map(_.rowCount).sum.toString
       ) ++ wapId.map("wap.id" -> _),
       files = files,
-      schemaEpoch = epoch)
+      schemaEpoch = epoch,
+      // position deletes survive every mode except full truncation:
+      // kept data files keep their masks; masks for files that were
+      // dropped or rewritten simply never match again
+      deleteFiles =
+        if (mode == "truncate") Nil
+        else parent.map(_.deleteFiles).getOrElse(Nil))
 
     // WAP id staging: snapshot recorded, no ref advance until
     // publish_changes (docs/spark-procedures.md:186)
@@ -357,25 +363,32 @@ object LakeWriteUtil {
     * current names) through `xform`, returning new file metas. */
   def rewriteFiles(spark: SparkSession, meta: TableMeta,
       files: Seq[DataFileMeta], xform: DataFrame => DataFrame,
-      conf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      applyDeletes: Map[String, Array[Long]] = Map.empty): Seq[DataFileMeta] = {
     val outDir = s"${meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
     val schema = meta.schema
     files.groupBy(_.schemaEpoch).foreach { case (epoch, fs) =>
       val epochSchema = meta.schemaAt(epoch)
-      val byId = epochSchema.fields.flatMap(f =>
-        TableMeta.fieldId(f).map(_ -> f.name)).toMap
-      val projections = schema.fields.map { f =>
-        val epochName = TableMeta.fieldId(f).flatMap(byId.get)
-        epochName match {
-          case Some(n) if epochSchema.fieldNames.contains(n) =>
-            col(n).cast(f.dataType).as(f.name)
-          case _ if epochSchema.fieldNames.contains(f.name) =>
-            col(f.name).cast(f.dataType).as(f.name)
-          case _ => lit(null).cast(f.dataType).as(f.name)
+      val raw = spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
+      // subtract merge-on-read position masks (anti-join on the file
+      // ordinal) BEFORE projecting away the metadata columns
+      val masked =
+        if (applyDeletes.isEmpty) raw
+        else {
+          val pairs = fs.flatMap(f =>
+            applyDeletes.getOrElse(PosDeletes.norm(f.path), Array.empty[Long])
+              .map(p => (PosDeletes.norm(f.path), p)))
+          if (pairs.isEmpty) raw
+          else {
+            val delDf = spark.createDataFrame(pairs).toDF("__fp", "__pos")
+            raw
+              .withColumn("__fp", regexp_replace(
+                col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
+              .withColumn("__pos", col("_metadata.row_index"))
+              .join(broadcast(delDf), Seq("__fp", "__pos"), "left_anti")
+          }
         }
-      }
-      val df = spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
-        .select(projections.toIndexedSeq: _*)
+      val df = masked.select(epochProjection(meta, epoch, epochSchema): _*)
       xform(df).write.mode("append").parquet(outDir)
     }
     val epoch = meta.currentSchemaEpoch
@@ -431,12 +444,86 @@ object LakeWriteUtil {
     val fresh = table.catalog.loadMeta(table.ident)
     val parent = fresh.currentSnapshot(table.ref)
     val parentFiles = parent.map(_.files).getOrElse(Nil)
+    if (fresh.properties.get("write.delete.mode").contains("merge-on-read")) {
+      morDelete(spark, table, fresh, parent, parentFiles, filters, conf)
+      return
+    }
     val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf)
     val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
       System.currentTimeMillis(), "delete",
       Map("deleted-files" -> (parentFiles.size - kept.size).toString),
-      kept, fresh.currentSchemaEpoch)
+      kept, fresh.currentSchemaEpoch,
+      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil))
     table.catalog.commitMeta(fresh.withSnapshot(snap, Some(table.ref)))
+  }
+
+  /** Merge-on-read DELETE: instead of rewriting the partially-matching
+    * files, record the matching row POSITIONS in a position-delete
+    * parquet (computed distributed via `_metadata.row_index`, pushed
+    * filters pruning untouched files). Whole-file matches are still
+    * dropped outright — no mask needed. Data files are left
+    * byte-identical; reads subtract the positions (see PosDeleteScan),
+    * and rewrite_position_delete_files folds masks back into data. */
+  private def morDelete(spark: SparkSession, table: LakeTable,
+      fresh: TableMeta, parent: Option[SnapshotMeta],
+      parentFiles: Seq[DataFileMeta], filters: Array[Filter],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val schema = fresh.schema
+    val (touched, untouched) = parentFiles.partition(f =>
+      filters.forall(FileStats.mayMatch(f, _, schema)))
+    val (full, partial) = touched.partition(fullyMatches(_, filters, schema))
+    val newDeletes: Seq[DataFileMeta] =
+      if (partial.isEmpty) Nil
+      else {
+        val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
+          .getOrElse(lit(true))
+        val outDir = s"${fresh.location}/metadata/deletes/" +
+          java.util.UUID.randomUUID().toString.take(12)
+        partial.groupBy(_.schemaEpoch).foreach { case (epoch, fs) =>
+          val epochSchema = fresh.schemaAt(epoch)
+          val meta = Seq(
+            regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/")
+              .as("file_path"),
+            col("_metadata.row_index").as("pos"))
+          spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
+            .select(epochProjection(fresh, epoch, epochSchema) ++ meta: _*)
+            .where(cond)
+            .select(col("file_path"), col("pos"))
+            .repartitionByRange(math.max(1, fs.size / 64),
+              col("file_path"), col("pos"))
+            .sortWithinPartitions(col("file_path"), col("pos"))
+            .write.mode("append").parquet(outDir)
+        }
+        listParquet(outDir, conf)
+          .map(p => FileStats.fromFooter(p, conf, PosDeletes.DeleteSchema, 0, Map.empty))
+          .filter(_.rowCount > 0)
+      }
+    val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
+      System.currentTimeMillis(), "delete",
+      Map("deleted-files" -> full.size.toString,
+        "added-delete-files" -> newDeletes.size.toString,
+        "added-position-deletes" -> newDeletes.map(_.rowCount).sum.toString),
+      untouched ++ partial, fresh.currentSchemaEpoch,
+      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ newDeletes)
+    table.catalog.commitMeta(fresh.withSnapshot(snap, Some(table.ref)))
+  }
+
+  /** Columns projecting an epoch-schema frame to the CURRENT schema
+    * (field-id renames honored, types cast, dropped columns nulled). */
+  def epochProjection(meta: TableMeta, epoch: Int,
+      epochSchema: StructType): Seq[Column] = {
+    val byId = epochSchema.fields.flatMap(f =>
+      TableMeta.fieldId(f).map(_ -> f.name)).toMap
+    meta.schema.fields.toSeq.map { f =>
+      val epochName = TableMeta.fieldId(f).flatMap(byId.get)
+      epochName match {
+        case Some(n) if epochSchema.fieldNames.contains(n) =>
+          col(n).cast(f.dataType).as(f.name)
+        case _ if epochSchema.fieldNames.contains(f.name) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
   }
 
   /** Does every row of `file` definitely match all `filters`?

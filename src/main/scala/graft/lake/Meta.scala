@@ -49,7 +49,13 @@ final case class SnapshotMeta(
     // metadata/manifests/ (see [[Manifests]]): the JSON then stores the
     // pointer instead of the (possibly millions-long) file list. In
     // memory the snapshot is always hydrated — `files` is authoritative.
-    manifestPath: Option[String] = None)
+    manifestPath: Option[String] = None,
+    // Merge-on-read position-delete files (parquet of
+    // (file_path string, pos long), sorted): rows of `files` at these
+    // positions are deleted and must be filtered at read time — see
+    // [[PosDeletes]]. Carried forward across append/rewrite commits;
+    // cleared by truncate and by rewrite_position_delete_files.
+    deleteFiles: Seq[DataFileMeta] = Nil)
 
 final case class RefMeta(refType: String, snapshotId: Long) // branch|tag
 

@@ -111,11 +111,15 @@ object MetadataTables {
         Row(ts(s.timestampMs), s"$location/metadata/v${s.snapshotId}.json",
           s.snapshotId))
       case "files" | "data_files" => headSnap.toSeq.flatMap(fileRows)
-      case "delete_files" | "position_deletes" => Nil // copy-on-write engine
+      case "delete_files" | "position_deletes" =>
+        headSnap.toSeq.flatMap(_.deleteFiles).map(f =>
+          Row(1, f.path, "PARQUET", null, f.rowCount, f.sizeBytes))
       case "all_files" | "all_data_files" => visible.flatMap(s =>
         s.files.map(f => Row(0, f.path, "PARQUET", pv(f), f.rowCount,
           f.sizeBytes, s.snapshotId)))
-      case "all_delete_files" => Nil
+      case "all_delete_files" => visible.flatMap(s =>
+        s.deleteFiles.map(f => Row(1, f.path, "PARQUET", null, f.rowCount,
+          f.sizeBytes, s.snapshotId)))
       case "entries" => headSnap.toSeq.flatMap { s =>
         val parentFiles = s.parentId.flatMap(meta.snapshotById)
           .map(_.files.map(_.path).toSet).getOrElse(Set.empty)

@@ -311,11 +311,19 @@ object Procedures {
         // to v1 filters and evaluated against each file's footer
         // min/max stats — exactly the scan-planning prune — so files
         // that cannot contain matching rows are left byte-identical.
+        // files carrying merge-on-read masks are not binpack candidates
+        // (a raw rewrite would resurrect deleted rows); they belong to
+        // rewrite_position_delete_files
+        val masked: Set[String] = head.map(_.deleteFiles).getOrElse(Nil) match {
+          case Nil => Set.empty
+          case dels => PosDeletes.deletedMap(dels, catalog.hadoopConf).keySet
+        }
+        val unmasked = files.filterNot(f => masked.contains(PosDeletes.norm(f.path)))
         val candidates = a.strOpt("where") match {
           case Some(w) =>
-            FileStats.prune(files, RewriteUtil.whereToFilters(spark, m.schema, w),
+            FileStats.prune(unmasked, RewriteUtil.whereToFilters(spark, m.schema, w),
               m.schema)
-          case None => files
+          case None => unmasked
         }
         val rewriteAll = opts.get("rewrite-all").exists(_.toBoolean)
         val (small, big) =
@@ -382,9 +390,30 @@ object Procedures {
           "rewritten_delete_files_count" -> IntegerType,
           "added_delete_files_count" -> IntegerType,
           "rewritten_bytes_count" -> LongType)
+        // Folds merge-on-read position masks back into the data: every
+        // masked data file is rewritten with its deleted rows dropped
+        // (per partition group), and the delete files retire — the
+        // table returns to the fully-vectorized read path.
         def run(spark: SparkSession, a: Args): Seq[Row] = {
-          meta(a)
-          Seq(Row(0, 0, 0L)) // copy-on-write engine: no delete files
+          val (m, _) = meta(a)
+          val head = m.currentSnapshot("main")
+          val dels = head.map(_.deleteFiles).getOrElse(Nil)
+          if (dels.isEmpty) return Seq(Row(0, 0, 0L))
+          val delMap = PosDeletes.deletedMap(dels, catalog.hadoopConf)
+          val files = head.map(_.files).getOrElse(Nil)
+          val (dirty, clean) = files.partition(f =>
+            delMap.contains(PosDeletes.norm(f.path)))
+          val rewritten = dirty.groupBy(_.partitionValues).toSeq
+            .flatMap { case (_, group) =>
+              LakeWriteUtil.rewriteFiles(spark, m, group, identity,
+                catalog.hadoopConf, applyDeletes = delMap)
+            }
+          val snap = SnapshotMeta(m.lastSnapshotId + 1,
+            head.map(_.snapshotId), System.currentTimeMillis(), "replace",
+            Map("rewritten-delete-files" -> dels.size.toString),
+            clean ++ rewritten, m.currentSchemaEpoch, deleteFiles = Nil)
+          catalog.commitMeta(m.withSnapshot(snap, Some("main")))
+          Seq(Row(dels.size, rewritten.size, dels.map(_.sizeBytes).sum))
         }
       }),
 

@@ -20,6 +20,15 @@ object Shims {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Clone the session with the vectorized parquet reader disabled
+    * (cloneSession is private[sql]) — used by the position-delete
+    * scan, whose row-order bookkeeping needs the row-based reader. */
+  def cloneSessionRowBasedParquet(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.classic.SparkSession = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    s.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    s
+  }
+
   /** Column-name NamedReference (FieldReference is private[sql]). */
   def columnRef(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
     org.apache.spark.sql.connector.expressions.FieldReference.column(name)

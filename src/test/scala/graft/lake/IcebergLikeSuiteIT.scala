@@ -1119,11 +1119,17 @@ class IcebergLikeSuiteIT extends AnyFunSuite with BeforeAndAfterAll {
         |  'write.update.mode'='merge-on-read',
         |  'write.merge.mode'='merge-on-read')""".stripMargin)
     sql(s"DELETE FROM $tbl WHERE id = 2")
-    trySql(s"CALL lake.system.rewrite_position_delete_files(" +
-      s"table => '$db.sample_part', options => map('rewrite-all','true'))") match {
-      case Left(e) => cancel(s"rewrite_position_delete_files not applicable: $e")
-      case Right(_) => () // engine is copy-on-write: procedure reports zero work
-    }
+    assert(count(s"SELECT count(*) FROM $tbl WHERE id = 2") == 0)
+    sql(s"CALL lake.system.rewrite_position_delete_files(" +
+      s"table => '$db.sample_part', options => map('rewrite-all','true'))").collect()
+    assert(sql(s"SELECT * FROM $tbl.delete_files").count() == 0,
+      "position masks folded back into data files")
+    assert(count(s"SELECT count(*) FROM $tbl WHERE id = 2") == 0)
+    // back to copy-on-write for the remaining groups
+    sql(s"""ALTER TABLE $tbl SET TBLPROPERTIES (
+        |  'write.delete.mode'='copy-on-write',
+        |  'write.update.mode'='copy-on-write',
+        |  'write.merge.mode'='copy-on-write')""".stripMargin)
   }
 
   // ----------------------------------------------------------------

@@ -236,6 +236,43 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(DISTINCT id) FROM lake.db.zrw") == 40)
   }
 
+  test("merge-on-read delete: position masks, masked reads, fold-back") {
+    sql("""CREATE TABLE lake.db.mor (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.mor SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    sql("INSERT INTO lake.db.mor SELECT id, concat('v', id) FROM range(10, 20, 1, 1)")
+    def paths() = sql("SELECT file_path FROM lake.db.mor.files")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    val preDeleteSnap = sql("SELECT max(snapshot_id) FROM lake.db.mor.snapshots")
+      .collect()(0).getLong(0)
+
+    sql("DELETE FROM lake.db.mor WHERE id IN (3, 15)")
+    assert(paths() == before, "MoR delete must leave data files byte-identical")
+    assert(count("SELECT count(*) FROM lake.db.mor") == 18)
+    assert(sql("SELECT * FROM lake.db.mor WHERE id IN (3, 15)").count() == 0)
+    assert(sql("SELECT * FROM lake.db.mor.delete_files").count() >= 1,
+      "position-delete files surface in the metadata table")
+    // time travel to before the delete sees all rows (no masks)
+    assert(sql(s"SELECT * FROM lake.db.mor VERSION AS OF $preDeleteSnap").count() == 20)
+
+    // CoW UPDATE on a masked table must read through the masks
+    sql("UPDATE lake.db.mor SET v = 'upd' WHERE id = 4")
+    assert(count("SELECT count(*) FROM lake.db.mor") == 18)
+    assert(sql("SELECT * FROM lake.db.mor WHERE id = 3").count() == 0,
+      "update rewrite must not resurrect masked rows")
+
+    // fold masks back into data files
+    val res = sql("CALL lake.system.rewrite_position_delete_files(table => 'db.mor')")
+      .collect()(0)
+    assert(res.getInt(0) >= 1, res.toString)
+    assert(count("SELECT count(*) FROM lake.db.mor") == 18)
+    assert(sql("SELECT * FROM lake.db.mor.delete_files").count() == 0)
+    assert(sql("SELECT * FROM lake.db.mor WHERE id IN (3, 15)").count() == 0)
+    val ids = sql("SELECT id FROM lake.db.mor ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == (0L until 20L).filterNot(i => i == 3L || i == 15L), ids.toString)
+  }
+
   test("manifest spill: large snapshots round-trip through parquet manifests") {
     sql("""CREATE TABLE lake.db.spill (id bigint) USING lake
         |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
