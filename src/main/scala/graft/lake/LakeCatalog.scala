@@ -27,7 +27,23 @@ import scala.jdk.CollectionConverters._
   * docs/spark-procedures.md (procedures).
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
+
+  // ---- FunctionCatalog: partition transforms as V2 functions, so
+  // write distributions can cluster on bucket/days/truncate VALUES ----
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    TransformFunctions.names
+      .map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    TransformFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    TransformFunctions.load(ident.name()).isDefined
 
   private var catalogName: String = _
   private var warehouse: String = _

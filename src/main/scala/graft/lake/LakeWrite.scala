@@ -62,22 +62,24 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
 
   override def requiredDistribution(): Distribution =
     if (table.meta.partitionSpec.nonEmpty)
-      // cluster on the SOURCE columns: finer than the transforms
-      // themselves (every file still lands in exactly one partition
-      // tuple) and convertible by Spark without a FunctionCatalog
-      // binding for days/bucket/truncate
+      // cluster on the TRANSFORM values (one shuffle key per partition
+      // tuple — resolved through the catalog's FunctionCatalog
+      // bindings), so each fanout-writer task receives whole tuples
       Distributions.clustered(table.meta.partitionSpec
-        .map(f => Expressions.identity(f.sourceColumn): org.apache.spark.sql.connector.expressions.Expression)
+        .map(f => Transforms.toTransform(f): org.apache.spark.sql.connector.expressions.Expression)
         .toArray)
     else Distributions.unspecified()
 
   override def requiredOrdering(): Array[SortOrder] = {
-    // partition source columns first: with clustering this makes each
-    // task's rows contiguous per partition tuple, so the fanout writer
-    // holds exactly one open file at a time
-    val partCols = table.meta.partitionSpec.map(_.sourceColumn).distinct
-    (partCols ++ table.meta.sortOrder.filterNot(partCols.contains)).map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    // tuple-major ordering: sort by the partition TRANSFORM values
+    // first (bucket values interleave under a source-column sort), so
+    // each task's rows are contiguous per tuple and the roll-over
+    // fanout writer holds exactly one open file at a time
+    val partSorts = table.meta.partitionSpec.map(f =>
+      Expressions.sort(Transforms.toTransform(f), SortDirection.ASCENDING))
+    val partCols = table.meta.partitionSpec.map(_.sourceColumn).toSet
+    (partSorts ++ table.meta.sortOrder.filterNot(partCols.contains).map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))).toArray
   }
 
   override def requiredNumPartitions(): Int = 0
