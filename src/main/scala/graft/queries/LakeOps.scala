@@ -245,10 +245,27 @@ object LakeOps {
              |ORDER BY snapshot_id""".stripMargin)
   }
 
+  /** Merge-on-read DELETE: data files stay byte-identical, matching
+    * rows are masked by position-delete files, and the subsequent read
+    * exercises the mask-applying scan path (PosDeleteScan). */
+  def lakeMorDelete(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "customer")
+    val t = fresh("mor")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake
+             |TBLPROPERTIES ('write.delete.mode'='merge-on-read') AS
+             |SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM $v""".stripMargin)
+    s.sql(s"DELETE FROM lakeq.db.$t WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0")
+    s.sql(s"""SELECT c_custkey, c_name, c_mktsegment,
+             |  round(c_acctbal, 2) AS bal
+             |FROM lakeq.db.$t ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_ctas" -> (lakeCtas _),
     "lake_insert" -> (lakeInsert _),
     "lake_delete" -> (lakeDelete _),
+    "lake_mor_delete" -> (lakeMorDelete _),
     "lake_update" -> (lakeUpdate _),
     "lake_merge" -> (lakeMerge _),
     "lake_time_travel" -> (lakeTimeTravel _),
@@ -270,6 +287,12 @@ object LakeOps {
     "lake_delete" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_mktsegment <> 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "lake_mor_delete" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  round(c_acctbal, 2) AS bal
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
     "lake_update" ->
       """SELECT s_suppkey, s_nationkey,
         |  round(CASE WHEN s_nationkey = 5 THEN s_acctbal + 1000
