@@ -253,11 +253,24 @@ object Procedures {
         val fs = MetadataLog.fs(m.location, catalog.hadoopConf)
         deadFiles.foreach(p =>
           fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        // spilled manifests and position-delete files referenced only
+        // by expired snapshots retire with them
+        val liveManifests = remaining.flatMap(_.manifestPath).toSet
+        val deadManifests = expired.flatMap(_.manifestPath).distinct
+          .filterNot(liveManifests)
+        deadManifests.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val liveDeletes = remaining.flatMap(_.deleteFiles.map(_.path)).toSet
+        val deadDeletes = expired.flatMap(_.deleteFiles.map(_.path)).distinct
+          .filterNot(liveDeletes)
+        deadDeletes.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), false))
         // drop parent pointers into expired snapshots
         val patched = remaining.map(s =>
           if (s.parentId.exists(expIds)) s.copy(parentId = None) else s)
         catalog.commitMeta(m.copy(snapshots = patched))
-        Seq(Row(deadFiles.size.toLong, expired.size.toLong, expired.size.toLong))
+        Seq(Row((deadFiles.size + deadDeletes.size).toLong,
+          deadManifests.size.toLong, expired.size.toLong))
       }
     }),
 
