@@ -27,16 +27,9 @@ object Changelog {
     val inRange = chain
       .dropWhile(s => startId.exists(s.snapshotId <= _))
       .takeWhile(s => endId.forall(s.snapshotId <= _))
-    inRange.foreach { sn =>
-      val parentDels = sn.parentId.flatMap(meta.snapshotById)
-        .map(_.deleteFiles).getOrElse(Nil)
-      require(sn.deleteFiles == parentDels,
-        s"snapshot ${sn.snapshotId} adds merge-on-read position deletes; " +
-          "changelog reads over merge-on-read delete snapshots are not " +
-          "supported — run rewrite_position_delete_files first")
-    }
 
     val schema = meta.schema
+    val hconf = spark.sessionState.newHadoopConf()
     val parts = inRange.zipWithIndex.flatMap { case (s, ordinal) =>
       val parentFiles = s.parentId.flatMap(meta.snapshotById)
         .map(_.files).getOrElse(Nil)
@@ -50,7 +43,33 @@ object Changelog {
           .withColumn("_change_type", lit(change))
           .withColumn("_change_ordinal", lit(ordinal))
           .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
-      read(added, "insert") ++ read(removed, "delete")
+      // merge-on-read snapshot: the rows its NEW position masks cover
+      // are this commit's deletes — materialize them by joining the
+      // (immutable) data files' row ordinals against the mask pairs
+      val parentDels = s.parentId.flatMap(meta.snapshotById)
+        .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      val newMasks = s.deleteFiles.filterNot(f => parentDels(f.path))
+      val masked: Option[DataFrame] =
+        if (newMasks.isEmpty) None
+        else {
+          val pairs = PosDeletes.deletedMap(newMasks, hconf).toSeq
+            .flatMap { case (fp, ps) => ps.map(p => (fp, p)) }
+          val maskedPaths = pairs.map(_._1).distinct.toSet
+          val dataPaths = s.files.map(_.path)
+            .filter(p => maskedPaths(PosDeletes.norm(p)))
+          if (dataPaths.isEmpty) None
+          else Some(spark.read.schema(schema).parquet(dataPaths: _*)
+            .withColumn("__fp", regexp_replace(
+              col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(spark.createDataFrame(pairs).toDF("__fp", "__pos")),
+              Seq("__fp", "__pos"))
+            .drop("__fp", "__pos")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_ordinal", lit(ordinal))
+            .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+        }
+      read(added, "insert") ++ read(removed, "delete") ++ masked
     }
 
     val raw = parts.reduceOption(_.unionByName(_)).getOrElse {

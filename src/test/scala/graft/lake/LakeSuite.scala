@@ -273,6 +273,21 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == (0L until 20L).filterNot(i => i == 3L || i == 15L), ids.toString)
   }
 
+  test("changelog covers merge-on-read delete snapshots") {
+    sql("""CREATE TABLE lake.db.morcdc (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morcdc VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("DELETE FROM lake.db.morcdc WHERE id = 2")
+    sql("""CALL lake.system.create_changelog_view(table => 'db.morcdc',
+          |changelog_view => 'morcdc_changes')""".stripMargin)
+    val changes = sql(
+      "SELECT id, v, _change_type FROM morcdc_changes ORDER BY _change_ordinal, id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(changes.count(_._3 == "insert") == 3, changes.toString)
+    assert(changes.filter(_._3 == "delete") == Seq((2L, "b", "delete")),
+      s"mask rows must surface as deletes: $changes")
+  }
+
   test("manifest spill: large snapshots round-trip through parquet manifests") {
     sql("""CREATE TABLE lake.db.spill (id bigint) USING lake
         |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
