@@ -41,7 +41,10 @@ object Manifests {
       // small (or emptied) list: inline, and drop a stale pointer
       if (s.manifestPath.isDefined) s.copy(manifestPath = None) else s
     } else s.manifestPath match {
-      case Some(p) if Option(cache.get(p)).contains(s.files) => s.copy(files = Nil)
+      // reuse the existing spill iff its stored content still matches
+      // the hydrated list (cheap when cached — manifests are immutable)
+      case Some(p) if scala.util.Try(read(p, conf)).toOption.contains(s.files) =>
+        s.copy(files = Nil)
       case _ =>
         val dir = s"${meta.location}/metadata/manifests/" +
           s"m-${s.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}"
