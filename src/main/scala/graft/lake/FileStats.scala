@@ -21,6 +21,21 @@ import scala.jdk.CollectionConverters._
   */
 object FileStats {
 
+  /** Footer-harvest MANY files concurrently: footer reads are
+    * IO-bound driver work, and a commit staging hundreds of files
+    * (one per partition tuple) must not pay them serially. */
+  def fromFooters(paths: Seq[String], conf: Configuration,
+      schema: StructType, epoch: Int,
+      partitionValuesOf: String => Map[String, String] = _ => Map.empty)
+      : Seq[DataFileMeta] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(paths)(p =>
+      Future(fromFooter(p, conf, schema, epoch, partitionValuesOf(p)))),
+      Duration.Inf)
+  }
+
   /** Read row count + min/max/null-counts for one parquet file. */
   def fromFooter(path: String, conf: Configuration, schema: StructType,
       epoch: Int, partitionValues: Map[String, String]): DataFileMeta = {

@@ -228,11 +228,11 @@ object LakeWriteUtil {
 
     val stagedPaths = listParquet(stagingDir, conf)
     val specTuples = partitionTuples(spark, stagedPaths, evolved)
-    val staged = stagedPaths.map { p =>
-      val tuples = specTuples.getOrElse(normPath(p), Set.empty)
-      FileStats.fromFooter(p, conf, schema, epoch,
-        if (tuples.size == 1) tuples.head else Map.empty)
-    }
+    val staged = FileStats.fromFooters(stagedPaths, conf, schema, epoch,
+      p => {
+        val tuples = specTuples.getOrElse(normPath(p), Set.empty)
+        if (tuples.size == 1) tuples.head else Map.empty
+      })
 
     // WAP / branch routing
     val sconf = spark.conf
@@ -396,11 +396,11 @@ object LakeWriteUtil {
     val epoch = meta.currentSchemaEpoch
     val outPaths = listParquet(outDir, conf)
     val tuples = partitionTuples(spark, outPaths, meta)
-    outPaths.map { p =>
-      val t = tuples.getOrElse(normPath(p), Set.empty)
-      FileStats.fromFooter(p, conf, schema, epoch,
-        if (t.size == 1) t.head else Map.empty)
-    }
+    FileStats.fromFooters(outPaths, conf, schema, epoch,
+      p => {
+        val t = tuples.getOrElse(normPath(p), Set.empty)
+        if (t.size == 1) t.head else Map.empty
+      })
   }
 
   /** Dynamic partition overwrite: drop/rewrite parent files that

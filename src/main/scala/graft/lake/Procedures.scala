@@ -479,8 +479,8 @@ object Procedures {
         val staging = s"$loc/data/${java.util.UUID.randomUUID().toString.take(12)}"
         df.write.mode("append").parquet(staging)
         val paths = LakeWriteUtil.listParquet(staging, catalog.hadoopConf)
-        val files = paths.map(p => FileStats.fromFooter(p, catalog.hadoopConf,
-          committed.schema, 0, Map.empty))
+        val files = FileStats.fromFooters(paths, catalog.hadoopConf,
+          committed.schema, 0)
         val snap = SnapshotMeta(1L, None, System.currentTimeMillis(),
           "append", Map("migrated" -> "true"), files, 0)
         catalog.commitMeta(committed.withSnapshot(snap, Some("main")))
@@ -505,8 +505,8 @@ object Procedures {
         val existing = head.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         if (a.boolOpt("check_duplicate_files").getOrElse(true))
           require(!paths.exists(existing), "duplicate files in import")
-        val files = paths.map(p => FileStats.fromFooter(p, catalog.hadoopConf,
-          m.schema, m.currentSchemaEpoch, Map.empty))
+        val files = FileStats.fromFooters(paths, catalog.hadoopConf,
+          m.schema, m.currentSchemaEpoch)
         val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
           System.currentTimeMillis(), "append",
           Map("added-files" -> files.size.toString),
