@@ -265,14 +265,20 @@ object LakeWriteUtil {
         }
         (kept ++ staged, operationOverride.getOrElse("replace"))
       case "overwrite" =>
+        // merge-on-read masks must be subtracted while rewriting
+        // partially-matching files: the rewritten copies get fresh
+        // paths no mask matches, so a raw copy would resurrect rows
+        val masks = parentDeleteMap(parent, conf)
         val kept = copyOnWrite(spark, table, metaWithRef, parentFiles,
-          overwriteFilters, conf)
+          overwriteFilters, conf, applyDeletes = masks)
         (kept ++ staged, "overwrite")
       case "dynamic" =>
         val stagedTuples = specTuples.values.flatten.toSet
+        val masks = parentDeleteMap(parent, conf)
         val kept =
           if (metaWithRef.partitionSpec.isEmpty) Nil
-          else dynamicKeep(spark, metaWithRef, parentFiles, stagedTuples, conf)
+          else dynamicKeep(spark, metaWithRef, parentFiles, stagedTuples, conf,
+            applyDeletes = masks)
         (kept ++ staged, "overwrite")
     }
 
@@ -344,7 +350,8 @@ object LakeWriteUtil {
     * with the negated predicate, untouched files kept. */
   def copyOnWrite(spark: SparkSession, table: LakeTable, meta: TableMeta,
       parentFiles: Seq[DataFileMeta], filters: Array[Filter],
-      conf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      applyDeletes: Map[String, Array[Long]] = Map.empty): Seq[DataFileMeta] = {
     val schema = meta.schema
     val (touched, untouched) = parentFiles.partition(f =>
       filters.forall(FileStats.mayMatch(f, _, schema)))
@@ -356,10 +363,20 @@ object LakeWriteUtil {
         val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
           .getOrElse(lit(true))
         rewriteFiles(spark, meta, partial,
-          df => df.filter(!coalesce(cond, lit(false))), conf)
+          df => df.filter(!coalesce(cond, lit(false))), conf,
+          applyDeletes = applyDeletes)
       }
     untouched ++ rewritten
   }
+
+  /** Merge-on-read masks of a parent snapshot, hydrated for rewrite
+    * jobs (empty for copy-on-write tables — the common case). */
+  def parentDeleteMap(parent: Option[SnapshotMeta],
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Array[Long]] =
+    parent.map(_.deleteFiles).getOrElse(Nil) match {
+      case Nil => Map.empty
+      case dels => PosDeletes.deletedMap(dels, conf)
+    }
 
   /** Rewrite a set of files (grouped by schema epoch, projected to
     * current names) through `xform`, returning new file metas. */
@@ -407,7 +424,8 @@ object LakeWriteUtil {
     * overlap the staged partition tuples. */
   private def dynamicKeep(spark: SparkSession, meta: TableMeta,
       parentFiles: Seq[DataFileMeta], stagedTuples: Set[Map[String, String]],
-      conf: org.apache.hadoop.conf.Configuration): Seq[DataFileMeta] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      applyDeletes: Map[String, Array[Long]] = Map.empty): Seq[DataFileMeta] = {
     if (stagedTuples.isEmpty) return parentFiles
     val known = parentFiles.filter(_.partitionValues.nonEmpty)
     val unknown = parentFiles.filter(_.partitionValues.isEmpty)
@@ -434,7 +452,8 @@ object LakeWriteUtil {
         val stagedKeys = stagedTuples.map(t =>
           meta.partitionSpec.map(f => t(f.name)).mkString(sep)).toSeq
         rewriteFiles(spark, meta, partials,
-          df => df.filter(!key.isin(stagedKeys: _*)), conf)
+          df => df.filter(!key.isin(stagedKeys: _*)), conf,
+          applyDeletes = applyDeletes)
       }
     keptKnown ++ keptUnknown ++ rewritten
   }
@@ -450,7 +469,8 @@ object LakeWriteUtil {
       morDelete(spark, table, fresh, parent, parentFiles, filters, conf)
       return
     }
-    val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf)
+    val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf,
+      applyDeletes = parentDeleteMap(parent, conf))
     val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
       System.currentTimeMillis(), "delete",
       Map("deleted-files" -> (parentFiles.size - kept.size).toString),
@@ -481,16 +501,28 @@ object LakeWriteUtil {
           .getOrElse(lit(true))
         val outDir = s"${fresh.location}/metadata/deletes/" +
           java.util.UUID.randomUUID().toString.take(12)
+        // positions already masked by the parent's delete files must
+        // not be re-recorded: reads dedup either way, but a duplicate
+        // pair would emit a phantom changelog 'delete' event and
+        // over-count added-position-deletes
+        val priorDels = parent.map(_.deleteFiles).getOrElse(Nil)
+        val subtractPrior: DataFrame => DataFrame =
+          if (priorDels.isEmpty) identity
+          else df => df.join(
+            spark.read.schema(PosDeletes.DeleteSchema)
+              .parquet(priorDels.map(_.path): _*),
+            Seq("file_path", "pos"), "left_anti")
         partial.groupBy(_.schemaEpoch).foreach { case (epoch, fs) =>
           val epochSchema = fresh.schemaAt(epoch)
           val meta = Seq(
             regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/")
               .as("file_path"),
             col("_metadata.row_index").as("pos"))
-          spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
-            .select(epochProjection(fresh, epoch, epochSchema) ++ meta: _*)
-            .where(cond)
-            .select(col("file_path"), col("pos"))
+          subtractPrior(
+            spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
+              .select(epochProjection(fresh, epoch, epochSchema) ++ meta: _*)
+              .where(cond)
+              .select(col("file_path"), col("pos")))
             .repartitionByRange(math.max(1, fs.size / 64),
               col("file_path"), col("pos"))
             .sortWithinPartitions(col("file_path"), col("pos"))

@@ -45,11 +45,20 @@ object Manifests {
       // the hydrated list (cheap when cached — manifests are immutable)
       case Some(p) if scala.util.Try(read(p, conf)).toOption.contains(s.files) =>
         s.copy(files = Nil)
-      case _ =>
+      case old =>
         val dir = s"${meta.location}/metadata/manifests/" +
           s"m-${s.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}"
         write(dir, s.files)
         cachePut(dir, s.files)
+        // the replaced spill is garbage unless another snapshot still
+        // points at it (it never should — spill dirs are per-snapshot)
+        old.filterNot(p => meta.snapshots.exists(o =>
+          o.snapshotId != s.snapshotId && o.manifestPath.contains(p)))
+          .foreach { p =>
+            scala.util.Try(MetadataLog.fs(p, conf)
+              .delete(new Path(p), true))
+            cache.remove(p)
+          }
         s.copy(files = Nil, manifestPath = Some(dir))
     }
   }
@@ -61,9 +70,14 @@ object Manifests {
       case _ => s
     }
 
+  // Multi-file spills do NOT read back in write order (split planning
+  // reorders) — an explicit ordinal restores it, keeping the
+  // spill-reuse equality check stable across cold starts.
   private def write(dir: String, files: Seq[DataFileMeta]): Unit = {
     val spark = SparkSession.active
-    spark.createDataset(files)(Encoders.product[DataFileMeta])
+    spark.createDataset(files.zipWithIndex.map(_.swap))(
+        Encoders.product[(Int, DataFileMeta)])
+      .toDF("ord", "file")
       .coalesce(math.max(1, files.size / 100000))
       .write.mode("overwrite").parquet(dir)
   }
@@ -72,11 +86,19 @@ object Manifests {
     val cached = cache.get(dir)
     if (cached != null) return cached
     val spark = SparkSession.active
-    val files = spark.read.parquet(dir)
-      .as(Encoders.product[DataFileMeta]).collect().toSeq
+    val df = spark.read.parquet(dir)
+    val files =
+      if (df.columns.contains("ord"))
+        df.orderBy("ord").select("file.*")
+          .as(Encoders.product[DataFileMeta]).collect().toSeq
+      else // legacy ordinal-free spill (pre-round-3)
+        df.as(Encoders.product[DataFileMeta]).collect().toSeq
     cachePut(dir, files)
     files
   }
+
+  /** Simulates a cold start (the cache is process-wide otherwise). */
+  private[lake] def clearCacheForTesting(): Unit = cache.clear()
 
   private def cachePut(dir: String, files: Seq[DataFileMeta]): Unit = {
     if (cache.size >= MaxCacheEntries) cache.clear()

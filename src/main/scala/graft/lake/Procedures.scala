@@ -376,10 +376,14 @@ object Procedures {
           }
         val untouched = files.filterNot(f => small.exists(_.path == f.path))
         val newFiles = untouched ++ rewritten
+        // masked files were excluded from compaction, so their masks
+        // must survive the commit: carry the parent's delete files
+        // (masks over rewritten files are inert — the paths changed)
         val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
           System.currentTimeMillis(), "replace",
           Map("rewritten-data-files" -> small.size.toString),
-          newFiles, m.currentSchemaEpoch)
+          newFiles, m.currentSchemaEpoch,
+          deleteFiles = head.map(_.deleteFiles).getOrElse(Nil))
         catalog.commitMeta(m.withSnapshot(snap, Some("main")))
         Seq(Row(small.size, rewritten.size, small.map(_.sizeBytes).sum))
       }

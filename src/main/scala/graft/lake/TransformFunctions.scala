@@ -29,12 +29,12 @@ object TransformFunctions {
     case _ => None
   }
 
-  private def fmt(unit: String): java.time.format.DateTimeFormatter = {
+  private def fmt(unit: String, zone: java.time.ZoneId): java.time.format.DateTimeFormatter = {
     val p = unit match {
       case "years" => "yyyy" case "months" => "yyyy-MM"
       case "days" => "yyyy-MM-dd" case _ => "yyyy-MM-dd-HH"
     }
-    java.time.format.DateTimeFormatter.ofPattern(p).withZone(java.time.ZoneOffset.UTC)
+    java.time.format.DateTimeFormatter.ofPattern(p).withZone(zone)
   }
 
   private class TimeUnbound(unit: String) extends UnboundFunction {
@@ -42,8 +42,19 @@ object TransformFunctions {
     override def description(): String = s"lake partition transform $unit"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1, s"$unit takes one argument")
+      // Transforms.eval formats TimestampType via date_format/year,
+      // which use the SESSION timezone — the shuffle key here must
+      // agree or one partition tuple's rows scatter across tasks.
+      // Capture the zone at bind (plan) time; DATE and NTZ values are
+      // zone-free and keep UTC.
+      val sessionZone = java.time.ZoneId.of(
+        org.apache.spark.sql.SparkSession.active.sessionState.conf.sessionLocalTimeZone)
       new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
         private val in = inputType.fields(0).dataType
+        private val zone = in match {
+          case TimestampType => sessionZone
+          case _ => java.time.ZoneOffset.UTC
+        }
         override def inputTypes(): Array[DataType] = Array(in)
         override def resultType(): DataType = StringType
         override def name(): String = unit
@@ -61,8 +72,8 @@ object TransformFunctions {
           // years -> "2026" is year(ts).cast(string) in Transforms.eval;
           // keep the same literal text per unit
           val s =
-            if (unit == "years") fmt(unit).format(instant).toInt.toString
-            else fmt(unit).format(instant)
+            if (unit == "years") fmt(unit, zone).format(instant).toInt.toString
+            else fmt(unit, zone).format(instant)
           org.apache.spark.unsafe.types.UTF8String.fromString(s)
         }
       }

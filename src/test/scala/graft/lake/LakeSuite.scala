@@ -273,6 +273,104 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == (0L until 20L).filterNot(i => i == 3L || i == 15L), ids.toString)
   }
 
+  test("compaction of a merge-on-read table preserves delete masks") {
+    sql("""CREATE TABLE lake.db.morcomp (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morcomp SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    sql("INSERT INTO lake.db.morcomp SELECT id, concat('v', id) FROM range(10, 20, 1, 1)")
+    sql("INSERT INTO lake.db.morcomp SELECT id, concat('v', id) FROM range(20, 30, 1, 1)")
+    sql("DELETE FROM lake.db.morcomp WHERE id = 5") // masks file 1 only
+    assert(count("SELECT count(*) FROM lake.db.morcomp") == 29)
+    val res = sql("""CALL lake.system.rewrite_data_files(table => 'db.morcomp',
+        |options => map('rewrite-all','true'))""".stripMargin).collect()(0)
+    assert(res.getInt(0) >= 2, s"unmasked files compacted: $res")
+    assert(count("SELECT count(*) FROM lake.db.morcomp") == 29,
+      "compaction must not resurrect rows masked in untouched files")
+    assert(sql("SELECT * FROM lake.db.morcomp WHERE id = 5").count() == 0)
+    assert(sql("SELECT * FROM lake.db.morcomp.delete_files").count() >= 1,
+      "the mask over the untouched file survives the replace commit")
+  }
+
+  test("filter overwrite applies merge-on-read masks while rewriting") {
+    sql("""CREATE TABLE lake.db.morow (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morow SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    sql("DELETE FROM lake.db.morow WHERE id = 3")
+    assert(count("SELECT count(*) FROM lake.db.morow") == 9)
+    // overwrite(id >= 8): the one data file partially matches, so it is
+    // rewritten to a fresh path no mask references — the mask must be
+    // applied during the rewrite or id=3 resurrects
+    sql("SELECT * FROM VALUES (CAST(100 AS bigint),'n1'), (CAST(101 AS bigint),'n2') AS t(id, v)")
+      .writeTo("lake.db.morow")
+      .overwrite(org.apache.spark.sql.functions.col("id") >= 8)
+    val ids = sql("SELECT id FROM lake.db.morow ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 100L, 101L), ids.toString)
+  }
+
+  test("repeated merge-on-read deletes do not re-record masked positions") {
+    sql("""CREATE TABLE lake.db.mordup (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.mordup SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    sql("DELETE FROM lake.db.mordup WHERE id = 3")
+    sql("DELETE FROM lake.db.mordup WHERE id <= 4") // re-matches id=3
+    assert(count("SELECT count(*) FROM lake.db.mordup") == 5)
+    val added = sql(
+      "SELECT summary['added-position-deletes'] FROM lake.db.mordup.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(added == Seq(null, "1", "4"),
+      s"second delete records only the four NEW positions: $added")
+    sql("""CALL lake.system.create_changelog_view(table => 'db.mordup',
+          |changelog_view => 'mordup_changes')""".stripMargin)
+    val dels = sql("SELECT id FROM mordup_changes WHERE _change_type = 'delete'")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(dels == Seq(0L, 1L, 2L, 3L, 4L),
+      s"each deleted row surfaces exactly once: $dels")
+  }
+
+  test("manifest spill pointers are reused across a cold start") {
+    sql("""CREATE TABLE lake.db.spillord (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.spillord SELECT id FROM range(0, 12, 1, 4)")
+    val loc = sql("SELECT file_path FROM lake.db.spillord.files LIMIT 1")
+      .collect()(0).getString(0).replaceAll("/data/.*", "").stripPrefix("file:")
+    def snap1Dirs() = Option(new java.io.File(loc, "metadata/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("m-1-")).toSeq
+    val before = snap1Dirs()
+    assert(before.size == 1, s"snapshot 1 spilled once: $before")
+    Manifests.clearCacheForTesting()
+    // the next commit re-serializes snapshot 1: its pointer must be
+    // reused (ordinal-ordered read equals the hydrated list), not
+    // re-spilled into a fresh dir
+    sql("INSERT INTO lake.db.spillord VALUES (100)")
+    assert(snap1Dirs() == before,
+      s"cold-start reuse must not re-spill snapshot 1: ${snap1Dirs()}")
+    assert(count("SELECT count(*) FROM lake.db.spillord") == 13)
+  }
+
+  test("time transform V2 functions follow the session timezone for timestamp") {
+    import org.apache.spark.sql.types.{StructType, TimestampType, TimestampNTZType}
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      def days(dt: org.apache.spark.sql.types.DataType): String = {
+        val bound = TransformFunctions.load("days").get
+          .bind(new StructType().add("ts", dt))
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[
+            org.apache.spark.unsafe.types.UTF8String]]
+        val micros = java.time.Instant.parse("2026-01-01T00:30:00Z")
+          .getEpochSecond * 1000000L
+        bound.produceResult(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](micros))).toString
+      }
+      // TimestampType formats in the session zone (matches
+      // Transforms.eval's date_format); NTZ is zone-free and stays UTC
+      assert(days(TimestampType) == "2025-12-31")
+      assert(days(TimestampNTZType) == "2026-01-01")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("changelog covers merge-on-read delete snapshots") {
     sql("""CREATE TABLE lake.db.morcdc (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
