@@ -23,6 +23,32 @@ import scala.jdk.CollectionConverters._
   * renamed columns readable in old files. Writes stage parquet into a
   * fresh `data/<uuid>/` directory and commit a snapshot.
   */
+/** Hidden metadata columns (reference: docs/spark-queries.md metadata
+  * columns `_file` / `_pos`): `_file` is the (normalized) data file a
+  * row lives in, `_pos` its ordinal within that file. They double as
+  * the row id of delta-based row-level operations. */
+object LakeMetaColumns {
+  val File = "_file"
+  val Pos = "_pos"
+  val Names: Set[String] = Set(File, Pos)
+
+  val columns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = File
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    },
+    new MetadataColumn {
+      override def name(): String = Pos
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row ordinal within its data file"
+    })
+}
+
 class LakeTable(
     val catalog: LakeCatalog,
     val ident: Identifier,
@@ -30,7 +56,8 @@ class LakeTable(
     val pinnedSnapshot: Option[Long], // time travel / tag read
     val ref: String)                  // commit target (branch)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsDeleteV2 {
+  with SupportsRowLevelOperations with SupportsDeleteV2
+  with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -117,10 +144,24 @@ class LakeTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeWriteBuilder(this, info)
 
+  override def metadataColumns(): Array[MetadataColumn] =
+    // a data column of the same name wins (metadata columns hide)
+    LakeMetaColumns.columns.filterNot(c => schema().fieldNames.contains(c.name))
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new LakeRowLevelOperation(LakeTable.this, info)
+      override def build(): RowLevelOperation = {
+        val prop = info.command() match {
+          case RowLevelOperation.Command.DELETE => "write.delete.mode"
+          case RowLevelOperation.Command.UPDATE => "write.update.mode"
+          case RowLevelOperation.Command.MERGE => "write.merge.mode"
+        }
+        if (meta.properties.get(prop).contains("merge-on-read") &&
+            metadataColumns().length == LakeMetaColumns.columns.length)
+          new LakeDeltaOperation(LakeTable.this, info)
+        else new LakeRowLevelOperation(LakeTable.this, info)
+      }
     }
 
   // ---- SupportsDeleteV2: file-granular copy-on-write fast path ----
@@ -249,6 +290,14 @@ object LakeScans {
       deleted: Map[String, Array[Long]] = Map.empty): Scan = {
     val spark = SparkSession.active
     val currentSchema = table.schema()
+    // Projections of the _file/_pos metadata columns need per-row file
+    // ordinals: every file takes the ordinal-tracking row scan (which
+    // also subtracts any masks). Only metadata-column queries and
+    // delta row-level scans pay this path.
+    val wantsMeta = required.fields.exists(f =>
+      LakeMetaColumns.Names(f.name) && !currentSchema.fieldNames.contains(f.name))
+    if (wantsMeta)
+      return new PosDeleteScan(table, files, required, deleted)
     // Files with position-delete masks route through the row-based
     // delete-applying scan; clean files keep the vectorized path.
     val (dirty, clean) =
@@ -455,11 +504,13 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal}
+    import org.apache.spark.sql.types.{LongType, StringType}
     val spark = SparkSession.active
     val noVec = Shims.cloneSessionRowBasedParquet(spark)
     val hconf = noVec.sessionState.newHadoopConf()
     val current = table.schema()
     val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val dataNames = current.fieldNames.toSet
     val perEpoch = files.map(_.schemaEpoch).distinct.map { e =>
       val epochSchema = table.meta.schemaAt(e)
       val rename = LakeScans.renameMap(current, epochSchema)
@@ -467,15 +518,24 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
         val en = rename.getOrElse(f.name, f.name)
         epochSchema.fields.find(_.name == en)
       }.distinct)
+      // the reader projects over JoinedRow(dataRow, [filePath, pos]):
+      // metadata columns bind past the data row's width
+      val n = epochRead.length
       val exprs: Seq[Expression] = required.fields.toSeq.map { f =>
-        val en = rename.getOrElse(f.name, f.name)
-        epochRead.fieldNames.indexOf(en) match {
-          case -1 => Literal(null, f.dataType)
-          case i =>
-            val ef = epochRead(i)
-            val ref = BoundReference(i, ef.dataType, nullable = true)
-            if (ef.dataType == f.dataType) ref
-            else Cast(ref, f.dataType, Some(tz))
+        if (f.name == LakeMetaColumns.File && !dataNames(f.name))
+          BoundReference(n, StringType, nullable = false)
+        else if (f.name == LakeMetaColumns.Pos && !dataNames(f.name))
+          BoundReference(n + 1, LongType, nullable = false)
+        else {
+          val en = rename.getOrElse(f.name, f.name)
+          epochRead.fieldNames.indexOf(en) match {
+            case -1 => Literal(null, f.dataType)
+            case i =>
+              val ef = epochRead(i)
+              val ref = BoundReference(i, ef.dataType, nullable = true)
+              if (ef.dataType == f.dataType) ref
+              else Cast(ref, f.dataType, Some(tz))
+          }
         }
       }
       val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
@@ -509,6 +569,10 @@ class PosDeleteReaderFactory(
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(projections(part.epoch).toArray)
     val mask = part.deletedSorted
+    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    metaRow.update(0, org.apache.spark.unsafe.types.UTF8String
+      .fromString(PosDeletes.norm(part.path)))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private var di = 0
       private var pos = -1L
@@ -518,7 +582,11 @@ class PosDeleteReaderFactory(
           val r = rows.next(); pos += 1
           while (di < mask.length && mask(di) < pos) di += 1
           if (di < mask.length && mask(di) == pos) di += 1
-          else { cur = proj(r); return true }
+          else {
+            metaRow.setLong(1, pos)
+            cur = proj(joined(r, metaRow))
+            return true
+          }
         }
         false
       }

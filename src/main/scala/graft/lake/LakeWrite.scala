@@ -458,6 +458,57 @@ object LakeWriteUtil {
     keptKnown ++ keptUnknown ++ rewritten
   }
 
+  /** Commit a delta (merge-on-read) row-level operation: staged data
+    * files append, staged position-delete files extend the mask set;
+    * nothing else in the snapshot changes. */
+  def commitDelta(table: LakeTable, stagingDir: String, deleteDir: String,
+      operation: String): Unit = {
+    val spark = SparkSession.active
+    val conf = table.catalog.hadoopConf
+    val fresh = table.catalog.loadMeta(table.ident)
+    val epoch = fresh.currentSchemaEpoch
+    val schema = fresh.schema
+
+    val dataPaths = listParquet(stagingDir, conf)
+    val tuples = partitionTuples(spark, dataPaths, fresh)
+    val staged = FileStats.fromFooters(dataPaths, conf, schema, epoch,
+      p => {
+        val t = tuples.getOrElse(normPath(p), Set.empty)
+        if (t.size == 1) t.head else Map.empty
+      })
+    val dels = listParquet(deleteDir, conf)
+      .map(p => FileStats.fromFooter(p, conf, PosDeletes.DeleteSchema, 0, Map.empty))
+      .filter(_.rowCount > 0)
+    if (staged.isEmpty && dels.isEmpty) return // no rows affected
+
+    // WAP / branch routing, mirroring commitStaged
+    val sconf = spark.conf
+    val wapEnabled = fresh.properties.get("write.wap.enabled").contains("true")
+    val wapId = sconf.getOption("spark.wap.id").filter(_ => wapEnabled)
+    val wapBranch = sconf.getOption("spark.wap.branch")
+    val targetRef = wapBranch.getOrElse(table.ref)
+    val metaWithRef =
+      if (!fresh.refs.contains(targetRef) && fresh.refs.contains("main"))
+        fresh.copy(refs = fresh.refs +
+          (targetRef -> RefMeta("branch", fresh.refs("main").snapshotId)))
+      else fresh
+    val parent = metaWithRef.currentSnapshot(targetRef)
+
+    val snap = SnapshotMeta(metaWithRef.lastSnapshotId + 1,
+      parent.map(_.snapshotId), System.currentTimeMillis(), operation,
+      Map(
+        "spark.app.id" -> spark.sparkContext.applicationId,
+        "added-data-files" -> staged.size.toString,
+        "added-records" -> staged.map(_.rowCount).sum.toString,
+        "added-delete-files" -> dels.size.toString,
+        "added-position-deletes" -> dels.map(_.rowCount).sum.toString
+      ) ++ wapId.map("wap.id" -> _),
+      parent.map(_.files).getOrElse(Nil) ++ staged, epoch,
+      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ dels)
+    val advance = if (wapId.isDefined) None else Some(targetRef)
+    table.catalog.commitMeta(metaWithRef.withSnapshot(snap, advance))
+  }
+
   /** SupportsDeleteV2 fast path — file-granular copy-on-write. */
   def deleteWhere(table: LakeTable, filters: Array[Filter]): Unit = {
     val spark = SparkSession.active

@@ -261,11 +261,40 @@ object LakeOps {
              |FROM lakeq.db.$t ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Merge-on-read UPDATE + MERGE (delta writes): parent data files
+    * stay in place; matched rows are masked by position deletes and
+    * re-inserted as new-file deltas (SupportsDelta WriteDelta plan),
+    * then read back through the mask-applying scan. */
+  def lakeMorUpsert(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "supplier")
+    val t = fresh("morup")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake
+             |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+             |  'write.merge.mode'='merge-on-read') AS
+             |SELECT s_suppkey, s_nationkey, s_acctbal FROM $v""".stripMargin)
+    val before = s.sql(s"SELECT count(*) FROM lakeq.db.$t.files")
+      .collect()(0).getLong(0)
+    s.sql(s"UPDATE lakeq.db.$t SET s_acctbal = s_acctbal + 500 WHERE s_nationkey = 7")
+    s.sql(s"""MERGE INTO lakeq.db.$t t USING
+             |(SELECT s_suppkey FROM $v WHERE s_nationkey IN (3, 7)) src
+             |ON t.s_suppkey = src.s_suppkey
+             |WHEN MATCHED AND t.s_nationkey = 3 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET s_acctbal = t.s_acctbal + 1""".stripMargin)
+    val kept = s.sql(s"SELECT count(*) FROM lakeq.db.$t.files")
+      .collect()(0).getLong(0)
+    require(kept >= before, s"delta DML must not rewrite parent files " +
+      s"($before before, $kept after)")
+    s.sql(s"""SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS bal
+             |FROM lakeq.db.$t ORDER BY s_suppkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_ctas" -> (lakeCtas _),
     "lake_insert" -> (lakeInsert _),
     "lake_delete" -> (lakeDelete _),
     "lake_mor_delete" -> (lakeMorDelete _),
+    "lake_mor_upsert" -> (lakeMorUpsert _),
     "lake_update" -> (lakeUpdate _),
     "lake_merge" -> (lakeMerge _),
     "lake_time_travel" -> (lakeTimeTravel _),
@@ -293,6 +322,13 @@ object LakeOps {
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+    "lake_mor_upsert" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  round(CASE WHEN s_nationkey = 7 THEN s_acctbal + 501
+        |             ELSE s_acctbal END, 2) AS bal
+        |FROM supplier
+        |WHERE s_nationkey <> 3
+        |ORDER BY s_suppkey""".stripMargin,
     "lake_update" ->
       """SELECT s_suppkey, s_nationkey,
         |  round(CASE WHEN s_nationkey = 5 THEN s_acctbal + 1000

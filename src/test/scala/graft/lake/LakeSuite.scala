@@ -348,6 +348,87 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.spillord") == 13)
   }
 
+  test("metadata columns _file and _pos") {
+    sql("CREATE TABLE lake.db.metacols (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.metacols SELECT id, concat('v', id) FROM range(0, 5, 1, 1)")
+    sql("INSERT INTO lake.db.metacols SELECT id, concat('v', id) FROM range(5, 8, 1, 1)")
+    val rows = sql("SELECT _file, _pos, id FROM lake.db.metacols ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == 2, "two files")
+    // ordinals restart per file and follow write order
+    assert(rows.take(5).map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L), rows.mkString(","))
+    assert(rows.drop(5).map(_._2).toSeq == Seq(0L, 1L, 2L), rows.mkString(","))
+    // a SELECT * must NOT surface them
+    assert(sql("SELECT * FROM lake.db.metacols").columns.toSeq == Seq("id", "v"))
+  }
+
+  test("merge-on-read UPDATE writes deltas instead of rewriting files") {
+    sql("""CREATE TABLE lake.db.moru (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.moru SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    sql("INSERT INTO lake.db.moru SELECT id, concat('v', id) FROM range(10, 20, 1, 1)")
+    def paths() = sql("SELECT file_path FROM lake.db.moru.files")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    sql("UPDATE lake.db.moru SET v = 'upd' WHERE id IN (3, 15)")
+    assert(before.subsetOf(paths()),
+      "delta update must keep every parent data file byte-identical")
+    assert(count("SELECT count(*) FROM lake.db.moru") == 20)
+    val upd = sql("SELECT id, v FROM lake.db.moru WHERE v = 'upd' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(upd == Seq(3L, 15L), upd.toString)
+    assert(sql("SELECT * FROM lake.db.moru WHERE id = 3 AND v = 'v3'").count() == 0,
+      "old row version is masked")
+    assert(sql("SELECT * FROM lake.db.moru.delete_files").count() >= 1)
+    val op = sql("SELECT operation FROM lake.db.moru.snapshots ORDER BY snapshot_id DESC LIMIT 1")
+      .collect()(0).getString(0)
+    assert(op == "update", op)
+  }
+
+  test("merge-on-read MERGE: update, delete and insert clauses as deltas") {
+    sql("""CREATE TABLE lake.db.morm (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morm SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    def paths() = sql("SELECT file_path FROM lake.db.morm.files")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    sql("""MERGE INTO lake.db.morm t
+        |USING (SELECT * FROM VALUES (CAST(2 AS bigint)), (CAST(4 AS bigint)),
+        |  (CAST(100 AS bigint)) AS s(id)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.id = 4 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = 'merged'
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 'new')""".stripMargin)
+    assert(before.subsetOf(paths()),
+      "delta merge must keep every parent data file")
+    val rows = sql("SELECT id, v FROM lake.db.morm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.size == 10, rows.toString) // 10 - 1 deleted + 1 inserted
+    assert(rows.contains((2L, "merged")) && rows.contains((100L, "new")), rows.toString)
+    assert(!rows.exists(_._1 == 4L), rows.toString)
+    // fold-back restores the vectorized path and identical results
+    sql("CALL lake.system.rewrite_position_delete_files(table => 'db.morm')")
+    assert(sql("SELECT * FROM lake.db.morm.delete_files").count() == 0)
+    val after = sql("SELECT id, v FROM lake.db.morm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == rows, "fold-back must not change query results")
+  }
+
+  test("merge-on-read DELETE via row-level path (subquery predicate)") {
+    sql("""CREATE TABLE lake.db.mord (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.mord SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    def paths() = sql("SELECT file_path FROM lake.db.mord.files")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    // IN (subquery) is not expressible as a v1 filter -> row-level op
+    sql("""DELETE FROM lake.db.mord
+        |WHERE id IN (SELECT id FROM lake.db.mord WHERE v IN ('v2','v7'))""".stripMargin)
+    assert(paths() == before, "delta delete keeps data files")
+    val ids = sql("SELECT id FROM lake.db.mord ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 9L), ids.toString)
+  }
+
   test("time transform V2 functions follow the session timezone for timestamp") {
     import org.apache.spark.sql.types.{StructType, TimestampType, TimestampNTZType}
     val prev = spark.conf.get("spark.sql.session.timeZone")
