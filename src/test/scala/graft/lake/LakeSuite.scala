@@ -429,6 +429,35 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 9L), ids.toString)
   }
 
+  test("changelog pairs delta UPDATE into update_before/update_after") {
+    sql("""CREATE TABLE lake.db.morucdc (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morucdc VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("UPDATE lake.db.morucdc SET v = 'B' WHERE id = 2")
+    sql("""CALL lake.system.create_changelog_view(table => 'db.morucdc',
+          |changelog_view => 'morucdc_changes',
+          |identifier_columns => array('id'))""".stripMargin)
+    val changes = sql(
+      """SELECT id, v, _change_type FROM morucdc_changes
+        |WHERE _change_type LIKE 'update%' ORDER BY _change_type""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(changes == Set((2L, "b", "update_before"), (2L, "B", "update_after")),
+      changes.toString)
+  }
+
+  test("delta UPDATE on a branch leaves main untouched") {
+    sql("""CREATE TABLE lake.db.morbr (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morbr VALUES (1,'a'),(2,'b')")
+    sql("CALL lake.system.create_branch(table => 'db.morbr', branch => 'b1')")
+    sql("UPDATE lake.db.morbr.branch_b1 SET v = 'patched' WHERE id = 2")
+    val main = sql("SELECT v FROM lake.db.morbr WHERE id = 2").collect()(0).getString(0)
+    val branch = sql("SELECT v FROM lake.db.morbr.branch_b1 WHERE id = 2")
+      .collect()(0).getString(0)
+    assert(main == "b", s"main must not see the branch delta: $main")
+    assert(branch == "patched", branch)
+  }
+
   test("time transform V2 functions follow the session timezone for timestamp") {
     import org.apache.spark.sql.types.{StructType, TimestampType, TimestampNTZType}
     val prev = spark.conf.get("spark.sql.session.timeZone")
