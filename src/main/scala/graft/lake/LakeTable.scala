@@ -538,9 +538,21 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
           }
         }
       }
-      val readFunc = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-        .buildReaderWithPartitionValues(noVec, epochSchema,
-          StructType(Nil), epochRead, Nil, Map.empty, hconf)
+      // Vectorized decode whenever the projected schema supports
+      // batches: the reader hands back ColumnarBatches (page
+      // decompression + decoding stay columnar — the expensive part)
+      // and the mask/ordinal bookkeeping iterates their rows in file
+      // order. Nested/unsupported schemas fall back to the row-based
+      // parquet reader.
+      val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      val vectorized = fmt.supportBatch(spark, epochRead)
+      val readSession =
+        if (vectorized) spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        else noVec
+      val readFunc = fmt.buildReaderWithPartitionValues(readSession, epochSchema,
+        StructType(Nil), epochRead, Nil,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> vectorized.toString), hconf)
       e -> (readFunc, exprs)
     }.toMap
     new PosDeleteReaderFactory(
@@ -561,11 +573,20 @@ class PosDeleteReaderFactory(
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val part = p.asInstanceOf[PosDeletePartition]
-    val rows = readFuncs(part.epoch)(
+    val raw = readFuncs(part.epoch)(
       org.apache.spark.sql.execution.datasources.PartitionedFile(
         org.apache.spark.sql.catalyst.InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(part.path),
         0, part.fileLen))
+    // a batch-supporting reader yields ColumnarBatch elements through
+    // the Iterator[InternalRow] interface — unroll them in row order
+    val rows: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+      raw.asInstanceOf[Iterator[Any]].flatMap {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+        case r => Iterator.single(
+          r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      }
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(projections(part.epoch).toArray)
     val mask = part.deletedSorted
