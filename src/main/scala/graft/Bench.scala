@@ -24,11 +24,19 @@ object Bench {
     val wanted = SparkEntry.queries.filter { case (name, _) =>
       args.isEmpty || args.exists(name.contains)
     }
-    val results = wanted.map { case (name, fn) =>
+    // Two passes: the first drives every query end to end once (JIT,
+    // codegen compilation, shuffle/file-listing first-touch), the
+    // second measures steady-state latency — what a long-lived
+    // cluster session observes. Run-position noise otherwise dominates
+    // sub-second queries. Lake queries create fresh UUID-named tables
+    // per invocation, so the passes don't collide.
+    def pass(): Map[String, Double] = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    pass()
+    val results = pass()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

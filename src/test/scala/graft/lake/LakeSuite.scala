@@ -429,6 +429,34 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 9L), ids.toString)
   }
 
+  test("delta UPDATE on a partitioned table moves rows across partitions") {
+    sql("""CREATE TABLE lake.db.morpart (id bigint, cat string, v string)
+        |USING lake PARTITIONED BY (cat)
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("""INSERT INTO lake.db.morpart
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END,
+        |  concat('v', id) FROM range(0, 10, 1, 1)""".stripMargin)
+    def paths() = sql("SELECT file_path FROM lake.db.morpart.files")
+      .collect().map(_.getString(0)).toSet
+    val before = paths()
+    // moves id=4 from partition 'even' to 'moved'
+    sql("UPDATE lake.db.morpart SET cat = 'moved' WHERE id = 4")
+    assert(before.subsetOf(paths()), "parent files stay")
+    val moved = sql("SELECT id FROM lake.db.morpart WHERE cat = 'moved'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(moved == Seq(4L), moved.toString)
+    assert(count("SELECT count(*) FROM lake.db.morpart WHERE cat = 'even'") == 4)
+    assert(count("SELECT count(*) FROM lake.db.morpart") == 10)
+    // the delta file landed in the new partition tuple
+    val parts = sql("SELECT partition FROM lake.db.morpart.partitions")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.contains("moved")), parts.toString)
+    // partition-pruned read over the masked partition stays correct
+    val evens = sql("SELECT id FROM lake.db.morpart WHERE cat = 'even' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(evens == Seq(0L, 2L, 6L, 8L), evens.toString)
+  }
+
   test("changelog pairs delta UPDATE into update_before/update_after") {
     sql("""CREATE TABLE lake.db.morucdc (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
