@@ -259,6 +259,17 @@ object LakeWriteUtil {
         // has no scan and replaces everything.
         val kept = replaced match {
           case Some(paths) =>
+            // serializable-isolation check: the scanned groups must
+            // still be live, or a concurrent rewrite already replaced
+            // them and dropping "their" rows would duplicate data
+            val parentPaths = parentFiles.map(_.path).toSet
+            val gone = paths.filterNot(parentPaths)
+            if (gone.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"${table.name()}: files scanned by this row-level " +
+                  s"operation were concurrently rewritten " +
+                  s"(${gone.take(3).mkString(", ")}" +
+                  s"${if (gone.size > 3) ", …" else ""}); retry")
             val dropped = paths.toSet
             parentFiles.filterNot(f => dropped(f.path))
           case None => Nil
@@ -493,6 +504,23 @@ object LakeWriteUtil {
           (targetRef -> RefMeta("branch", fresh.refs("main").snapshotId)))
       else fresh
     val parent = metaWithRef.currentSnapshot(targetRef)
+
+    // Serializable-isolation check: every file our masks reference must
+    // still be live. A concurrent compaction/overwrite between the
+    // operation's scan and this commit would make the masks inert
+    // (their target paths replaced) and silently resurrect the rows —
+    // fail instead, like the stale-base CAS does for metadata races.
+    if (dels.nonEmpty) {
+      val live = parent.map(_.files.map(f => PosDeletes.norm(f.path)).toSet)
+        .getOrElse(Set.empty)
+      val masked = PosDeletes.deletedMap(dels, conf).keySet
+      val gone = masked.filterNot(live)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"${table.name()}: files scanned by this $operation were " +
+            s"concurrently rewritten (${gone.take(3).mkString(", ")}" +
+            s"${if (gone.size > 3) ", …" else ""}); retry the operation")
+    }
 
     val snap = SnapshotMeta(metaWithRef.lastSnapshotId + 1,
       parent.map(_.snapshotId), System.currentTimeMillis(), operation,

@@ -457,6 +457,26 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(evens == Seq(0L, 2L, 6L, 8L), evens.toString)
   }
 
+  test("delta commit refuses masks over concurrently rewritten files") {
+    sql("""CREATE TABLE lake.db.morconc (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morconc SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val table = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "morconc")).asInstanceOf[LakeTable]
+    val loc = table.meta.location
+    // a mask referencing a file that is no longer (or never was) live
+    // must fail the commit, not silently drop the delete
+    val delDir = s"$loc/metadata/deletes/test-stale"
+    sql("SELECT '/nonexistent/f.parquet' AS file_path, CAST(0 AS bigint) AS pos")
+      .coalesce(1).write.parquet(delDir)
+    intercept[java.util.ConcurrentModificationException] {
+      LakeWriteUtil.commitDelta(table, s"$loc/data/none", delDir, "update")
+    }
+    assert(count("SELECT count(*) FROM lake.db.morconc") == 10)
+  }
+
   test("changelog pairs delta UPDATE into update_before/update_after") {
     sql("""CREATE TABLE lake.db.morucdc (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
