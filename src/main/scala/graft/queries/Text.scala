@@ -236,6 +236,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition filter (Gopher-style quality signal): per-document
+    * distinct-token and top-token fractions flag degenerate /
+    * repetitive documents. One explode + two doc-keyed hash
+    * aggregations (token counts, then doc stats) — both shuffles
+    * partition on doc_id, the standard shape at any corpus size;
+    * map-side partial aggregation keeps the exploded row count from
+    * ever crossing the wire unreduced. */
+  def tRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_frac"),
+        round(col("top_count").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_frac"),
+        when(col("top_count").cast("double") / col("n_tokens") > 0.1, 1)
+          .otherwise(0).as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** BM25 relevance of every document against a fixed query term set
+    * (k1=1.2, b=0.75). Term frequencies come from one narrow
+    * higher-order-function projection (no explode); the corpus-level
+    * document frequencies and average length are a single 1-row
+    * aggregate broadcast back — so the whole scoring pass is scan +
+    * tiny broadcast join, no wide shuffle at any scale. */
+  def tBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "data")
+    val k1 = 1.2
+    val b = 0.75
+    val base = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .select(Seq(col("doc_id"), size(col("t")).cast("double").as("dl")) ++
+        terms.map(tm => size(filter(col("t"), x => x === lit(tm)))
+          .cast("double").as(s"tf_$tm")): _*)
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")) ++
+        terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1).otherwise(0))
+          .cast("double").as(s"df_$tm"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.map { tm =>
+      val idf = log((col("n") - col(s"df_$tm") + 0.5) / (col(s"df_$tm") + 0.5) + 1)
+      idf * col(s"tf_$tm") * lit(k1 + 1) /
+        (col(s"tf_$tm") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
+        round(score, 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level rollup by (source, lang): the reporting aggregate a
+    * training-data pipeline runs after every filter stage. One
+    * hash-partitioned groupBy with map-side partials. */
+  def tCorpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("source"), col("lang"))
+
   /** Multimodal plumbing: treat the text payload as an opaque binary
     * blob (stand-in for image/audio bytes — the container has no
     * codec libs) and extract typed metadata: byte length, magic
@@ -302,6 +369,9 @@ object TextOps {
     "t_minhash_pairs" -> (tMinhashPairs _),
     "t_ngram_jaccard" -> (tNgramJaccard _),
     "t_simhash" -> (tSimhash _),
+    "t_repetition" -> (tRepetition _),
+    "t_bm25" -> (tBm25 _),
+    "t_corpus_stats" -> (tCorpusStats _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
   )
@@ -402,6 +472,49 @@ object TextOps {
          |      THEN 1 ELSE 0 END), (a, b) -> a*2 + b) AS simhash
          |FROM (SELECT doc_id, list_distinct($tokSql) AS td FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY doc_id, tok),
+         |st AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_count
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_frac,
+         |  round(top_count::DOUBLE / n_tokens, 4) AS top_tok_frac,
+         |  CASE WHEN top_count::DOUBLE / n_tokens > 0.1 THEN 1 ELSE 0 END
+         |    AS repetitive
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "t_bm25" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(t)::DOUBLE AS dl,
+         |    len(list_filter(t, x -> x = 'spark'))::DOUBLE AS tf_spark,
+         |    len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf_join,
+         |    len(list_filter(t, x -> x = 'data'))::DOUBLE AS tf_data
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         |stats AS (
+         |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+         |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_join,
+         |    sum(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_data
+         |  FROM base)
+         |SELECT doc_id, dl::BIGINT AS n_tokens,
+         |  round(
+         |    ln((n - df_spark + 0.5)/(df_spark + 0.5) + 1) * tf_spark * 2.2 /
+         |      (tf_spark + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) +
+         |    ln((n - df_join + 0.5)/(df_join + 0.5) + 1) * tf_join * 2.2 /
+         |      (tf_join + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) +
+         |    ln((n - df_data + 0.5)/(df_data + 0.5) + 1) * tf_data * 2.2 /
+         |      (tf_data + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 4) AS bm25
+         |FROM base, stats ORDER BY doc_id""".stripMargin,
+    "t_corpus_stats" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,
