@@ -52,8 +52,12 @@ object MetadataTables {
       StructField("timestamp", TimestampType),
       StructField("file", StringType),
       StructField("latest_snapshot_id", LongType)))
-    case "files" | "data_files" | "delete_files" | "position_deletes" =>
-      fileSchema
+    case "files" | "data_files" | "delete_files" => fileSchema
+    // row-level mask content, like the reference's position_deletes
+    case "position_deletes" => StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType),
+      StructField("delete_file_path", StringType)))
     case "all_files" | "all_data_files" | "all_delete_files" =>
       StructType(fileSchema.fields :+ StructField("snapshot_id", LongType))
     case "entries" | "all_entries" => StructType(Seq(
@@ -84,7 +88,9 @@ object MetadataTables {
       .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
 
   def rows(meta: TableMeta, which: String, pin: Option[Long],
-      location: String): Seq[Row] = {
+      location: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[Row] = {
     // pinning a metadata table truncates the visible snapshot log
     val visible = pin match {
       case Some(id) => meta.snapshots.filter(_.snapshotId <= id)
@@ -111,9 +117,16 @@ object MetadataTables {
         Row(ts(s.timestampMs), s"$location/metadata/v${s.snapshotId}.json",
           s.snapshotId))
       case "files" | "data_files" => headSnap.toSeq.flatMap(fileRows)
-      case "delete_files" | "position_deletes" =>
+      case "delete_files" =>
         headSnap.toSeq.flatMap(_.deleteFiles).map(f =>
           Row(1, f.path, "PARQUET", null, f.rowCount, f.sizeBytes))
+      case "position_deletes" =>
+        // masks are metadata-scale; reads are cached process-wide
+        headSnap.toSeq.flatMap(_.deleteFiles).flatMap { f =>
+          PosDeletes.deletedMap(Seq(f), conf).toSeq.flatMap {
+            case (fp, ps) => ps.map(p => Row(fp, p, f.path))
+          }
+        }.sortBy(r => (r.getString(0), r.getLong(1)))
       case "all_files" | "all_data_files" => visible.flatMap(s =>
         s.files.map(f => Row(0, f.path, "PARQUET", pv(f), f.rowCount,
           f.sizeBytes, s.snapshotId)))
@@ -166,7 +179,8 @@ class MetadataTable(catalog: LakeCatalog, parent: Identifier, meta: TableMeta,
       override def readSchema(): StructType = tableSchema
       override def rows(): Array[InternalRow] = {
         val conv = CatalystTypeConverters.createToCatalystConverter(tableSchema)
-        MetadataTables.rows(meta, which, pin, meta.location)
+        MetadataTables.rows(meta, which, pin, meta.location,
+          catalog.hadoopConf)
           .map(r => conv(r).asInstanceOf[InternalRow]).toArray
       }
       override def description(): String = s"MetadataTable(${name()})"

@@ -76,4 +76,36 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(ops.forall(_ == "append") && ops.size == 2)
     } finally q.stop()
   }
+
+  test("streaming upsert: foreachBatch MERGE into a merge-on-read table") {
+    val s = spark
+    import s.implicits._
+    spark.sql("""CREATE TABLE lake.db.upsert (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO lake.db.upsert VALUES (1,'a'),(2,'b')")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", s"$ckpt/q3")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("upsert_batch")
+        batch.sparkSession.sql(
+          """MERGE INTO lake.db.upsert t USING upsert_batch s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        ()
+      }
+      .start()
+    try {
+      mem.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, v FROM lake.db.upsert ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c")), rows.toString)
+      // the upsert landed as deltas: merge snapshot, no rewritten files
+      val ops = spark.sql("SELECT operation FROM lake.db.upsert.snapshots ORDER BY snapshot_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops.last == "merge", ops.toString)
+      assert(spark.sql("SELECT * FROM lake.db.upsert.delete_files").count() >= 1)
+    } finally q.stop()
+  }
 }

@@ -380,6 +380,11 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT * FROM lake.db.moru WHERE id = 3 AND v = 'v3'").count() == 0,
       "old row version is masked")
     assert(sql("SELECT * FROM lake.db.moru.delete_files").count() >= 1)
+    // row-level mask content surfaces in position_deletes
+    val masks = sql("SELECT file_path, pos FROM lake.db.moru.position_deletes")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(masks.length == 2, masks.mkString(","))
+    assert(masks.map(_._1).distinct.length == 2, "one mask per touched file")
     val op = sql("SELECT operation FROM lake.db.moru.snapshots ORDER BY snapshot_id DESC LIMIT 1")
       .collect()(0).getString(0)
     assert(op == "update", op)
