@@ -165,11 +165,54 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF-flat ANN: every vector is assigned ONCE to the nearest of K
+    * fixed centroid cells (the inverted file); a query then ranks
+    * candidates only inside its nprobe nearest cells. Assignment is a
+    * narrow projection against a broadcast centroid matrix plus one
+    * vec_id-keyed window (argmax); the probe is a broadcast join on
+    * cell id touching ~nprobe/K of the corpus — the IVF trade that
+    * keeps ANN sublinear at corpus scale. Centroids here are the
+    * first K vectors (a deterministic k-means stand-in; a real
+    * pipeline would refresh them periodically and re-assign). */
+  def vAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val nprobe = 2
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val sims = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")))
+          .as("csim"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = sims
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("cell"))
+    val qcells = sims.filter(col("vec_id") === 0)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("cid").as("cell"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_neardup_pairs" -> (vNearDupPairs _),
     "v_vector_stats" -> (vVectorStats _),
     "v_ann_bruteforce" -> (vAnnBruteforce _),
     "v_ann_lsh" -> (vAnnLsh _),
+    "v_ann_ivf" -> (vAnnIvf _),
     "v_knn_join" -> (vKnnJoin _),
   )
 
@@ -244,6 +287,34 @@ object VectorOps {
          |    (${normSql("embedding")} * ${normSql("qv")}), 4) AS cos_sim
          |FROM e, q WHERE vec_id <> 0 AND bucket = qbucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    "v_ann_ivf" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         |    ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS csim
+         |  FROM emb e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |qcells AS (
+         |  SELECT cell, qv, qn FROM (
+         |    SELECT cid AS cell, embedding AS qv, nrm AS qn,
+         |      row_number() OVER (ORDER BY csim DESC, cid) AS rk
+         |    FROM sims WHERE vec_id = 0)
+         |  WHERE rk <= 2)
+         |SELECT a.vec_id, a.cell,
+         |  round(${dotSql("a.embedding", "q.qv")} / (a.nrm * q.qn), 4)
+         |    AS cos_sim
+         |FROM assigned a JOIN qcells q USING (cell)
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
     "v_knn_join" ->
       s"""SELECT qid, nid, cos_sim, rank FROM (
          |  SELECT q.vec_id AS qid, n.vec_id AS nid,
