@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var ckpt: String = _
+
+  override def beforeAll(): Unit = {
+    ckpt = java.nio.file.Files.createTempDirectory("evstream_ckpt").toString
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("event-streams-suite")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // offset past the initial watermark (0): a row AT the watermark is
+  // already considered late and dropped
+  private val Base = 86400000L
+  private def ts(minute: Long) = new java.sql.Timestamp(Base + minute * 60000L)
+  private def m(t: java.sql.Timestamp): Long = (t.getTime - Base) / 60000L
+
+  test("watermarked hourly counts emit finalized windows") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/hourly")
+      .start()
+    try {
+      mem.addData(
+        EventStreams.Event(1, ts(10), "click"),
+        EventStreams.Event(2, ts(20), "click"),
+        EventStreams.Event(1, ts(30), "view"))
+      q.processAllAvailable()
+      // append mode: nothing final until the watermark passes hour 0
+      mem.addData(EventStreams.Event(3, ts(200), "click")) // wm -> 140
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .collect().map(r => (m(r.getTimestamp(0)),
+          r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, "click", 2L), (0L, "view", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes on gap and watermark") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.sessionize(mem.toDS(), java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/sessions")
+      .start()
+    try {
+      // user 1: two sessions split by a >30min gap inside one batch;
+      // user 2: one session
+      mem.addData(
+        EventStreams.Event(1, ts(0), "a"),
+        EventStreams.Event(1, ts(10), "b"),
+        EventStreams.Event(1, ts(60), "c"),
+        EventStreams.Event(2, ts(5), "a"))
+      q.processAllAvailable()
+      // session (0,10) closed batch-internally by the 60' event; the
+      // post-batch watermark (60') already times out user 2's session
+      // (end 5' + 30' gap = 35')
+      val first = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), m(r.getTimestamp(1)),
+          m(r.getTimestamp(2)), r.getLong(3))).toSet
+      assert(first == Set((1L, 0L, 10L, 2L), (2L, 5L, 5L, 1L)), first.toString)
+      // advance the watermark past every open session's end + gap
+      mem.addData(EventStreams.Event(3, ts(1000), "z"))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(3, ts(2000), "z"))
+      q.processAllAvailable()
+      val all = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), m(r.getTimestamp(1)),
+          m(r.getTimestamp(2)), r.getLong(3))).toSet
+      assert(all.contains((1L, 60L, 60L, 1L)) && all.contains((2L, 5L, 5L, 1L)),
+        s"watermark-timed-out sessions must flush: $all")
+    } finally q.stop()
+  }
+}
