@@ -52,9 +52,10 @@ object Changelog {
       val masked: Option[DataFrame] =
         if (newMasks.isEmpty) None
         else {
-          val pairs = PosDeletes.deletedMap(newMasks, hconf).toSeq
-            .flatMap { case (fp, ps) => ps.map(p => (fp, p)) }
-          val maskedPaths = pairs.map(_._1).distinct.toSet
+          // the masked-path SET is metadata-scale (cached driver read);
+          // the pair JOIN INPUT streams straight from the delete
+          // parquet — nothing row-level materializes on the driver
+          val maskedPaths = PosDeletes.deletedMap(newMasks, hconf).keySet
           val dataPaths = s.files.map(_.path)
             .filter(p => maskedPaths(PosDeletes.norm(p)))
           if (dataPaths.isEmpty) None
@@ -62,7 +63,9 @@ object Changelog {
             .withColumn("__fp", regexp_replace(
               col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
             .withColumn("__pos", col("_metadata.row_index"))
-            .join(broadcast(spark.createDataFrame(pairs).toDF("__fp", "__pos")),
+            .join(broadcast(spark.read.schema(PosDeletes.DeleteSchema)
+                .parquet(newMasks.map(_.path): _*)
+                .toDF("__fp", "__pos")),
               Seq("__fp", "__pos"))
             .drop("__fp", "__pos")
             .withColumn("_change_type", lit("delete"))

@@ -281,8 +281,12 @@ object Procedures {
       def run(spark: SparkSession, a: Args): Seq[Row] = {
         val (m, _) = meta(a)
         val conf = catalog.hadoopConf
-        val referenced = m.snapshots.flatMap(_.files.map(_.path)).toSet
-        val all = LakeWriteUtil.listParquet(s"${m.location}/data", conf)
+        // data files AND position-delete files: a crashed delta write
+        // can strand either kind
+        val referenced = m.snapshots.flatMap(s =>
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+        val all = LakeWriteUtil.listParquet(s"${m.location}/data", conf) ++
+          LakeWriteUtil.listParquet(s"${m.location}/metadata/deletes", conf)
         val fs = MetadataLog.fs(m.location, conf)
         // only files older than the cutoff are orphan candidates: a
         // file staged by an in-flight, not-yet-committed write is
