@@ -549,10 +549,15 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
       val readSession =
         if (vectorized) spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         else noVec
+      // each reader builder WRITES its requested schema into the conf
+      // it is given (and local-mode broadcasts hand back the live
+      // object) — sharing one conf across epochs makes every epoch
+      // read with the LAST epoch's schema. One fresh copy per epoch.
+      val econf = new org.apache.hadoop.conf.Configuration(hconf)
       val readFunc = fmt.buildReaderWithPartitionValues(readSession, epochSchema,
         StructType(Nil), epochRead, Nil,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> vectorized.toString), hconf)
+          .OPTION_RETURNING_BATCH -> vectorized.toString), econf)
       e -> (readFunc, exprs)
     }.toMap
     new PosDeleteReaderFactory(

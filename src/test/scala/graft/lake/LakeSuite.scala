@@ -462,6 +462,33 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(evens == Seq(0L, 2L, 6L, 8L), evens.toString)
   }
 
+  test("delta DML across schema evolution (rename + added column)") {
+    sql("""CREATE TABLE lake.db.morevo (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |  'write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morevo SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    sql("ALTER TABLE lake.db.morevo RENAME COLUMN v TO label")
+    sql("ALTER TABLE lake.db.morevo ADD COLUMN score double")
+    sql("INSERT INTO lake.db.morevo VALUES (100, 'n', 1.5)")
+    // delta ops span files of BOTH schema epochs
+    sql("UPDATE lake.db.morevo SET score = 9.9 WHERE id IN (3, 100)")
+    sql("DELETE FROM lake.db.morevo WHERE id IN (SELECT id FROM lake.db.morevo WHERE id = 7)")
+    val rows = sql("SELECT id, label, score FROM lake.db.morevo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.length == 10, rows.mkString(","))
+    assert(!rows.exists(_._1 == 7L))
+    assert(rows.find(_._1 == 3L).get == ((3L, "v3", 9.9)))
+    assert(rows.find(_._1 == 100L).get == ((100L, "n", 9.9)))
+    assert(rows.find(_._1 == 2L).get == ((2L, "v2", null)))
+    // fold-back across epochs stays correct
+    sql("CALL lake.system.rewrite_position_delete_files(table => 'db.morevo')")
+    val after = sql("SELECT id, label, score FROM lake.db.morevo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(after.toSeq == rows.toSeq, "fold-back must preserve results")
+  }
+
   test("delta commit refuses masks over concurrently rewritten files") {
     sql("""CREATE TABLE lake.db.morconc (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
