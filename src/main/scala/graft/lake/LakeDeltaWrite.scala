@@ -173,7 +173,14 @@ class LakeDeltaDataWriter(inserts: DataWriter[InternalRow],
           for (p <- deleted(f).sorted) { out.setLong(1, p); w.write(out) }
         }
       } finally w.close()
-      fs.rename(file, new Path(deleteDir, file.getName))
+      // HDFS-style filesystems report rename failure via a false
+      // return, not an exception — a silently dropped mask here would
+      // let the commit proceed without its deletes, so fail the task
+      // attempt instead (ADVICE round 3).
+      val dest = new Path(deleteDir, file.getName)
+      if (!fs.rename(file, dest) || !fs.exists(dest))
+        throw new java.io.IOException(
+          s"failed to promote position-delete file $file to $dest")
       fs.delete(attempt, true)
     }
     msg

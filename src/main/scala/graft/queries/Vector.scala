@@ -167,37 +167,49 @@ object VectorOps {
 
   /** IVF-flat ANN: every vector is assigned ONCE to the nearest of K
     * fixed centroid cells (the inverted file); a query then ranks
-    * candidates only inside its nprobe nearest cells. Assignment is a
-    * narrow projection against a broadcast centroid matrix plus one
-    * vec_id-keyed window (argmax); the probe is a broadcast join on
-    * cell id touching ~nprobe/K of the corpus — the IVF trade that
-    * keeps ANN sublinear at corpus scale. Centroids here are the
-    * first K vectors (a deterministic k-means stand-in; a real
-    * pipeline would refresh them periodically and re-assign). */
+    * candidates only inside its nprobe nearest cells.
+    *
+    * All K centroids travel as ONE broadcast row (an array of
+    * (cid, cv, cn) structs), so cell assignment is a narrow,
+    * shuffle-free projection: `transform` builds each row's K-slot
+    * similarity array in place and `array_max` over (csim, -cid)
+    * structs takes the argmax — no n×k row expansion, no window, no
+    * exchange before assignment. The query's probe cells come from
+    * sorting its own similarity array (again no window), and the probe
+    * itself is a broadcast join on cell id touching ~nprobe/K of the
+    * corpus — the IVF trade that keeps ANN sublinear at corpus scale.
+    * Centroids here are the first K vectors (a deterministic k-means
+    * stand-in; a real pipeline would refresh them and re-assign). */
   def vAnnIvf(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val nprobe = 2
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
-    val cents = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    val sims = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")))
-          .as("csim"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = sims
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    // one row: [(cid, cv, cn)] sorted by cid — K is small by design
+    val centsRow = emb.filter(col("vec_id") < k)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+    val withSims = emb.crossJoin(broadcast(centsRow))
+      .withColumn("sims", transform(col("cents"), c =>
+        struct((dot(col("embedding"), c.getField("cv")) /
+          (col("nrm") * c.getField("cn"))).as("csim"),
+          c.getField("cid").as("cid"))))
+      .drop("cents")
+    // argmax via struct ordering: max (csim, -cid) = best csim,
+    // ties to the smallest cid — same order as the oracle's
+    // row_number() OVER (ORDER BY csim DESC, cid)
+    val best = array_max(transform(col("sims"), s0 =>
+      struct(s0.getField("csim").as("csim"), (-s0.getField("cid")).as("ncid"))))
+    val assigned = withSims
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("cell"))
-    val qcells = sims.filter(col("vec_id") === 0)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("csim").desc, col("cid"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("cid").as("cell"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+        (-best.getField("ncid")).as("cell"))
+    // the query row's nprobe best cells: sort its OWN sim array
+    // ascending on (-csim, cid) and slice — 1 row, no global window
+    val qcells = withSims.filter(col("vec_id") === 0)
+      .select(explode(slice(sort_array(transform(col("sims"), s0 =>
+        struct((-s0.getField("csim")).as("negsim"),
+          s0.getField("cid").as("cid")))), 1, nprobe)).as("t"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+      .select(col("t.cid").as("cell"), col("qv"), col("qn"))
     assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(qcells), Seq("cell"))
       .select(col("vec_id"), col("cell"),
