@@ -34,34 +34,51 @@ object Manifests {
 
   /** Slim a snapshot for JSON serialization: spill an oversized file
     * list to parquet (once — an existing pointer is reused as long as
-    * the hydrated list still matches its cached content), keep small
-    * ones inline. */
-  def slim(meta: TableMeta, s: SnapshotMeta, conf: Configuration): SnapshotMeta = {
+    * the hydrated list still matches its stored content), keep small
+    * ones inline.
+    *
+    * Returns the slim snapshot plus the spill dirs this slim OBSOLETES.
+    * They must only be deleted after the commit that stops referencing
+    * them wins the CAS — deleting earlier would leave the
+    * currently-committed metadata pointing at a destroyed manifest if
+    * this commit loses the race ([[MetadataLog.commit]] owns the
+    * deferred deletion). A failure to read an existing spill propagates
+    * (commit fails, nothing is deleted): treating it as a content
+    * mismatch would re-spill and garbage-collect the LIVE dir on a
+    * transient I/O error. */
+  def slim(meta: TableMeta, s: SnapshotMeta,
+      conf: Configuration): (SnapshotMeta, Seq[String]) = {
+    // a dir is garbage only if no OTHER snapshot still points at it
+    // (it never should — spill dirs are per-snapshot)
+    def obsolete(old: Option[String]): Seq[String] =
+      old.filterNot(p => meta.snapshots.exists(o =>
+        o.snapshotId != s.snapshotId && o.manifestPath.contains(p))).toSeq
     if (s.files.size <= threshold(meta)) {
-      // small (or emptied) list: inline, and drop a stale pointer
-      if (s.manifestPath.isDefined) s.copy(manifestPath = None) else s
+      // small (or emptied) list: inline, and retire a stale pointer
+      if (s.manifestPath.isDefined)
+        (s.copy(manifestPath = None), obsolete(s.manifestPath))
+      else (s, Nil)
     } else s.manifestPath match {
       // reuse the existing spill iff its stored content still matches
       // the hydrated list (cheap when cached — manifests are immutable)
-      case Some(p) if scala.util.Try(read(p, conf)).toOption.contains(s.files) =>
-        s.copy(files = Nil)
+      case Some(p) if read(p, conf) == s.files =>
+        (s.copy(files = Nil), Nil)
       case old =>
         val dir = s"${meta.location}/metadata/manifests/" +
           s"m-${s.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}"
         write(dir, s.files)
         cachePut(dir, s.files)
-        // the replaced spill is garbage unless another snapshot still
-        // points at it (it never should — spill dirs are per-snapshot)
-        old.filterNot(p => meta.snapshots.exists(o =>
-          o.snapshotId != s.snapshotId && o.manifestPath.contains(p)))
-          .foreach { p =>
-            scala.util.Try(MetadataLog.fs(p, conf)
-              .delete(new Path(p), true))
-            cache.remove(p)
-          }
-        s.copy(files = Nil, manifestPath = Some(dir))
+        (s.copy(files = Nil, manifestPath = Some(dir)), obsolete(old))
     }
   }
+
+  /** Physically delete spill dirs (post-commit garbage or a failed
+    * attempt's fresh spills) and drop them from the cache. */
+  private[lake] def drop(dirs: Seq[String], conf: Configuration): Unit =
+    dirs.foreach { p =>
+      scala.util.Try(MetadataLog.fs(p, conf).delete(new Path(p), true))
+      cache.remove(p)
+    }
 
   /** Hydrate a snapshot loaded from JSON. */
   def hydrate(s: SnapshotMeta, conf: Configuration): SnapshotMeta =

@@ -85,10 +85,19 @@ object MetadataLog {
     // Spill oversized manifests to parquet; the JSON gets the slim
     // form (pointers), the CALLER gets back the hydrated form (full
     // file lists + pointers) so in-memory reads never dehydrate.
+    // Spill dirs OBSOLETED by a re-spill are deleted only after this
+    // commit wins the CAS: until then the currently-committed metadata
+    // may still point at them, and destroying one on a lost race would
+    // make that snapshot's file list unrecoverable.
     val spilled = meta.snapshots.map { s =>
-      val slim = Manifests.slim(meta, s, conf)
-      (slim, s.copy(manifestPath = slim.manifestPath))
+      val (slim, obsolete) = Manifests.slim(meta, s, conf)
+      (slim, s.copy(manifestPath = slim.manifestPath), obsolete,
+        // fresh spill written by THIS attempt — garbage if the CAS
+        // loses (the retry re-spills from the reloaded metadata)
+        slim.manifestPath.filterNot(s.manifestPath.contains))
     }
+    val obsoleteDirs = spilled.flatMap(_._3)
+    val freshDirs = spilled.flatMap(_._4)
     val next = meta.copy(snapshots = spilled.map(_._1),
       version = meta.version + 1)
     val f = fs(meta.location, conf)
@@ -98,6 +107,7 @@ object MetadataLog {
       try f.create(vf, false) // fails if a concurrent writer won
       catch {
         case e: java.io.IOException if f.exists(vf) =>
+          Manifests.drop(freshDirs, conf)
           throw new java.util.ConcurrentModificationException(
             s"concurrent commit to ${meta.location}: v${next.version} " +
               s"already exists (base version ${meta.version} is stale); " +
@@ -121,6 +131,11 @@ object MetadataLog {
         f.delete(hintFile(meta.location), false) // fall back to listing
         f.rename(tmp, hintFile(meta.location))
     }
+    // the commit is durable: no metadata version references the
+    // obsoleted spill dirs anymore (older versions do, but they are
+    // superseded — time travel resolves through the snapshot log in
+    // the CURRENT version, which carries the new pointers)
+    Manifests.drop(obsoleteDirs, conf)
     next.copy(snapshots = spilled.map(_._2))
   }
 

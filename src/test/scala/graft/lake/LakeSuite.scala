@@ -348,6 +348,63 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.spillord") == 13)
   }
 
+  test("manifest slim: a lost CAS race does not destroy the live spill") {
+    sql("""CREATE TABLE lake.db.slimrace (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.slimrace SELECT id FROM range(0, 12, 1, 4)")
+    val loc = sql("SELECT file_path FROM lake.db.slimrace.files LIMIT 1")
+      .collect()(0).getString(0).replaceAll("/data/.*", "").stripPrefix("file:")
+    def spillDirs() = Option(new java.io.File(loc, "metadata/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val stale = MetadataLog.load(loc, conf)
+    val before = spillDirs()
+    assert(before.size == 1, s"one spill dir expected: $before")
+    // a concurrent commit lands first (same content: pointer reused)
+    MetadataLog.commit(MetadataLog.load(loc, conf), conf)
+    // our stale-base commit mutates the spilled snapshot's file list,
+    // forcing a re-spill — then loses the CAS
+    val mutated = stale.copy(snapshots = stale.snapshots.map(s =>
+      s.copy(files = s.files.reverse)))
+    intercept[java.util.ConcurrentModificationException] {
+      MetadataLog.commit(mutated, conf)
+    }
+    // the live spill survives the lost race AND the failed attempt's
+    // fresh spill dir was cleaned up
+    assert(spillDirs() == before,
+      s"lost CAS must leave exactly the live spill: ${spillDirs()}")
+    // the committed version still hydrates after a cold start
+    Manifests.clearCacheForTesting()
+    assert(count("SELECT count(*) FROM lake.db.slimrace") == 12)
+  }
+
+  test("manifest slim: a spill read failure fails the commit, not the spill") {
+    sql("""CREATE TABLE lake.db.slimfail (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.slimfail SELECT id FROM range(0, 12, 1, 4)")
+    val loc = sql("SELECT file_path FROM lake.db.slimfail.files LIMIT 1")
+      .collect()(0).getString(0).replaceAll("/data/.*", "").stripPrefix("file:")
+    def spillDirs() = Option(new java.io.File(loc, "metadata/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val before = spillDirs()
+    Manifests.clearCacheForTesting()
+    // point the snapshot at an unreadable spill: the commit must FAIL
+    // (propagated I/O error), not treat it as a content mismatch and
+    // re-spill — the old behavior deleted the live dir on a transient
+    // read error
+    val broken = MetadataLog.load(loc, conf)
+    val redirected = broken.copy(snapshots = broken.snapshots.map(s =>
+      s.copy(manifestPath = s.manifestPath.map(_ + "-missing"))))
+    val thrown = intercept[Throwable] { MetadataLog.commit(redirected, conf) }
+    assert(!thrown.isInstanceOf[java.util.ConcurrentModificationException],
+      s"read failure must propagate, got $thrown")
+    assert(spillDirs() == before,
+      s"read failure must not create or delete spills: ${spillDirs()}")
+    Manifests.clearCacheForTesting()
+    assert(count("SELECT count(*) FROM lake.db.slimfail") == 12)
+  }
+
   test("metadata columns _file and _pos") {
     sql("CREATE TABLE lake.db.metacols (id bigint, v string) USING lake")
     sql("INSERT INTO lake.db.metacols SELECT id, concat('v', id) FROM range(0, 5, 1, 1)")
