@@ -157,7 +157,12 @@ class LakeDeltaDataWriter(inserts: DataWriter[InternalRow],
   }
 
   override def commit(): WriterCommitMessage = {
-    val msg = inserts.commit()
+    // Promote the delete mask BEFORE committing inserts: commitDelta
+    // lists ALL files in each staging dir, so if promotion failed after
+    // inserts.commit() a retried attempt would duplicate the first
+    // attempt's insert files. In the opposite order a retry only adds a
+    // second copy of the mask, and duplicate (file, pos) deletes are
+    // idempotent.
     if (deleted.nonEmpty) {
       val fs = new Path(deleteDir).getFileSystem(conf)
       val attempt = new Path(deleteDir, s"_temporary/attempt-$partitionId-$taskId")
@@ -183,7 +188,7 @@ class LakeDeltaDataWriter(inserts: DataWriter[InternalRow],
           s"failed to promote position-delete file $file to $dest")
       fs.delete(attempt, true)
     }
-    msg
+    inserts.commit()
   }
 
   override def abort(): Unit = {

@@ -120,7 +120,15 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
   override def commit(): WriterCommitMessage = {
     if (current != null) { current.close(); current = null }
     val files = written.result()
-    files.foreach(f => fs.rename(f, new Path(stagingDir, f.getName)))
+    // HDFS-style filesystems report rename failure via a false return,
+    // not an exception; an unchecked failure here would delete the part
+    // file with attemptDir below while the commit message still lists
+    // it — silent loss of the task's inserts. Fail the attempt instead.
+    files.foreach { f =>
+      val dest = new Path(stagingDir, f.getName)
+      if (!fs.rename(f, dest) || !fs.exists(dest))
+        throw new java.io.IOException(s"failed to promote $f to $dest")
+    }
     fs.delete(attemptDir, true)
     LakeFanoutCommit(files.map(f => new Path(stagingDir, f.getName).toString))
   }

@@ -89,8 +89,7 @@ object MetadataTables {
 
   def rows(meta: TableMeta, which: String, pin: Option[Long],
       location: String,
-      conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Seq[Row] = {
+      conf: org.apache.hadoop.conf.Configuration): Seq[Row] = {
     // pinning a metadata table truncates the visible snapshot log
     val visible = pin match {
       case Some(id) => meta.snapshots.filter(_.snapshotId <= id)

@@ -188,10 +188,14 @@ object VectorOps {
     val centsRow = emb.filter(col("vec_id") < k)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
         col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+    // nanvl: a zero-norm vector or centroid yields csim = NaN, and NaN
+    // sorts differently through array_max (last) vs the old
+    // ORDER BY csim DESC window (first). Pin it below any real cosine
+    // so the argmax and the qcells slice agree on degenerate vectors.
     val withSims = emb.crossJoin(broadcast(centsRow))
       .withColumn("sims", transform(col("cents"), c =>
-        struct((dot(col("embedding"), c.getField("cv")) /
-          (col("nrm") * c.getField("cn"))).as("csim"),
+        struct(nanvl(dot(col("embedding"), c.getField("cv")) /
+          (col("nrm") * c.getField("cn")), lit(-2.0)).as("csim"),
           c.getField("cid").as("cid"))))
       .drop("cents")
     // argmax via struct ordering: max (csim, -cid) = best csim,
