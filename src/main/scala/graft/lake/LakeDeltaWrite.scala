@@ -37,6 +37,10 @@ import scala.collection.mutable
 class LakeDeltaOperation(table: LakeTable, info: RowLevelOperationInfo)
   extends RowLevelOperation with SupportsDelta {
 
+  // files the operation's scan actually planned (post file-pruning) —
+  // the read set the commit-time write-skew check validates against
+  @volatile private var scanned: Option[Seq[String]] = None
+
   override def command(): RowLevelOperation.Command = info.command()
 
   override def rowId(): Array[NamedReference] =
@@ -47,16 +51,18 @@ class LakeDeltaOperation(table: LakeTable, info: RowLevelOperationInfo)
     // rowLevel scan: runtime group filtering still prunes whole files
     // by matched partitions; metadata-column projection routes the
     // surviving files through the ordinal-tracking row scan
-    new LakeScanBuilder(table, table.readSnapshotId, options, rowLevel = true)
+    new LakeScanBuilder(table, table.readSnapshotId, options,
+      rowLevel = true, onBuild = fs => scanned = Some(fs.map(_.path)))
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new LakeDeltaWrite(table, winfo,
-        info.command().toString.toLowerCase)
+        info.command().toString.toLowerCase, () => scanned)
     }
 }
 
-class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String)
+class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String,
+    scannedFiles: () => Option[Seq[String]] = () => None)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   override def description(): String = s"LakeDeltaWrite(${table.name()}, $operation)"
@@ -84,11 +90,13 @@ class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String
   }
 
   override def toBatch: DeltaBatchWrite =
-    new LakeDeltaBatchWrite(table, info, operation)
+    new LakeDeltaBatchWrite(table, info, operation, scannedFiles)
 }
 
 class LakeDeltaBatchWrite(table: LakeTable, info: LogicalWriteInfo,
-    operation: String) extends DeltaBatchWrite {
+    operation: String,
+    scannedFiles: () => Option[Seq[String]] = () => None)
+  extends DeltaBatchWrite {
 
   private val base = java.util.UUID.randomUUID().toString.take(12)
   private val stagingDir = s"${table.meta.location}/data/$base"
@@ -111,7 +119,8 @@ class LakeDeltaBatchWrite(table: LakeTable, info: LogicalWriteInfo,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    LakeWriteUtil.commitDelta(table, stagingDir, deleteDir, operation)
+    LakeWriteUtil.commitDelta(table, stagingDir, deleteDir, operation,
+      scannedFiles())
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)

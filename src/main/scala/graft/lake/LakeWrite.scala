@@ -473,7 +473,7 @@ object LakeWriteUtil {
     * files append, staged position-delete files extend the mask set;
     * nothing else in the snapshot changes. */
   def commitDelta(table: LakeTable, stagingDir: String, deleteDir: String,
-      operation: String): Unit = {
+      operation: String, scannedFiles: Option[Seq[String]] = None): Unit = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
     val fresh = table.catalog.loadMeta(table.ident)
@@ -505,8 +505,51 @@ object LakeWriteUtil {
       else fresh
     val parent = metaWithRef.currentSnapshot(targetRef)
 
-    // Serializable-isolation check: every file our masks reference must
-    // still be live. A concurrent compaction/overwrite between the
+    // Serializable-isolation, part 1 — write-skew on the READ set: the
+    // operation scanned the table at the snapshot pinned in
+    // `table.meta` (stale by design); if a concurrent commit has since
+    // added NEW delete files masking rows in — or removed — files this
+    // operation read, our join matched rows that no longer exist and
+    // would re-insert them. The mask-liveness check below cannot see
+    // this (those files are still live; only their mask set grew), so
+    // compare the scan snapshot's file/mask sets against the commit
+    // parent's and fail on any overlap with the files actually scanned
+    // (Iceberg's validateNoNewDeleteFiles / validateDataFilesExist).
+    val scanId = table.readSnapshotId
+    val head = parent.map(_.snapshotId)
+    if (head != scanId && parent.nonEmpty) {
+      val scanSnap = scanId.flatMap(metaWithRef.snapshotById)
+      if (scanId.nonEmpty && scanSnap.isEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"${table.name()}: snapshot ${scanId.get} read by this " +
+            s"$operation is no longer in the table metadata " +
+            "(expired or rolled back); retry the operation")
+      val scanned = scannedFiles.map(_.map(PosDeletes.norm).toSet)
+        .getOrElse(scanSnap.map(_.files.map(f => PosDeletes.norm(f.path)).toSet)
+          .getOrElse(Set.empty))
+      val p = parent.get
+      val scanDelPaths =
+        scanSnap.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      val newDels = p.deleteFiles.filterNot(d => scanDelPaths.contains(d.path))
+      val newlyMasked =
+        if (newDels.isEmpty) Set.empty[String]
+        else PosDeletes.deletedMap(newDels, conf).keySet.intersect(scanned)
+      val scanFilePaths =
+        scanSnap.map(_.files.map(f => PosDeletes.norm(f.path)).toSet)
+          .getOrElse(Set.empty)
+      val headFilePaths = p.files.map(f => PosDeletes.norm(f.path)).toSet
+      val removedRead = scanFilePaths.diff(headFilePaths).intersect(scanned)
+      val conflicts = newlyMasked ++ removedRead
+      if (conflicts.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"${table.name()}: files read by this $operation were " +
+            "concurrently deleted from or rewritten " +
+            s"(${conflicts.take(3).mkString(", ")}" +
+            s"${if (conflicts.size > 3) ", …" else ""}); retry the operation")
+    }
+
+    // Serializable-isolation, part 2 — every file our masks reference
+    // must still be live. A concurrent compaction/overwrite between the
     // operation's scan and this commit would make the masks inert
     // (their target paths replaced) and silently resurrect the rows —
     // fail instead, like the stale-base CAS does for metadata races.

@@ -566,6 +566,37 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.morconc") == 10)
   }
 
+  test("delta commit detects concurrent delete files over the read set (write skew)") {
+    sql("""CREATE TABLE lake.db.morskew (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |  'write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morskew SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    // the operation's table handle pins the pre-delete snapshot (= its scan)
+    val stale = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "morskew")).asInstanceOf[LakeTable]
+    val scanned = stale.meta.currentSnapshot("main").get.files.map(_.path)
+    // a concurrent MoR DELETE adds a new delete file over the same rows
+    sql("DELETE FROM lake.db.morskew WHERE id = 3")
+    val loc = stale.meta.location
+    val stageDir = s"$loc/data/test-skew"
+    sql("SELECT CAST(100 AS bigint) AS id, 'x' AS v")
+      .coalesce(1).write.parquet(stageDir)
+    // committing inserts matched from the stale read set must fail:
+    // the join saw id=3, which was concurrently deleted (write skew)
+    intercept[java.util.ConcurrentModificationException] {
+      LakeWriteUtil.commitDelta(stale, stageDir,
+        s"$loc/metadata/deletes/none", "merge", Some(scanned))
+    }
+    // a DISJOINT read set does not conflict: same stale base commits fine
+    LakeWriteUtil.commitDelta(stale, stageDir,
+      s"$loc/metadata/deletes/none", "merge", Some(Nil))
+    assert(count("SELECT count(*) FROM lake.db.morskew") == 10)
+    assert(count("SELECT count(*) FROM lake.db.morskew WHERE id = 3") == 0)
+    assert(count("SELECT count(*) FROM lake.db.morskew WHERE id = 100") == 1)
+  }
+
   test("changelog pairs delta UPDATE into update_before/update_after") {
     sql("""CREATE TABLE lake.db.morucdc (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
