@@ -27,6 +27,18 @@ object Changelog {
     val inRange = chain
       .dropWhile(s => startId.exists(s.snapshotId <= _))
       .takeWhile(s => endId.forall(s.snapshotId <= _))
+    // Every snapshot in range contributes its own parquet scans to one
+    // union plan. That is the right shape for the tens of commits a CDC
+    // consumer replays, but an unbounded range over a long-lived table
+    // (thousands of commits) would silently build a thousand-scan plan
+    // that stalls the driver at analysis time — fail with instructions
+    // instead. Tables that legitimately need more raise the property.
+    val maxSnapshots = meta.properties
+      .get("changelog.max-snapshots").map(_.toInt).getOrElse(100)
+    require(inRange.size <= maxSnapshots,
+      s"changelog range spans ${inRange.size} snapshots, more than " +
+        s"changelog.max-snapshots ($maxSnapshots). Narrow the range with " +
+        "start/end snapshot ids, or raise the table property.")
 
     val schema = meta.schema
     val hconf = spark.sessionState.newHadoopConf()

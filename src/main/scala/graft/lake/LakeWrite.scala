@@ -356,6 +356,30 @@ object LakeWriteUtil {
     * file:/x — compare on the bare URI path. */
   def normPath(p: String): String = new Path(p).toUri.getPath
 
+  /** Best-effort delete of many paths. Small batches stay on the
+    * driver (no job overhead); large batches ship to executors — at
+    * 100 TB file counts a maintenance pass deletes millions of files,
+    * and a serial driver loop against an object store is an hours-long
+    * stall. Failures are swallowed per path (maintenance is re-runnable
+    * and remove_orphan_files sweeps stragglers). */
+  def bulkDelete(spark: SparkSession, paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration,
+      recursive: Boolean = false): Unit =
+    if (paths.size <= 128)
+      paths.foreach(p => scala.util.Try(
+        MetadataLog.fs(p, conf).delete(new Path(p), recursive)))
+    else {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      spark.sparkContext
+        .parallelize(paths, math.min(64, 1 + paths.size / 1024))
+        .foreachPartition { it =>
+          it.foreach { p =>
+            val path = new Path(p)
+            scala.util.Try(path.getFileSystem(sconf.value).delete(path, recursive))
+          }
+        }
+    }
+
   /** Copy-on-write for `overwrite(filters)` / DELETE WHERE: fully
     * matching files are dropped, partially matching files rewritten
     * with the negated predicate, untouched files kept. */

@@ -72,6 +72,26 @@ object Manifests {
     }
   }
 
+  /** Force-write a fresh spill for a snapshot — the working half of
+    * `rewrite_manifests`. The rewrite (a) consolidates the part-file
+    * layout (and upgrades legacy ordinal-free spills), and (b) clusters
+    * entries by partition tuple, so a planner pruning on partition
+    * min/max stats reads a contiguous slice of the manifest instead of
+    * commit-order scatter. Returns the snapshot carrying the clustered
+    * list + new pointer; the OLD dir must outlive the commit that stops
+    * referencing it (the caller deletes it post-commit). */
+  private[lake] def respill(meta: TableMeta, s: SnapshotMeta,
+      conf: Configuration): SnapshotMeta = {
+    val dir = s"${meta.location}/metadata/manifests/" +
+      s"m-${s.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}"
+    val clustered = s.files.sortBy(f =>
+      (f.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("/"), f.path))
+    write(dir, clustered)
+    cachePut(dir, clustered)
+    s.copy(files = clustered, manifestPath = Some(dir))
+  }
+
   /** Physically delete spill dirs (post-commit garbage or a failed
     * attempt's fresh spills) and drop them from the cache. */
   private[lake] def drop(dirs: Seq[String], conf: Configuration): Unit =

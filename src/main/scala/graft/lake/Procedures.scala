@@ -250,21 +250,20 @@ object Procedures {
         val liveFiles = remaining.flatMap(_.files.map(_.path)).toSet
         val deadFiles = expired.flatMap(_.files.map(_.path))
           .filterNot(liveFiles).distinct
-        val fs = MetadataLog.fs(m.location, catalog.hadoopConf)
-        deadFiles.foreach(p =>
-          fs.delete(new org.apache.hadoop.fs.Path(p), false))
         // spilled manifests and position-delete files referenced only
         // by expired snapshots retire with them
         val liveManifests = remaining.flatMap(_.manifestPath).toSet
         val deadManifests = expired.flatMap(_.manifestPath).distinct
           .filterNot(liveManifests)
-        deadManifests.foreach(p =>
-          fs.delete(new org.apache.hadoop.fs.Path(p), true))
         val liveDeletes = remaining.flatMap(_.deleteFiles.map(_.path)).toSet
         val deadDeletes = expired.flatMap(_.deleteFiles.map(_.path)).distinct
           .filterNot(liveDeletes)
-        deadDeletes.foreach(p =>
-          fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        // distributed: an expire on a 100 TB table retires millions of
+        // files — they must not funnel through a driver loop
+        LakeWriteUtil.bulkDelete(spark, deadFiles ++ deadDeletes,
+          catalog.hadoopConf)
+        LakeWriteUtil.bulkDelete(spark, deadManifests, catalog.hadoopConf,
+          recursive = true)
         // drop parent pointers into expired snapshots
         val patched = remaining.map(s =>
           if (s.parentId.exists(expIds)) s.copy(parentId = None) else s)
@@ -294,16 +293,32 @@ object Procedures {
         // a 3-day age guard for exactly this race (ADVICE round 1)
         val cutoffMs = a.lngOpt("older_than").map(_ / 1000L)
           .getOrElse(System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
-        val orphans = all.filterNot(referenced).filter { p =>
+        def aged(p: String): Boolean =
           try fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
             .getModificationTime < cutoffMs
           catch { case _: java.io.FileNotFoundException => false }
-        }
+        val orphans = all.filterNot(referenced).filter(aged)
+        // stranded manifest-spill DIRS: a commit that wrote a fresh
+        // spill and then crashed (or lost the CAS before round 5's
+        // cleanup) leaves a whole directory no metadata version points
+        // at — collect it recursively under the same age guard
+        val liveSpills = m.snapshots.flatMap(_.manifestPath)
+          .map(LakeWriteUtil.normPath).toSet
+        val spillRoot = new org.apache.hadoop.fs.Path(
+          s"${m.location}/metadata/manifests")
+        val orphanDirs =
+          if (!fs.exists(spillRoot)) Nil
+          else fs.listStatus(spillRoot).toSeq.filter(_.isDirectory)
+            .map(_.getPath.toString)
+            .filterNot(p => liveSpills(LakeWriteUtil.normPath(p)))
+            .filter(aged)
         if (!a.boolOpt("dry_run").getOrElse(false)) {
-          orphans.foreach(p =>
-            fs.delete(new org.apache.hadoop.fs.Path(p), false))
+          // distributed: orphan sweeps at 100 TB file counts must not
+          // serialize through the driver
+          LakeWriteUtil.bulkDelete(spark, orphans, conf)
+          LakeWriteUtil.bulkDelete(spark, orphanDirs, conf, recursive = true)
         }
-        orphans.map(Row(_))
+        (orphans ++ orphanDirs).map(Row(_))
       }
     }),
 
@@ -397,9 +412,40 @@ object Procedures {
       val params = Seq(in("table", StringType), opt("use_caching", BooleanType))
       val resultSchema = result("rewritten_manifests_count" -> IntegerType,
         "added_manifests_count" -> IntegerType)
+      // Rewrites the parquet manifest spills under metadata/manifests/
+      // (reference: docs/spark-procedures.md:477, iceberg_it.py:1806-1823).
+      // Every over-threshold snapshot gets a fresh spill — consolidated
+      // part layout, legacy format upgraded, entries clustered by
+      // partition tuple for contiguous pruning — and spilled lists that
+      // have shrunk under the threshold fold back inline. Old dirs are
+      // deleted only after the commit is durable; a crash in between
+      // strands them for remove_orphan_files.
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        meta(a) // validate table exists; manifests are embedded in the log
-        Seq(Row(0, 0))
+        val (m, _) = meta(a)
+        val conf = catalog.hadoopConf
+        val thr = Manifests.threshold(m)
+        var rewritten = 0
+        var added = 0
+        val olds = Seq.newBuilder[String]
+        val snaps = m.snapshots.map { s =>
+          if (s.files.size > thr) {
+            val ns = Manifests.respill(m, s, conf)
+            s.manifestPath.foreach { p => olds += p; rewritten += 1 }
+            added += 1
+            ns
+          } else if (s.manifestPath.isDefined) {
+            olds += s.manifestPath.get
+            rewritten += 1
+            s.copy(manifestPath = None)
+          } else s
+        }
+        if (rewritten == 0 && added == 0) return Seq(Row(0, 0))
+        val prior = m.snapshots.flatMap(_.manifestPath).toSet
+        val freshDirs = snaps.flatMap(_.manifestPath).filterNot(prior)
+        try catalog.commitMeta(m.copy(snapshots = snaps))
+        catch { case e: Throwable => Manifests.drop(freshDirs, conf); throw e }
+        Manifests.drop(olds.result(), conf)
+        Seq(Row(rewritten, added))
       }
     }),
 

@@ -405,6 +405,68 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.slimfail") == 12)
   }
 
+  test("rewrite_manifests rewrites spill dirs and clusters by partition") {
+    sql("""CREATE TABLE lake.db.rwman (id bigint, p bigint) USING lake
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.rwman SELECT id, id % 4 FROM range(0, 8, 1, 2)")
+    sql("INSERT INTO lake.db.rwman SELECT id, id % 4 FROM range(8, 16, 1, 2)")
+    val loc = s"$wh/db/rwman"
+    def spillDirs() = Option(new java.io.File(loc, "metadata/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq.sorted
+    val before = spillDirs()
+    assert(before.size == 2, s"both snapshots spill: $before")
+    val res = sql("CALL lake.system.rewrite_manifests(table => 'db.rwman')")
+      .collect()(0)
+    assert(res.getInt(0) == 2 && res.getInt(1) == 2,
+      s"2 rewritten + 2 added, got $res")
+    val after = spillDirs()
+    assert(after.size == 2 && after.intersect(before).isEmpty,
+      s"old spills replaced: before=$before after=$after")
+    // rewritten manifests cluster entries by partition tuple
+    val conf = spark.sessionState.newHadoopConf()
+    Manifests.clearCacheForTesting()
+    val head = MetadataLog.load(loc, conf)
+      .currentSnapshot("main").get.files
+    val keys = head.map(_.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("/"))
+    assert(keys == keys.sorted, s"entries must cluster by partition: $keys")
+    // the table still reads after a cold start
+    assert(count("SELECT count(*) FROM lake.db.rwman") == 16)
+    assert(count("SELECT count(*) FROM lake.db.rwman WHERE p = 3") == 4)
+  }
+
+  test("remove_orphan_files collects stranded manifest spill dirs") {
+    sql("""CREATE TABLE lake.db.spillorphan (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.spillorphan SELECT id FROM range(0, 12, 1, 4)")
+    val loc = s"$wh/db/spillorphan"
+    def spillDirs() = Option(new java.io.File(loc, "metadata/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq.sorted
+    assert(spillDirs().size == 1)
+    // a crashed commit's stranded spill dir: real parquet, unreferenced
+    val stray = new java.io.File(loc, "metadata/manifests/m-999-stranded")
+    sql("SELECT 1 AS x").coalesce(1).write.parquet(stray.getAbsolutePath)
+    // age guard: a brand-new dir could be an in-flight commit's spill
+    val kept = sql(
+      "CALL lake.system.remove_orphan_files(table => 'db.spillorphan')")
+      .collect()
+    assert(kept.isEmpty && stray.exists(), "fresh spill dir is protected")
+    // with an explicit future cutoff it is collected — recursively —
+    // while the referenced live spill survives
+    val cutoff = java.time.Instant.now().plusSeconds(60)
+    val removed = sql(
+      s"""CALL lake.system.remove_orphan_files(table => 'db.spillorphan',
+         |older_than => TIMESTAMP '${java.sql.Timestamp.from(cutoff)}')""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(removed.exists(_.contains("m-999-stranded")),
+      s"stranded dir must be reported: ${removed.mkString(", ")}")
+    assert(!stray.exists(), "stranded dir must be deleted recursively")
+    assert(spillDirs().size == 1, s"live spill survives: ${spillDirs()}")
+    Manifests.clearCacheForTesting()
+    assert(count("SELECT count(*) FROM lake.db.spillorphan") == 12)
+  }
+
   test("metadata columns _file and _pos") {
     sql("CREATE TABLE lake.db.metacols (id bigint, v string) USING lake")
     sql("INSERT INTO lake.db.metacols SELECT id, concat('v', id) FROM range(0, 5, 1, 1)")
@@ -710,6 +772,27 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(changes.contains((3L, "insert", 1)))
     assert(changes.exists(c => c._1 == 1L && c._2 == "delete"))
+  }
+
+  test("changelog range wider than changelog.max-snapshots is rejected") {
+    sql("""CREATE TABLE lake.db.cdccap (id bigint) USING lake
+        |TBLPROPERTIES ('changelog.max-snapshots'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.cdccap VALUES (1)")
+    sql("INSERT INTO lake.db.cdccap VALUES (2)")
+    sql("INSERT INTO lake.db.cdccap VALUES (3)")
+    val ex = intercept[Exception] {
+      sql("""CALL lake.system.create_changelog_view(table => 'db.cdccap',
+            |changelog_view => 'cdccap_all')""".stripMargin)
+    }
+    assert(ex.getMessage.contains("changelog.max-snapshots"), ex.getMessage)
+    // a narrowed range under the cap works
+    val snaps = sql(
+      "SELECT snapshot_id FROM lake.db.cdccap.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0))
+    sql(s"""CALL lake.system.create_changelog_view(table => 'db.cdccap',
+           |changelog_view => 'cdccap_tail',
+           |options => map('start-snapshot-id', '${snaps(0)}'))""".stripMargin)
+    assert(count("SELECT count(*) FROM cdccap_tail") == 2)
   }
 
   test("changelog view with net_changes collapses intermediate states") {
