@@ -1,22 +1,29 @@
 package graft.readonly
 
 import org.apache.spark.sql.{AnalysisException, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedTable}
-import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedNamespace, ResolvedTable}
+import org.apache.spark.sql.catalyst.catalog.{CatalogTable, HiveTableRelation}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.execution.command._
-import org.apache.spark.sql.execution.datasources.{InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, InsertIntoHadoopFsRelationCommand, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Table-level write protection (reference: spark-readonly-plugin
   * ReadOnlyTableCheckRule.scala:51-232): an analyzer check rule that
   * vetoes every write/DDL path against tables carrying the property
-  * `hive-ext.readOnly=true` — V2 writes (AppendData /
-  * OverwriteByExpression / OverwritePartitionsDynamic /
-  * DeleteFromTable / UpdateTable / MergeIntoTable), V2 DDL
-  * (AlterTableCommand, DropTable, RenameTable, CommentOnTable), and
-  * the surviving V1 command set.
+  * `hive-ext.readOnly=true` —
+  *  - V2 data writes: AppendData / OverwriteByExpression /
+  *    OverwritePartitionsDynamic / DeleteFromTable / UpdateTable /
+  *    MergeIntoTable / ReplaceData,
+  *  - V2 DDL: AlterTableCommand, DropTable, RenameTable,
+  *    CommentOnTable, TruncateTable,
+  *  - V1 data writes: Hadoop-FS / DataSource / Hive inserts,
+  *  - V1 DDL: column, partition, property, location, serde ALTERs,
+  *    DROP / TRUNCATE / REPAIR TABLE, LOAD DATA,
+  *  - V1 statistics: ANALYZE TABLE [COLUMNS | PARTITION],
+  *  - DROP DATABASE CASCADE when any contained table is read-only.
   */
 object ReadOnly {
   val Prop = "hive-ext.readOnly"
@@ -57,7 +64,7 @@ class ReadOnlyCheckRule(spark: SparkSession) extends (LogicalPlan => Unit) {
       Some((r.name, ReadOnly.isReadOnly(r.table)))
     case l: LogicalRelation =>
       l.catalogTable.map(t => (t.identifier.unquotedString, ReadOnly.isReadOnly(t)))
-    case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+    case h: HiveTableRelation =>
       Some((h.tableMeta.identifier.unquotedString, ReadOnly.isReadOnly(h.tableMeta)))
     case _ => None
   }
@@ -78,29 +85,75 @@ class ReadOnlyCheckRule(spark: SparkSession) extends (LogicalPlan => Unit) {
     case a: AlterTableCommand => check(a.table)
     case d: DropTable => check(d.child)
     case r: RenameTable if !r.isView => check(r.child)
-    case c: CommentOnTable => check(c.child)
+    // (CommentOnTable is an AlterTableCommand in Spark 4 — already covered)
     case t: TruncateTable => check(t.table)
-    // V1 commands (reference :83-124)
+    // V1 data writes (reference :83-95)
     case i: InsertIntoHadoopFsRelationCommand =>
-      i.catalogTable.foreach(t =>
-        if (ReadOnly.isReadOnly(t)) ReadOnly.fail(t.identifier.unquotedString))
+      i.catalogTable.foreach(checkCatalogTable)
+    case i: InsertIntoDataSourceCommand =>
+      i.logicalRelation.catalogTable.foreach(checkCatalogTable)
     case i: InsertIntoStatement => check(i.table)
-    case a: AlterTableAddColumnsCommand => checkV1(a.table.unquotedString)
-    case a: AlterTableRenameCommand => checkV1(a.oldName.unquotedString)
-    case a: AlterTableSetPropertiesCommand => checkV1(a.tableName.unquotedString)
-    case a: AlterTableUnsetPropertiesCommand => checkV1(a.tableName.unquotedString)
-    case d: DropTableCommand => checkV1(d.tableName.unquotedString)
-    case t: TruncateTableCommand => checkV1(t.tableName.unquotedString)
+    // InsertIntoHiveTable lives in spark-hive; matching by class name
+    // avoids the compile-time dependency (reference :91-95)
+    case n if n.getClass.getName
+        == "org.apache.spark.sql.hive.execution.InsertIntoHiveTable" =>
+      n.children.collectFirst { case h: HiveTableRelation => h }
+        .foreach(h => checkCatalogTable(h.tableMeta))
+    // V1 DDL (reference :97-124)
+    case a: AlterTableAddColumnsCommand => checkV1(a.table)
+    case a: AlterTableChangeColumnCommand => checkV1(a.tableName)
+    case a: AlterTableAddPartitionCommand => checkV1(a.tableName)
+    case a: AlterTableDropPartitionCommand => checkV1(a.tableName)
+    case a: AlterTableRenamePartitionCommand => checkV1(a.tableName)
+    case a: AlterTableRenameCommand => checkV1(a.oldName)
+    case a: AlterTableSetPropertiesCommand => checkV1(a.tableName)
+    case a: AlterTableUnsetPropertiesCommand => checkV1(a.tableName)
+    case a: AlterTableSetLocationCommand => checkV1(a.tableName)
+    case a: AlterTableSerDePropertiesCommand => checkV1(a.tableName)
+    case d: DropTableCommand => checkV1(d.tableName)
+    case t: TruncateTableCommand => checkV1(t.tableName)
+    case r: RepairTableCommand => checkV1(r.tableName)
+    case l: LoadDataCommand => checkV1(l.table)
+    // V1 statistics (reference :126-133)
+    case a: AnalyzeTableCommand => checkV1(a.tableIdent)
+    case a: AnalyzeColumnCommand => checkV1(a.tableIdent)
+    case a: AnalyzePartitionCommand => checkV1(a.tableIdent)
+    // DROP DATABASE CASCADE would take read-only tables with it
+    // (reference :135-145)
+    case d: DropDatabaseCommand if d.cascade => checkDatabase(d.databaseName)
+    case d: DropNamespace if d.cascade =>
+      d.namespace match {
+        case ResolvedNamespace(_, ns, _) if ns.nonEmpty => checkDatabase(ns.head)
+        case _ => ()
+      }
     case _ => ()
   }
 
-  private def checkV1(name: String): Unit = {
+  private def checkCatalogTable(t: CatalogTable): Unit =
+    if (ReadOnly.isReadOnly(t)) ReadOnly.fail(t.identifier.unquotedString)
+
+  // decide INSIDE the try, fail OUTSIDE it: metadata lookups on a
+  // half-resolved identifier may legitimately throw (skip the check),
+  // but our own veto must not be swallowed with them
+  private def checkV1(ident: TableIdentifier): Unit = {
     val cat = spark.sessionState.catalog
-    try {
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-      if (cat.tableExists(ident) && ReadOnly.isReadOnly(cat.getTableMetadata(ident)))
-        ReadOnly.fail(name)
-    } catch { case _: AnalysisException => () case _: Exception => () }
+    val ro =
+      try cat.tableExists(ident) && ReadOnly.isReadOnly(cat.getTableMetadata(ident))
+      catch { case _: Exception => false }
+    if (ro) ReadOnly.fail(ident.unquotedString)
+  }
+
+  private def checkDatabase(db: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ro =
+      try {
+        if (!cat.databaseExists(db)) None
+        else cat.listTables(db).find { t =>
+          try cat.tableExists(t) && ReadOnly.isReadOnly(cat.getTableMetadata(t))
+          catch { case _: Exception => false }
+        }
+      } catch { case _: Exception => None }
+    ro.foreach(t => ReadOnly.fail(t.unquotedString))
   }
 }
 

@@ -238,6 +238,195 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     assert(res == Map("us" -> 1500L))
   }
 
+  // ── lifecycle depth (reference MaterializedViewSuite:82-380) ──────
+
+  test("create: backing table holds the defining query's data") {
+    sql("CREATE MATERIALIZED VIEW mv_data AS SELECT region, sum(amount) AS total FROM sales GROUP BY region")
+    val rows = sql(s"SELECT * FROM ${MvCommands.backingName("mv_data")} ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("east", 300L), ("west", 1200L)))
+  }
+
+  test("create: backing table preserves schema") {
+    sql("CREATE MATERIALIZED VIEW mv_schema AS SELECT region, sum(amount) AS total FROM sales GROUP BY region")
+    val schema = sql(s"SELECT * FROM ${MvCommands.backingName("mv_schema")}").schema
+    assert(schema.fieldNames.toSeq == Seq("region", "total"))
+    assert(schema("total").dataType.typeName == "long")
+  }
+
+  test("create: duplicate name fails; IF NOT EXISTS is silent") {
+    sql("CREATE MATERIALIZED VIEW mv_dup AS SELECT region FROM sales")
+    intercept[Exception] {
+      sql("CREATE MATERIALIZED VIEW mv_dup AS SELECT product FROM sales")
+    }
+    sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mv_dup AS SELECT product FROM sales")
+    // the original definition survives
+    assert(MvCatalog.get("mv_dup").get.query.contains("region"))
+  }
+
+  test("create: records query text, storage format, timestamps") {
+    sql("CREATE MATERIALIZED VIEW mv_meta AS SELECT region, sum(amount) AS s FROM sales GROUP BY region")
+    val m = MvCatalog.get("mv_meta").get
+    assert(m.query.toLowerCase.contains("group by region"))
+    assert(m.storageFormat == "parquet")
+    assert(m.createdTs > 0 && m.lastRefreshTs >= m.createdTs)
+    assert(m.rowCount == 2)
+  }
+
+  test("drop: removes both catalog entry and backing table") {
+    sql("CREATE MATERIALIZED VIEW mv_gone AS SELECT region FROM sales")
+    val backing = MvCommands.backingName("mv_gone")
+    assert(spark.catalog.tableExists(backing))
+    sql("DROP MATERIALIZED VIEW mv_gone")
+    assert(MvCatalog.get("mv_gone").isEmpty)
+    assert(!spark.catalog.tableExists(backing))
+  }
+
+  test("drop: non-existent MV fails; IF EXISTS is silent") {
+    intercept[Exception] { sql("DROP MATERIALIZED VIEW mv_missing") }
+    sql("DROP MATERIALIZED VIEW IF EXISTS mv_missing")
+  }
+
+  test("refresh: recomputes data and advances lastRefreshTs") {
+    sql("CREATE TABLE sales_rf USING parquet AS SELECT * FROM sales")
+    sql("CREATE MATERIALIZED VIEW mv_rf AS SELECT region, sum(amount) AS s FROM sales_rf GROUP BY region")
+    val before = MvCatalog.get("mv_rf").get
+    sql("INSERT INTO sales_rf VALUES ('north','z',50,1)")
+    sql("REFRESH MATERIALIZED VIEW mv_rf")
+    val after = MvCatalog.get("mv_rf").get
+    assert(after.rowCount == 3 && after.lastRefreshTs >= before.lastRefreshTs)
+    val rows = sql(s"SELECT * FROM ${MvCommands.backingName("mv_rf")}").count()
+    assert(rows == 3)
+    sql("DROP TABLE sales_rf")
+  }
+
+  test("refresh: non-existent MV fails") {
+    intercept[Exception] { sql("REFRESH MATERIALIZED VIEW mv_missing") }
+  }
+
+  test("refresh incremental: recomputes data and advances lastRefreshTs") {
+    sql("CREATE TABLE sales_inc USING parquet AS SELECT * FROM sales")
+    sql("CREATE MATERIALIZED VIEW mv_inc AS SELECT region, sum(amount) AS s FROM sales_inc GROUP BY region")
+    val before = MvCatalog.get("mv_inc").get
+    sql("INSERT INTO sales_inc VALUES ('north','z',50,1)")
+    sql("REFRESH MATERIALIZED VIEW mv_inc INCREMENTAL")
+    val after = MvCatalog.get("mv_inc").get
+    assert(after.rowCount == 3 && after.lastRefreshTs >= before.lastRefreshTs)
+    sql("DROP TABLE sales_inc")
+  }
+
+  test("refresh incremental: non-existent MV fails") {
+    intercept[Exception] { sql("REFRESH MATERIALIZED VIEW mv_missing INCREMENTAL") }
+  }
+
+  test("show: empty when none registered") {
+    assert(sql("SHOW MATERIALIZED VIEWS").count() == 0)
+  }
+
+  test("show: schema carries storage metadata columns") {
+    val cols = sql("SHOW MATERIALIZED VIEWS").schema.fieldNames.toSeq
+    assert(cols == Seq("name", "query", "backing_table", "created_at",
+      "last_refreshed_at", "storage_format", "row_count", "size_in_bytes"))
+  }
+
+  test("show: lists registered MVs with format and row count") {
+    sql("CREATE MATERIALIZED VIEW mv_showa AS SELECT region FROM sales")
+    sql("CREATE MATERIALIZED VIEW mv_showb AS SELECT product FROM sales")
+    val shown = sql("SHOW MATERIALIZED VIEWS").collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("mv_showa", "mv_showb"))
+    assert(shown.forall(_.getString(5) == "parquet"))
+    assert(shown.forall(_.getLong(6) == 5))
+  }
+
+  test("MV name lookup is case-insensitive") {
+    sql("CREATE MATERIALIZED VIEW mv_Case AS SELECT region FROM sales")
+    assert(MvCatalog.get("MV_CASE").isDefined)
+    sql("REFRESH MATERIALIZED VIEW MV_case")
+    sql("DROP MATERIALIZED VIEW mv_CASE")
+    assert(MvCatalog.get("mv_case").isEmpty)
+  }
+
+  test("CREATE MATERIALIZED VIEW without AS clause fails") {
+    intercept[Exception] { sql("CREATE MATERIALIZED VIEW mv_noas") }
+  }
+
+  // ── aggregate rewrite depth (reference AggregateRewriteSuite) ─────
+
+  test("column subset: query selects fewer aggregates than the MV") {
+    sql("""CREATE MATERIALIZED VIEW mv_full AS
+          |SELECT region, sum(amount) AS total, count(amount) AS cnt,
+          |       min(amount) AS mn, max(amount) AS mx
+          |FROM sales GROUP BY region""".stripMargin)
+    val df = sql("SELECT region, sum(amount) AS total FROM sales GROUP BY region")
+    assert(usesBacking(df, "mv_full"), df.queryExecution.optimizedPlan.toString)
+    val res = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res == Map("east" -> 300L, "west" -> 1200L))
+  }
+
+  test("exact match rewrite still works for non-aggregate MVs") {
+    sql("CREATE MATERIALIZED VIEW mv_proj AS SELECT region, amount FROM sales")
+    val df = sql("SELECT region, amount FROM sales")
+    assert(usesBacking(df, "mv_proj"), df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == 5)
+  }
+
+  // ── join rewrite depth (reference JoinRewriteSuite) ───────────────
+
+  test("join predicate compensation: extra WHERE applies over the join MV") {
+    sql("""CREATE MATERIALIZED VIEW mv_jp AS
+          |SELECT s.region AS region, s.amount AS amount, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    val df = sql("""SELECT s.region AS region, s.amount AS amount, r.country AS country
+                   |FROM sales s JOIN regions r ON s.region = r.region
+                   |WHERE s.region = 'east'""".stripMargin)
+    assert(usesBacking(df, "mv_jp"), df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == 2)
+    assert(df.collect().forall(_.getString(0) == "east"))
+  }
+
+  test("join column subset: query projects fewer columns than the join MV") {
+    sql("""CREATE MATERIALIZED VIEW mv_jsub AS
+          |SELECT s.region AS region, s.amount AS amount, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    val df = sql("""SELECT s.region AS region, r.country AS country
+                   |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    assert(usesBacking(df, "mv_jsub"), df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == 5)
+  }
+
+  test("negative: non-join query does not match a join MV") {
+    sql("""CREATE MATERIALIZED VIEW mv_jonly AS
+          |SELECT s.region AS region, s.amount AS amount, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    val df = sql("SELECT region, amount FROM sales")
+    assert(!usesBacking(df, "mv_jonly"), df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == 5)
+  }
+
+  test("negative: join MV with restrictive WHERE must not serve a wider join") {
+    sql("""CREATE MATERIALIZED VIEW mv_jnarrow AS
+          |SELECT s.region AS region, s.amount AS amount, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region
+          |WHERE s.region = 'east'""".stripMargin)
+    val df = sql("""SELECT s.region AS region, s.amount AS amount, r.country AS country
+                   |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    assert(!usesBacking(df, "mv_jnarrow"), df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == 5)
+  }
+
+  test("negative: join over different tables must not fire") {
+    sql("CREATE TABLE regions2 (region string, country string) USING parquet")
+    sql("INSERT INTO regions2 VALUES ('east','ca')")
+    sql("""CREATE MATERIALIZED VIEW mv_jtables AS
+          |SELECT s.region AS region, r.country AS country
+          |FROM sales s JOIN regions r ON s.region = r.region""".stripMargin)
+    val df = sql("""SELECT s.region AS region, r.country AS country
+                   |FROM sales s JOIN regions2 r ON s.region = r.region""".stripMargin)
+    assert(!usesBacking(df, "mv_jtables"), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().forall(_.getString(1) == "ca"))
+    sql("DROP TABLE regions2")
+  }
+
   test("rewrite stays off during refresh and on backing-table queries") {
     sql("CREATE MATERIALIZED VIEW mv_self AS SELECT region, sum(amount) AS s FROM sales GROUP BY region")
     // direct query on the backing table must not recurse
