@@ -53,6 +53,15 @@ object Manifests {
     def obsolete(old: Option[String]): Seq[String] =
       old.filterNot(p => meta.snapshots.exists(o =>
         o.snapshotId != s.snapshotId && o.manifestPath.contains(p))).toSeq
+    s.files match {
+      // a still-attached lazy wrapper IS the spill's content by
+      // construction (any mutation replaces the Seq wholesale) — reuse
+      // the pointer without forcing the manifest read. This keeps
+      // commits O(changed snapshots), not O(history).
+      case l: LazyManifestFiles if s.manifestPath.contains(l.dir) =>
+        return (s.copy(files = Nil), Nil)
+      case _ => ()
+    }
     if (s.files.size <= threshold(meta)) {
       // small (or emptied) list: inline, and retire a stale pointer
       if (s.manifestPath.isDefined)
@@ -100,10 +109,18 @@ object Manifests {
       cache.remove(p)
     }
 
-  /** Hydrate a snapshot loaded from JSON. */
+  /** Hydrate a snapshot loaded from JSON — LAZILY. Table load cost
+    * must not scale with snapshot count: a long-lived table retains
+    * hundreds of snapshots at millions of files each, and eagerly
+    * materializing every file list on every `loadTable` would be an
+    * O(history) driver stall (and resident-set) per SQL statement.
+    * The wrapper reads through the process-wide cache the first time
+    * a snapshot's file list is actually planned against; snapshots
+    * that are never read (most of the history) cost nothing. */
   def hydrate(s: SnapshotMeta, conf: Configuration): SnapshotMeta =
     s.manifestPath match {
-      case Some(p) if s.files.isEmpty => s.copy(files = read(p, conf))
+      case Some(p) if s.files.isEmpty =>
+        s.copy(files = new LazyManifestFiles(p, conf))
       case _ => s
     }
 
@@ -119,7 +136,7 @@ object Manifests {
       .write.mode("overwrite").parquet(dir)
   }
 
-  private def read(dir: String, conf: Configuration): Seq[DataFileMeta] = {
+  private[lake] def read(dir: String, conf: Configuration): Seq[DataFileMeta] = {
     val cached = cache.get(dir)
     if (cached != null) return cached
     val spark = SparkSession.active
@@ -141,4 +158,24 @@ object Manifests {
     if (cache.size >= MaxCacheEntries) cache.clear()
     cache.put(dir, files)
   }
+}
+
+/** A spilled manifest surfaced as an immutable Seq that reads through
+  * [[Manifests]]' cache on first element access. As long as the wrapper
+  * stays attached to its snapshot (same dir as the snapshot's
+  * `manifestPath`), the file list is by construction unchanged — a
+  * re-serializing commit can reuse the pointer without any I/O. */
+final class LazyManifestFiles(
+    private[lake] val dir: String, conf: Configuration)
+  extends scala.collection.immutable.Seq[DataFileMeta] {
+
+  @volatile private[lake] var isForced: Boolean = false
+  private lazy val underlying: Seq[DataFileMeta] = {
+    isForced = true
+    Manifests.read(dir, conf)
+  }
+
+  override def apply(i: Int): DataFileMeta = underlying(i)
+  override def length: Int = underlying.length
+  override def iterator: Iterator[DataFileMeta] = underlying.iterator
 }

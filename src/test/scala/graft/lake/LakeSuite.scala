@@ -405,6 +405,38 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.slimfail") == 12)
   }
 
+  test("table load hydrates spilled manifests lazily; commits don't force them") {
+    sql("""CREATE TABLE lake.db.lazyman (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.lazyman SELECT id FROM range(0, 12, 1, 4)")
+    sql("INSERT INTO lake.db.lazyman SELECT id FROM range(12, 24, 1, 4)")
+    val loc = s"$wh/db/lazyman"
+    val conf = spark.sessionState.newHadoopConf()
+    Manifests.clearCacheForTesting()
+    val meta = MetadataLog.load(loc, conf)
+    val wrappers = meta.snapshots.map(s => s.snapshotId -> s.files).collect {
+      case (id, l: LazyManifestFiles) => id -> l
+    }.toMap
+    // NOTE: don't interpolate the wrappers into clue strings — the
+    // eager toString would force the very laziness under test
+    assert(wrappers.size == 2, s"both snapshots spill lazily: ${wrappers.keySet}")
+    assert(wrappers.values.forall(!_.isForced), "load must not read manifests")
+    // a metadata-only commit reuses the pointers without forcing a read
+    MetadataLog.commit(meta.copy(
+      properties = meta.properties + ("fmt.test" -> "1")), conf)
+    assert(wrappers.values.forall(!_.isForced),
+      "an untouched spill must commit by pointer, not by content")
+    // hydration is per-snapshot: touching the head's list leaves the
+    // rest of the history cold
+    val head = meta.currentSnapshotId("main").get
+    val older = wrappers.keySet.find(_ != head).get
+    assert(wrappers(head).length == 8, "head snapshot hydrates on access")
+    assert(wrappers(head).isForced && !wrappers(older).isForced,
+      "unaccessed history stays cold")
+    // and the table still reads end to end
+    assert(count("SELECT count(*) FROM lake.db.lazyman") == 24)
+  }
+
   test("rewrite_manifests rewrites spill dirs and clusters by partition") {
     sql("""CREATE TABLE lake.db.rwman (id bigint, p bigint) USING lake
         |PARTITIONED BY (p)
