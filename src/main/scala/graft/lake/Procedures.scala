@@ -414,21 +414,27 @@ object Procedures {
         "added_manifests_count" -> IntegerType)
       // Rewrites the parquet manifest spills under metadata/manifests/
       // (reference: docs/spark-procedures.md:477, iceberg_it.py:1806-1823).
-      // Every over-threshold snapshot gets a fresh spill — consolidated
-      // part layout, legacy format upgraded, entries clustered by
-      // partition tuple for contiguous pruning — and spilled lists that
-      // have shrunk under the threshold fold back inline. Old dirs are
+      // Each over-threshold REF-HEAD snapshot gets a fresh spill —
+      // consolidated part layout, legacy format upgraded, entries
+      // clustered by partition tuple for contiguous pruning — and
+      // spilled head lists that have shrunk under the threshold fold
+      // back inline. Only heads: they are what reads plan against, and
+      // like Iceberg's procedure (current snapshot only) this keeps the
+      // call O(refs), not O(history) — historical spills stay cold
+      // (never hydrated) and retire with expire_snapshots. Old dirs are
       // deleted only after the commit is durable; a crash in between
       // strands them for remove_orphan_files.
       def run(spark: SparkSession, a: Args): Seq[Row] = {
         val (m, _) = meta(a)
         val conf = catalog.hadoopConf
         val thr = Manifests.threshold(m)
+        val heads = m.refs.values.map(_.snapshotId).toSet
         var rewritten = 0
         var added = 0
         val olds = Seq.newBuilder[String]
         val snaps = m.snapshots.map { s =>
-          if (s.files.size > thr) {
+          if (!heads(s.snapshotId)) s
+          else if (s.files.size > thr) {
             val ns = Manifests.respill(m, s, conf)
             s.manifestPath.foreach { p => olds += p; rewritten += 1 }
             added += 1

@@ -448,13 +448,15 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .getOrElse(Array.empty).map(_.getName).toSeq.sorted
     val before = spillDirs()
     assert(before.size == 2, s"both snapshots spill: $before")
+    // only the ref HEAD rewrites (O(refs), not O(history)); the older
+    // snapshot's spill stays cold and untouched
     val res = sql("CALL lake.system.rewrite_manifests(table => 'db.rwman')")
       .collect()(0)
-    assert(res.getInt(0) == 2 && res.getInt(1) == 2,
-      s"2 rewritten + 2 added, got $res")
+    assert(res.getInt(0) == 1 && res.getInt(1) == 1,
+      s"1 rewritten + 1 added (head only), got $res")
     val after = spillDirs()
-    assert(after.size == 2 && after.intersect(before).isEmpty,
-      s"old spills replaced: before=$before after=$after")
+    assert(after.size == 2 && after.intersect(before).size == 1,
+      s"head spill replaced, history kept: before=$before after=$after")
     // rewritten manifests cluster entries by partition tuple
     val conf = spark.sessionState.newHadoopConf()
     Manifests.clearCacheForTesting()
