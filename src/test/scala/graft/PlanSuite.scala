@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regression tests for the headline queries: the
+  * properties that make them hold at 100 TB — filters pushed to the
+  * parquet scan, small sides broadcast, no accidental shuffles or
+  * windows on corpus-sized paths, top-k pushed below windows. These
+  * were hand-verified in rounds 1-4; this suite keeps them verified. */
+class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-suite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ready: Boolean = new java.io.File(sfDir).isDirectory
+
+  private def fmt(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+  // formatted explain numbers every operator: "(5) Exchange" is a
+  // shuffle, "(6) BroadcastExchange" is not
+  private def shuffles(p: String): Int =
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+  private def has(p: String, op: String): Boolean =
+    s"\\(\\d+\\) $op\\b".r.findAllIn(p).nonEmpty
+
+  test("q_filter_pushdown: predicates reach the parquet scan; one shuffle") {
+    assume(ready)
+    val p = fmt("q_filter_pushdown")
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(shuffles(p) <= 1, s"expected a single aggregation shuffle:\n$p")
+  }
+
+  test("q1_pricing_summary: pushdown + partial aggregation, no join") {
+    assume(ready)
+    val p = fmt("q1_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(shuffles(p) <= 2, s"agg + order shuffles only:\n$p")
+    assert(!has(p, "SortMergeJoin") && !has(p, "CartesianProduct"), p)
+    // map-side partial aggregation before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q5_region_revenue: dimensions broadcast, filters pushed") {
+    assume(ready)
+    val p = fmt("q5_region_revenue")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"region/nation/supplier/customer joins must broadcast:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter must push down")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order date range must push down")
+    assert(!has(p, "CartesianProduct"), p)
+  }
+
+  test("v_ann_ivf: corpus path is shuffle-free (centroids only), no window") {
+    assume(ready)
+    val p = fmt("v_ann_ivf")
+    assert(!has(p, "Window"), s"cell assignment must not use a window:\n$p")
+    assert(!has(p, "SortMergeJoin"), p)
+    assert(shuffles(p) <= 2,
+      s"only the K-row centroid aggregations may shuffle:\n$p")
+    assert(has(p, "BroadcastHashJoin"), "probe join must broadcast")
+    assert(has(p, "TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("v_knn_join: query side broadcasts, top-k pushed below the window") {
+    assume(ready)
+    val p = fmt("v_knn_join")
+    assert(has(p, "BroadcastExchange"), p)
+    assert(has(p, "WindowGroupLimit"),
+      s"rank<=k must push as a group limit:\n$p")
+    assert(!has(p, "CartesianProduct"), p)
+  }
+
+  test("v_neardup_pairs: banded LSH joins broadcast, no cartesian product") {
+    assume(ready)
+    val p = fmt("v_neardup_pairs")
+    assert(!has(p, "CartesianProduct"),
+      s"near-dup must stay bucketed, never all-pairs:\n$p")
+    assert(has(p, "BroadcastHashJoin"), p)
+  }
+
+  test("t_bm25: corpus stats travel as a broadcast, not a shuffle join") {
+    assume(ready)
+    val p = fmt("t_bm25")
+    assert(has(p, "BroadcastExchange"), s"1-row stats must broadcast:\n$p")
+    assert(!has(p, "SortMergeJoin"), p)
+  }
+
+  test("t_dedup_exact: digest-keyed, bounded shuffles") {
+    assume(ready)
+    val p = fmt("t_dedup_exact")
+    assert(shuffles(p) <= 2, s"digest shuffle (+order) only:\n$p")
+    assert(!has(p, "CartesianProduct"), p)
+  }
+}
