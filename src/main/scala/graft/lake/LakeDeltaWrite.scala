@@ -37,9 +37,12 @@ import scala.collection.mutable
 class LakeDeltaOperation(table: LakeTable, info: RowLevelOperationInfo)
   extends RowLevelOperation with SupportsDelta {
 
-  // files the operation's scan actually planned (post file-pruning) —
-  // the read set the commit-time write-skew check validates against
+  // files the operation's scan actually planned (post file-pruning)
+  // and the condition filters it pushed — the read set + predicate the
+  // commit-time write-skew/phantom checks validate against
   @volatile private var scanned: Option[Seq[String]] = None
+  @volatile private var scanFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def command(): RowLevelOperation.Command = info.command()
 
@@ -52,17 +55,20 @@ class LakeDeltaOperation(table: LakeTable, info: RowLevelOperationInfo)
     // by matched partitions; metadata-column projection routes the
     // surviving files through the ordinal-tracking row scan
     new LakeScanBuilder(table, table.readSnapshotId, options,
-      rowLevel = true, onBuild = fs => scanned = Some(fs.map(_.path)))
+      rowLevel = true, onBuild = fs => scanned = Some(fs.map(_.path)),
+      onFilters = fs => scanFilters = fs)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new LakeDeltaWrite(table, winfo,
-        info.command().toString.toLowerCase, () => scanned)
+        info.command().toString.toLowerCase, () => scanned, () => scanFilters)
     }
 }
 
 class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String,
-    scannedFiles: () => Option[Seq[String]] = () => None)
+    scannedFiles: () => Option[Seq[String]] = () => None,
+    scanFilters: () => Array[org.apache.spark.sql.sources.Filter] =
+      () => Array.empty)
   extends DeltaWrite with RequiresDistributionAndOrdering {
 
   override def description(): String = s"LakeDeltaWrite(${table.name()}, $operation)"
@@ -90,12 +96,14 @@ class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String
   }
 
   override def toBatch: DeltaBatchWrite =
-    new LakeDeltaBatchWrite(table, info, operation, scannedFiles)
+    new LakeDeltaBatchWrite(table, info, operation, scannedFiles, scanFilters)
 }
 
 class LakeDeltaBatchWrite(table: LakeTable, info: LogicalWriteInfo,
     operation: String,
-    scannedFiles: () => Option[Seq[String]] = () => None)
+    scannedFiles: () => Option[Seq[String]] = () => None,
+    scanFilters: () => Array[org.apache.spark.sql.sources.Filter] =
+      () => Array.empty)
   extends DeltaBatchWrite {
 
   private val base = java.util.UUID.randomUUID().toString.take(12)
@@ -120,7 +128,7 @@ class LakeDeltaBatchWrite(table: LakeTable, info: LogicalWriteInfo,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     LakeWriteUtil.commitDelta(table, stagingDir, deleteDir, operation,
-      scannedFiles())
+      scannedFiles(), scanFilters())
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)

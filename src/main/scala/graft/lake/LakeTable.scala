@@ -198,7 +198,8 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     options: CaseInsensitiveStringMap,
     rowLevel: Boolean = false,
     onBuild: Seq[DataFileMeta] => Unit = _ => (),
-    filesOverride: Option[Seq[DataFileMeta]] = None)
+    filesOverride: Option[Seq[DataFileMeta]] = None,
+    onFilters: Array[Filter] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -219,6 +220,7 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     val files = filesOverride.getOrElse(table.meta.filesOf(snapshotId))
     val pruned = FileStats.prune(files, pushed.toSeq, fullSchema)
     onBuild(pruned)
+    onFilters(pushed)
     // merge-on-read position deletes of the scanned snapshot (none for
     // filesOverride scans — changelog diffs pin their own file lists)
     val deleted =

@@ -497,7 +497,8 @@ object LakeWriteUtil {
     * files append, staged position-delete files extend the mask set;
     * nothing else in the snapshot changes. */
   def commitDelta(table: LakeTable, stagingDir: String, deleteDir: String,
-      operation: String, scannedFiles: Option[Seq[String]] = None): Unit = {
+      operation: String, scannedFiles: Option[Seq[String]] = None,
+      scanFilters: Array[Filter] = Array.empty): Unit = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
     val fresh = table.catalog.loadMeta(table.ident)
@@ -539,9 +540,13 @@ object LakeWriteUtil {
     // compare the scan snapshot's file/mask sets against the commit
     // parent's and fail on any overlap with the files actually scanned
     // (Iceberg's validateNoNewDeleteFiles / validateDataFilesExist).
+    // Only same-ref commits validate: a spark.wap.branch redirect scans
+    // one ref and commits to another, so "what changed since the scan"
+    // has no single lineage to compare against (and a divergent branch
+    // would fail every retry — the scan re-reads the ORIGINAL ref).
     val scanId = table.readSnapshotId
     val head = parent.map(_.snapshotId)
-    if (head != scanId && parent.nonEmpty) {
+    if (head != scanId && parent.nonEmpty && targetRef == table.ref) {
       val scanSnap = scanId.flatMap(metaWithRef.snapshotById)
       if (scanId.nonEmpty && scanSnap.isEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -563,11 +568,24 @@ object LakeWriteUtil {
           .getOrElse(Set.empty)
       val headFilePaths = p.files.map(f => PosDeletes.norm(f.path)).toSet
       val removedRead = scanFilePaths.diff(headFilePaths).intersect(scanned)
-      val conflicts = newlyMasked ++ removedRead
+      // Phantoms: a concurrent append between scan and commit adds rows
+      // this operation never saw — a MERGE would duplicate its NOT
+      // MATCHED inserts, an UPDATE/DELETE would silently miss matching
+      // rows. Validate added data files against the scan's pushed
+      // condition with the same stats pruning the scan used (Iceberg's
+      // validateAddedDataFiles): a file the scan would have skipped
+      // cannot conflict. An unpushable condition (typical MERGE ON)
+      // prunes nothing, so any concurrent append conflicts — that IS
+      // serializable semantics.
+      val phantom = FileStats.prune(
+        p.files.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
+        scanFilters.toSeq, schema).map(f => PosDeletes.norm(f.path))
+      val conflicts = newlyMasked ++ removedRead ++ phantom
       if (conflicts.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"${table.name()}: files read by this $operation were " +
-            "concurrently deleted from or rewritten " +
+            "concurrently deleted or rewritten, or rows matching its " +
+            s"condition were concurrently added " +
             s"(${conflicts.take(3).mkString(", ")}" +
             s"${if (conflicts.size > 3) ", …" else ""}); retry the operation")
     }

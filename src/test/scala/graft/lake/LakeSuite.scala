@@ -693,6 +693,35 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.morskew WHERE id = 100") == 1)
   }
 
+  test("delta commit detects concurrently added rows matching its condition (phantoms)") {
+    sql("""CREATE TABLE lake.db.morphant (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.morphant SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val stale = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "morphant")).asInstanceOf[LakeTable]
+    val scanned = stale.meta.currentSnapshot("main").get.files.map(_.path)
+    // a concurrent append adds rows this operation never saw
+    sql("INSERT INTO lake.db.morphant VALUES (50, 'new')")
+    val loc = stale.meta.location
+    val stageDir = s"$loc/data/test-phantom"
+    sql("SELECT CAST(100 AS bigint) AS id, 'x' AS v")
+      .coalesce(1).write.parquet(stageDir)
+    // no pushable condition (a MERGE ON clause): ANY concurrent append
+    // is a phantom under serializable semantics
+    intercept[java.util.ConcurrentModificationException] {
+      LakeWriteUtil.commitDelta(stale, stageDir,
+        s"$loc/metadata/deletes/none", "merge", Some(scanned))
+    }
+    // a pushed condition whose stats exclude the new file (id = 3 vs
+    // the appended id = 50) proves no phantom — same stale base commits
+    LakeWriteUtil.commitDelta(stale, stageDir,
+      s"$loc/metadata/deletes/none", "update", Some(scanned),
+      Array(org.apache.spark.sql.sources.EqualTo("id", 3L)))
+    assert(count("SELECT count(*) FROM lake.db.morphant") == 12)
+  }
+
   test("changelog pairs delta UPDATE into update_before/update_after") {
     sql("""CREATE TABLE lake.db.morucdc (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
