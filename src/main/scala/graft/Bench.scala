@@ -30,9 +30,19 @@ object Bench {
     // cluster session observes. Run-position noise otherwise dominates
     // sub-second queries. Lake queries create fresh UUID-named tables
     // per invocation, so the passes don't collide.
+    // A failing query must not silently bench as "fast": record it,
+    // report a `failed` list, and exit non-zero so the harness sees
+    // the regression here instead of only in the correctness gate.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: " +
+            s"${String.valueOf(t.getMessage).take(500)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val cold = pass()
@@ -43,9 +53,26 @@ object Bench {
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // headline value = steady-state pass; the cold pass is reported
     // alongside so first-touch cost stays visible
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${json(results)},"total_cold":$coldTotal,""" +
-      s""""queries_cold":${json(cold)},"sf":"$sfDir"}""")
+      s""""queries_cold":${json(cold)},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the one-line JSON has outgrown captured
+    // stdout tails before (round 5's headline was unrecoverable)
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"could not write target/bench.json: $t") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"${failed.size} queries failed: " +
+        failed.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -18,7 +18,8 @@ object Changelog {
 
   def build(spark: SparkSession, meta: TableMeta, startId: Option[Long],
       endId: Option[Long], identifierCols: Seq[String],
-      computeUpdates: Boolean, netChanges: Boolean = false): DataFrame = {
+      computeUpdates: Boolean, netChanges: Boolean = false,
+      removeCarryovers: Boolean = true): DataFrame = {
     require(!(netChanges && computeUpdates),
       "net_changes cannot be combined with compute_updates/identifier " +
         "columns (matches the reference procedure's restriction)")
@@ -34,7 +35,12 @@ object Changelog {
     // that stalls the driver at analysis time — fail with instructions
     // instead. Tables that legitimately need more raise the property.
     val maxSnapshots = meta.properties
-      .get("changelog.max-snapshots").map(_.toInt).getOrElse(100)
+      .get("changelog.max-snapshots").map(v =>
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid changelog.max-snapshots value '$v': expected an int")
+        }).getOrElse(100)
     require(inRange.size <= maxSnapshots,
       s"changelog range spans ${inRange.size} snapshots, more than " +
         s"changelog.max-snapshots ($maxSnapshots). Narrow the range with " +
@@ -127,29 +133,46 @@ object Changelog {
         .drop("__n", "__e")
     }
 
-    if (!computeUpdates || identifierCols.isEmpty) return raw
+    // Carry-over cancellation (docs/spark-procedures.md:905-921): a
+    // copy-on-write rewrite re-emits every untouched row of a touched
+    // file as a delete+insert pair in the SAME commit despite no actual
+    // change — net them out per (row value, commit). One hash
+    // aggregation; surviving multiplicity re-explodes.
+    val dataCols = schema.fieldNames.toSeq
+    def dropCarryovers(df: DataFrame): DataFrame = {
+      val carry = dataCols.map(col) :+ col("_change_ordinal")
+      val counted = df.groupBy(carry :+ col("_commit_snapshot_id"): _*)
+        .pivot("_change_type", Seq("insert", "delete"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("insert", "delete"))
+      val net = counted
+        .withColumn("__n", least(col("insert"), col("delete")))
+        .withColumn("insert", col("insert") - col("__n"))
+        .withColumn("delete", col("delete") - col("__n"))
+        .filter(col("insert") > 0 || col("delete") > 0)
+      net.select(
+        (dataCols.map(col) ++ Seq(col("_change_ordinal"),
+          col("_commit_snapshot_id"),
+          explode(concat(
+            array_repeat(lit("insert"), col("insert").cast("int")),
+            array_repeat(lit("delete"), col("delete").cast("int"))))
+            .as("_change_type"))): _*)
+    }
+
+    // The procedure removes carry-overs by default even without
+    // identifier columns (the reference's documented default); the raw
+    // view stays reachable via remove_carryovers => false or the
+    // `changes` metadata table.
+    if (!computeUpdates || identifierCols.isEmpty)
+      return if (removeCarryovers)
+        dropCarryovers(raw).select((dataCols ++ Seq("_change_type",
+          "_change_ordinal", "_commit_snapshot_id")).map(col): _*)
+      else raw
 
     // A row deleted and re-inserted with the same identifier in the
     // same commit is an update; carryover rows (identical on all
     // columns) cancel out.
-    val dataCols = schema.fieldNames.toSeq
-    val carry = dataCols.map(col) :+ col("_change_ordinal")
-    val counted = raw.groupBy(carry :+ col("_commit_snapshot_id"): _*)
-      .pivot("_change_type", Seq("insert", "delete"))
-      .agg(count(lit(1)))
-      .na.fill(0L, Seq("insert", "delete"))
-    val net = counted
-      .withColumn("__n", least(col("insert"), col("delete")))
-      .withColumn("insert", col("insert") - col("__n"))
-      .withColumn("delete", col("delete") - col("__n"))
-      .filter(col("insert") > 0 || col("delete") > 0)
-    val exploded = net.select(
-      (dataCols.map(col) ++ Seq(col("_change_ordinal"),
-        col("_commit_snapshot_id"),
-        explode(concat(
-          array_repeat(lit("insert"), col("insert").cast("int")),
-          array_repeat(lit("delete"), col("delete").cast("int"))))
-          .as("_change_type"))): _*)
+    val exploded = dropCarryovers(raw)
 
     val idCols = identifierCols.map(col)
     val w = org.apache.spark.sql.expressions.Window

@@ -315,6 +315,47 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     MetadataLog.load(tableLocation(ident), hadoopConf)
   private[lake] def commitMeta(meta: TableMeta): TableMeta =
     MetadataLog.commit(meta, hadoopConf)
+
+  /** Optimistic-commit auto-retry (Iceberg's semantics — the runtime
+    * the reference actually ships): `attempt` maps freshly loaded
+    * metadata to the candidate to commit. When the CAS loses to a
+    * concurrent writer, the metadata is reloaded and `attempt` re-runs
+    * — re-deriving the snapshot AND re-running serializable validation
+    * against the new head — up to `commit.retry.num-retries` times
+    * (default 4), so two clean concurrent INSERTs both succeed instead
+    * of the second writer's job failing. A
+    * ConcurrentModificationException thrown by `attempt` ITSELF is a
+    * true conflict (validation against the new head failed) and
+    * propagates immediately: only the CAS race retries, never a
+    * detected isolation violation. */
+  private[lake] def commitRetrying(ident: Identifier)(
+      attempt: TableMeta => TableMeta): TableMeta = {
+    var fresh = loadMeta(ident)
+    // Default is higher than Iceberg's 4: a retry here re-derives the
+    // snapshot (possibly re-running a rewrite job), so contending
+    // writers stay out of phase for whole job durations and need more
+    // attempts to drain a burst.
+    val retries = fresh.properties.get("commit.retry.num-retries")
+      .map(_.toInt).getOrElse(10)
+    var n = 0
+    while (true) {
+      val candidate = attempt(fresh)
+      try return commitMeta(candidate)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          n += 1
+          if (n > retries) throw e
+          // exponential backoff with WIDE jitter (the jitter dominates
+          // the base): re-derivation takes similar time on every
+          // contender, so without strong de-synchronization a burst
+          // re-collides in lockstep
+          Thread.sleep((25L << math.min(n, 5)) +
+            scala.util.Random.nextInt(100 * math.min(n, 10)).toLong)
+          fresh = loadMeta(ident)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
   private[lake] def parseIdent(table: String): Identifier = {
     val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
     val p = if (parts.headOption.contains(catalogName)) parts.tail else parts

@@ -176,12 +176,13 @@ class LakeTable(
     LakeWriteUtil.deleteWhere(this, predicates.flatMap(Shims.predicateToV1(_)))
 
   override def truncateTable(): Boolean = {
-    val fresh = catalog.loadMeta(ident)
-    val parent = fresh.currentSnapshot(ref)
-    val snap = SnapshotMeta(fresh.lastSnapshotId + 1,
-      parent.map(_.snapshotId), System.currentTimeMillis(), "delete",
-      Map("deleted-by" -> "truncate"), Nil, fresh.currentSchemaEpoch)
-    catalog.commitMeta(fresh.withSnapshot(snap, Some(ref)))
+    catalog.commitRetrying(ident) { fresh =>
+      val parent = fresh.currentSnapshot(ref)
+      val snap = SnapshotMeta(fresh.lastSnapshotId + 1,
+        parent.map(_.snapshotId), System.currentTimeMillis(), "delete",
+        Map("deleted-by" -> "truncate"), Nil, fresh.currentSchemaEpoch)
+      fresh.withSnapshot(snap, Some(ref))
+    }
     true
   }
 }
@@ -218,7 +219,18 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
 
   override def build(): Scan = {
     val files = filesOverride.getOrElse(table.meta.filesOf(snapshotId))
-    val pruned = FileStats.prune(files, pushed.toSeq, fullSchema)
+    // Spilled-manifest snapshots with pushed predicates plan
+    // DISTRIBUTED: the prune runs as a Spark job over the manifest
+    // parquet and only surviving files reach the driver, so planning
+    // memory/latency is O(matching files) — the property that keeps a
+    // selective query on a million-file snapshot plannable. Unfiltered
+    // scans need every entry anyway and hydrate through the cache.
+    val pruned = files match {
+      case l: LazyManifestFiles if !l.isForced && pushed.nonEmpty =>
+        Manifests.readPruned(l.dir, pushed.toSeq, fullSchema,
+          table.catalog.hadoopConf)
+      case _ => FileStats.prune(files, pushed.toSeq, fullSchema)
+    }
     onBuild(pruned)
     onFilters(pushed)
     // merge-on-read position deletes of the scanned snapshot (none for

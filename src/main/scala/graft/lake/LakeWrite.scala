@@ -198,14 +198,18 @@ case class ProjectingWriterFactory(inner: DataWriterFactory,
 
 object LakeWriteUtil {
 
-  /** Harvest staged files, build the new snapshot per mode, commit. */
+  /** Harvest staged files, build the new snapshot per mode, commit.
+    * The whole derivation runs inside [[LakeCatalog.commitRetrying]]:
+    * a lost CAS reloads the metadata and re-derives the snapshot
+    * (including the mode's conflict validation) against the new head,
+    * so clean concurrent writers all succeed. */
   def commitStaged(table: LakeTable, stagingDir: String, mode: String,
       overwriteFilters: Array[Filter], writeSchema: StructType,
       operationOverride: Option[String],
       replaced: Option[Seq[String]] = None): TableMeta = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
-    val fresh = table.catalog.loadMeta(table.ident)
+    table.catalog.commitRetrying(table.ident) { fresh =>
 
     // write-side schema evolution (mergeSchema / accept-any-schema,
     // iceberg_it.py:1640-1681): extra top-level fields are appended
@@ -317,7 +321,8 @@ object LakeWriteUtil {
     // WAP id staging: snapshot recorded, no ref advance until
     // publish_changes (docs/spark-procedures.md:186)
     val advance = if (wapId.isDefined) None else Some(targetRef)
-    table.catalog.commitMeta(metaWithRef.withSnapshot(snap, advance))
+    metaWithRef.withSnapshot(snap, advance)
+    }
   }
 
   def listParquet(dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
@@ -501,21 +506,27 @@ object LakeWriteUtil {
       scanFilters: Array[Filter] = Array.empty): Unit = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
-    val fresh = table.catalog.loadMeta(table.ident)
-    val epoch = fresh.currentSchemaEpoch
-    val schema = fresh.schema
 
     val dataPaths = listParquet(stagingDir, conf)
+    // delete-file stats are schema-independent (fixed DeleteSchema) —
+    // harvest once, outside the retry loop
+    val dels = listParquet(deleteDir, conf)
+      .map(p => FileStats.fromFooter(p, conf, PosDeletes.DeleteSchema, 0, Map.empty))
+      .filter(_.rowCount > 0)
+    if (dataPaths.isEmpty && dels.isEmpty) return // no rows affected
+
+    // The routing + serializable validation + snapshot build all run
+    // inside the retry loop: a lost CAS re-validates the scan set
+    // against the NEW head and only a detected conflict aborts.
+    table.catalog.commitRetrying(table.ident) { fresh =>
+    val epoch = fresh.currentSchemaEpoch
+    val schema = fresh.schema
     val tuples = partitionTuples(spark, dataPaths, fresh)
     val staged = FileStats.fromFooters(dataPaths, conf, schema, epoch,
       p => {
         val t = tuples.getOrElse(normPath(p), Set.empty)
         if (t.size == 1) t.head else Map.empty
       })
-    val dels = listParquet(deleteDir, conf)
-      .map(p => FileStats.fromFooter(p, conf, PosDeletes.DeleteSchema, 0, Map.empty))
-      .filter(_.rowCount > 0)
-    if (staged.isEmpty && dels.isEmpty) return // no rows affected
 
     // WAP / branch routing, mirroring commitStaged
     val sconf = spark.conf
@@ -571,14 +582,45 @@ object LakeWriteUtil {
       // Phantoms: a concurrent append between scan and commit adds rows
       // this operation never saw — a MERGE would duplicate its NOT
       // MATCHED inserts, an UPDATE/DELETE would silently miss matching
-      // rows. Validate added data files against the scan's pushed
-      // condition with the same stats pruning the scan used (Iceberg's
-      // validateAddedDataFiles): a file the scan would have skipped
-      // cannot conflict. An unpushable condition (typical MERGE ON)
-      // prunes nothing, so any concurrent append conflicts — that IS
-      // serializable semantics.
+      // rows. Candidates come from walking the snapshot lineage head →
+      // scan snapshot and collecting only files INTRODUCED by
+      // row-adding commits (Iceberg's validateAddedDataFiles):
+      // "replace" (compaction/manifest rewrite) and "delete" snapshots
+      // are row-non-increasing — their outputs carry only rows that
+      // already existed at their parent, so counting them would abort
+      // unrelated operations under steady background compaction (a
+      // retry livelock). Candidates are then pruned with the scan's
+      // pushed condition using the same stats pruning the scan used: a
+      // file the scan would have skipped cannot conflict. An unpushable
+      // condition (typical MERGE ON) prunes nothing, so any concurrent
+      // append conflicts — that IS serializable semantics. A broken
+      // lineage (rollback / set_current_snapshot crossed the chain)
+      // falls back to every head file absent from the scan snapshot —
+      // conservative, never under-reports.
+      val rowPreserving = Set("replace", "delete")
+      val phantomCandidates: Seq[DataFileMeta] = {
+        val added = Seq.newBuilder[DataFileMeta]
+        var cur: Option[SnapshotMeta] = Some(p)
+        var broken = false
+        while (cur.nonEmpty && !scanId.contains(cur.get.snapshotId) && !broken) {
+          val s = cur.get
+          val parentSnap = s.parentId.flatMap(metaWithRef.snapshotById)
+          if (!rowPreserving(s.operation)) {
+            val pp = parentSnap.map(_.files.map(f => PosDeletes.norm(f.path)).toSet)
+              .getOrElse(Set.empty)
+            added ++= s.files.filterNot(f => pp(PosDeletes.norm(f.path)))
+          }
+          // a parent pointer that resolves nowhere, or a chain that
+          // bottoms out before reaching the scan snapshot
+          if (parentSnap.isEmpty && (s.parentId.nonEmpty || scanId.nonEmpty))
+            broken = true
+          cur = parentSnap
+        }
+        if (broken) p.files
+        else added.result()
+      }
       val phantom = FileStats.prune(
-        p.files.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
+        phantomCandidates.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
         scanFilters.toSeq, schema).map(f => PosDeletes.norm(f.path))
       val conflicts = newlyMasked ++ removedRead ++ phantom
       if (conflicts.nonEmpty)
@@ -619,28 +661,36 @@ object LakeWriteUtil {
       parent.map(_.files).getOrElse(Nil) ++ staged, epoch,
       deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ dels)
     val advance = if (wapId.isDefined) None else Some(targetRef)
-    table.catalog.commitMeta(metaWithRef.withSnapshot(snap, advance))
+    metaWithRef.withSnapshot(snap, advance)
+    }
+    ()
   }
 
-  /** SupportsDeleteV2 fast path — file-granular copy-on-write. */
+  /** SupportsDeleteV2 fast path — file-granular copy-on-write. The
+    * whole derivation retries on a lost CAS: the rewrite re-runs
+    * against the reloaded head's file set, so a concurrent clean
+    * commit doesn't fail this delete (and nothing it added is lost —
+    * the kept set is re-derived from the new parent). */
   def deleteWhere(table: LakeTable, filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
-    val fresh = table.catalog.loadMeta(table.ident)
-    val parent = fresh.currentSnapshot(table.ref)
-    val parentFiles = parent.map(_.files).getOrElse(Nil)
-    if (fresh.properties.get("write.delete.mode").contains("merge-on-read")) {
-      morDelete(spark, table, fresh, parent, parentFiles, filters, conf)
-      return
+    table.catalog.commitRetrying(table.ident) { fresh =>
+      val parent = fresh.currentSnapshot(table.ref)
+      val parentFiles = parent.map(_.files).getOrElse(Nil)
+      if (fresh.properties.get("write.delete.mode").contains("merge-on-read"))
+        morDelete(spark, table, fresh, parent, parentFiles, filters, conf)
+      else {
+        val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf,
+          applyDeletes = parentDeleteMap(parent, conf))
+        val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
+          System.currentTimeMillis(), "delete",
+          Map("deleted-files" -> (parentFiles.size - kept.size).toString),
+          kept, fresh.currentSchemaEpoch,
+          deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil))
+        fresh.withSnapshot(snap, Some(table.ref))
+      }
     }
-    val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf,
-      applyDeletes = parentDeleteMap(parent, conf))
-    val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
-      System.currentTimeMillis(), "delete",
-      Map("deleted-files" -> (parentFiles.size - kept.size).toString),
-      kept, fresh.currentSchemaEpoch,
-      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil))
-    table.catalog.commitMeta(fresh.withSnapshot(snap, Some(table.ref)))
+    ()
   }
 
   /** Merge-on-read DELETE: instead of rewriting the partially-matching
@@ -653,7 +703,7 @@ object LakeWriteUtil {
   private def morDelete(spark: SparkSession, table: LakeTable,
       fresh: TableMeta, parent: Option[SnapshotMeta],
       parentFiles: Seq[DataFileMeta], filters: Array[Filter],
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration): TableMeta = {
     val schema = fresh.schema
     val (touched, untouched) = parentFiles.partition(f =>
       filters.forall(FileStats.mayMatch(f, _, schema)))
@@ -703,7 +753,7 @@ object LakeWriteUtil {
         "added-position-deletes" -> newDeletes.map(_.rowCount).sum.toString),
       untouched ++ partial, fresh.currentSchemaEpoch,
       deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ newDeletes)
-    table.catalog.commitMeta(fresh.withSnapshot(snap, Some(table.ref)))
+    fresh.withSnapshot(snap, Some(table.ref))
   }
 
   /** Columns projecting an epoch-schema frame to the CURRENT schema

@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Encoders, SparkSession}
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.{Collections, LinkedHashMap, Map => JMap}
 
 /** Parquet manifest spill for large snapshots (the 100 TB seam).
   *
@@ -26,8 +26,19 @@ object Manifests {
   val ThresholdKey = "write.metadata.manifest.spill-threshold"
   val DefaultThreshold = 500
 
-  private val cache = new ConcurrentHashMap[String, Seq[DataFileMeta]]()
+  // Access-ordered LRU: a workload touching more than MaxCacheEntries
+  // spilled snapshots evicts one entry per insert, not the whole cache
+  // (a clear-all would refetch every manifest on the next planning
+  // round — thrash, at exactly the snapshot counts where the cache
+  // matters most).
   private val MaxCacheEntries = 64
+  private val cache: JMap[String, Seq[DataFileMeta]] =
+    Collections.synchronizedMap(
+      new LinkedHashMap[String, Seq[DataFileMeta]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: JMap.Entry[String, Seq[DataFileMeta]]): Boolean =
+          size() > MaxCacheEntries
+      })
 
   def threshold(meta: TableMeta): Int =
     meta.properties.get(ThresholdKey).map(_.toInt).getOrElse(DefaultThreshold)
@@ -37,47 +48,42 @@ object Manifests {
     * the hydrated list still matches its stored content), keep small
     * ones inline.
     *
-    * Returns the slim snapshot plus the spill dirs this slim OBSOLETES.
-    * They must only be deleted after the commit that stops referencing
-    * them wins the CAS — deleting earlier would leave the
-    * currently-committed metadata pointing at a destroyed manifest if
-    * this commit loses the race ([[MetadataLog.commit]] owns the
-    * deferred deletion). A failure to read an existing spill propagates
-    * (commit fails, nothing is deleted): treating it as a content
-    * mismatch would re-spill and garbage-collect the LIVE dir on a
-    * transient I/O error. */
+    * Spill dirs this slim stops referencing are NOT deleted — not even
+    * after the commit wins the CAS: any reader that loaded the table
+    * earlier holds an unforced [[LazyManifestFiles]] pointer into the
+    * old dir, and deleting it inline would make that reader's first
+    * file-list access fail at an unbounded later time. Retired dirs are
+    * unreferenced by the new metadata, so `remove_orphan_files`' age-
+    * guarded stranded-spill sweep reclaims them once no plausible
+    * reader remains. A failure to read an existing spill propagates
+    * (commit fails, nothing changes on disk): treating it as a content
+    * mismatch would re-spill and orphan the LIVE dir on a transient
+    * I/O error. */
   def slim(meta: TableMeta, s: SnapshotMeta,
-      conf: Configuration): (SnapshotMeta, Seq[String]) = {
-    // a dir is garbage only if no OTHER snapshot still points at it
-    // (it never should — spill dirs are per-snapshot)
-    def obsolete(old: Option[String]): Seq[String] =
-      old.filterNot(p => meta.snapshots.exists(o =>
-        o.snapshotId != s.snapshotId && o.manifestPath.contains(p))).toSeq
+      conf: Configuration): SnapshotMeta = {
     s.files match {
       // a still-attached lazy wrapper IS the spill's content by
       // construction (any mutation replaces the Seq wholesale) — reuse
       // the pointer without forcing the manifest read. This keeps
       // commits O(changed snapshots), not O(history).
       case l: LazyManifestFiles if s.manifestPath.contains(l.dir) =>
-        return (s.copy(files = Nil), Nil)
+        return s.copy(files = Nil)
       case _ => ()
     }
     if (s.files.size <= threshold(meta)) {
       // small (or emptied) list: inline, and retire a stale pointer
-      if (s.manifestPath.isDefined)
-        (s.copy(manifestPath = None), obsolete(s.manifestPath))
-      else (s, Nil)
+      if (s.manifestPath.isDefined) s.copy(manifestPath = None) else s
     } else s.manifestPath match {
       // reuse the existing spill iff its stored content still matches
       // the hydrated list (cheap when cached — manifests are immutable)
       case Some(p) if read(p, conf) == s.files =>
-        (s.copy(files = Nil), Nil)
-      case old =>
+        s.copy(files = Nil)
+      case _ =>
         val dir = s"${meta.location}/metadata/manifests/" +
           s"m-${s.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}"
         write(dir, s.files)
         cachePut(dir, s.files)
-        (s.copy(files = Nil, manifestPath = Some(dir)), obsolete(old))
+        s.copy(files = Nil, manifestPath = Some(dir))
     }
   }
 
@@ -87,8 +93,8 @@ object Manifests {
     * entries by partition tuple, so a planner pruning on partition
     * min/max stats reads a contiguous slice of the manifest instead of
     * commit-order scatter. Returns the snapshot carrying the clustered
-    * list + new pointer; the OLD dir must outlive the commit that stops
-    * referencing it (the caller deletes it post-commit). */
+    * list + new pointer; the OLD dir stays on disk for already-loaded
+    * lazy readers and retires via `remove_orphan_files`. */
   private[lake] def respill(meta: TableMeta, s: SnapshotMeta,
       conf: Configuration): SnapshotMeta = {
     val dir = s"${meta.location}/metadata/manifests/" +
@@ -101,8 +107,10 @@ object Manifests {
     s.copy(files = clustered, manifestPath = Some(dir))
   }
 
-  /** Physically delete spill dirs (post-commit garbage or a failed
-    * attempt's fresh spills) and drop them from the cache. */
+  /** Physically delete spill dirs and drop them from the cache. Only
+    * for dirs no reader can hold a pointer to: a failed attempt's
+    * fresh spills (never committed, never loaded) and maintenance
+    * sweeps that own their own age/liveness guards. */
   private[lake] def drop(dirs: Seq[String], conf: Configuration): Unit =
     dirs.foreach { p =>
       scala.util.Try(MetadataLog.fs(p, conf).delete(new Path(p), true))
@@ -136,6 +144,40 @@ object Manifests {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Count of files the last pruned planning pass materialized on the
+    * driver — observability hook for specs and planning diagnostics. */
+  private[lake] val lastPrunedPlanCount =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Distributed pruned manifest planning (the 100 TB seam): instead
+    * of collecting a spilled snapshot's whole file list to the driver
+    * and pruning there — O(all files) driver memory and latency per
+    * query at millions of files — ship the scan predicates to a Spark
+    * job over the manifest parquet and collect only the SURVIVING
+    * entries. The executors evaluate the very same
+    * [[FileStats.mayMatch]] the driver-side prune uses, so pruned
+    * planning can never change results; `rewrite_manifests` clusters
+    * entries by partition tuple, so selective predicates touch a
+    * contiguous slice of the manifest. The partial result is NOT
+    * cached (the cache holds only full manifests). */
+  private[lake] def readPruned(dir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schema: org.apache.spark.sql.types.StructType,
+      conf: Configuration): Seq[DataFileMeta] = {
+    val cached = cache.get(dir)
+    if (cached != null) return FileStats.prune(cached, filters, schema)
+    val spark = SparkSession.active
+    val df = spark.read.parquet(dir)
+    val entries =
+      if (df.columns.contains("ord")) df.select("file.*")
+      else df // legacy ordinal-free spill
+    val survivors = entries.as(Encoders.product[DataFileMeta])
+      .filter(f => filters.forall(FileStats.mayMatch(f, _, schema)))
+      .collect().toSeq
+    lastPrunedPlanCount.set(survivors.size)
+    survivors
+  }
+
   private[lake] def read(dir: String, conf: Configuration): Seq[DataFileMeta] = {
     val cached = cache.get(dir)
     if (cached != null) return cached
@@ -153,11 +195,11 @@ object Manifests {
 
   /** Simulates a cold start (the cache is process-wide otherwise). */
   private[lake] def clearCacheForTesting(): Unit = cache.clear()
+  private[lake] def cacheSize: Int = cache.size()
+  private[lake] def cacheContains(dir: String): Boolean = cache.containsKey(dir)
 
-  private def cachePut(dir: String, files: Seq[DataFileMeta]): Unit = {
-    if (cache.size >= MaxCacheEntries) cache.clear()
+  private[lake] def cachePut(dir: String, files: Seq[DataFileMeta]): Unit =
     cache.put(dir, files)
-  }
 }
 
 /** A spilled manifest surfaced as an immutable Seq that reads through

@@ -85,19 +85,21 @@ object MetadataLog {
     // Spill oversized manifests to parquet; the JSON gets the slim
     // form (pointers), the CALLER gets back the hydrated form (full
     // file lists + pointers) so in-memory reads never dehydrate.
-    // Spill dirs OBSOLETED by a re-spill are deleted only after this
-    // commit wins the CAS: until then the currently-committed metadata
-    // may still point at them, and destroying one on a lost race would
-    // make that snapshot's file list unrecoverable.
+    // Spill dirs a re-spill stops referencing are NOT deleted here —
+    // not even after the CAS wins: an already-loaded reader holds an
+    // unforced LazyManifestFiles pointer into the old dir, and an
+    // inline delete would break that reader's first file-list access
+    // at an unbounded later time. remove_orphan_files' age-guarded
+    // stranded-spill sweep reclaims them.
     val spilled = meta.snapshots.map { s =>
-      val (slim, obsolete) = Manifests.slim(meta, s, conf)
-      (slim, s.copy(manifestPath = slim.manifestPath), obsolete,
+      val slim = Manifests.slim(meta, s, conf)
+      (slim, s.copy(manifestPath = slim.manifestPath),
         // fresh spill written by THIS attempt — garbage if the CAS
-        // loses (the retry re-spills from the reloaded metadata)
+        // loses (the retry re-spills from the reloaded metadata);
+        // nobody can have loaded it, so inline deletion is safe
         slim.manifestPath.filterNot(s.manifestPath.contains))
     }
-    val obsoleteDirs = spilled.flatMap(_._3)
-    val freshDirs = spilled.flatMap(_._4)
+    val freshDirs = spilled.flatMap(_._3)
     val next = meta.copy(snapshots = spilled.map(_._1),
       version = meta.version + 1)
     val f = fs(meta.location, conf)
@@ -131,11 +133,6 @@ object MetadataLog {
         f.delete(hintFile(meta.location), false) // fall back to listing
         f.rename(tmp, hintFile(meta.location))
     }
-    // the commit is durable: no metadata version references the
-    // obsoleted spill dirs anymore (older versions do, but they are
-    // superseded — time travel resolves through the snapshot log in
-    // the CURRENT version, which carries the new pointers)
-    Manifests.drop(obsoleteDirs, conf)
     next.copy(snapshots = spilled.map(_._2))
   }
 

@@ -258,16 +258,23 @@ object Procedures {
         val liveDeletes = remaining.flatMap(_.deleteFiles.map(_.path)).toSet
         val deadDeletes = expired.flatMap(_.deleteFiles.map(_.path)).distinct
           .filterNot(liveDeletes)
+        // drop parent pointers into expired snapshots
+        val patched = remaining.map(s =>
+          if (s.parentId.exists(expIds)) s.copy(parentId = None) else s)
+        // Commit FIRST, delete after: physical deletion must only
+        // happen once the metadata that stops referencing the expired
+        // snapshots is durable. Deleting before the commit would — on
+        // a lost CAS — leave the still-current metadata pointing at
+        // destroyed files (time travel/changelog permanently broken).
+        // A crash between commit and delete merely strands files for
+        // remove_orphan_files, matching the spill-dir invariant.
+        catalog.commitMeta(m.copy(snapshots = patched))
         // distributed: an expire on a 100 TB table retires millions of
         // files — they must not funnel through a driver loop
         LakeWriteUtil.bulkDelete(spark, deadFiles ++ deadDeletes,
           catalog.hadoopConf)
         LakeWriteUtil.bulkDelete(spark, deadManifests, catalog.hadoopConf,
           recursive = true)
-        // drop parent pointers into expired snapshots
-        val patched = remaining.map(s =>
-          if (s.parentId.exists(expIds)) s.copy(parentId = None) else s)
-        catalog.commitMeta(m.copy(snapshots = patched))
         Seq(Row((deadFiles.size + deadDeletes.size).toLong,
           deadManifests.size.toLong, expired.size.toLong))
       }
@@ -421,9 +428,10 @@ object Procedures {
       // back inline. Only heads: they are what reads plan against, and
       // like Iceberg's procedure (current snapshot only) this keeps the
       // call O(refs), not O(history) — historical spills stay cold
-      // (never hydrated) and retire with expire_snapshots. Old dirs are
-      // deleted only after the commit is durable; a crash in between
-      // strands them for remove_orphan_files.
+      // (never hydrated) and retire with expire_snapshots. Old dirs
+      // stay on disk: an already-loaded reader may hold an unforced
+      // lazy pointer into one, so they retire via remove_orphan_files'
+      // age-guarded sweep, never inline.
       def run(spark: SparkSession, a: Args): Seq[Row] = {
         val (m, _) = meta(a)
         val conf = catalog.hadoopConf
@@ -450,7 +458,6 @@ object Procedures {
         val freshDirs = snaps.flatMap(_.manifestPath).filterNot(prior)
         try catalog.commitMeta(m.copy(snapshots = snaps))
         catch { case e: Throwable => Manifests.drop(freshDirs, conf); throw e }
-        Manifests.drop(olds.result(), conf)
         Seq(Row(rewritten, added))
       }
     }),
@@ -689,6 +696,7 @@ object Procedures {
         opt("options", MapType(StringType, StringType)),
         opt("net_changes", BooleanType),
         opt("compute_updates", BooleanType),
+        opt("remove_carryovers", BooleanType),
         opt("identifier_columns", ArrayType(StringType)))
       val resultSchema = result("changelog_view" -> StringType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
@@ -703,7 +711,11 @@ object Procedures {
           a.strArr("identifier_columns"),
           a.boolOpt("compute_updates").getOrElse(
             !net && a.strArr("identifier_columns").nonEmpty),
-          netChanges = net)
+          netChanges = net,
+          // carry-over pairs from copy-on-write rewrites are dropped by
+          // default (docs/spark-procedures.md:905-921); pass false to
+          // see the raw per-commit file diffs
+          removeCarryovers = a.boolOpt("remove_carryovers").getOrElse(true))
         df.createOrReplaceTempView(viewName.stripPrefix("`").stripSuffix("`"))
         Seq(Row(viewName))
       }

@@ -94,11 +94,17 @@ class ReadOnlyCheckRule(spark: SparkSession) extends (LogicalPlan => Unit) {
       i.logicalRelation.catalogTable.foreach(checkCatalogTable)
     case i: InsertIntoStatement => check(i.table)
     // InsertIntoHiveTable lives in spark-hive; matching by class name
-    // avoids the compile-time dependency (reference :91-95)
+    // avoids the compile-time dependency (reference :91-95). The write
+    // TARGET is the command's `table: CatalogTable` field — its
+    // children are the SOURCE query. (The reference plugin checks
+    // children, which vetoes reads FROM a read-only table instead of
+    // writes INTO one; correctness is preferred over parity here.)
     case n if n.getClass.getName
         == "org.apache.spark.sql.hive.execution.InsertIntoHiveTable" =>
-      n.children.collectFirst { case h: HiveTableRelation => h }
-        .foreach(h => checkCatalogTable(h.tableMeta))
+      try n.getClass.getMethod("table").invoke(n) match {
+        case t: CatalogTable => checkCatalogTable(t)
+        case _ => ()
+      } catch { case _: ReflectiveOperationException => () }
     // V1 DDL (reference :97-124)
     case a: AlterTableAddColumnsCommand => checkV1(a.table)
     case a: AlterTableChangeColumnCommand => checkV1(a.tableName)

@@ -1,0 +1,184 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit auto-retry under contention (SURVEY.md §9 scope notes).
+  *
+  * Iceberg — the runtime the reference ships — transparently retries a
+  * commit that loses the optimistic CAS: the metadata is reloaded, the
+  * snapshot re-derived, the serializable validation re-run against the
+  * new head, and only a TRUE conflict (validation failure) surfaces.
+  * These specs prove the same property end to end: clean concurrent
+  * writers all succeed; a detected isolation violation still throws;
+  * retries are bounded.
+  */
+class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    wh = java.nio.file.Files.createTempDirectory("lake_cc").toString
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("concurrency-suite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String) = spark.sql(s)
+  private def count(s: String): Long = sql(s).collect()(0).getLong(0)
+
+  /** Run one closure per element concurrently; rethrow the first
+    * failure (after all threads finish, so no work is left in flight). */
+  private def inThreads[T](items: Seq[T])(f: T => Unit): Unit = {
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = items.map(i => new Thread(() =>
+      try f(i) catch { case t: Throwable => errors.add(t) }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errors.isEmpty) throw errors.peek()
+  }
+
+  test("concurrent INSERTs all succeed via commit auto-retry") {
+    sql("CREATE TABLE lake.db.ccins (id bigint, writer int) USING lake")
+    inThreads(0 until 4) { t =>
+      spark.sql("INSERT INTO lake.db.ccins " +
+        s"SELECT id, $t FROM range(${t * 100}, ${t * 100 + 10}, 1, 1)")
+    }
+    assert(count("SELECT count(*) FROM lake.db.ccins") == 40)
+    assert(count("SELECT count(DISTINCT writer) FROM lake.db.ccins") == 4)
+    // every writer produced exactly one snapshot; none was lost or doubled
+    assert(count("SELECT count(*) FROM lake.db.ccins.snapshots") == 4)
+  }
+
+  test("contention stress: mixed appends + deletes equal a serial schedule") {
+    sql("CREATE TABLE lake.db.ccmix (id bigint, writer int) USING lake")
+    // Each writer appends its own id range, then deletes the upper half
+    // of that range. Domains are disjoint, so every interleaving is
+    // serializable — with auto-retry, every commit must land.
+    inThreads(0 until 4) { t =>
+      val lo = t * 100
+      spark.sql("INSERT INTO lake.db.ccmix " +
+        s"SELECT id, $t FROM range($lo, ${lo + 10}, 1, 1)")
+      spark.sql(s"DELETE FROM lake.db.ccmix WHERE id >= ${lo + 5} AND id < ${lo + 100}")
+    }
+    val ids = sql("SELECT id FROM lake.db.ccmix ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = (0 until 4).flatMap(t => (t * 100) until (t * 100 + 5))
+      .map(_.toLong)
+    assert(ids == expected, s"serial-equivalent state expected, got $ids")
+    // 4 appends + 4 deletes = 8 snapshots, each committed exactly once
+    assert(count("SELECT count(*) FROM lake.db.ccmix.snapshots") == 8)
+  }
+
+  test("contention stress: concurrent merge-on-read deletes on disjoint rows") {
+    sql("""CREATE TABLE lake.db.ccmor (id bigint, writer int) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.ccmor SELECT id, CAST(id / 100 AS int) " +
+      "FROM range(0, 400, 1, 4)")
+    inThreads(0 until 4) { t =>
+      val lo = t * 100
+      spark.sql(s"DELETE FROM lake.db.ccmor WHERE id >= ${lo + 50} AND id < ${lo + 100}")
+    }
+    assert(count("SELECT count(*) FROM lake.db.ccmor") == 200)
+    assert(count("SELECT count(*) FROM lake.db.ccmor WHERE id % 100 >= 50") == 0)
+  }
+
+  test("a true write-skew conflict still throws after retries") {
+    sql("""CREATE TABLE lake.db.ccskew (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.update.mode'='merge-on-read',
+        |  'write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.ccskew SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val stale = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "ccskew")).asInstanceOf[LakeTable]
+    val scanned = stale.meta.currentSnapshot("main").get.files.map(_.path)
+    // a concurrent MoR DELETE masks rows in the stale operation's read set
+    sql("DELETE FROM lake.db.ccskew WHERE id = 3")
+    val loc = stale.meta.location
+    val stageDir = s"$loc/data/cc-skew"
+    sql("SELECT CAST(100 AS bigint) AS id, 'x' AS v")
+      .coalesce(1).write.parquet(stageDir)
+    // auto-retry must NOT paper over this: the validation re-runs
+    // against the new head on every attempt and keeps failing
+    intercept[java.util.ConcurrentModificationException] {
+      LakeWriteUtil.commitDelta(stale, stageDir,
+        s"$loc/metadata/deletes/none", "merge", Some(scanned))
+    }
+    assert(count("SELECT count(*) FROM lake.db.ccskew") == 9)
+  }
+
+  test("concurrent compaction does not falsely abort an unrelated delta commit") {
+    sql("""CREATE TABLE lake.db.ccfc (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.ccfc SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "ccfc")
+    // the operation's scan planned ONLY the low-range file
+    val lowFiles = cat.loadTable(ident).asInstanceOf[LakeTable]
+      .meta.currentSnapshot("main").get.files.map(_.path)
+    sql("INSERT INTO lake.db.ccfc SELECT id, concat('v', id) " +
+      "FROM range(1000, 1020, 1, 4)")
+    val stale = cat.loadTable(ident).asInstanceOf[LakeTable]
+    // a concurrent compaction rewrites the high-range files (operation
+    // "replace": new paths, zero new rows)
+    val res = sql("""CALL lake.system.rewrite_data_files(table => 'db.ccfc',
+        |`where` => 'id >= 1000')""".stripMargin).collect()
+    assert(res(0).getInt(0) >= 2, s"compaction must have rewritten: ${res.toSeq}")
+    val loc = stale.meta.location
+    val stageDir = s"$loc/data/cc-fc"
+    sql("SELECT CAST(5000 AS bigint) AS id, 'x' AS v")
+      .coalesce(1).write.parquet(stageDir)
+    // an unpushable MERGE condition prunes nothing — before the
+    // lineage-aware phantom check this threw a false conflict on the
+    // compaction's rewritten outputs
+    LakeWriteUtil.commitDelta(stale, stageDir,
+      s"$loc/metadata/deletes/none", "merge", Some(lowFiles))
+    assert(count("SELECT count(*) FROM lake.db.ccfc") == 31)
+    // but a genuine concurrent append in the same window still conflicts
+    val stale2 = cat.loadTable(ident).asInstanceOf[LakeTable]
+    val scanned2 = stale2.meta.currentSnapshot("main").get.files.map(_.path)
+    sql("INSERT INTO lake.db.ccfc VALUES (7777, 'p')")
+    val stageDir2 = s"$loc/data/cc-fc2"
+    sql("SELECT CAST(5001 AS bigint) AS id, 'y' AS v")
+      .coalesce(1).write.parquet(stageDir2)
+    intercept[java.util.ConcurrentModificationException] {
+      LakeWriteUtil.commitDelta(stale2, stageDir2,
+        s"$loc/metadata/deletes/none", "merge", Some(scanned2))
+    }
+  }
+
+  test("auto-retry is bounded: a persistent CAS blocker fails after num-retries") {
+    sql("""CREATE TABLE lake.db.ccblock (id bigint) USING lake
+        |TBLPROPERTIES ('commit.retry.num-retries'='1')""".stripMargin)
+    sql("INSERT INTO lake.db.ccblock VALUES (1)")
+    val loc = s"$wh/db/ccblock"
+    val conf = spark.sessionState.newHadoopConf()
+    val v = MetadataLog.currentVersion(loc, conf)
+    // occupy the next version slot; since the hint still points at v,
+    // every reload re-derives the same collision
+    val cur = new java.io.File(loc, f"metadata/v$v%05d.json")
+    val blocker = new java.io.File(loc, f"metadata/v${v + 1}%05d.json")
+    java.nio.file.Files.copy(cur.toPath, blocker.toPath)
+    intercept[java.util.ConcurrentModificationException] {
+      sql("INSERT INTO lake.db.ccblock VALUES (2)")
+    }
+    blocker.delete()
+    sql("INSERT INTO lake.db.ccblock VALUES (3)")
+    assert(sql("SELECT id FROM lake.db.ccblock ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+}

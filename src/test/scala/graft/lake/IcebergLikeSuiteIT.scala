@@ -1256,6 +1256,35 @@ class IcebergLikeSuiteIT extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes.exists(c => c._1 == 3L && c._2 == "delete"), changes.mkString(","))
   }
 
+  test("55_proc_cdc/changelog_removes_carryovers_by_default") {
+    val tbl = t("cdc_carry")
+    sql(s"DROP TABLE IF EXISTS $tbl")
+    sql(s"CREATE TABLE $tbl (id bigint, v string) USING lake")
+    // one file holding BOTH rows (range with 1 partition), so the
+    // delete below is a partial-file rewrite
+    sql(s"INSERT INTO $tbl SELECT id, concat('r', id) FROM range(1, 3, 1, 1)")
+    // CoW delete of id=2 rewrites the shared file: row 1 is re-emitted
+    // as a delete+insert carry-over pair despite not changing
+    sql(s"DELETE FROM $tbl WHERE id = 2")
+    sql(s"""CALL lake.system.create_changelog_view(
+        |  table => '$db.cdc_carry', changelog_view => 'cdc_carry_def')""".stripMargin)
+    val def2 = sql("SELECT id, _change_type FROM cdc_carry_def " +
+      "WHERE _change_ordinal = 1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(def2 == Seq((2L, "delete")),
+      s"carry-over pair for id=1 must be dropped by default: $def2")
+    // remove_carryovers => false exposes the raw per-commit file diff
+    sql(s"""CALL lake.system.create_changelog_view(
+        |  table => '$db.cdc_carry', changelog_view => 'cdc_carry_raw',
+        |  remove_carryovers => false)""".stripMargin)
+    val raw = sql("SELECT id, _change_type FROM cdc_carry_raw " +
+      "WHERE _change_ordinal = 1 ORDER BY id, _change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(raw == Seq((1L, "delete"), (1L, "insert"), (2L, "delete")),
+      s"raw view must keep the carry-over pair: $raw")
+    sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   // ----------------------------------------------------------------
   // 99_cleanup (LAST)
   // ----------------------------------------------------------------

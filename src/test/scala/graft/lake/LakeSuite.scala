@@ -454,9 +454,20 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(res.getInt(0) == 1 && res.getInt(1) == 1,
       s"1 rewritten + 1 added (head only), got $res")
+    // the head's OLD spill dir is not deleted inline — an already-
+    // loaded reader may hold an unforced lazy pointer into it; it
+    // retires via remove_orphan_files' age-guarded sweep instead
     val after = spillDirs()
-    assert(after.size == 2 && after.intersect(before).size == 1,
-      s"head spill replaced, history kept: before=$before after=$after")
+    assert(after.size == 3 && before.forall(after.contains),
+      s"fresh spill added, old dirs retained for lazy readers: " +
+        s"before=$before after=$after")
+    val cutoff = java.time.Instant.now().plusSeconds(60)
+    sql(s"""CALL lake.system.remove_orphan_files(table => 'db.rwman',
+       |older_than => TIMESTAMP '${java.sql.Timestamp.from(cutoff)}')""".stripMargin)
+      .collect()
+    val swept = spillDirs()
+    assert(swept.size == 2 && swept.intersect(before).size == 1,
+      s"sweep reclaims the replaced head spill, history kept: $swept")
     // rewritten manifests cluster entries by partition tuple
     val conf = spark.sessionState.newHadoopConf()
     Manifests.clearCacheForTesting()
@@ -995,5 +1006,135 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(removed.length == 1 && !planted.exists())
     assert(count("SELECT count(*) FROM lake.db.fresh_orphan") == 1)
+  }
+
+  test("selective scans over a spilled manifest plan distributed, pruned") {
+    sql("""CREATE TABLE lake.db.spillplan (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.spillplan SELECT id FROM range(0, 40, 1, 8)")
+    // cold start: the table must be re-loaded with a LAZY manifest
+    // pointer, and the selective query must take the pruned-plan path
+    Manifests.clearCacheForTesting()
+    Manifests.lastPrunedPlanCount.set(-1)
+    val r = sql("SELECT id FROM lake.db.spillplan WHERE id = 7").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(7L))
+    val planned = Manifests.lastPrunedPlanCount.get
+    assert(planned >= 1, "pruned distributed planning path must be used")
+    assert(planned < 8,
+      s"driver must materialize only surviving files, got $planned of 8")
+    // unfiltered scans still read everything
+    assert(count("SELECT count(*) FROM lake.db.spillplan") == 40)
+  }
+
+  test("manifest cache evicts per-entry LRU, not clear-all") {
+    Manifests.clearCacheForTesting()
+    (0 until 65).foreach(i => Manifests.cachePut(s"/lru-probe/dir-$i", Nil))
+    assert(Manifests.cacheSize == 64,
+      s"65th insert must evict exactly one entry, size=${Manifests.cacheSize}")
+    assert(!Manifests.cacheContains("/lru-probe/dir-0"), "eldest evicted")
+    assert(Manifests.cacheContains("/lru-probe/dir-1"))
+    assert(Manifests.cacheContains("/lru-probe/dir-64"))
+    // re-access promotes: dir-1 survives the next eviction, dir-2 goes
+    assert(Manifests.read("/lru-probe/dir-1",
+      spark.sessionState.newHadoopConf()).isEmpty)
+    Manifests.cachePut("/lru-probe/dir-65", Nil)
+    assert(Manifests.cacheContains("/lru-probe/dir-1"))
+    assert(!Manifests.cacheContains("/lru-probe/dir-2"))
+    Manifests.clearCacheForTesting()
+  }
+
+  test("a re-spilled snapshot's old dir survives for already-loaded readers") {
+    sql("""CREATE TABLE lake.db.spillkeep (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.spillkeep SELECT id FROM range(0, 12, 1, 4)")
+    val loc = sql("SELECT file_path FROM lake.db.spillkeep.files LIMIT 1")
+      .collect()(0).getString(0).replaceAll("/data/.*", "").stripPrefix("file:")
+    val conf = spark.sessionState.newHadoopConf()
+    // a long-lived reader: loaded now, file list not yet forced
+    val reader = MetadataLog.load(loc, conf)
+    // a writer mutates the spilled snapshot's file list → re-spill to
+    // a fresh dir; the old dir must NOT be deleted inline
+    val m = MetadataLog.load(loc, conf)
+    MetadataLog.commit(m.copy(snapshots = m.snapshots.map(s =>
+      s.copy(files = s.files.reverse))), conf)
+    Manifests.clearCacheForTesting() // the reader may be another process
+    assert(reader.snapshots.head.files.size == 4,
+      "already-loaded lazy reader must still hydrate the old spill")
+    // and the retired dir is reclaimed by the age-guarded orphan sweep
+    val cutoff = java.time.Instant.now().plusSeconds(60)
+    sql(s"""CALL lake.system.remove_orphan_files(table => 'db.spillkeep',
+       |older_than => TIMESTAMP '${java.sql.Timestamp.from(cutoff)}')""".stripMargin)
+      .collect()
+    val live = MetadataLog.load(loc, conf)
+    Manifests.clearCacheForTesting()
+    assert(live.snapshots.head.files.size == 4, "live spill survives the sweep")
+    assert(count("SELECT count(*) FROM lake.db.spillkeep") == 12)
+  }
+
+  test("WAP branch commit skips cross-ref validation (documented contract)") {
+    sql("""CREATE TABLE lake.db.wapx (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.wapx SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "wapx")
+    val stale = cat.loadTable(ident).asInstanceOf[LakeTable]
+    val scanned = stale.meta.currentSnapshot("main").get.files.map(_.path)
+    // a concurrent append on MAIN — a phantom for a same-ref commit
+    sql("INSERT INTO lake.db.wapx VALUES (50, 'new')")
+    val loc = stale.meta.location
+    val stageDir = s"$loc/data/wapx-stage"
+    sql("SELECT CAST(5000 AS bigint) AS id, 'x' AS v")
+      .coalesce(1).write.parquet(stageDir)
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      // cross-ref: scanned main, commits to 'audit' — the phantom
+      // validation is DELIBERATELY skipped (SURVEY.md §7.6: WAP stages
+      // are reconciled at publish time, there is no single lineage to
+      // compare). This spec pins the contract.
+      LakeWriteUtil.commitDelta(stale, stageDir,
+        s"$loc/metadata/deletes/none", "merge", Some(scanned))
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(count("SELECT count(*) FROM lake.db.wapx") == 11,
+      "main must not see the WAP-staged row")
+    assert(count("SELECT count(*) FROM lake.db.wapx VERSION AS OF 'audit'") == 12,
+      "the audit branch carries the staged row")
+  }
+
+  test("expire_snapshots deletes nothing when its commit loses the CAS") {
+    sql("CREATE TABLE lake.db.expirecas (id bigint) USING lake")
+    sql("INSERT INTO lake.db.expirecas VALUES (1)")
+    // overwrite: snapshot 1's files are dead once it expires (an
+    // append would share them with the surviving head)
+    sql("INSERT OVERWRITE lake.db.expirecas VALUES (2)")
+    val loc = s"$wh/db/expirecas"
+    val conf = spark.sessionState.newHadoopConf()
+    val before = MetadataLog.load(loc, conf)
+    val expiredFiles = before.snapshots.head.files.map(_.path)
+    assert(expiredFiles.nonEmpty)
+    // occupy the next version slot so the procedure's commit loses the
+    // CAS — physical deletion must not have happened by then
+    val blocker = new java.io.File(loc,
+      f"metadata/v${before.version + 1}%05d.json")
+    java.nio.file.Files.write(blocker.toPath,
+      java.nio.file.Files.readAllBytes(new java.io.File(loc,
+        f"metadata/v${before.version}%05d.json").toPath))
+    intercept[java.util.ConcurrentModificationException] {
+      sql("""CALL lake.system.expire_snapshots(table => 'db.expirecas',
+          |retain_last => 1,
+          |older_than => TIMESTAMP '2099-01-01 00:00:00')""".stripMargin)
+        .collect()
+    }
+    expiredFiles.foreach(p =>
+      assert(new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else s"file://$p").getPath).exists(),
+        s"lost CAS must leave expired snapshot's files intact: $p"))
+    blocker.delete()
+    assert(count("SELECT count(*) FROM lake.db.expirecas") == 1)
+    // time travel to the "expired" snapshot still works — nothing was lost
+    val v1 = before.snapshots.head.snapshotId
+    assert(sql(s"SELECT * FROM lake.db.expirecas VERSION AS OF $v1")
+      .count() == 1)
   }
 }

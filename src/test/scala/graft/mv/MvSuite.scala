@@ -350,6 +350,99 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     intercept[Exception] { sql("CREATE MATERIALIZED VIEW mv_noas") }
   }
 
+  // ── lifecycle variants 1:1 with the reference suite's granularity
+  //    (MaterializedViewSuite: one assertion axis per case) ──────────
+
+  test("create: sets lastRefreshTs within the create window") {
+    val before = System.currentTimeMillis()
+    sql("CREATE MATERIALIZED VIEW mv_ts AS SELECT region FROM sales")
+    val after = System.currentTimeMillis()
+    val ts = MvCatalog.get("mv_ts").get.lastRefreshTs
+    assert(ts >= before && ts <= after, s"lastRefreshTs $ts not in [$before, $after]")
+  }
+
+  test("create: records row count") {
+    sql("CREATE MATERIALIZED VIEW mv_rowcount AS SELECT region, product FROM sales")
+    assert(MvCatalog.get("mv_rowcount").get.rowCount == 5)
+  }
+
+  test("refresh: updates data values in the backing table") {
+    sql("CREATE TABLE sales_rfd USING parquet AS SELECT * FROM sales")
+    sql("""CREATE MATERIALIZED VIEW mv_rfd AS
+          |SELECT region, product FROM sales_rfd WHERE amount >= 300""".stripMargin)
+    assert(sql(s"SELECT * FROM ${MvCommands.backingName("mv_rfd")}").count() == 3)
+    sql("INSERT INTO sales_rfd VALUES ('north','z',900,1)")
+    sql("REFRESH MATERIALIZED VIEW mv_rfd")
+    val rows = sql(s"SELECT region FROM ${MvCommands.backingName("mv_rfd")}")
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set("west", "north"))
+    sql("DROP TABLE sales_rfd")
+  }
+
+  test("refresh: strictly advances lastRefreshTs") {
+    sql("CREATE MATERIALIZED VIEW mv_rts AS SELECT region FROM sales")
+    val ts1 = MvCatalog.get("mv_rts").get.lastRefreshTs
+    Thread.sleep(10)
+    sql("REFRESH MATERIALIZED VIEW mv_rts")
+    val ts2 = MvCatalog.get("mv_rts").get.lastRefreshTs
+    assert(ts2 > ts1)
+  }
+
+  test("refresh: updates row count in storage metadata") {
+    sql("CREATE TABLE sales_rrc USING parquet AS SELECT * FROM sales")
+    sql("""CREATE MATERIALIZED VIEW mv_rrc AS
+          |SELECT region FROM sales_rrc WHERE amount >= 300""".stripMargin)
+    val initial = MvCatalog.get("mv_rrc").get.rowCount
+    sql("INSERT INTO sales_rrc VALUES ('north','z',999,1)")
+    sql("REFRESH MATERIALIZED VIEW mv_rrc")
+    val updated = MvCatalog.get("mv_rrc").get.rowCount
+    assert(updated > initial, s"row count must grow: $initial -> $updated")
+    sql("DROP TABLE sales_rrc")
+  }
+
+  test("refresh incremental: updates data values in the backing table") {
+    sql("CREATE TABLE sales_incd USING parquet AS SELECT * FROM sales")
+    sql("""CREATE MATERIALIZED VIEW mv_incd AS
+          |SELECT region, amount FROM sales_incd WHERE amount >= 300""".stripMargin)
+    sql("INSERT INTO sales_incd VALUES ('south','y',800,2)")
+    sql("REFRESH MATERIALIZED VIEW mv_incd INCREMENTAL")
+    val regions = sql(s"SELECT region FROM ${MvCommands.backingName("mv_incd")}")
+      .collect().map(_.getString(0)).toSet
+    assert(regions.contains("south"))
+    sql("DROP TABLE sales_incd")
+  }
+
+  test("refresh incremental: strictly advances lastRefreshTs") {
+    sql("CREATE MATERIALIZED VIEW mv_irts AS SELECT region FROM sales")
+    val ts1 = MvCatalog.get("mv_irts").get.lastRefreshTs
+    Thread.sleep(10)
+    sql("REFRESH MATERIALIZED VIEW mv_irts INCREMENTAL")
+    val ts2 = MvCatalog.get("mv_irts").get.lastRefreshTs
+    assert(ts2 > ts1)
+  }
+
+  test("show: one MV row carries format and row count at the documented positions") {
+    sql("CREATE MATERIALIZED VIEW mv_showpos AS SELECT region FROM sales")
+    val rows = sql("SHOW MATERIALIZED VIEWS").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(5) == "parquet") // storage_format
+    assert(rows(0).getLong(6) == 5L)          // row_count
+  }
+
+  test("optimized query returns the same results as the base query") {
+    sql("""CREATE MATERIALIZED VIEW mv_equiv AS
+          |SELECT region, sum(amount) AS total FROM sales GROUP BY region""".stripMargin)
+    val q = "SELECT region, sum(amount) AS total FROM sales GROUP BY region"
+    val rewritten = sql(q)
+    assert(usesBacking(rewritten, "mv_equiv"), "rewrite must fire")
+    val got = rewritten.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    sql("DROP MATERIALIZED VIEW mv_equiv")
+    val base = sql(q).collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(got == base, s"rewritten $got != base $base")
+  }
+
   // ── aggregate rewrite depth (reference AggregateRewriteSuite) ─────
 
   test("column subset: query selects fewer aggregates than the MV") {
