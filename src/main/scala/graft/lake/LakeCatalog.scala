@@ -137,6 +137,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       if (tableExists0(parent)) {
         val meta = MetadataLog.load(tableLocation(parent), hadoopConf)
         val n = ident.name()
+        if (n == "changes")
+          // raw CDC relation incl. carry-over rows — the distributed
+          // counterpart of create_changelog_view (ChangesTable)
+          return new ChangesTable(this, parent, meta)
         if (MetadataTables.names.contains(n)) {
           val snap = version.flatMap {
             case Left(v) => resolveVersion(meta, v)

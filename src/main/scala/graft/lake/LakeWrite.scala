@@ -339,6 +339,50 @@ object LakeWriteUtil {
     buf.result()
   }
 
+  private def listParquetLocal(root: Path,
+      f: org.apache.hadoop.fs.FileSystem): Seq[(String, Long)] = {
+    val it = f.listFiles(root, true)
+    val buf = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.toString.contains("/_temporary/"))
+        buf += ((s.getPath.toString, s.getModificationTime))
+    }
+    buf.result()
+  }
+
+  /** Recursive parquet listing with modification times, fanning the
+    * walk out to executors when the tree is wide. remove_orphan_files
+    * on a 100 TB table lists millions of files across thousands of
+    * per-write `data/<uuid>/` subdirectories — a serial driver walk
+    * (plus one getFileStatus RPC per candidate for the age guard) is
+    * an hours-long stall; here each executor walks a slice of subdirs
+    * and the age comes back with the listing. */
+  def listParquetWithAge(spark: SparkSession, dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    val fs = MetadataLog.fs(dir, conf)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return Nil
+    val top = fs.listStatus(p).toSeq
+    val (dirs, files) = top.partition(_.isDirectory)
+    val topHits = files
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getModificationTime))
+    val subHits =
+      if (dirs.size <= 16) dirs.flatMap(d => listParquetLocal(d.getPath, fs))
+      else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        spark.sparkContext
+          .parallelize(dirs.map(_.getPath.toString), math.min(64, dirs.size))
+          .flatMap { d =>
+            val path = new Path(d)
+            listParquetLocal(path, path.getFileSystem(sconf.value))
+          }.collect().toSeq
+      }
+    topHits ++ subHits
+  }
+
   /** Partition-transform tuples per staged file (one small job over
     * just the staged files, reading only the source columns). */
   def partitionTuples(spark: SparkSession, paths: Seq[String],

@@ -291,8 +291,14 @@ object Procedures {
         // can strand either kind
         val referenced = m.snapshots.flatMap(s =>
           s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
-        val all = LakeWriteUtil.listParquet(s"${m.location}/data", conf) ++
-          LakeWriteUtil.listParquet(s"${m.location}/metadata/deletes", conf)
+        // distributed listing WITH modification times: the walk over
+        // thousands of data/<uuid>/ subdirs fans out to executors, and
+        // the age guard reuses the listed times instead of one
+        // getFileStatus RPC per candidate
+        val all =
+          LakeWriteUtil.listParquetWithAge(spark, s"${m.location}/data", conf) ++
+          LakeWriteUtil.listParquetWithAge(spark,
+            s"${m.location}/metadata/deletes", conf)
         val fs = MetadataLog.fs(m.location, conf)
         // only files older than the cutoff are orphan candidates: a
         // file staged by an in-flight, not-yet-committed write is
@@ -304,7 +310,8 @@ object Procedures {
           try fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
             .getModificationTime < cutoffMs
           catch { case _: java.io.FileNotFoundException => false }
-        val orphans = all.filterNot(referenced).filter(aged)
+        val orphans = all.filterNot { case (p, _) => referenced(p) }
+          .filter(_._2 < cutoffMs).map(_._1)
         // stranded manifest-spill DIRS: a commit that wrote a fresh
         // spill and then crashed (or lost the CAS before round 5's
         // cleanup) leaves a whole directory no metadata version points

@@ -217,6 +217,23 @@ object LakeOps {
              |FROM $view GROUP BY _change_type ORDER BY _change_type""".stripMargin)
   }
 
+  /** Raw CDC relation `tbl.changes`: merge-on-read deletes make the
+    * diff position-exact, so the raw table is oracle-deterministic
+    * (CoW carry-overs would depend on file layout). */
+  def lakeChangesTable(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("chtbl")
+    s.sql(s"""CREATE TABLE lakeq.db.$t (n_nationkey bigint, n_regionkey bigint)
+             |USING lake
+             |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_regionkey FROM $v")
+    s.sql(s"DELETE FROM lakeq.db.$t WHERE n_regionkey = 0")
+    s.sql(s"""SELECT _change_type, count(*) AS n, sum(n_nationkey) AS s
+             |FROM lakeq.db.$t.changes
+             |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
   /** Materialized view: exact-match rewrite serves the aggregate. */
   def lakeMvRollup(s: SparkSession, d: String): DataFrame = {
     cat(s)
@@ -304,6 +321,7 @@ object LakeOps {
     "lake_incremental_read" -> (lakeIncrementalRead _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_changelog" -> (lakeChangelog _),
+    "lake_changes_table" -> (lakeChangesTable _),
     "lake_mv_rollup" -> (lakeMvRollup _),
     "lake_metadata" -> (lakeMetadata _),
   )
@@ -363,6 +381,13 @@ object LakeOps {
     "lake_compaction" ->
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
     "lake_changelog" ->
+      """SELECT 'delete' AS _change_type, count(*) AS n,
+        |  sum(n_nationkey)::BIGINT AS s
+        |FROM nation WHERE n_regionkey = 0
+        |UNION ALL
+        |SELECT 'insert', count(*), sum(n_nationkey)::BIGINT FROM nation
+        |ORDER BY _change_type""".stripMargin,
+    "lake_changes_table" ->
       """SELECT 'delete' AS _change_type, count(*) AS n,
         |  sum(n_nationkey)::BIGINT AS s
         |FROM nation WHERE n_regionkey = 0

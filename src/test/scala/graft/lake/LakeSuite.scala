@@ -1071,6 +1071,37 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.spillkeep") == 12)
   }
 
+  test("tbl.changes surfaces the raw changelog including carry-over rows") {
+    sql("CREATE TABLE lake.db.chraw (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.chraw SELECT id, concat('r', id) FROM range(1, 3, 1, 1)")
+    // CoW delete rewrites the shared file: id=1 re-emits as a
+    // carry-over delete+insert pair — the changes TABLE keeps it
+    sql("DELETE FROM lake.db.chraw WHERE id = 2")
+    val rows = sql("""SELECT id, _change_type, _change_ordinal FROM
+        |lake.db.chraw.changes ORDER BY _change_ordinal, id, _change_type""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq(
+      (1L, "insert", 0), (2L, "insert", 0),
+      (1L, "delete", 1), (1L, "insert", 1), (2L, "delete", 1)),
+      s"raw changes with carry-overs expected: $rows")
+    // merge-on-read masks surface as position-exact deletes
+    sql("""CREATE TABLE lake.db.chmor (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.chmor SELECT id, concat('r', id) FROM range(0, 6, 1, 1)")
+    sql("DELETE FROM lake.db.chmor WHERE id IN (2, 4)")
+    val mor = sql("""SELECT id, _change_type FROM lake.db.chmor.changes
+        |WHERE _change_ordinal = 1 ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(mor == Seq((2L, "delete"), (4L, "delete")),
+      s"MoR masks must surface only the masked rows: $mor")
+    // snapshot-range read options work like the procedure's
+    val snaps = sql("SELECT snapshot_id FROM lake.db.chraw.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+    val ranged = spark.read.option("start-snapshot-id", snaps(0).toString)
+      .table("lake.db.chraw.changes").count()
+    assert(ranged == 3, s"range [after snap1] = the delete commit's diffs: $ranged")
+  }
+
   test("WAP branch commit skips cross-ref validation (documented contract)") {
     sql("""CREATE TABLE lake.db.wapx (id bigint, v string) USING lake
         |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
