@@ -55,9 +55,9 @@ class LakeStagedTable(catalog: LakeCatalog, ident: Identifier,
     case None => MetadataLog.dropTableDir(base.location, catalog.hadoopConf)
     case Some(v) =>
       // restore the pre-stage content as a NEW version on top of the
-      // current head (commit() only ever writes base.version + 1)
+      // current head (commit() only ever writes base.version + 1);
+      // retried so a concurrent commit can't strand the restore
       val old = MetadataLog.loadVersion(base.location, v, catalog.hadoopConf)
-      val cur = MetadataLog.currentVersion(base.location, catalog.hadoopConf)
-      catalog.commitMeta(old.copy(version = cur))
+      catalog.commitRetrying(ident)(fresh => old.copy(version = fresh.version))
   }
 }

@@ -234,12 +234,15 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     onBuild(pruned)
     onFilters(pushed)
     // merge-on-read position deletes of the scanned snapshot (none for
-    // filesOverride scans — changelog diffs pin their own file lists)
+    // filesOverride scans — changelog diffs pin their own file lists).
+    // Metadata-only relevance index: which delete files MAY mask each
+    // data file (footer stats); mask content is read executor-side by
+    // the task scanning the file, never collected for planning.
     val deleted =
-      if (filesOverride.isDefined) Map.empty[String, Array[Long]]
+      if (filesOverride.isDefined) Map.empty[String, Seq[String]]
       else snapshotId.flatMap(table.meta.snapshotById)
         .filter(_.deleteFiles.nonEmpty)
-        .map(s => PosDeletes.deletedMap(s.deleteFiles, table.catalog.hadoopConf))
+        .map(s => PosDeletes.masksFor(pruned, s.deleteFiles))
         .getOrElse(Map.empty)
     if (rowLevel && table.meta.partitionSpec.nonEmpty)
       new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted)
@@ -263,7 +266,7 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
 class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
     required: StructType, options: CaseInsensitiveStringMap,
     onFiles: Seq[DataFileMeta] => Unit,
-    deleted: Map[String, Array[Long]] = Map.empty)
+    deleted: Map[String, Seq[String]] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[DataFileMeta] = initial
@@ -301,7 +304,7 @@ object LakeScans {
   def build(table: LakeTable, files: Seq[DataFileMeta],
       required: StructType, pushed: Array[Filter],
       options: CaseInsensitiveStringMap,
-      deleted: Map[String, Array[Long]] = Map.empty): Scan = {
+      deleted: Map[String, Seq[String]] = Map.empty): Scan = {
     val spark = SparkSession.active
     val currentSchema = table.schema()
     // Projections of the _file/_pos metadata columns need per-row file
@@ -499,7 +502,7 @@ class CompositeReaderFactory(factories: Seq[PartitionReaderFactory],
   * restores the fast path by folding masks back into data files.
   */
 class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
-    required: StructType, deleted: Map[String, Array[Long]])
+    required: StructType, deleted: Map[String, Seq[String]])
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -511,8 +514,10 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
     val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)
     files.map { f =>
       val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f.path)).getLen
+      // the partition carries the RELEVANT delete-file paths, not the
+      // positions: the task reads its own masks executor-side
       PosDeletePartition(f.path, f.schemaEpoch, len,
-        deleted.getOrElse(PosDeletes.norm(f.path), Array.empty))
+        deleted.getOrElse(PosDeletes.norm(f.path), Nil))
     }.toArray
   }
 
@@ -576,17 +581,19 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
     }.toMap
     new PosDeleteReaderFactory(
       perEpoch.map { case (e, (f, _)) => e -> f },
-      perEpoch.map { case (e, (_, x)) => e -> x })
+      perEpoch.map { case (e, (_, x)) => e -> x },
+      new org.apache.spark.util.SerializableConfiguration(hconf))
   }
 }
 
 case class PosDeletePartition(path: String, epoch: Int, fileLen: Long,
-    deletedSorted: Array[Long]) extends InputPartition
+    deleteFiles: Seq[String]) extends InputPartition
 
 class PosDeleteReaderFactory(
     readFuncs: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow]],
-    projections: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+    projections: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
@@ -608,7 +615,12 @@ class PosDeleteReaderFactory(
       }
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(projections(part.epoch).toArray)
-    val mask = part.deletedSorted
+    // mask content loads HERE, on the executor running this task,
+    // through the executor-local cache — the driver only planned which
+    // delete files are relevant
+    val mask: Array[Long] =
+      if (part.deleteFiles.isEmpty) Array.empty
+      else PosDeletes.deletedFor(part.path, part.deleteFiles, conf.value)
     val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
     metaRow.update(0, org.apache.spark.unsafe.types.UTF8String
       .fromString(PosDeletes.norm(part.path)))
