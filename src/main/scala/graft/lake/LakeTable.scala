@@ -202,7 +202,7 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     filesOverride: Option[Seq[DataFileMeta]] = None,
     onFilters: Array[Filter] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val fullSchema = table.schema()
   private var required: StructType = fullSchema
@@ -217,7 +217,57 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- aggregate pushdown: COUNT/MIN/MAX answered from manifest ----
+  // At 100 TB `SELECT count(*) FROM t` must be a metadata lookup, not
+  // a full scan — the manifest already carries exact per-file row
+  // counts and footer min/max/null stats (Iceberg answers the same
+  // aggregates from its manifests). COMPLETE pushdown only: the scan
+  // returns the final rows or declines entirely; there is no partial
+  // mode whose mistakes an executor could hide.
+  private var aggPushed: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
+  private var aggMemo: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])])] = None
+
+  private def computeAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = {
+    aggMemo match {
+      case Some((a, r)) if a eq agg => return r
+      case _ =>
+    }
+    val res = LakeAggPushdown.tryCompute(table, snapshotId, agg,
+      declined = rowLevel || filesOverride.isDefined || pushed.nonEmpty)
+    aggMemo = Some((agg, res))
+    res
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAggregate(agg) match {
+      case s @ Some((schema, _)) =>
+        aggPushed = s
+        required = schema
+        true
+      case None => false
+    }
+
   override def build(): Scan = {
+    aggPushed match {
+      case Some((aggSchema, rows)) =>
+        // pruneColumns may have narrowed/reordered: project by name
+        val idx = required.fieldNames.map(aggSchema.fieldIndex)
+        val projected = rows.map { r =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            idx.map(i => r.get(i, aggSchema(i).dataType)).toArray[Any])
+            : org.apache.spark.sql.catalyst.InternalRow
+        }
+        return new LakeAggScan(required, projected)
+      case None =>
+    }
     val files = filesOverride.getOrElse(table.meta.filesOf(snapshotId))
     // Spilled-manifest snapshots with pushed predicates plan
     // DISTRIBUTED: the prune runs as a Spark job over the manifest
@@ -246,9 +296,242 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
         .getOrElse(Map.empty)
     if (rowLevel && table.meta.partitionSpec.nonEmpty)
       new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted)
-    else LakeScans.build(table, pruned, required,
-      if (rowLevel) Array.empty else pushed, options, deleted)
+    else if (rowLevel)
+      LakeScans.build(table, pruned, required, Array.empty, options, deleted)
+    else new LakeBatchScan(table, pruned, required, pushed, options, deleted)
   }
+}
+
+/** Metadata-only result of a completely-pushed aggregate: the rows
+  * were computed from manifest stats at plan time; Spark plans this as
+  * a LocalTableScan — zero data files are opened. */
+class LakeAggScan(schema: StructType,
+    rs: Array[org.apache.spark.sql.catalyst.InternalRow])
+  extends Scan with LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rs
+  override def description(): String =
+    s"LakeAggScan(metadata-only aggregate, ${rs.length} rows)"
+}
+
+/** Answers COUNT(*) / COUNT(col) / MIN(col) / MAX(col) — optionally
+  * grouped — exactly from manifest statistics, declining whenever
+  * exactness is not provable:
+  *
+  *  - any pushed filter, MoR delete file, row-level scan or pinned
+  *    file list → decline (row membership isn't decidable from stats);
+  *  - COUNT(col) needs a null count for the column in EVERY file;
+  *  - MIN/MAX need footer min/max in every file (parquet-mr writes
+  *    them whole or not at all — no silent truncation) and a type
+  *    whose encoded stats decode losslessly (integral, string, date,
+  *    timestamp, boolean; float/double are excluded for NaN, decimal
+  *    for its binary encoding);
+  *  - a GROUP BY column qualifies iff in every file its min == max
+  *    with zero nulls — provably single-valued per file, which is
+  *    exactly the shape identity-partitioned (or partition-clustered)
+  *    data has. Files then group by that constant.
+  *
+  * Schema-epoch renames are resolved through the same field-id rename
+  * map the scan path uses, so stats written under an old column name
+  * still serve the current name. */
+private[lake] object LakeAggPushdown {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  private def decode(s: String, dt: DataType): Option[Any] = try dt match {
+    case ByteType => Some(s.toLong.toByte)
+    case ShortType => Some(s.toLong.toShort)
+    case IntegerType => Some(s.toLong.toInt)
+    case LongType => Some(s.toLong)
+    case BooleanType => Some(s.toBoolean)
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case DateType => Some(s.toLong.toInt)       // footer: epoch-day
+    case TimestampType | TimestampNTZType => Some(s.toLong) // micros
+    case _ => None
+  } catch { case _: Exception => None }
+
+  def tryCompute(table: LakeTable, snapshotId: Option[Long],
+      agg: Aggregation, declined: Boolean)
+      : Option[(StructType, Array[InternalRow])] = {
+    if (declined) return None
+    val snap = snapshotId.flatMap(table.meta.snapshotById)
+    if (snap.exists(_.deleteFiles.nonEmpty)) return None
+    val schema = table.schema()
+    val files = table.meta.filesOf(snapshotId)
+    val renames = files.map(_.schemaEpoch).distinct.map(e =>
+      e -> LakeScans.renameMap(schema, table.meta.schemaAt(e))).toMap
+    def statName(f: DataFileMeta, col: String): String =
+      renames(f.schemaEpoch).getOrElse(col, col)
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case fr: NamedReference if fr.fieldNames.length == 1 =>
+        schema.fields.find(_.name == fr.fieldNames()(0))
+          .orElse(schema.fields.find(
+            _.name.equalsIgnoreCase(fr.fieldNames()(0))))
+      case _ => None
+    }
+
+    // group columns: provably single-valued per file
+    val groupFields = agg.groupByExpressions.toSeq.map { e =>
+      val f = fieldOf(e).getOrElse(return None)
+      val ok = files.forall { df =>
+        val n = statName(df, f.name)
+        df.nullCounts.get(n).contains(0L) &&
+          df.minValues.get(n).exists(mn => df.maxValues.get(n).contains(mn) &&
+            decode(mn, f.dataType).isDefined)
+      }
+      if (!ok) return None
+      f
+    }
+    def groupKey(df: DataFileMeta): Seq[Any] =
+      groupFields.map(f =>
+        decode(df.minValues(statName(df, f.name)), f.dataType).get)
+
+    // one evaluator per aggregate: Seq[DataFileMeta] => value
+    val aggs: Seq[(DataType, Boolean, Seq[DataFileMeta] => Any)] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          (LongType, false, (fs: Seq[DataFileMeta]) => fs.map(_.rowCount).sum)
+        case c: Count if !c.isDistinct =>
+          val f = fieldOf(c.column).getOrElse(return None)
+          val ok = files.forall(df =>
+            df.nullCounts.contains(statName(df, f.name)))
+          if (!ok) return None
+          (LongType, false, (fs: Seq[DataFileMeta]) =>
+            fs.map(df => df.rowCount - df.nullCounts(statName(df, f.name))).sum)
+        case m: Min =>
+          val f = fieldOf(m.column).getOrElse(return None)
+          minMaxEval(files, f, statName, isMin = true).getOrElse(return None)
+        case m: Max =>
+          val f = fieldOf(m.column).getOrElse(return None)
+          minMaxEval(files, f, statName, isMin = false).getOrElse(return None)
+        case _ => return None // SUM/AVG/distinct: not derivable from stats
+      }
+
+    val outSchema = StructType(
+      groupFields.map(f => f.copy(nullable = false)) ++
+        aggs.zipWithIndex.map { case ((dt, nullable, _), i) =>
+          StructField(s"agg_$i", dt, nullable) })
+    val grouped: Seq[Seq[DataFileMeta]] =
+      if (groupFields.isEmpty) Seq(files)
+      else files.groupBy(groupKey).values.toSeq
+    val rows = grouped.map { fs =>
+      val key = if (groupFields.isEmpty) Nil else groupKey(fs.head)
+      new GenericInternalRow(
+        (key ++ aggs.map(_._3(fs))).toArray[Any]): InternalRow
+    }.toArray
+    Some((outSchema, rows))
+  }
+
+  /** MIN/MAX evaluator iff every file has decodable stats for the
+    * column (files with zero rows or an all-null column lack them —
+    * the whole aggregate then declines to the scan path). */
+  private def minMaxEval(files: Seq[DataFileMeta], f: StructField,
+      statName: (DataFileMeta, String) => String, isMin: Boolean)
+      : Option[(DataType, Boolean, Seq[DataFileMeta] => Any)] = {
+    val bounds = if (isMin) (df: DataFileMeta) => df.minValues
+      else (df: DataFileMeta) => df.maxValues
+    val ok = files.forall(df => bounds(df).get(statName(df, f.name))
+      .exists(decode(_, f.dataType).isDefined))
+    if (!ok) return None
+    Some((f.dataType, true, (fs: Seq[DataFileMeta]) => {
+      if (fs.isEmpty) null
+      else {
+        val best = fs.map(df => bounds(df)(statName(df, f.name)))
+          .reduce { (a, b) =>
+            // decode pre-validated for every file, so cmp parses; the
+            // 0 fallback is unreachable but must not non-locally return
+            val cmp = FileStats.cmp(a, b, f.dataType).getOrElse(0)
+            if ((isMin && cmp <= 0) || (!isMin && cmp >= 0)) a else b
+          }
+        decode(best, f.dataType).orNull
+      }
+    }))
+  }
+}
+
+/** Manifest-backed scan statistics: exact pre-mask row counts and
+  * compressed byte sizes summed over the planned file list. Feeding
+  * these to Catalyst is what lets a small lake dimension auto-broadcast
+  * in joins — without them a DSv2 scan outside the FileScan family
+  * falls back to `spark.sql.defaultSizeInBytes` (effectively infinite)
+  * and every join sort-merges. */
+private[lake] case class LakeStats(files: Seq[DataFileMeta]) extends Statistics {
+  override def sizeInBytes(): java.util.OptionalLong =
+    java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
+  override def numRows(): java.util.OptionalLong =
+    java.util.OptionalLong.of(files.map(_.rowCount).sum)
+}
+
+/** The normal-read scan: wraps the delegate built by [[LakeScans.build]]
+  * with the two planning-time scale features a 1000-executor join needs:
+  *
+  *  - '''Dynamic file pruning''' (SupportsRuntimeV2Filtering): joining
+  *    a partitioned fact to a filtered dimension, Spark evaluates the
+  *    dim side first and hands the surviving join-key values back via
+  *    [[filter]]; the file set re-prunes with the same stats check as
+  *    planning-time skipping, so only matching-partition files are
+  *    read. Iceberg gets this via its SparkBatchQueryScan runtime
+  *    filtering; same contract here.
+  *  - '''Statistics''' (SupportsReportStatistics): exact manifest row
+  *    counts/byte sizes (see [[LakeStats]]) drive broadcast planning
+  *    even on the composite/MoR-masked paths that bypass FileScan.
+  *
+  * Equality delegates to the inner scan so exchange/scan reuse across
+  * identical subplans is preserved. */
+class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
+    required: StructType, pushed: Array[Filter],
+    options: CaseInsensitiveStringMap,
+    deleted: Map[String, Seq[String]] = Map.empty)
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  @volatile private var files: Seq[DataFileMeta] = initial
+  @volatile private var delegate: Scan =
+    LakeScans.build(table, files, required, pushed, options, deleted)
+
+  override def readSchema(): StructType = required
+  override def description(): String = delegate.description()
+
+  // runtime-filterable on the partition source columns: bounded
+  // cardinality, and the file-level stats are decisive for them
+  override def filterAttributes(): Array[NamedReference] =
+    table.meta.partitionSpec.map(_.sourceColumn).distinct
+      .map(Shims.columnRef).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.flatMap(Shims.predicateToV1(_))
+    if (v1.nonEmpty) {
+      val narrowed = FileStats.prune(files, v1.toSeq, table.schema())
+      LakeBatchScan.lastRuntimeFileCount.set(narrowed.size)
+      if (narrowed.size < files.size) {
+        files = narrowed
+        delegate = LakeScans.build(table, files, required, pushed, options,
+          deleted)
+      }
+    }
+  }
+
+  override def estimateStatistics(): Statistics = LakeStats(files)
+
+  override def toBatch: Batch = delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    delegate.toMicroBatchStream(checkpointLocation)
+
+  override def equals(o: Any): Boolean = o match {
+    case s: LakeBatchScan => delegate == s.delegate
+    case _ => false
+  }
+  override def hashCode(): Int = delegate.hashCode()
+}
+
+object LakeBatchScan {
+  /** Spec observability: file count surviving the most recent runtime
+    * filter (same pattern as Manifests.lastPrunedPlanCount). */
+  private[lake] val lastRuntimeFileCount =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 /** Row-level-operation scan with runtime group filtering
@@ -421,11 +704,32 @@ object LakeScans {
 
 /** Concatenates per-epoch scans; partitions route to their own
   * delegate reader factory (columnar included). */
-class CompositeScan(scans: Seq[Scan], schema: StructType) extends Scan with Batch {
+class CompositeScan(scans: Seq[Scan], schema: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
   override def description(): String =
     s"CompositeScan(${scans.map(_.description()).mkString("; ")})"
+
+  /** Sum of the delegates' estimates; a component dimension unknown in
+    * ANY delegate leaves it unknown for the whole (no silent under-
+    * estimate that would mis-broadcast a large table). */
+  override def estimateStatistics(): Statistics = {
+    val parts = scans.map {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    def sum(f: Statistics => java.util.OptionalLong): java.util.OptionalLong = {
+      val vals = parts.map(_.map(f))
+      if (vals.forall(_.exists(_.isPresent)))
+        java.util.OptionalLong.of(vals.map(_.get.getAsLong).sum)
+      else java.util.OptionalLong.empty()
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = sum(_.sizeInBytes())
+      override def numRows(): java.util.OptionalLong = sum(_.numRows())
+    }
+  }
+  override def toBatch: Batch = this
 
   private lazy val delegates: Seq[Batch] = scans.map(_.toBatch)
 
@@ -503,12 +807,15 @@ class CompositeReaderFactory(factories: Seq[PartitionReaderFactory],
   */
 class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
     required: StructType, deleted: Map[String, Seq[String]])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"PosDeleteScan(${table.name()}, ${files.size} masked files)"
+
+  // pre-mask row counts: a slight over-estimate, safe for planning
+  override def estimateStatistics(): Statistics = LakeStats(files)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)

@@ -1168,4 +1168,100 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql(s"SELECT * FROM lake.db.expirecas VERSION AS OF $v1")
       .count() == 1)
   }
+
+  test("scan reports manifest statistics; small MoR-masked dim auto-broadcasts") {
+    sql("""CREATE TABLE lake.db.statdim (id bigint, name string) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.statdim VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("DELETE FROM lake.db.statdim WHERE id = 2") // mask => PosDeleteScan path
+    sql("CREATE TABLE lake.db.statfact (id bigint, qty bigint) USING lake")
+    sql("INSERT INTO lake.db.statfact SELECT id % 3 + 1, id FROM range(1000)")
+
+    val df = sql("""SELECT f.qty, d.name FROM lake.db.statfact f
+                 |JOIN lake.db.statdim d ON f.id = d.id""".stripMargin)
+    // the masked dim's DSv2 relation must carry REAL stats (pre-stats it
+    // fell back to defaultSizeInBytes = Long.Max and could never
+    // STATICALLY broadcast — only AQE could rescue it at runtime)
+    val dimRel = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.description().contains("PosDeleteScan") ||
+            r.scan.isInstanceOf[LakeBatchScan] => r
+    }
+    assert(dimRel.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    val dimStats = dimRel.map(_.stats.sizeInBytes).min
+    assert(dimStats < 1024 * 1024,
+      s"masked dim should report a small size, got $dimStats")
+    // static physical plan (pre-AQE) already picks a broadcast join
+    assert(df.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      df.queryExecution.sparkPlan.toString)
+    val rows = df.collect()
+    assert(rows.length == 667 && !rows.exists(_.getString(1) == "b"))
+  }
+
+  test("count/min/max answer from manifest stats: metadata-only plan") {
+    sql("""CREATE TABLE lake.db.aggt (id bigint, cat string) USING lake
+        |PARTITIONED BY (cat)""".stripMargin)
+    sql("""INSERT INTO lake.db.aggt
+        |SELECT id, concat('c', cast(id % 4 AS string)) FROM range(400)""".stripMargin)
+
+    val g = sql("SELECT count(*), min(id), max(id), count(cat) FROM lake.db.aggt")
+    assert(g.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"global agg must not scan data files:\n${g.queryExecution.executedPlan}")
+    val r = g.collect()(0)
+    assert(r.getLong(0) == 400 && r.getLong(1) == 0L &&
+      r.getLong(2) == 399L && r.getLong(3) == 400)
+
+    // GROUP BY the identity partition column: files are provably
+    // single-valued on it (min==max, no nulls), so still metadata-only
+    val gb = sql("""SELECT cat, count(*) AS c, max(id) AS m
+                 |FROM lake.db.aggt GROUP BY cat ORDER BY cat""".stripMargin)
+    assert(gb.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"partition-grouped agg must not scan data files:\n${gb.queryExecution.executedPlan}")
+    val rows = gb.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(rows.length == 4 && rows.forall(_._2 == 100))
+    assert(rows.find(_._1 == "c3").exists(_._3 == 399))
+
+    // a WHERE declines the pushdown — normal scan, same answers
+    val w = sql("SELECT count(*) FROM lake.db.aggt WHERE cat = 'c1'")
+    assert(!w.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(w.collect()(0).getLong(0) == 100)
+
+    // schema-epoch rename: stats written under the old name still serve
+    sql("ALTER TABLE lake.db.aggt RENAME COLUMN id TO ident")
+    val ren = sql("SELECT max(ident) FROM lake.db.aggt")
+    assert(ren.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(ren.collect()(0).getLong(0) == 399L)
+
+    // MoR delete masks decline (stats can't see masked rows)
+    sql("""CREATE TABLE lake.db.aggmor (id bigint) USING lake
+        |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.aggmor SELECT id FROM range(10)")
+    sql("DELETE FROM lake.db.aggmor WHERE id >= 8")
+    val mor = sql("SELECT count(*) FROM lake.db.aggmor")
+    assert(!mor.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(mor.collect()(0).getLong(0) == 8)
+  }
+
+  test("dynamic file pruning: join runtime filter narrows partitioned scan") {
+    sql("""CREATE TABLE lake.db.dppfact (id bigint, cat string) USING lake
+        |PARTITIONED BY (cat)""".stripMargin)
+    sql("""INSERT INTO lake.db.dppfact
+        |SELECT id, concat('c', cast(id % 8 AS string)) FROM range(800)""".stripMargin)
+    sql("CREATE TABLE lake.db.dppdim (cat string, flag int) USING lake")
+    sql("INSERT INTO lake.db.dppdim SELECT concat('c', cast(id AS string)), " +
+      "cast(id % 8 = 1 AS int) FROM range(8)")
+
+    LakeBatchScan.lastRuntimeFileCount.set(-1)
+    val df = sql("""SELECT f.id FROM lake.db.dppfact f
+                 |JOIN lake.db.dppdim d ON f.cat = d.cat WHERE d.flag = 1""".stripMargin)
+    assert(df.count() == 100)
+    // the fact scan received a dynamic-pruning runtime filter …
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning filter on the fact scan:\n$plan")
+    // … and it narrowed the planned file set to the matching partition
+    val survived = LakeBatchScan.lastRuntimeFileCount.get()
+    assert(survived >= 1 && survived < 8,
+      s"runtime filter should prune partition files, planned $survived of 8")
+  }
 }
