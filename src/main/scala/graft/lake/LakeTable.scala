@@ -340,7 +340,7 @@ private[lake] object LakeAggPushdown {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.types._
 
-  private def decode(s: String, dt: DataType): Option[Any] = try dt match {
+  private[lake] def decode(s: String, dt: DataType): Option[Any] = try dt match {
     case ByteType => Some(s.toLong.toByte)
     case ShortType => Some(s.toLong.toShort)
     case IntegerType => Some(s.toLong.toInt)
@@ -485,19 +485,124 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     required: StructType, pushed: Array[Filter],
     options: CaseInsensitiveStringMap,
     deleted: Map[String, Seq[String]] = Map.empty)
-  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   @volatile private var files: Seq[DataFileMeta] = initial
-  @volatile private var delegate: Scan =
+  // lazy so a key-grouped (SPJ) execution never pays for the flat
+  // delegate's file index; runtime filtering swaps in a narrowed one
+  @volatile private var narrowedDelegate: Option[Scan] = None
+  private lazy val initialDelegate: Scan =
     LakeScans.build(table, files, required, pushed, options, deleted)
+  private def delegate: Scan = narrowedDelegate.getOrElse(initialDelegate)
 
   override def readSchema(): StructType = required
   override def description(): String = delegate.description()
 
+  // ---- storage-partitioned joins -----------------------------------
+  // When every planned file is provably single-valued on all identity
+  // partition columns (footer min==max, zero nulls — the shape
+  // identity-partitioned data always has), report KeyGroupedPartitioning
+  // and plan one keyed input-partition group per partition tuple. Two
+  // lake tables co-partitioned on the join keys then join with NO
+  // shuffle exchange — at 100 TB the single biggest join cost simply
+  // disappears. Gated on spark.sql.sources.v2.bucketing.enabled (the
+  // same switch Iceberg's SPJ uses).
+  private lazy val keyed: Option[(Array[Transform], KeyedBatch)] = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+        .toBoolean) None
+    else if (deleted.nonEmpty) None // keep MoR masks off the SPJ path
+    else if (files.isEmpty) None    // an empty keyed partitioning would
+                                    // report 0 partitions — use the
+                                    // ordinary empty scan instead
+    else {
+      val spec = table.meta.partitionSpec
+      if (spec.isEmpty ||
+          !spec.forall(f => f.transform == "identity" || f.transform == "bucket"))
+        None
+      else {
+        val schema = table.schema()
+        val renames = files.map(_.schemaEpoch).distinct.map(e =>
+          e -> LakeScans.renameMap(schema, table.meta.schemaAt(e))).toMap
+        // one (transform expression, per-file key extractor) per field:
+        //  - identity: constant proven by footer stats, typed value
+        //  - bucket:   the manifest's recorded bucket id (a Long — the
+        //    same value TransformFunctions.bucket computes, which Spark
+        //    resolves through this catalog's FunctionCatalog)
+        val extractors: Option[Seq[(Transform, DataFileMeta => Option[Any])]] =
+          traverse(spec) { pf =>
+            schema.fields.find(_.name == pf.sourceColumn).flatMap { fld =>
+              pf.transform match {
+                case "identity" => Some((
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .identity(fld.name),
+                  (f: DataFileMeta) => {
+                    val n = renames(f.schemaEpoch).getOrElse(fld.name, fld.name)
+                    for {
+                      mn <- f.minValues.get(n)
+                      if f.maxValues.get(n).contains(mn) &&
+                        f.nullCounts.get(n).contains(0L)
+                      v <- LakeAggPushdown.decode(mn, fld.dataType)
+                    } yield v
+                  }))
+                case "bucket" => pf.param.map(n => (
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .bucket(n, fld.name),
+                  (f: DataFileMeta) => f.partitionValues.get(pf.name)
+                    .flatMap(s => scala.util.Try(
+                      java.lang.Long.valueOf(s.toLong): Any).toOption)))
+                case _ => None
+              }
+            }
+          }
+        extractors.flatMap { ex =>
+          val keyedFiles: Option[Seq[(Seq[Any], DataFileMeta)]] =
+            traverse(files)(f => traverse(ex)(_._2(f)).map(_ -> f))
+          keyedFiles.map { kf =>
+            val groups = kf.groupBy(_._1).toSeq.map { case (k, fs) =>
+              val row: org.apache.spark.sql.catalyst.InternalRow =
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(k.toArray[Any])
+              row -> LakeScans.build(table, fs.map(_._2), required, pushed,
+                options)
+            }
+            (ex.map(_._1).toArray, new KeyedBatch(groups))
+          }
+        }
+      }
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = Seq.newBuilder[B]
+    for (x <- xs) f(x) match {
+      case Some(b) => out += b
+      case None => return None
+    }
+    Some(out.result())
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyed match {
+      case Some((exprs, batch)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            exprs.toArray[org.apache.spark.sql.connector.expressions.Expression],
+            batch.planInputPartitions().length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   // runtime-filterable on the partition source columns: bounded
-  // cardinality, and the file-level stats are decisive for them
+  // cardinality, and the file-level stats are decisive for them.
+  // Disabled when key-grouped (a narrowed file set would invalidate
+  // the partition count already reported to the planner).
   override def filterAttributes(): Array[NamedReference] =
-    table.meta.partitionSpec.map(_.sourceColumn).distinct
+    if (keyed.isDefined) Array.empty
+    else table.meta.partitionSpec.map(_.sourceColumn).distinct
       .map(Shims.columnRef).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
@@ -507,15 +612,18 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
       LakeBatchScan.lastRuntimeFileCount.set(narrowed.size)
       if (narrowed.size < files.size) {
         files = narrowed
-        delegate = LakeScans.build(table, files, required, pushed, options,
-          deleted)
+        narrowedDelegate = Some(LakeScans.build(table, files, required,
+          pushed, options, deleted))
       }
     }
   }
 
   override def estimateStatistics(): Statistics = LakeStats(files)
 
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = keyed match {
+    case Some((_, batch)) => batch
+    case None => delegate.toBatch
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     delegate.toMicroBatchStream(checkpointLocation)
@@ -758,22 +866,62 @@ class CompositeScan(scans: Seq[Scan], schema: StructType)
 
 case class EpochPartition(inner: InputPartition, idx: Int) extends InputPartition
 
+/** Delegate-routed input partition carrying a storage-partition key:
+  * all rows of `inner` share `key` (proven from footer stats), which
+  * is what lets Spark group partitions for a shuffle-free join. */
+case class KeyedPartition(inner: InputPartition, idx: Int,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
+/** One delegate scan per partition tuple; every input partition is
+  * tagged with its tuple's key row. Mirrors CompositeScan's routing. */
+class KeyedBatch(
+    groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Scan)])
+  extends Batch {
+
+  private lazy val delegates: Seq[Batch] = groups.map(_._2.toBatch)
+  private lazy val partitionsByDelegate: Seq[Array[InputPartition]] =
+    delegates.map(_.planInputPartitions())
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionsByDelegate.zipWithIndex.flatMap { case (ps, i) =>
+      ps.map(p => KeyedPartition(p, i, groups(i)._1): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val factories = delegates.map(_.createReaderFactory())
+    val support = factories.zip(partitionsByDelegate).flatMap {
+      case (f, ps) => ps.map(f.supportColumnarReads)
+    }
+    val mixed = support.contains(true) && support.contains(false)
+    new CompositeReaderFactory(factories, forceRows = mixed)
+  }
+}
+
 class CompositeReaderFactory(factories: Seq[PartitionReaderFactory],
     forceRows: Boolean = false)
   extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    p match {
-      case EpochPartition(inner, i) =>
-        if (forceRows && factories(i).supportColumnarReads(inner))
-          columnarToRows(factories(i).createColumnarReader(inner))
-        else factories(i).createReader(inner)
-    }
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    p match { case EpochPartition(inner, i) => factories(i).createColumnarReader(inner) }
+  private def unwrap(p: InputPartition): (InputPartition, Int) = p match {
+    case EpochPartition(inner, i) => (inner, i)
+    case KeyedPartition(inner, i, _) => (inner, i)
+  }
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (inner, i) = unwrap(p)
+    if (forceRows && factories(i).supportColumnarReads(inner))
+      columnarToRows(factories(i).createColumnarReader(inner))
+    else factories(i).createReader(inner)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (inner, i) = unwrap(p)
+    factories(i).createColumnarReader(inner)
+  }
   override def supportColumnarReads(p: InputPartition): Boolean =
-    !forceRows && (p match {
-      case EpochPartition(inner, i) => factories(i).supportColumnarReads(inner)
-    })
+    !forceRows && {
+      val (inner, i) = unwrap(p)
+      factories(i).supportColumnarReads(inner)
+    }
 
   private def columnarToRows(
       batches: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])

@@ -1198,6 +1198,53 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 667 && !rows.exists(_.getString(1) == "b"))
   }
 
+  test("storage-partitioned join: co-partitioned identity tables, no shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sql("""CREATE TABLE lake.db.spja (id bigint, cat string) USING lake
+          |PARTITIONED BY (cat)""".stripMargin)
+      sql("""INSERT INTO lake.db.spja
+          |SELECT id, concat('c', cast(id % 4 AS string)) FROM range(200)""".stripMargin)
+      sql("""CREATE TABLE lake.db.spjb (v bigint, cat string) USING lake
+          |PARTITIONED BY (cat)""".stripMargin)
+      sql("""INSERT INTO lake.db.spjb
+          |SELECT id * 10, concat('c', cast(id % 4 AS string)) FROM range(40)""".stripMargin)
+
+      // second append: multiple files per tuple — Spark must GROUP the
+      // keyed input partitions, not assume one per key
+      sql("""INSERT INTO lake.db.spja
+          |SELECT id + 200, concat('c', cast(id % 4 AS string))
+          |FROM range(40)""".stripMargin)
+
+      val df = sql("""SELECT a.id, b.v FROM lake.db.spja a
+                   |JOIN lake.db.spjb b ON a.cat = b.cat""".stripMargin)
+      assert(df.count() == (200L + 40) * 40 / 4)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned join must not shuffle either side:\n$plan")
+
+      // bucket-partitioned: keys come from the manifest's bucket ids,
+      // the bucket transform resolves through the FunctionCatalog
+      sql("""CREATE TABLE lake.db.spjc (id bigint, x string) USING lake
+          |PARTITIONED BY (bucket(8, id))""".stripMargin)
+      sql("INSERT INTO lake.db.spjc SELECT id, concat('x', id) FROM range(100)")
+      sql("""CREATE TABLE lake.db.spjd (id bigint, y string) USING lake
+          |PARTITIONED BY (bucket(8, id))""".stripMargin)
+      sql("INSERT INTO lake.db.spjd SELECT id, concat('y', id) FROM range(50)")
+
+      val bdf = sql("""SELECT a.x, b.y FROM lake.db.spjc a
+                    |JOIN lake.db.spjd b ON a.id = b.id""".stripMargin)
+      assert(bdf.count() == 50)
+      val bplan = bdf.queryExecution.executedPlan.toString
+      assert(!bplan.contains("Exchange"),
+        s"bucket-co-partitioned join must not shuffle either side:\n$bplan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("count/min/max answer from manifest stats: metadata-only plan") {
     sql("""CREATE TABLE lake.db.aggt (id bigint, cat string) USING lake
         |PARTITIONED BY (cat)""".stripMargin)
