@@ -202,11 +202,24 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     filesOverride: Option[Seq[DataFileMeta]] = None,
     onFilters: Array[Filter] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private val fullSchema = table.schema()
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  // ---- limit pushdown: plan only enough files to cover the limit ----
+  // `SELECT * FROM t LIMIT 10` on a million-file snapshot must not
+  // list a million files into the plan. We only TRUNCATE the planned
+  // file list (manifest row counts bound how many files can possibly
+  // be needed); Spark keeps its own Limit on top (isPartiallyPushed),
+  // so this can never change results. Applied in build() only when no
+  // pushed filter and no MoR mask makes per-file row counts inexact —
+  // and Spark only pushes a limit when no residual filter sits between
+  // the Limit and the scan in the first place.
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -298,8 +311,37 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
       new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted)
     else if (rowLevel)
       LakeScans.build(table, pruned, required, Array.empty, options, deleted)
-    else new LakeBatchScan(table, pruned, required, pushed, options, deleted)
+    else {
+      val planned = limit match {
+        case Some(n) if filesOverride.isEmpty && pushed.isEmpty &&
+            deleted.isEmpty =>
+          // row counts are exact here: keep files until they cover n
+          val out = Seq.newBuilder[DataFileMeta]
+          var acc = 0L
+          val it = pruned.iterator
+          while (acc < n && it.hasNext) {
+            val f = it.next(); out += f; acc += f.rowCount
+          }
+          out.result()
+        case _ => pruned
+      }
+      LakeScanBuilder.lastPlannedFileCount.set(planned.size)
+      // candidate count for the skipped-files metric — only when the
+      // manifest is already materialized (never force a lazy spill)
+      val candidates = files match {
+        case l: LazyManifestFiles if !l.isForced => -1
+        case s => s.size
+      }
+      new LakeBatchScan(table, planned, required, pushed, options, deleted,
+        skippedFiles = if (candidates < 0) -1L else (candidates - planned.size).toLong)
+    }
   }
+}
+
+object LakeScanBuilder {
+  /** Spec observability: file count in the most recent normal-read plan. */
+  private[lake] val lastPlannedFileCount =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 /** Metadata-only result of a completely-pushed aggregate: the rows
@@ -484,7 +526,8 @@ private[lake] case class LakeStats(files: Seq[DataFileMeta]) extends Statistics 
 class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     required: StructType, pushed: Array[Filter],
     options: CaseInsensitiveStringMap,
-    deleted: Map[String, Seq[String]] = Map.empty)
+    deleted: Map[String, Seq[String]] = Map.empty,
+    skippedFiles: Long = -1L)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
   with SupportsReportPartitioning {
 
@@ -628,11 +671,56 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     delegate.toMicroBatchStream(checkpointLocation)
 
+  // ---- scan metrics (Spark SQL UI): what planning did ----
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    LakeScanMetrics.supported
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val fs = files
+    Array(
+      LakeScanMetrics.driver("plannedDataFiles", fs.size.toLong),
+      LakeScanMetrics.driver("plannedBytes", fs.map(_.sizeBytes).sum),
+      LakeScanMetrics.driver("maskedDataFiles",
+        fs.count(f => deleted.contains(PosDeletes.norm(f.path))).toLong)
+    ) ++ (if (skippedFiles >= 0)
+      Array(LakeScanMetrics.driver("skippedDataFiles", skippedFiles))
+    else Array.empty[org.apache.spark.sql.connector.metric.CustomTaskMetric])
+  }
+
   override def equals(o: Any): Boolean = o match {
     case s: LakeBatchScan => delegate == s.delegate
     case _ => false
   }
   override def hashCode(): Int = delegate.hashCode()
+}
+
+/** Driver-side planning metrics surfaced in the SQL UI node for every
+  * lake scan: how many files (and bytes) the plan kept, how many the
+  * stats pruning skipped, how many carry MoR masks. The per-task side
+  * is Spark's own parquet metrics; these answer "did pruning work?"
+  * without reading event logs. */
+private[lake] object LakeScanMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+
+  private class SumMetric(n: String, desc: String) extends CustomMetric {
+    override def name(): String = n
+    override def description(): String = desc
+    override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
+      taskMetrics.sum.toString
+  }
+
+  val supported: Array[CustomMetric] = Array(
+    new SumMetric("plannedDataFiles", "planned data files"),
+    new SumMetric("plannedBytes", "planned bytes"),
+    new SumMetric("maskedDataFiles", "planned files with MoR masks"),
+    new SumMetric("skippedDataFiles", "files skipped by stats pruning"))
+
+  def driver(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
 }
 
 object LakeBatchScan {

@@ -1245,6 +1245,43 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LIMIT plans only enough files to cover the limit") {
+    sql("CREATE TABLE lake.db.limt (id bigint, v string) USING lake")
+    for (i <- 0 until 4)
+      sql(s"INSERT INTO lake.db.limt SELECT id + ${i * 100}, 'x' FROM range(100)")
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    // collect(), not count(): count() is answered by the aggregate
+    // pushdown without planning any files at all
+    assert(sql("SELECT * FROM lake.db.limt").collect().length == 400)
+    val total = LakeScanBuilder.lastPlannedFileCount.get()
+    assert(total >= 4, s"expected >=4 data files, saw $total")
+
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(sql("SELECT * FROM lake.db.limt LIMIT 5").collect().length == 5)
+    val limited = LakeScanBuilder.lastPlannedFileCount.get()
+    assert(limited >= 1 && limited < total,
+      s"limit should truncate the planned file list: $limited of $total")
+
+    // a WHERE makes per-file coverage unknowable — no truncation
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(sql("SELECT * FROM lake.db.limt WHERE v = 'x' LIMIT 5")
+      .collect().length == 5)
+
+    // planning metrics surface on the scan (SQL UI plumbing)
+    val full = sql("SELECT * FROM lake.db.limt")
+    full.collect()
+    val scans = full.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }
+    assert(scans.nonEmpty)
+    val m = scans.head.asInstanceOf[LakeBatchScan].reportDriverMetrics()
+      .map(x => x.name -> x.value).toMap
+    assert(m("plannedDataFiles") >= 4 && m("plannedBytes") > 0 &&
+      m("maskedDataFiles") == 0 && m.get("skippedDataFiles").contains(0L),
+      m.toString)
+  }
+
   test("count/min/max answer from manifest stats: metadata-only plan") {
     sql("""CREATE TABLE lake.db.aggt (id bigint, cat string) USING lake
         |PARTITIONED BY (cat)""".stripMargin)
