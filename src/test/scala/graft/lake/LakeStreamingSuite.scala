@@ -108,4 +108,66 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT * FROM lake.db.upsert.delete_files").count() >= 1)
     } finally q.stop()
   }
+
+  test("rate limit: max-files splits one snapshot into bounded batches") {
+    spark.sql("CREATE TABLE lake.db.rlf (id bigint) USING lake")
+    // ONE snapshot, 4 data files (range with 4 partitions)
+    spark.sql("INSERT INTO lake.db.rlf SELECT id FROM range(0, 400, 1, 4)")
+    assert(spark.sql("SELECT * FROM lake.db.rlf.files").count() == 4)
+
+    val q = spark.readStream
+      .option("streaming-max-files-per-micro-batch", "1")
+      .table("lake.db.rlf")
+      .writeStream.format("memory").queryName("sink_rlf")
+      .option("checkpointLocation", s"$ckpt/q_rlf")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sink_rlf").count() == 400)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4, s"expected 4 one-file batches: " +
+        batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows == 100),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("rate limit: max-rows is a soft max over whole files") {
+    spark.sql("CREATE TABLE lake.db.rlr (id bigint) USING lake")
+    for (_ <- 0 until 6)
+      spark.sql("INSERT INTO lake.db.rlr SELECT id FROM range(0, 10, 1, 1)")
+
+    val q = spark.readStream
+      .option("streaming-max-rows-per-micro-batch", "25")
+      .table("lake.db.rlr")
+      .writeStream.format("memory").queryName("sink_rlr")
+      .option("checkpointLocation", s"$ckpt/q_rlr")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sink_rlr").count() == 60)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      // 10-row files, soft max 25 -> whole files only, 2 per batch
+      assert(batches.forall(_.numInputRows <= 25),
+        batches.map(_.numInputRows).mkString(","))
+      assert(batches.length == 3, batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the table in rate-limited batches, then stops") {
+    spark.sql("CREATE TABLE lake.db.ran (id bigint) USING lake")
+    spark.sql("INSERT INTO lake.db.ran SELECT id FROM range(0, 300, 1, 3)")
+
+    val q = spark.readStream
+      .option("streaming-max-files-per-micro-batch", "1")
+      .table("lake.db.ran")
+      .writeStream.format("memory").queryName("sink_ran")
+      .option("checkpointLocation", s"$ckpt/q_ran")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.table("sink_ran").count() == 300)
+  }
 }
