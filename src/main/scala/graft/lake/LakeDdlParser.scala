@@ -30,9 +30,11 @@ class LakeDdlParser(delegate: ParserInterface) extends ParserInterface {
   private val refDdl =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+""" +
       """(CREATE(?:\s+OR\s+REPLACE)?|REPLACE|DROP)\s+(BRANCH|TAG)\s+""" +
-      """(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([\w`]+)""" +
+      """(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([\w`-]+)""" +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
-      """(?:\s+RETAIN\s+\d+\s+DAYS)?\s*""").r
+      """(?:\s+RETAIN\s+(\d+)\s+DAYS)?""" +
+      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION""" +
+      """(?:\s+(\d+)\s+SNAPSHOTS)?(?:\s+(\d+)\s+DAYS)?)?\s*""").r
   private val addPartField =
     """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+ADD\s+PARTITION\s+FIELD\s+([\w`().,\s]+?)(?:\s+AS\s+([\w`]+))?\s*""".r
   private val dropPartField =
@@ -53,13 +55,17 @@ class LakeDdlParser(delegate: ParserInterface) extends ParserInterface {
     t.replace("`", "").split("\\.").toSeq
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case refDdl(t, verb, kind, name, version) =>
+    case refDdl(t, verb, kind, name, version, retainDays, minSnaps, snapAgeDays) =>
       val v = verb.toUpperCase.replaceAll("\\s+", " ")
       val ifNotExists = sqlText.toUpperCase.contains("IF NOT EXISTS")
       val ifExists = !ifNotExists && sqlText.toUpperCase.contains("IF EXISTS")
+      val dayMs = 24L * 3600 * 1000
       LakeRefCommand(parts(t), v, kind.toUpperCase == "TAG",
         name.replace("`", ""), Option(version).map(_.toLong),
-        ifNotExists, ifExists)
+        ifNotExists, ifExists,
+        maxRefAgeMs = Option(retainDays).map(_.toLong * dayMs),
+        minSnapshotsToKeep = Option(minSnaps).map(_.toInt),
+        maxSnapshotAgeMs = Option(snapAgeDays).map(_.toLong * dayMs))
     case addPartField(t, transform, name) =>
       LakePartitionFieldCommand(parts(t), add = true, transform.trim,
         Option(name).map(_.replace("`", "")))
@@ -111,7 +117,9 @@ object LakeDdl {
 
 case class LakeRefCommand(table: Seq[String], verb: String, isTag: Boolean,
     refName: String, version: Option[Long], ifNotExists: Boolean,
-    ifExists: Boolean) extends LeafRunnableCommand {
+    ifExists: Boolean, maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
     val meta = cat.loadMeta(ident)
@@ -131,7 +139,8 @@ case class LakeRefCommand(table: Seq[String], verb: String, isTag: Boolean,
             throw new IllegalStateException("table has no snapshots yet"))
           require(meta.snapshotById(snap).isDefined, s"no snapshot $snap")
           cat.commitMeta(meta.copy(refs = meta.refs +
-            (refName -> RefMeta(if (isTag) "tag" else "branch", snap))))
+            (refName -> RefMeta(if (isTag) "tag" else "branch", snap,
+              maxRefAgeMs, minSnapshotsToKeep, maxSnapshotAgeMs))))
         }
     }
     Nil

@@ -43,8 +43,15 @@ object LakeFanoutWrite {
   def factory(spark: SparkSession, meta: TableMeta, schema: StructType,
       stagingDir: String): DataWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // property-driven parquet tuning (row-group/page size, bloom
+    // filters) keys directly into the job conf; the compression codec
+    // goes through prepareWrite's options, same as a write option
+    WriteTuning.hadoopOptions(meta).foreach { case (k, v) =>
+      job.getConfiguration.set(k, v)
+    }
     val owf = new ParquetFileFormat().prepareWrite(
-      org.apache.spark.sql.classic.SparkSession.active, job, Map.empty, schema)
+      org.apache.spark.sql.classic.SparkSession.active, job,
+      WriteTuning.options(meta), schema)
     // Resolve the transform Columns through a real (empty) Dataset so
     // the analyzed plan carries plain catalyst expressions, then bind
     // them to the write schema's ordinals for executor-side eval.
@@ -64,24 +71,26 @@ object LakeFanoutWrite {
     }.getOrElse(throw new IllegalStateException(
       s"could not resolve partition transforms for ${meta.location}"))
     new LakeFanoutWriterFactory(owf, bound, schema, stagingDir,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration),
+      WriteTuning.targetFileSize(meta))
   }
 }
 
 class LakeFanoutWriterFactory(owf: OutputWriterFactory,
     tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration, targetBytes: Long) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeFanoutDataWriter(owf, tupleExprs, schema, stagingDir,
-      conf.value, partitionId, taskId)
+      conf.value, partitionId, taskId, targetBytes)
 }
 
 case class LakeFanoutCommit(files: Seq[String]) extends WriterCommitMessage
 
 class LakeFanoutDataWriter(owf: OutputWriterFactory,
     tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
-    conf: Configuration, partitionId: Int, taskId: Long)
+    conf: Configuration, partitionId: Int, taskId: Long,
+    targetBytes: Long = WriteTuning.DefaultTargetFileSize)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(stagingDir).getFileSystem(conf)
@@ -90,6 +99,8 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
   private val proj = UnsafeProjection.create(tupleExprs)
   private var current: OutputWriter = _
   private var currentKey: String = null
+  private var currentPath: Path = _
+  private var rowsSinceSizeCheck = 0
   private var fileCount = 0
   private val written = Seq.newBuilder[Path]
 
@@ -109,12 +120,26 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
     val attemptId = new TaskAttemptID("lake", 0, TaskType.MAP, partitionId, fileCount)
     current = owf.newInstance(file.toString, schema,
       new TaskAttemptContextImpl(conf, attemptId))
+    currentPath = file
+    rowsSinceSizeCheck = 0
   }
 
   override def write(row: InternalRow): Unit = {
     val key = tupleKey(row)
     if (current == null || key != currentKey) { roll(); currentKey = key }
     current.write(row)
+    // Target-file-size roll-over (write.target-file-size-bytes): a
+    // partition tuple receiving many gigabytes in one task must not
+    // become one huge file — MoR-masked reads never split a data file,
+    // so file size bounds read parallelism. The on-disk length check is
+    // amortized (every 128 rows) and trails the writer's buffered row
+    // group, so files land at target + ~one row group — the same
+    // contract as a size-tracking rolling writer.
+    rowsSinceSizeCheck += 1
+    if (rowsSinceSizeCheck >= 128) {
+      rowsSinceSizeCheck = 0
+      if (fs.getFileStatus(currentPath).getLen >= targetBytes) roll()
+    }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -500,11 +500,72 @@ private[lake] object LakeAggPushdown {
   * in joins — without them a DSv2 scan outside the FileScan family
   * falls back to `spark.sql.defaultSizeInBytes` (effectively infinite)
   * and every join sort-merges. */
-private[lake] case class LakeStats(files: Seq[DataFileMeta]) extends Statistics {
+private[lake] case class LakeStats(files: Seq[DataFileMeta],
+    colStats: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      java.util.Collections.emptyMap()) extends Statistics {
   override def sizeInBytes(): java.util.OptionalLong =
     java.util.OptionalLong.of(files.map(_.sizeBytes).sum)
   override def numRows(): java.util.OptionalLong =
     java.util.OptionalLong.of(files.map(_.rowCount).sum)
+  override def columnStats(): java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+}
+
+/** Manifest-derived per-column statistics for the cost-based optimizer
+  * (SPARK-41378 DSv2 column stats): exact null counts and global
+  * min/max folded from the planned files' footer stats — the same
+  * decode/compare machinery the aggregate pushdown trusts — plus NDV
+  * from `compute_table_stats`' `stats.ndv.<col>` table property. Only
+  * computed when CBO is on: it is O(files × columns) driver work that
+  * pure rule-based planning would never read. */
+private[lake] object LakeColumnStats {
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import java.util.{Optional, OptionalLong}
+
+  def forFiles(table: LakeTable, files: Seq[DataFileMeta])
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (files.isEmpty) return out
+    val schema = table.schema()
+    val renames = files.map(_.schemaEpoch).distinct.map(e =>
+      e -> LakeScans.renameMap(schema, table.meta.schemaAt(e))).toMap
+    schema.fields.foreach { f =>
+      def statName(df: DataFileMeta): String =
+        renames(df.schemaEpoch).getOrElse(f.name, f.name)
+      val nulls =
+        if (files.forall(df => df.nullCounts.contains(statName(df))))
+          OptionalLong.of(files.map(df => df.nullCounts(statName(df))).sum)
+        else OptionalLong.empty()
+      def bound(sel: DataFileMeta => Map[String, String],
+          isMin: Boolean): Option[Any] = {
+        val vals = files.map(df => sel(df).get(statName(df)))
+        if (vals.exists(v => v.isEmpty ||
+            LakeAggPushdown.decode(v.get, f.dataType).isEmpty)) None
+        else LakeAggPushdown.decode(vals.map(_.get).reduce { (a, b) =>
+          val cmp = FileStats.cmp(a, b, f.dataType).getOrElse(0)
+          if ((isMin && cmp <= 0) || (!isMin && cmp >= 0)) a else b
+        }, f.dataType)
+      }
+      val mn = bound(_.minValues, isMin = true)
+      val mx = bound(_.maxValues, isMin = false)
+      val ndv = table.meta.properties.get(s"stats.ndv.${f.name}")
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      if (nulls.isPresent || mn.isDefined || mx.isDefined || ndv.isDefined)
+        out.put(Shims.columnRef(f.name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+          override def min(): Optional[Object] =
+            mn.map(v => Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(Optional.empty[Object]())
+          override def max(): Optional[Object] =
+            mx.map(v => Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(Optional.empty[Object]())
+          override def nullCount(): OptionalLong = nulls
+        })
+    }
+    out
+  }
 }
 
 /** The normal-read scan: wraps the delegate built by [[LakeScans.build]]
@@ -661,7 +722,12 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     }
   }
 
-  override def estimateStatistics(): Statistics = LakeStats(files)
+  override def estimateStatistics(): Statistics =
+    // column stats only under CBO: O(files × columns) driver work that
+    // rule-based planning never reads
+    if (SparkSession.active.conf.get("spark.sql.cbo.enabled", "false").toBoolean)
+      LakeStats(files, LakeColumnStats.forFiles(table, files))
+    else LakeStats(files)
 
   override def toBatch: Batch = keyed match {
     case Some((_, batch)) => batch
@@ -704,24 +770,35 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
 private[lake] object LakeScanMetrics {
   import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 
-  private class SumMetric(n: String, desc: String) extends CustomMetric {
-    override def name(): String = n
-    override def description(): String = desc
-    override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
-      taskMetrics.sum.toString
-  }
-
   val supported: Array[CustomMetric] = Array(
-    new SumMetric("plannedDataFiles", "planned data files"),
-    new SumMetric("plannedBytes", "planned bytes"),
-    new SumMetric("maskedDataFiles", "planned files with MoR masks"),
-    new SumMetric("skippedDataFiles", "files skipped by stats pruning"))
+    new PlannedDataFilesMetric, new PlannedBytesMetric,
+    new MaskedDataFilesMetric, new SkippedDataFilesMetric)
 
   def driver(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     override def name(): String = n
     override def value(): Long = v
   }
 }
+
+/** One concrete zero-arg class per metric: the SQL UI listener
+  * re-instantiates the metric class REFLECTIVELY (by class name, no
+  * constructor args) to aggregate task values — a parameterized class
+  * would make every lake metric silently fail to aggregate. */
+private[lake] sealed abstract class LakeSumMetric(n: String, desc: String)
+  extends org.apache.spark.sql.connector.metric.CustomMetric {
+  override def name(): String = n
+  override def description(): String = desc
+  override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
+    taskMetrics.sum.toString
+}
+private[lake] final class PlannedDataFilesMetric
+  extends LakeSumMetric("plannedDataFiles", "planned data files")
+private[lake] final class PlannedBytesMetric
+  extends LakeSumMetric("plannedBytes", "planned bytes")
+private[lake] final class MaskedDataFilesMetric
+  extends LakeSumMetric("maskedDataFiles", "planned files with MoR masks")
+private[lake] final class SkippedDataFilesMetric
+  extends LakeSumMetric("skippedDataFiles", "files skipped by stats pruning")
 
 object LakeBatchScan {
   /** Spec observability: file count surviving the most recent runtime

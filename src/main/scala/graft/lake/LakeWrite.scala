@@ -61,14 +61,23 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
   override def description(): String = s"LakeWrite(${table.name()}, $mode)"
 
   override def requiredDistribution(): Distribution =
-    if (table.meta.partitionSpec.nonEmpty)
-      // cluster on the TRANSFORM values (one shuffle key per partition
-      // tuple — resolved through the catalog's FunctionCatalog
-      // bindings), so each fanout-writer task receives whole tuples
-      Distributions.clustered(table.meta.partitionSpec
+    if (table.meta.partitionSpec.isEmpty) Distributions.unspecified()
+    else table.meta.properties.getOrElse("write.distribution-mode", "hash") match {
+      // reference semantics (docs/spark-writes.md:410-425): `none`
+      // requests no shuffle — callers pre-sort/cluster themselves and
+      // the fanout writer still splits per tuple (more open files,
+      // zero exchange); `range` orders globally on the partition
+      // transforms + sort order (range exchange, minimal file count);
+      // `hash` (default) clusters on the TRANSFORM values — one
+      // shuffle key per partition tuple, resolved through the
+      // catalog's FunctionCatalog bindings — so each fanout-writer
+      // task receives whole tuples
+      case "none" => Distributions.unspecified()
+      case "range" => Distributions.ordered(requiredOrdering())
+      case _ => Distributions.clustered(table.meta.partitionSpec
         .map(f => Transforms.toTransform(f): org.apache.spark.sql.connector.expressions.Expression)
         .toArray)
-    else Distributions.unspecified()
+    }
 
   override def requiredOrdering(): Array[SortOrder] = {
     // tuple-major ordering: sort by the partition TRANSFORM values
@@ -107,7 +116,8 @@ class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
   private val partitioned = table.meta.partitionSpec.nonEmpty
 
   private lazy val delegate: BatchWrite =
-    new ParquetWrite(Seq(stagingDir), "parquet", _ => true, info).toBatch
+    new ParquetWrite(Seq(stagingDir), "parquet", _ => true,
+      TunedWriteInfo.of(info, WriteTuning.options(table.meta))).toBatch
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
     val f =
@@ -133,6 +143,30 @@ class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
     try if (!partitioned) delegate.abort(messages)
     finally MetadataLog.dropTableDir(stagingDir, table.catalog.hadoopConf)
   }
+}
+
+/** [[LogicalWriteInfo]] with table-property-derived parquet tuning
+  * options merged in ([[WriteTuning]]): FileWrite copies every write
+  * option into the job's hadoop conf, which is how the codec,
+  * row-group size and bloom-filter keys reach the stock v2 parquet
+  * writer without touching session state. */
+private[lake] case class TunedWriteInfo(inner: LogicalWriteInfo,
+    extra: Map[String, String]) extends LogicalWriteInfo {
+  override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](
+      inner.options().asCaseSensitiveMap())
+    extra.foreach { case (k, v) => m.put(k, v) }
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+  }
+  override def queryId(): String = inner.queryId()
+  override def schema(): StructType = inner.schema()
+  override def rowIdSchema(): java.util.Optional[StructType] = inner.rowIdSchema()
+  override def metadataSchema(): java.util.Optional[StructType] = inner.metadataSchema()
+}
+
+private[lake] object TunedWriteInfo {
+  def of(inner: LogicalWriteInfo, extra: Map[String, String]): LogicalWriteInfo =
+    if (extra.isEmpty) inner else TunedWriteInfo(inner, extra)
 }
 
 /** Streaming sink: each epoch commits one snapshot (append; or

@@ -57,7 +57,17 @@ final case class SnapshotMeta(
     // cleared by truncate and by rewrite_position_delete_files.
     deleteFiles: Seq[DataFileMeta] = Nil)
 
-final case class RefMeta(refType: String, snapshotId: Long) // branch|tag
+/** Named ref (branch|tag) with optional retention (reference:
+  * docs/spark-ddl.md:478-505 `CREATE BRANCH … RETAIN d DAYS WITH
+  * SNAPSHOT RETENTION n SNAPSHOTS m DAYS`). `maxRefAgeMs` ages the ref
+  * itself out of `expire_snapshots` (measured from its head snapshot's
+  * commit time); the snapshot-retention pair bounds how much of a
+  * branch's ancestry expiry must keep. Absent fields (older metadata)
+  * deserialize as None = keep forever / procedure defaults. */
+final case class RefMeta(refType: String, snapshotId: Long,
+    maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None)
 
 final case class TableMeta(
     formatVersion: Int,

@@ -133,7 +133,35 @@ object MetadataLog {
         f.delete(hintFile(meta.location), false) // fall back to listing
         f.rename(tmp, hintFile(meta.location))
     }
+    retireOldVersions(next, conf)
     next.copy(snapshots = spilled.map(_._2))
+  }
+
+  /** Metadata-log retention (`write.metadata.delete-after-commit.
+    * enabled` + `write.metadata.previous-versions-max`, default 100 —
+    * Iceberg's own knobs): at one commit per minute a year-old table
+    * carries half a million version files, so the committer — and only
+    * the committer, only after its CAS has won and the hint points at
+    * the new version — prunes versions older than the retained window.
+    * Snapshots and time travel are unaffected (the current JSON carries
+    * the whole snapshot DAG); only the `metadata_log_entries` history
+    * and the crash-fallback listing narrow to the window. Deletes are
+    * best-effort: a failure strands a version file for the next commit
+    * to retry, never fails the commit. */
+  private def retireOldVersions(next: TableMeta, conf: Configuration): Unit = {
+    if (!next.properties.get("write.metadata.delete-after-commit.enabled")
+        .contains("true")) return
+    val maxPrev = next.properties.get("write.metadata.previous-versions-max")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 0)
+      .getOrElse(100)
+    val cutoff = next.version - maxPrev
+    if (cutoff <= 0) return
+    val f = fs(next.location, conf)
+    metadataFiles(next.location, conf)
+      .filter(_._1 < cutoff)
+      .foreach { case (_, p, _) =>
+        scala.util.Try(f.delete(new Path(p), false))
+      }
   }
 
   def dropTableDir(location: String, conf: Configuration): Unit = {

@@ -47,7 +47,10 @@ object MetadataTables {
     case "refs" => StructType(Seq(
       StructField("name", StringType),
       StructField("type", StringType),
-      StructField("snapshot_id", LongType)))
+      StructField("snapshot_id", LongType),
+      StructField("max_reference_age_in_ms", LongType),
+      StructField("min_snapshots_to_keep", IntegerType),
+      StructField("max_snapshot_age_in_ms", LongType)))
     case "metadata_log_entries" => StructType(Seq(
       StructField("timestamp", TimestampType),
       StructField("file", StringType),
@@ -110,7 +113,10 @@ object MetadataTables {
         Row(ts(s.timestampMs), s.snapshotId, s.parentId.map(Long.box).orNull,
           ancestry.contains(s.snapshotId)))
       case "refs" => meta.refs.toSeq.sortBy(_._1).map { case (n, r) =>
-        Row(n, r.refType.toUpperCase, r.snapshotId)
+        Row(n, r.refType.toUpperCase, r.snapshotId,
+          r.maxRefAgeMs.map(Long.box).orNull,
+          r.minSnapshotsToKeep.map(Int.box).orNull,
+          r.maxSnapshotAgeMs.map(Long.box).orNull)
       }
       case "metadata_log_entries" => visible.map(s =>
         Row(ts(s.timestampMs), s"$location/metadata/v${s.snapshotId}.json",

@@ -236,10 +236,28 @@ object Procedures {
         val olderThanMs = a.lngOpt("older_than").map(_ / 1000L)
           .getOrElse(System.currentTimeMillis() - defaultMaxAgeMs)
         val retain = a.intOpt("retain_last").getOrElse(1)
-        // protected: every ref head and its retained ancestry
-        val protectedIds = m.refs.values.flatMap(r =>
-          m.ancestorsOf(r.snapshotId).take(math.max(retain, 1))
-            .map(_.snapshotId)).toSet
+        val now = System.currentTimeMillis()
+        // Ref retention (docs/spark-ddl.md:478-505): a ref created with
+        // RETAIN d DAYS ages out of existence once its head snapshot is
+        // older than that — expiry drops the ref itself, and the
+        // snapshots it alone protected become expirable below. `main`
+        // never ages out.
+        val liveRefs = m.refs.filter { case (n, r) =>
+          n == "main" || !r.maxRefAgeMs.exists(age =>
+            m.snapshotById(r.snapshotId).exists(_.timestampMs < now - age))
+        }
+        // protected: every live ref head and its retained ancestry —
+        // per-branch WITH SNAPSHOT RETENTION (n SNAPSHOTS / m DAYS)
+        // widens the default retain_last window for that branch
+        val protectedIds = liveRefs.values.flatMap { r =>
+          val floor = math.max(retain, math.max(r.minSnapshotsToKeep
+            .getOrElse(1), 1))
+          m.ancestorsOf(r.snapshotId).zipWithIndex.collect {
+            case (s, i) if i < floor ||
+                r.maxSnapshotAgeMs.exists(age => s.timestampMs >= now - age) =>
+              s.snapshotId
+          }
+        }.toSet
         val expired = m.snapshots.filter { s =>
           !protectedIds(s.snapshotId) &&
             (explicit(s.snapshotId) ||
@@ -268,7 +286,7 @@ object Procedures {
         // destroyed files (time travel/changelog permanently broken).
         // A crash between commit and delete merely strands files for
         // remove_orphan_files, matching the spill-dir invariant.
-        catalog.commitMeta(m.copy(snapshots = patched))
+        catalog.commitMeta(m.copy(snapshots = patched, refs = liveRefs))
         // distributed: an expire on a 100 TB table retires millions of
         // files — they must not funnel through a driver loop
         LakeWriteUtil.bulkDelete(spark, deadFiles ++ deadDeletes,
@@ -350,7 +368,10 @@ object Procedures {
         val files = head.map(_.files).getOrElse(Nil)
         if (files.isEmpty) return Seq(Row(0, 0, 0L))
         val opts = a.strMap("options")
-        val target = opts.getOrElse("target-file-size-bytes", "134217728").toLong
+        // default to the table's own write.target-file-size-bytes so
+        // compaction produces the same file sizes ordinary writes do
+        val target = opts.get("target-file-size-bytes").map(_.toLong)
+          .getOrElse(WriteTuning.targetFileSize(m))
         val minInput = opts.getOrElse("min-input-files", "2").toInt
         // `where` scopes the rewrite at the METADATA level (reference:
         // docs/spark-procedures.md:408-412): the predicate is translated

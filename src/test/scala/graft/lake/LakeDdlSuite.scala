@@ -75,4 +75,34 @@ class LakeDdlSuite extends AnyFunSuite with BeforeAndAfterAll {
       .exists(r => r.getString(0) == "identifier-fields" && r.getString(1) == "id"))
     sql("ALTER TABLE lake.db.wo DROP IDENTIFIER FIELDS id")
   }
+
+  test("branch retention: RETAIN ages refs out; SNAPSHOT RETENTION protects ancestry") {
+    sql("CREATE TABLE lake.db.reften (id bigint) USING lake")
+    (1 to 3).foreach(i => sql(s"INSERT INTO lake.db.reften VALUES ($i)"))
+    sql("ALTER TABLE lake.db.reften CREATE BRANCH ephemeral RETAIN 0 DAYS")
+    sql("ALTER TABLE lake.db.reften CREATE BRANCH keeper RETAIN 365 DAYS " +
+      "WITH SNAPSHOT RETENTION 3 SNAPSHOTS 2 DAYS")
+    val day = 24L * 3600 * 1000
+    val refs = sql("""SELECT name, max_reference_age_in_ms,
+                   |min_snapshots_to_keep, max_snapshot_age_in_ms
+                   |FROM lake.db.reften.refs""".stripMargin).collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(refs("keeper") == (Some(365L * day), Some(3), Some(2L * day)))
+    assert(refs("ephemeral") == (Some(0L), None, None))
+    assert(refs("main") == (None, None, None))
+
+    // a 0-day RETAIN means the ref is already older than its window;
+    // the far-future older_than leaves only retention rules in play
+    Thread.sleep(5)
+    sql("CALL lake.system.expire_snapshots(table => 'db.reften', " +
+      "older_than => TIMESTAMP '2099-01-01 00:00:00', retain_last => 1)")
+    val after = sql("SELECT name FROM lake.db.reften.refs").collect()
+      .map(_.getString(0)).toSet
+    assert(after == Set("main", "keeper"),
+      s"ephemeral should age out, got $after")
+    // keeper's 3-SNAPSHOT retention out-protects retain_last = 1
+    assert(sql("SELECT * FROM lake.db.reften.snapshots").count() == 3)
+  }
+
 }

@@ -1348,4 +1348,119 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(survived >= 1 && survived < 8,
       s"runtime filter should prune partition files, planned $survived of 8")
   }
+
+  private def firstFooter(table: String) = {
+    val path = sql(s"SELECT file_path FROM $table.files LIMIT 1")
+      .collect()(0).getString(0)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sessionState.newHadoopConf())
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rd.getFooter.getBlocks.get(0).getColumns
+    finally rd.close()
+  }
+
+  test("write tuning: codec + bloom filter reach both write paths") {
+    // unpartitioned -> stock v2 ParquetWrite via TunedWriteInfo options
+    sql("""CREATE TABLE lake.db.tune_flat (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.parquet.compression-codec'='gzip',
+        |  'write.parquet.bloom-filter-enabled.column.v'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.tune_flat " +
+      "SELECT id, concat('val', cast(id AS string)) FROM range(2000)")
+    val flatCols = firstFooter("lake.db.tune_flat")
+    assert(flatCols.get(0).getCodec.toString == "GZIP")
+    val vCol = (0 until flatCols.size()).map(flatCols.get)
+      .find(_.getPath.toDotString == "v").get
+    assert(vCol.getBloomFilterOffset >= 0,
+      "bloom filter requested for column v but footer has none")
+
+    // partitioned -> fanout writer job conf
+    sql("""CREATE TABLE lake.db.tune_part (id bigint, v string, p int)
+        |USING lake PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.parquet.compression-codec'='gzip')""".stripMargin)
+    sql("INSERT INTO lake.db.tune_part " +
+      "SELECT id, cast(id AS string), cast(id % 2 AS int) FROM range(1000)")
+    assert(firstFooter("lake.db.tune_part").get(0).getCodec.toString == "GZIP")
+  }
+
+  test("target file size rolls fanout output inside one partition tuple") {
+    sql("""CREATE TABLE lake.db.tune_roll (id bigint, v string, p int)
+        |USING lake PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.target-file-size-bytes'='16384',
+        |  'write.parquet.row-group-size-bytes'='4096')""".stripMargin)
+    // one partition tuple, ~2.5 MB of rows: without size roll-over this
+    // is a single file; with it the tuple splits at ~16 KB boundaries
+    sql("INSERT INTO lake.db.tune_roll " +
+      "SELECT id, repeat(cast(id AS string), 20), 1 FROM range(50000)")
+    val files = sql("SELECT file_path FROM lake.db.tune_roll.files").collect()
+    assert(files.length >= 2,
+      s"expected the 16 KB target to split one tuple, got ${files.length} file(s)")
+    assert(count("SELECT count(*) FROM lake.db.tune_roll") == 50000)
+    assert(count("SELECT count(DISTINCT id) FROM lake.db.tune_roll") == 50000)
+  }
+
+  test("write.distribution-mode: none skips the shuffle, range stays tuple-clustered") {
+    // default (hash): the clustered exchange routes whole tuples to one
+    // task — exactly one file per partition tuple
+    sql("CREATE TABLE lake.db.dmode_hash (id bigint, p int) USING lake PARTITIONED BY (p)")
+    sql("INSERT INTO lake.db.dmode_hash SELECT id, cast(id % 2 AS int) FROM range(1000)")
+    assert(sql("SELECT file_path FROM lake.db.dmode_hash.files").count() == 2)
+
+    // none: no exchange requested — every input task writes its own
+    // slice of each tuple (the reference's manual-clustering contract)
+    sql("""CREATE TABLE lake.db.dmode_none (id bigint, p int) USING lake
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.distribution-mode'='none')""".stripMargin)
+    sql("INSERT INTO lake.db.dmode_none SELECT id, cast(id % 2 AS int) FROM range(1000)")
+    assert(sql("SELECT file_path FROM lake.db.dmode_none.files").count() > 2)
+    assert(count("SELECT count(*) FROM lake.db.dmode_none") == 1000)
+
+    // range: ordered distribution — still tuple-contiguous per task
+    sql("""CREATE TABLE lake.db.dmode_range (id bigint, p int) USING lake
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('write.distribution-mode'='range')""".stripMargin)
+    sql("INSERT INTO lake.db.dmode_range SELECT id, cast(id % 2 AS int) FROM range(1000)")
+    val rangeFiles = sql("SELECT file_path FROM lake.db.dmode_range.files").count()
+    assert(rangeFiles >= 2 && rangeFiles <= 4,
+      s"range distribution should stay tuple-contiguous, got $rangeFiles files")
+    assert(count("SELECT count(*) FROM lake.db.dmode_range") == 1000)
+  }
+
+  test("CBO column statistics derive from manifests + compute_table_stats NDV") {
+    sql("CREATE TABLE lake.db.cbo (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.cbo " +
+      "SELECT id, concat('v', cast(id AS string)) FROM range(100)")
+    sql("CALL lake.system.compute_table_stats(table => 'db.cbo')")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("lake.db.cbo").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(100)))
+      val idStat = stats.attributeStats.find(_._1.name == "id").map(_._2)
+        .getOrElse(fail(s"no column stat for id in ${stats.attributeStats}"))
+      assert(idStat.nullCount.contains(BigInt(0)))
+      assert(idStat.min.contains(0L) && idStat.max.contains(99L),
+        s"expected min 0 / max 99, got ${idStat.min}/${idStat.max}")
+      assert(idStat.distinctCount.exists(d => d >= BigInt(90) && d <= BigInt(110)),
+        s"approx NDV should be ~100, got ${idStat.distinctCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  test("metadata log retention prunes old version files after commit") {
+    sql("""CREATE TABLE lake.db.tune_meta (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.delete-after-commit.enabled'='true',
+        |  'write.metadata.previous-versions-max'='2')""".stripMargin)
+    (1 to 6).foreach(i => sql(s"INSERT INTO lake.db.tune_meta VALUES ($i)"))
+    val loc = s"$wh/db/tune_meta"
+    val versions = MetadataLog.metadataFiles(loc,
+      spark.sessionState.newHadoopConf()).map(_._1)
+    // 7 commits total (create + 6 inserts); window = current + 2 previous
+    assert(versions == Seq(5, 6, 7),
+      s"expected versions 5..7 retained, got $versions")
+    assert(count("SELECT count(*) FROM lake.db.tune_meta") == 6)
+    // all snapshots remain time-travelable from the current metadata
+    assert(sql("SELECT * FROM lake.db.tune_meta.snapshots").count() == 6)
+    val first = sql("SELECT min(snapshot_id) FROM lake.db.tune_meta.snapshots")
+      .collect()(0).getLong(0)
+    assert(sql(s"SELECT * FROM lake.db.tune_meta VERSION AS OF $first").count() == 1)
+  }
 }
