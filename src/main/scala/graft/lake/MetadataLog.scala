@@ -25,7 +25,11 @@ object MetadataLog {
     new Path(location).getFileSystem(conf)
 
   def exists(location: String, conf: Configuration): Boolean =
-    fs(location, conf).exists(hintFile(location))
+    // The hint is only a pointer: fall back to the version listing so
+    // a reader can never observe "table missing" inside a concurrent
+    // commit's hint swap (non-atomic delete+rename on some FS).
+    fs(location, conf).exists(hintFile(location)) ||
+      metadataFiles(location, conf).nonEmpty
 
   /** Resolve the current version. The hint file is only a pointer —
     * if it is missing or caught mid-replace (empty), fall back to the
@@ -51,14 +55,49 @@ object MetadataLog {
   def load(location: String, conf: Configuration): TableMeta =
     loadVersion(location, currentVersion(location, conf), conf)
 
+  // Version files are immutable once written, so parsed TableMeta is
+  // cacheable process-wide: without this every statement of a high-QPS
+  // workload re-reads and re-parses the (potentially MBs at hundreds
+  // of snapshots) current metadata JSON. The key carries the file's
+  // (mtime, length) so a DROP + re-CREATE at the same warehouse
+  // location — which restarts version numbering — can never serve the
+  // old table's metadata. One getFileStatus per load replaces the full
+  // read + parse on a hit.
+  private val MaxMetaCacheEntries = 64
+  private val metaCache: java.util.Map[(String, Int, Long, Long), TableMeta] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int, Long, Long), TableMeta](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int, Long, Long), TableMeta]): Boolean =
+          size() > MaxMetaCacheEntries
+      })
+
+  /** Spec observability: number of actual (cache-miss) JSON parses. */
+  private[lake] val parseCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[lake] def clearMetaCacheForTesting(): Unit = metaCache.clear()
+
   def loadVersion(location: String, v: Int, conf: Configuration): TableMeta = {
     val f = fs(location, conf)
-    val in = f.open(versionFile(location, v))
+    val vf = versionFile(location, v)
+    val st = f.getFileStatus(vf)
+    val key = (location, v, st.getModificationTime, st.getLen)
+    // The cache holds the SLIM parsed form; every load hydrates fresh
+    // lazy wrappers from it. Caching a hydrated form would share (or
+    // worse, inline) file lists across loads — pinning O(history) file
+    // metadata resident and starving the distributed pruned-planning
+    // path, which keys off an unforced lazy wrapper.
+    val hit = metaCache.get(key)
+    if (hit != null)
+      return hit.copy(snapshots = hit.snapshots.map(Manifests.hydrate(_, conf)))
+    val in = f.open(vf)
     val parsed =
       try {
         val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        parseCount.incrementAndGet()
         Serialization.read[TableMeta](new String(bytes, StandardCharsets.UTF_8))
       } finally in.close()
+    metaCache.put(key, parsed)
     // hydrate spilled manifests so in-memory SnapshotMeta.files is
     // always authoritative
     parsed.copy(snapshots = parsed.snapshots.map(Manifests.hydrate(_, conf)))
@@ -105,35 +144,81 @@ object MetadataLog {
     val f = fs(meta.location, conf)
     f.mkdirs(metaDir(meta.location))
     val vf = versionFile(meta.location, next.version)
-    val out =
-      try f.create(vf, false) // fails if a concurrent writer won
-      catch {
-        case e: java.io.IOException if f.exists(vf) =>
-          Manifests.drop(freshDirs, conf)
-          throw new java.util.ConcurrentModificationException(
-            s"concurrent commit to ${meta.location}: v${next.version} " +
-              s"already exists (base version ${meta.version} is stale); " +
-              "reload the table metadata and reapply", e)
-      }
-    try out.write(Serialization.write(next).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = Serialization.write(next).getBytes(StandardCharsets.UTF_8)
+    def lostCas(e: Throwable): Nothing = {
+      Manifests.drop(freshDirs, conf)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit to ${meta.location}: v${next.version} " +
+          s"already exists (base version ${meta.version} is stale); " +
+          "reload the table metadata and reapply", e)
+    }
+    val scheme = vf.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // Hadoop's local create(path, overwrite=false) is CHECK-then-act:
+      // two simultaneous committers can both pass the existence check
+      // and both "create" the version file — the loser's commit is
+      // silently erased, no exception anywhere. NIO CREATE_NEW maps to
+      // O_CREAT|O_EXCL, which the kernel arbitrates atomically, so
+      // exactly one committer wins and the rest get the CAS conflict
+      // they can retry on. (HDFS create is atomic in the NameNode and
+      // keeps the Hadoop path below.)
+      val p = java.nio.file.Paths.get(vf.toUri.getPath)
+      val out =
+        try java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case e: java.nio.file.FileAlreadyExistsException => lostCas(e) }
+      try out.write(bytes)
+      finally out.close()
+    } else {
+      val out =
+        try f.create(vf, false) // atomic create-if-absent on HDFS
+        catch { case e: java.io.IOException if f.exists(vf) => lostCas(e) }
+      try out.write(bytes)
+      finally out.close()
+    }
     // Repoint the hint via write-temp + atomic rename so concurrent
     // readers never observe a truncated/empty hint file.
     val tmp = new Path(metaDir(meta.location),
       s".version-hint.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val hint = f.create(tmp, true)
-    try hint.write(next.version.toString.getBytes(StandardCharsets.UTF_8))
-    finally hint.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
-      fc.rename(tmp, hintFile(meta.location),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: Exception => // fallback: non-atomic replace; readers
-        f.delete(hintFile(meta.location), false) // fall back to listing
-        f.rename(tmp, hintFile(meta.location))
+    if (scheme == null || scheme == "file") {
+      // Pure NIO on local: ChecksumFileSystem writes would strand one
+      // .crc sidecar per commit (the rename below is crc-unaware), and
+      // POSIX rename(2) replaces atomically where Hadoop's local
+      // FileContext rename(OVERWRITE) is delete-then-rename — a
+      // no-hint window a concurrent loadTable could fall into
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        next.version.toString.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(hintFile(meta.location).toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val hint = f.create(tmp, true)
+      try hint.write(next.version.toString.getBytes(StandardCharsets.UTF_8))
+      finally hint.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+        fc.rename(tmp, hintFile(meta.location),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: Exception => // fallback: non-atomic replace; readers
+          f.delete(hintFile(meta.location), false) // fall back to listing
+          f.rename(tmp, hintFile(meta.location))
+      }
     }
     retireOldVersions(next, conf)
+    // prime the cache with the SLIM form it just serialized: the
+    // committer's next statement would otherwise pay a full reload of
+    // the metadata it just wrote. (Never the hydrated form — see
+    // loadVersion's cache contract.)
+    try {
+      val st = f.getFileStatus(vf)
+      metaCache.put((meta.location, next.version,
+        st.getModificationTime, st.getLen), next)
+    } catch { case _: Exception => () }
     next.copy(snapshots = spilled.map(_._2))
   }
 

@@ -303,6 +303,154 @@ object TextOps {
         round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("source"), col("lang"))
 
+  // PII patterns chosen to parse identically under Java regex (Spark)
+  // and RE2 (DuckDB oracle): char classes, bounded repetition, \b.
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val Ipv4Pat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhonePat = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** PII scrubbing (the redaction stage every training-data pipeline
+    * runs before tokenization): count and redact emails, IPv4s and
+    * phone numbers. The corpus is synthetic and contains no real PII,
+    * so the operator first plants one deterministic instance of each
+    * kind per document (same expression on the oracle side) — the gate
+    * then verifies count AND replacement semantics, not just a row of
+    * zeros. Pure narrow projection: regexp_extract_all counts + a
+    * regexp_replace chain, whole-stage codegen'd, no shuffle at any
+    * corpus size. */
+  def tPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."),
+      (col("doc_id") % 256).cast("string"),
+      lit(".7 or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-4821"))
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0)))
+    // email first (it contains dots/digits an IP pattern could nibble),
+    // then IPs, then phones — the oracle applies the same order
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        nMatches(planted, EmailPat).as("n_emails"),
+        nMatches(planted, Ipv4Pat).as("n_ips"),
+        nMatches(planted, PhonePat).as("n_phones"),
+        md5(redacted.cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate GROUP assignment: connected components over the
+    * n-gram-Jaccard pair graph ([[tNgramJaccard]]'s edges), labeling
+    * every document with the minimum doc_id of its component — the
+    * "keep one canonical doc per dup cluster" step that follows pair
+    * generation in a dedup pipeline.
+    *
+    * Distributed min-label propagation: each round joins the
+    * (symmetrized) edge list against current labels and lowers every
+    * vertex to its neighborhood minimum — one hash-partitioned join +
+    * aggregation per round, converging in graph-diameter rounds.
+    * Near-dup components are small and dense (diameter 2-3), so the
+    * 16-round cap is conservative; a corpus with pathological chain
+    * components would want the large-star/small-star variant
+    * (pointer-doubling, O(log n) rounds) on the same loop skeleton.
+    * Each round persists its labels and unpersists the previous to
+    * keep lineage flat; the per-round count() is the convergence
+    * check, a scalar action, not a data collect. */
+  def tDedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = tNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("group_id")).persist()
+    var round = 0
+    var converged = false
+    while (round < 16 && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("group_id").as("nl")), Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("nl")).as("nmin"))
+        .withColumnRenamed("doc_a", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
+            .as("group_id"))
+        .persist()
+      converged = next
+        .join(labels.withColumnRenamed("group_id", "prev"), Seq("doc_id"))
+        .filter(col("group_id") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sampling — the "keep X% of each stratum"
+    * stage of corpus curation, reproducible across runs and engines:
+    * the sampling coin is a hash bucket of the doc id (first 15 md5
+    * hex digits mod 100), not rand(), so the same document always gets
+    * the same verdict and the gate can hash-match. Per-language
+    * quotas: en 60 %, de/fr 30 %, everything else 10 %. Pure narrow
+    * projection + filter — no shuffle, any corpus size. */
+  def tSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long") % 100
+    val quota = when(col("lang") === "en", 60)
+      .when(col("lang").isin("de", "fr"), 30)
+      .otherwise(10)
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < quota)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget shard packing — grouping documents into
+    * fixed-token-budget training shards (the sequence-packing
+    * pre-step). Shard id = the document's starting token offset in its
+    * stratum divided by the budget; the running offset is a window
+    * cumsum PARTITIONED BY source, so packing is embarrassingly
+    * parallel per stratum — a global (unpartitioned) window would
+    * serialize the whole corpus through one task at 100 TB. */
+  def tShardPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_tok") / 4096).cast("long").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination — flag training documents that share
+    * 3-word shingles with an evaluation set (here: the pseudo-eval
+    * slice doc_id % 97 == 0, deterministic). The eval shingle set is
+    * tiny relative to the corpus, so the overlap join broadcasts it;
+    * per-doc overlap counts come from one hash aggregation. This is
+    * the n-gram-overlap decontamination stage every training pipeline
+    * runs against held-out benchmarks. */
+  def tContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles3(toks(col("text")))).as("shingle"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: treat the text payload as an opaque binary
     * blob (stand-in for image/audio bytes — the container has no
     * codec libs) and extract typed metadata: byte length, magic
@@ -372,6 +520,11 @@ object TextOps {
     "t_repetition" -> (tRepetition _),
     "t_bm25" -> (tBm25 _),
     "t_corpus_stats" -> (tCorpusStats _),
+    "t_pii_redact" -> (tPiiRedact _),
+    "t_dedup_groups" -> (tDedupGroups _),
+    "t_sample_stratified" -> (tSampleStratified _),
+    "t_shard_pack" -> (tShardPack _),
+    "t_contamination" -> (tContamination _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
   )
@@ -515,6 +668,80 @@ object TextOps {
         |  round(avg(n_chars), 2) AS avg_chars
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+    "t_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |      (doc_id % 256) || '.7 or 555-' ||
+        |      lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-4821' AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(planted,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(planted,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "t_dedup_groups" ->
+      s"""WITH RECURSIVE p0 AS (
+         |  SELECT doc_id, unnest(sh) AS shingle
+         |  FROM (SELECT doc_id, $shSql AS sh
+         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+         |p1 AS (SELECT doc_id, shingle,
+         |         count(*) OVER (PARTITION BY shingle) AS dfreq FROM p0),
+         |p AS (SELECT doc_id, shingle,
+         |        count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |      FROM p1 WHERE dfreq <= 100),
+         |prs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+         |        FROM p a JOIN p b ON a.shingle = b.shingle
+         |          AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2, 3, 4)
+         |  WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.6),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS group_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "t_sample_stratified" ->
+      """SELECT doc_id, lang, source, bucket
+        |FROM (SELECT doc_id, lang, source,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+        |          AS bucket
+        |      FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 60
+        |                    WHEN lang IN ('de','fr') THEN 30
+        |                    ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    "t_shard_pack" ->
+      s"""SELECT doc_id, source, n_tokens,
+         |  (start_tok // 4096)::BIGINT AS shard_id
+         |FROM (SELECT doc_id, source, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY doc_id) - n_tokens, 0) AS start_tok
+         |      FROM (SELECT doc_id, source, len($tokSql) AS n_tokens
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "t_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(sh) AS shingle
+         |  FROM (SELECT doc_id, $shSql AS sh
+         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM sh s JOIN bench b ON s.shingle = b.shingle
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,

@@ -81,6 +81,32 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.ccmix.snapshots") == 8)
   }
 
+  test("commit CAS stays atomic under a tight metadata hammer") {
+    // Tiny driver-side commits maximize create() collisions — this is
+    // the test that catches a check-then-act commit protocol (local
+    // create(overwrite=false) is not atomic; O_EXCL is). Every lost
+    // CAS must surface as a retryable conflict, never a silent erase.
+    sql("""CREATE TABLE lake.db.cchammer (id bigint) USING lake
+        |TBLPROPERTIES ('commit.retry.num-retries'='64')""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "cchammer")
+    inThreads(0 until 8) { t =>
+      (0 until 10).foreach { i =>
+        cat.commitRetrying(ident) { fresh =>
+          val snap = SnapshotMeta(fresh.lastSnapshotId + 1,
+            fresh.currentSnapshotId("main"), System.currentTimeMillis(),
+            "append", Map("writer" -> s"$t-$i"), Nil,
+            fresh.currentSchemaEpoch)
+          fresh.withSnapshot(snap, Some("main"))
+        }
+      }
+    }
+    // 80 commits → 80 snapshots and 80 metadata versions after create
+    assert(count("SELECT count(*) FROM lake.db.cchammer.snapshots") == 80)
+  }
+
   test("contention stress: concurrent merge-on-read deletes on disjoint rows") {
     sql("""CREATE TABLE lake.db.ccmor (id bigint, writer int) USING lake
         |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)

@@ -1445,6 +1445,30 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
+  test("metadata version files cache by identity; drop+recreate never serves stale meta") {
+    sql("CREATE TABLE lake.db.mcache (id bigint) USING lake")
+    sql("INSERT INTO lake.db.mcache VALUES (1)")
+    val conf = spark.sessionState.newHadoopConf()
+    val loc = s"$wh/db/mcache"
+    MetadataLog.clearMetaCacheForTesting()
+    val v = MetadataLog.currentVersion(loc, conf)
+    val before = MetadataLog.parseCount.get()
+    val first = MetadataLog.loadVersion(loc, v, conf)
+    assert(MetadataLog.parseCount.get() == before + 1)
+    val second = MetadataLog.loadVersion(loc, v, conf)
+    assert(MetadataLog.parseCount.get() == before + 1,
+      "second load of an immutable version must be a cache hit")
+    assert(second.version == first.version &&
+      second.snapshots.map(_.snapshotId) == first.snapshots.map(_.snapshotId))
+    // same location + same version number after drop/recreate must
+    // reload (the (mtime, length) key changes with the new file)
+    sql("DROP TABLE lake.db.mcache")
+    sql("CREATE TABLE lake.db.mcache (id bigint, v string) USING lake")
+    val recreated = MetadataLog.load(loc, conf)
+    assert(recreated.schema.fieldNames.toSeq == Seq("id", "v"),
+      s"stale cached metadata served after recreate: ${recreated.schema}")
+  }
+
   test("metadata log retention prunes old version files after commit") {
     sql("""CREATE TABLE lake.db.tune_meta (id bigint) USING lake
         |TBLPROPERTIES ('write.metadata.delete-after-commit.enabled'='true',
