@@ -90,7 +90,52 @@ object Changelog {
             .withColumn("_change_ordinal", lit(ordinal))
             .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
         }
-      read(added, "insert") ++ read(removed, "delete") ++ masked
+      // upsert commit: rows of OLDER files matching the commit's NEW
+      // equality-delete keys are this commit's deletes. One semi-join
+      // per key shape against the (small, broadcast) key set; rows
+      // already dead — parent position masks or parent equality
+      // deletes — are subtracted so they don't re-emit.
+      val parentEqPaths = s.parentId.flatMap(meta.snapshotById)
+        .map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      val parentEqs = s.parentId.flatMap(meta.snapshotById)
+        .map(_.eqDeleteFiles).getOrElse(Nil)
+      val newEqs = s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
+      val eqDeleted: Seq[DataFrame] =
+        if (newEqs.isEmpty) Nil
+        else {
+          val affected = s.files.filter(f =>
+            newEqs.exists(EqDeletes.mayApply(meta, f, _)))
+          val parentMasks = s.parentId.flatMap(meta.snapshotById)
+            .map(_.deleteFiles).getOrElse(Nil)
+          EqDeletes.groupByApplicable(meta, affected, newEqs).flatMap {
+            case (_, eqsOfGroup) if eqsOfGroup.isEmpty => None
+            case (fs, eqsOfGroup) =>
+              EqDeletes.keysDf(spark, meta, eqsOfGroup).map { keys =>
+                val base = spark.read.schema(schema)
+                  .parquet(fs.map(_.path): _*)
+                val notPosMasked =
+                  if (parentMasks.isEmpty) base
+                  else base
+                    .withColumn("__fp", regexp_replace(
+                      col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
+                    .withColumn("__pos", col("_metadata.row_index"))
+                    .join(broadcast(spark.read
+                        .schema(PosDeletes.DeleteSchema)
+                        .parquet(parentMasks.map(_.path): _*)
+                        .toDF("__fp", "__pos")),
+                      Seq("__fp", "__pos"), "left_anti")
+                    .drop("__fp", "__pos")
+                val notPriorEq = EqDeletes.antiJoin(spark, meta, notPosMasked,
+                  parentEqs.filter(e => fs.exists(EqDeletes.mayApply(meta, _, e))))
+                notPriorEq
+                  .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+                  .withColumn("_change_type", lit("delete"))
+                  .withColumn("_change_ordinal", lit(ordinal))
+                  .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+              }
+          }
+        }
+      read(added, "insert") ++ read(removed, "delete") ++ masked ++ eqDeleted
     }
 
     val raw = parts.reduceOption(_.unionByName(_)).getOrElse {

@@ -93,9 +93,46 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
                 ordinal, s.snapshotId, ps, keepOnlyPositions = true))
           }
         }
-      inserts ++ deletes ++ masked
+      // upsert commit: rows of OLDER files matching the commit's NEW
+      // equality-delete keys are deletes. Each affected file becomes a
+      // key-matching partition; rows already dead (parent position
+      // masks, parent equality deletes) are excluded executor-side.
+      val parentEqs = parentSnap.map(_.eqDeleteFiles).getOrElse(Nil)
+      val parentEqPaths = parentEqs.map(_.path).toSet
+      val newEqs = s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
+      val eqDeleted =
+        if (newEqs.isEmpty) Nil
+        else {
+          val parentMaskByPath = parentSnap.map(_.deleteFiles).getOrElse(Nil)
+            match {
+              case Nil => Map.empty[String, Array[Long]]
+              case dels => PosDeletes.deletedMap(dels, conf)
+            }
+          def slices(eqs: Seq[EqDeleteMeta]): Seq[EqSlice] =
+            eqs.map(e => EqSlice(e.path, len(e.path), eqGroupOf(e.path)))
+          s.files.flatMap { f =>
+            val keep = newEqs.filter(EqDeletes.mayApply(meta, f, _))
+            if (keep.isEmpty) None
+            else Some(ChangesPartition(f.path, f.schemaEpoch, len(f.path),
+              "delete", ordinal, s.snapshotId,
+              parentMaskByPath.getOrElse(PosDeletes.norm(f.path),
+                Array.empty[Long]),
+              keepOnlyPositions = false,
+              eqKeepSlices = slices(keep),
+              eqExcludeSlices = slices(
+                parentEqs.filter(EqDeletes.mayApply(meta, f, _)))))
+          }
+        }
+      inserts ++ deletes ++ masked ++ eqDeleted
     }.toArray[InputPartition]
   }
+
+  // all equality-delete files any in-range snapshot may reference,
+  // grouped by key shape (shared with the reader factory)
+  private lazy val eqGroups: Seq[Seq[EqDeleteMeta]] =
+    EqScanSupport.groupsOf(meta.snapshots.flatMap(_.eqDeleteFiles))
+  private lazy val eqGroupOf: Map[String, Int] = eqGroups.zipWithIndex
+    .flatMap { case (g, i) => g.map(_.path -> i) }.toMap
 
   override def createReaderFactory(): PartitionReaderFactory = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal}
@@ -138,17 +175,28 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
         StructType(Nil), epochRead, Nil,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> vectorized.toString), econf)
-      e -> (readFunc, exprs)
+      val keyExprs: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
+        eqKeyFields.map(fs => EqScanSupport.keyExprs(epochRead, rename, fs, tz))
+      e -> (readFunc, exprs, keyExprs)
     }.toMap
     new ChangesReaderFactory(
-      perEpoch.map { case (e, (f, _)) => e -> f },
-      perEpoch.map { case (e, (_, x)) => e -> x })
+      perEpoch.map { case (e, (f, _, _)) => e -> f },
+      perEpoch.map { case (e, (_, x, _)) => e -> x },
+      perEpoch.map { case (e, (_, _, k)) => e -> k },
+      EqScanSupport.groupSpecs(meta, eqGroups, eqKeyFields, noVec, hconf, tz))
   }
+
+  private lazy val eqKeyFields = EqScanSupport.keyFields(meta, eqGroups)
 }
 
 case class ChangesPartition(path: String, epoch: Int, fileLen: Long,
     changeType: String, ordinal: Int, snapshotId: Long,
-    positionsSorted: Array[Long], keepOnlyPositions: Boolean)
+    positionsSorted: Array[Long], keepOnlyPositions: Boolean,
+    // equality-delete event mode (eqKeepSlices non-empty): emit rows
+    // whose key is in a keep set, excluding positionsSorted (parent
+    // position masks) and keys in any exclude set (parent eq deletes)
+    eqKeepSlices: Seq[EqSlice] = Nil,
+    eqExcludeSlices: Seq[EqSlice] = Nil)
   extends InputPartition
 
 /** Streams a data file in row order, filters by the partition's mask
@@ -157,8 +205,31 @@ case class ChangesPartition(path: String, epoch: Int, fileLen: Long,
 class ChangesReaderFactory(
     readFuncs: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow]],
-    projections: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+    projections: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
+    keyExprs: Map[Int, Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]]] =
+      Map.empty,
+    eqSpecs: Map[Int, EqGroupSpec] = Map.empty)
   extends PartitionReaderFactory {
+
+  private def eqSets(part: ChangesPartition, slices: Seq[EqSlice])
+      : Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
+        Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])] =
+    slices.groupBy(_.groupId).toArray.map { case (g, ss) =>
+      val spec = eqSpecs(g)
+      val delProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(spec.castExprs.toArray)
+      val sets = ss.map { s =>
+        EqDeletes.keySet(s.path, spec.typesSig,
+          () => spec.read(
+            org.apache.spark.sql.execution.datasources.PartitionedFile(
+              org.apache.spark.sql.catalyst.InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPathString(s.path),
+              0, s.fileLen)),
+          r => delProj(r))
+      }.toArray
+      (org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(keyExprs(part.epoch)(g).toArray), sets)
+    }
 
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -185,6 +256,24 @@ class ChangesReaderFactory(
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     val mask = part.positionsSorted
     val keepOnly = part.keepOnlyPositions
+    val keep = eqSets(part, part.eqKeepSlices)
+    val exclude = eqSets(part, part.eqExcludeSlices)
+    def inAny(checks: Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
+        Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])],
+        r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+      var i = 0
+      while (i < checks.length) {
+        val (extract, sets) = checks(i)
+        val key = extract(r)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(key)) return true
+          j += 1
+        }
+        i += 1
+      }
+      false
+    }
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private var di = 0
       private var pos = -1L
@@ -193,7 +282,12 @@ class ChangesReaderFactory(
         while (rows.hasNext) {
           val r = rows.next(); pos += 1
           val emit =
-            if (!keepOnly) true
+            if (keep.nonEmpty) {
+              // equality-delete event: key matched, not already dead
+              while (di < mask.length && mask(di) < pos) di += 1
+              val posDead = di < mask.length && mask(di) == pos
+              !posDead && inAny(keep, r) && !inAny(exclude, r)
+            } else if (!keepOnly) true
             else {
               while (di < mask.length && mask(di) < pos) di += 1
               di < mask.length && mask(di) == pos

@@ -42,7 +42,10 @@ class LakeMicroBatchStream(table: LakeTable, readSchema: StructType,
     * sequence file-granular offsets index into. */
   private def addedFiles(meta: TableMeta, snap: SnapshotMeta): Seq[DataFileMeta] =
     snap.operation match {
-      case "append" =>
+      // an upsert's appended rows ARE the latest values of their keys —
+      // streaming them as appends gives the CDC "current value" stream
+      // (its equality deletes target only OLDER snapshots' rows)
+      case "append" | "upsert" =>
         val parentPaths = snap.parentId.flatMap(meta.snapshotById)
           .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         snap.files.filterNot(f => parentPaths(f.path))

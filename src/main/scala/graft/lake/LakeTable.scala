@@ -128,10 +128,14 @@ class LakeTable(
         s"start snapshot $start is not an ancestor of end snapshot $end " +
           "on the main branch")
       val range = ancestry.filter(_.snapshotId > start).sortBy(_.snapshotId)
-      range.foreach(sn => require(sn.operation == "append",
-        s"found '${sn.operation}' snapshot ${sn.snapshotId} in the " +
-          "incremental range; incremental batch reads support " +
-          "append-only history"))
+      // upserts qualify: they only ADD files (their equality deletes
+      // target older rows), so the added-files diff is exact — the
+      // incremental stream yields each key's latest values
+      range.foreach(sn =>
+        require(sn.operation == "append" || sn.operation == "upsert",
+          s"found '${sn.operation}' snapshot ${sn.snapshotId} in the " +
+            "incremental range; incremental batch reads support " +
+            "append-only history"))
       range.flatMap { sn =>
         val parentPaths = sn.parentId.flatMap(meta.snapshotById)
           .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
@@ -307,14 +311,25 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
         .filter(_.deleteFiles.nonEmpty)
         .map(s => PosDeletes.masksFor(pruned, s.deleteFiles))
         .getOrElse(Map.empty)
+    // equality deletes (upserts): metadata-only relevance — a file is
+    // affected iff it is OLDER than the delete (seq) and its key range
+    // may intersect the delete's (footer stats)
+    val eqDeleted =
+      if (filesOverride.isDefined) Map.empty[String, Seq[EqDeleteMeta]]
+      else snapshotId.flatMap(table.meta.snapshotById)
+        .filter(_.eqDeleteFiles.nonEmpty)
+        .map(s => EqDeletes.masksFor(table.meta, pruned, s.eqDeleteFiles))
+        .getOrElse(Map.empty)
     if (rowLevel && table.meta.partitionSpec.nonEmpty)
-      new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted)
+      new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted,
+        eqDeleted)
     else if (rowLevel)
-      LakeScans.build(table, pruned, required, Array.empty, options, deleted)
+      LakeScans.build(table, pruned, required, Array.empty, options, deleted,
+        eqDeleted)
     else {
       val planned = limit match {
         case Some(n) if filesOverride.isEmpty && pushed.isEmpty &&
-            deleted.isEmpty =>
+            deleted.isEmpty && eqDeleted.isEmpty =>
           // row counts are exact here: keep files until they cover n
           val out = Seq.newBuilder[DataFileMeta]
           var acc = 0L
@@ -333,6 +348,7 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
         case s => s.size
       }
       new LakeBatchScan(table, planned, required, pushed, options, deleted,
+        eqDeleted,
         skippedFiles = if (candidates < 0) -1L else (candidates - planned.size).toLong)
     }
   }
@@ -399,7 +415,8 @@ private[lake] object LakeAggPushdown {
       : Option[(StructType, Array[InternalRow])] = {
     if (declined) return None
     val snap = snapshotId.flatMap(table.meta.snapshotById)
-    if (snap.exists(_.deleteFiles.nonEmpty)) return None
+    if (snap.exists(s => s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty))
+      return None
     val schema = table.schema()
     val files = table.meta.filesOf(snapshotId)
     val renames = files.map(_.schemaEpoch).distinct.map(e =>
@@ -588,6 +605,7 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     required: StructType, pushed: Array[Filter],
     options: CaseInsensitiveStringMap,
     deleted: Map[String, Seq[String]] = Map.empty,
+    eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty,
     skippedFiles: Long = -1L)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
   with SupportsReportPartitioning {
@@ -597,7 +615,7 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
   // delegate's file index; runtime filtering swaps in a narrowed one
   @volatile private var narrowedDelegate: Option[Scan] = None
   private lazy val initialDelegate: Scan =
-    LakeScans.build(table, files, required, pushed, options, deleted)
+    LakeScans.build(table, files, required, pushed, options, deleted, eqDeleted)
   private def delegate: Scan = narrowedDelegate.getOrElse(initialDelegate)
 
   override def readSchema(): StructType = required
@@ -616,7 +634,7 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     val spark = SparkSession.active
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean) None
-    else if (deleted.nonEmpty) None // keep MoR masks off the SPJ path
+    else if (deleted.nonEmpty || eqDeleted.nonEmpty) None // keep MoR masks off the SPJ path
     else if (files.isEmpty) None    // an empty keyed partitioning would
                                     // report 0 partitions — use the
                                     // ordinary empty scan instead
@@ -717,7 +735,7 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
       if (narrowed.size < files.size) {
         files = narrowed
         narrowedDelegate = Some(LakeScans.build(table, files, required,
-          pushed, options, deleted))
+          pushed, options, deleted, eqDeleted))
       }
     }
   }
@@ -822,12 +840,14 @@ object LakeBatchScan {
 class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
     required: StructType, options: CaseInsensitiveStringMap,
     onFiles: Seq[DataFileMeta] => Unit,
-    deleted: Map[String, Seq[String]] = Map.empty)
+    deleted: Map[String, Seq[String]] = Map.empty,
+    eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty)
   extends Scan with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[DataFileMeta] = initial
   @volatile private var delegate: Scan =
-    LakeScans.build(table, files, required, Array.empty, options, deleted)
+    LakeScans.build(table, files, required, Array.empty, options, deleted,
+      eqDeleted)
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -844,7 +864,7 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
       files = FileStats.prune(files, v1.toSeq, table.schema())
       onFiles(files)
       delegate = LakeScans.build(table, files, required, Array.empty, options,
-        deleted)
+        deleted, eqDeleted)
     }
   }
 
@@ -860,7 +880,8 @@ object LakeScans {
   def build(table: LakeTable, files: Seq[DataFileMeta],
       required: StructType, pushed: Array[Filter],
       options: CaseInsensitiveStringMap,
-      deleted: Map[String, Seq[String]] = Map.empty): Scan = {
+      deleted: Map[String, Seq[String]] = Map.empty,
+      eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty): Scan = {
     val spark = SparkSession.active
     val currentSchema = table.schema()
     // Projections of the _file/_pos metadata columns need per-row file
@@ -870,17 +891,22 @@ object LakeScans {
     val wantsMeta = required.fields.exists(f =>
       LakeMetaColumns.Names(f.name) && !currentSchema.fieldNames.contains(f.name))
     if (wantsMeta)
-      return new PosDeleteScan(table, files, required, deleted)
-    // Files with position-delete masks route through the row-based
-    // delete-applying scan; clean files keep the vectorized path.
+      return new PosDeleteScan(table, files, required, deleted, eqDeleted)
+    // Files with position-delete masks or applicable equality deletes
+    // route through the row-based mask-applying scan; clean files keep
+    // the vectorized path.
     val (dirty, clean) =
-      if (deleted.isEmpty) (Nil, files)
-      else files.partition(f => deleted.contains(PosDeletes.norm(f.path)))
+      if (deleted.isEmpty && eqDeleted.isEmpty) (Nil, files)
+      else files.partition { f =>
+        val np = PosDeletes.norm(f.path)
+        deleted.contains(np) || eqDeleted.contains(np)
+      }
     if (dirty.nonEmpty) {
       val cleanScan =
         if (clean.isEmpty) Nil
         else Seq(build(table, clean, required, pushed, options))
-      val all = cleanScan :+ new PosDeleteScan(table, dirty, required, deleted)
+      val all = cleanScan :+
+        new PosDeleteScan(table, dirty, required, deleted, eqDeleted)
       return if (all.size == 1) all.head else new CompositeScan(all, required)
     }
     val byEpoch = files.groupBy(_.schemaEpoch).toSeq.sortBy(_._1)
@@ -1119,7 +1145,8 @@ class CompositeReaderFactory(factories: Seq[PartitionReaderFactory],
   * restores the fast path by folding masks back into data files.
   */
 class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
-    required: StructType, deleted: Map[String, Seq[String]])
+    required: StructType, deleted: Map[String, Seq[String]],
+    eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -1130,14 +1157,29 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
   // pre-mask row counts: a slight over-estimate, safe for planning
   override def estimateStatistics(): Statistics = LakeStats(files)
 
+  // Equality deletes grouped by key SHAPE (write epoch + key columns):
+  // each shape needs its own delete-file reader and key projection.
+  // The group index is the partitions' compact reference.
+  private val eqGroups: Seq[Seq[EqDeleteMeta]] =
+    EqScanSupport.groupsOf(eqDeleted.values.flatten.toSeq)
+  private val groupOf: Map[String, Int] = eqGroups.zipWithIndex.flatMap {
+    case (g, i) => g.map(_.path -> i) }.toMap
+
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)
+    // delete-file lengths once per distinct file, not per data file
+    val eqLens: Map[String, Long] = eqGroups.flatten.map(e =>
+      e.path -> fs.getFileStatus(new org.apache.hadoop.fs.Path(e.path)).getLen)
+      .toMap
     files.map { f =>
       val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f.path)).getLen
+      val np = PosDeletes.norm(f.path)
       // the partition carries the RELEVANT delete-file paths, not the
-      // positions: the task reads its own masks executor-side
+      // positions/keys: the task reads its own masks executor-side
       PosDeletePartition(f.path, f.schemaEpoch, len,
-        deleted.getOrElse(PosDeletes.norm(f.path), Nil))
+        deleted.getOrElse(np, Nil),
+        eqDeleted.getOrElse(np, Nil).map(e =>
+          EqSlice(e.path, eqLens(e.path), groupOf(e.path))))
     }.toArray
   }
 
@@ -1150,13 +1192,24 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
     val current = table.schema()
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val dataNames = current.fieldNames.toSet
+    // equality-delete key fields in CURRENT shape, one entry per group
+    val eqKeyFields: Seq[Seq[org.apache.spark.sql.types.StructField]] =
+      EqScanSupport.keyFields(table.meta, eqGroups)
     val perEpoch = files.map(_.schemaEpoch).distinct.map { e =>
       val epochSchema = table.meta.schemaAt(e)
       val rename = LakeScans.renameMap(current, epochSchema)
-      val epochRead = StructType(required.fields.flatMap { f =>
+      val baseRead = StructType(required.fields.flatMap { f =>
         val en = rename.getOrElse(f.name, f.name)
         epochSchema.fields.find(_.name == en)
       }.distinct)
+      // widen the read schema with any key columns the eq filters need
+      // (appended at the end — the output projection binds by indexOf,
+      // so existing indices are unchanged)
+      val keyEpochFields = eqKeyFields.flatten.flatMap { f =>
+        val en = rename.getOrElse(f.name, f.name)
+        epochSchema.fields.find(_.name == en)
+      }.distinct.filterNot(baseRead.fields.contains)
+      val epochRead = StructType(baseRead.fields ++ keyEpochFields)
       // the reader projects over JoinedRow(dataRow, [filePath, pos]):
       // metadata columns bind past the data row's width
       val n = epochRead.length
@@ -1197,23 +1250,120 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
         StructType(Nil), epochRead, Nil,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> vectorized.toString), econf)
-      e -> (readFunc, exprs)
+      // per-group key extractors from THIS epoch's raw data row, cast
+      // to current types so they byte-compare with the delete side
+      val keyExprs: Seq[Seq[Expression]] = eqKeyFields.map(fs =>
+        EqScanSupport.keyExprs(epochRead, rename, fs, tz))
+      e -> (readFunc, exprs, keyExprs)
     }.toMap
+    val eqSpecs: Map[Int, EqGroupSpec] =
+      EqScanSupport.groupSpecs(table.meta, eqGroups, eqKeyFields, noVec,
+        hconf, tz)
     new PosDeleteReaderFactory(
-      perEpoch.map { case (e, (f, _)) => e -> f },
-      perEpoch.map { case (e, (_, x)) => e -> x },
-      new org.apache.spark.util.SerializableConfiguration(hconf))
+      perEpoch.map { case (e, (f, _, _)) => e -> f },
+      perEpoch.map { case (e, (_, x, _)) => e -> x },
+      new org.apache.spark.util.SerializableConfiguration(hconf),
+      perEpoch.map { case (e, (_, _, k)) => e -> k },
+      eqSpecs)
   }
 }
 
 case class PosDeletePartition(path: String, epoch: Int, fileLen: Long,
-    deleteFiles: Seq[String]) extends InputPartition
+    deleteFiles: Seq[String],
+    eqSlices: Seq[EqSlice] = Nil) extends InputPartition
+
+/** One applicable equality-delete file for a scan task: path, length
+  * (for the executor-side parquet read) and its key-shape group. */
+case class EqSlice(path: String, fileLen: Long, groupId: Int)
+
+/** Serialized per-key-shape machinery: how an executor reads a delete
+  * file of this shape and casts its tuples to current types. */
+case class EqGroupSpec(
+    read: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    castExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    typesSig: String)
+
+/** Shared driver-side construction of equality-delete scan machinery
+  * (used by [[PosDeleteScan]] and the changes relation): key-shape
+  * groups, their delete-file readers, and per-epoch key extractors. */
+private[lake] object EqScanSupport {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal}
+
+  def groupsOf(eqs: Seq[EqDeleteMeta]): Seq[Seq[EqDeleteMeta]] =
+    eqs.distinctBy(_.path)
+      .groupBy(e => (e.schemaEpoch, e.keyColumns)).values.toSeq
+
+  def keyFields(meta: TableMeta, groups: Seq[Seq[EqDeleteMeta]])
+      : Seq[Seq[org.apache.spark.sql.types.StructField]] =
+    groups.map { g =>
+      EqDeletes.currentKeyFields(meta, g.head).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete file ${g.head.path} references key columns " +
+            s"${g.head.keyColumns.mkString(", ")} that no longer map to " +
+            "the current schema"))
+    }
+
+  /** One delete-file reader + cast-to-current-types projection per key
+    * shape; always the row-based parquet path (delete files are small
+    * and read once into the executor-local key-set cache). */
+  def groupSpecs(meta: TableMeta, groups: Seq[Seq[EqDeleteMeta]],
+      fields: Seq[Seq[org.apache.spark.sql.types.StructField]],
+      noVec: org.apache.spark.sql.classic.SparkSession,
+      hconf: org.apache.hadoop.conf.Configuration,
+      tz: String): Map[Int, EqGroupSpec] =
+    groups.zipWithIndex.map { case (g, gi) =>
+      val head = g.head
+      val delEpochSchema = meta.schemaAt(head.schemaEpoch)
+      val delReadSchema = StructType(head.keyColumns.map(kc =>
+        delEpochSchema.fields.find(_.name.equalsIgnoreCase(kc)).get
+          .copy(nullable = true)))
+      val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      val dconf = new org.apache.hadoop.conf.Configuration(hconf)
+      val delRead = fmt.buildReaderWithPartitionValues(noVec, delReadSchema,
+        StructType(Nil), delReadSchema, Nil,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"), dconf)
+      val curFields = fields(gi)
+      val castExprs: Seq[Expression] = delReadSchema.fields.toSeq
+        .zip(curFields).map { case (df, cf) =>
+          val ref = BoundReference(delReadSchema.fieldNames.indexOf(df.name),
+            df.dataType, nullable = true)
+          if (df.dataType == cf.dataType) ref: Expression
+          else Cast(ref, cf.dataType, Some(tz))
+        }
+      gi -> EqGroupSpec(delRead, castExprs,
+        curFields.map(_.dataType.catalogString).mkString(","))
+    }.toMap
+
+  /** Key extractor over a raw epoch-read row, cast to current types so
+    * the output byte-compares with the delete side. */
+  def keyExprs(epochRead: StructType, rename: Map[String, String],
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      tz: String): Seq[Expression] =
+    fields.map { f =>
+      val en = rename.getOrElse(f.name, f.name)
+      epochRead.fieldNames.indexOf(en) match {
+        case -1 => Literal(null, f.dataType)
+        case i =>
+          val ef = epochRead(i)
+          val ref = BoundReference(i, ef.dataType, nullable = true)
+          if (ef.dataType == f.dataType) ref: Expression
+          else Cast(ref, f.dataType, Some(tz))
+      }
+    }
+}
 
 class PosDeleteReaderFactory(
     readFuncs: Map[Int, org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow]],
     projections: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.Expression]],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    // equality-delete machinery: per (data epoch) per group, the key
+    // extractor over the raw data row; per group, the delete reader
+    keyExprs: Map[Int, Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]]] =
+      Map.empty,
+    eqSpecs: Map[Int, EqGroupSpec] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
@@ -1241,6 +1391,27 @@ class PosDeleteReaderFactory(
     val mask: Array[Long] =
       if (part.deleteFiles.isEmpty) Array.empty
       else PosDeletes.deletedFor(part.path, part.deleteFiles, conf.value)
+    // equality-delete key sets, loaded HERE (executor) through the
+    // per-JVM cache; one (extractor, sets) pair per key shape
+    val eqChecks: Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
+        Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])] =
+      part.eqSlices.groupBy(_.groupId).toArray.map { case (g, slices) =>
+        val spec = eqSpecs(g)
+        val delProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(spec.castExprs.toArray)
+        val sets = slices.map { s =>
+          EqDeletes.keySet(s.path, spec.typesSig,
+            () => spec.read(
+              org.apache.spark.sql.execution.datasources.PartitionedFile(
+                org.apache.spark.sql.catalyst.InternalRow.empty,
+                org.apache.spark.paths.SparkPath.fromPathString(s.path),
+                0, s.fileLen)),
+            r => delProj(r))
+        }.toArray
+        val extract = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keyExprs(part.epoch)(g).toArray)
+        (extract, sets)
+      }
     val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
     metaRow.update(0, org.apache.spark.unsafe.types.UTF8String
       .fromString(PosDeletes.norm(part.path)))
@@ -1249,12 +1420,26 @@ class PosDeleteReaderFactory(
       private var di = 0
       private var pos = -1L
       private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      private def eqDeleted(r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+        var i = 0
+        while (i < eqChecks.length) {
+          val (extract, sets) = eqChecks(i)
+          val key = extract(r)
+          var j = 0
+          while (j < sets.length) {
+            if (sets(j).contains(key)) return true
+            j += 1
+          }
+          i += 1
+        }
+        false
+      }
       override def next(): Boolean = {
         while (rows.hasNext) {
           val r = rows.next(); pos += 1
           while (di < mask.length && mask(di) < pos) di += 1
           if (di < mask.length && mask(di) == pos) di += 1
-          else {
+          else if (eqChecks.isEmpty || !eqDeleted(r)) {
             metaRow.setLong(1, pos)
             cur = proj(joined(r, metaRow))
             return true

@@ -286,10 +286,36 @@ object LakeWriteUtil {
 
     val parent = metaWithRef.currentSnapshot(targetRef)
     val parentFiles = parent.map(_.files).getOrElse(Nil)
+    val parentEqs = parent.map(_.eqDeleteFiles).getOrElse(Nil)
+
+    // Data sequence number: every file written by THIS commit carries
+    // the new snapshot's id, so the commit's own equality-delete file
+    // (seq = same id) never applies to it — and does apply to all
+    // older files.
+    val nextId = metaWithRef.lastSnapshotId + 1
+    val stamped = staged.map(_.copy(seq = nextId))
+
+    // Upsert (write.upsert.enabled + identifier fields): an append
+    // additionally writes one equality-delete file of the batch's
+    // distinct keys — delete-then-insert by key with zero reads of
+    // existing data (the Flink-sink CDC pattern on Iceberg v2).
+    val upsert = mode == "append" && EqDeletes.upsertEnabled(evolved)
+    val newEqs =
+      // an empty parent has nothing the keys could delete — skip the
+      // delete file (a bootstrap load stays a plain append)
+      if (!upsert || stagedPaths.isEmpty || parentFiles.isEmpty) Nil
+      else {
+        val keys = EqDeletes.identifierFields(evolved)
+        if (keys.isEmpty) throw new IllegalArgumentException(
+          s"${table.name()}: ${EqDeletes.UpsertKey} requires identifier " +
+            "fields (ALTER TABLE ... SET IDENTIFIER FIELDS ...)")
+        EqDeletes.writeForStaged(spark, evolved, stagedPaths, nextId, conf)
+      }
 
     val (files, op) = mode match {
-      case "append" => (parentFiles ++ staged, "append")
-      case "truncate" => (staged, "overwrite")
+      case "append" =>
+        (parentFiles ++ stamped, if (newEqs.nonEmpty) "upsert" else "append")
+      case "truncate" => (stamped, "overwrite")
       case "rewrite" =>
         // group-based row-level op: replace exactly the scanned files
         // (Spark pushed the command condition into the scan, so the
@@ -312,27 +338,28 @@ object LakeWriteUtil {
             parentFiles.filterNot(f => dropped(f.path))
           case None => Nil
         }
-        (kept ++ staged, operationOverride.getOrElse("replace"))
+        (kept ++ stamped, operationOverride.getOrElse("replace"))
       case "overwrite" =>
         // merge-on-read masks must be subtracted while rewriting
         // partially-matching files: the rewritten copies get fresh
         // paths no mask matches, so a raw copy would resurrect rows
         val masks = parentDeleteMap(parent, conf)
         val kept = copyOnWrite(spark, table, metaWithRef, parentFiles,
-          overwriteFilters, conf, applyDeletes = masks)
-        (kept ++ staged, "overwrite")
+          overwriteFilters, conf, applyDeletes = masks,
+          applyEqs = parentEqs, newSeq = nextId)
+        (kept ++ stamped, "overwrite")
       case "dynamic" =>
         val stagedTuples = specTuples.values.flatten.toSet
         val masks = parentDeleteMap(parent, conf)
         val kept =
           if (metaWithRef.partitionSpec.isEmpty) Nil
           else dynamicKeep(spark, metaWithRef, parentFiles, stagedTuples, conf,
-            applyDeletes = masks)
-        (kept ++ staged, "overwrite")
+            applyDeletes = masks, applyEqs = parentEqs, newSeq = nextId)
+        (kept ++ stamped, "overwrite")
     }
 
     val snap = SnapshotMeta(
-      snapshotId = metaWithRef.lastSnapshotId + 1,
+      snapshotId = nextId,
       parentId = parent.map(_.snapshotId),
       timestampMs = System.currentTimeMillis(),
       operation = operationOverride.getOrElse(op),
@@ -342,7 +369,10 @@ object LakeWriteUtil {
         "added-records" -> staged.map(_.rowCount).sum.toString,
         "total-data-files" -> files.size.toString,
         "total-records" -> files.map(_.rowCount).sum.toString
-      ) ++ wapId.map("wap.id" -> _),
+      ) ++ (if (newEqs.isEmpty) Map.empty
+            else Map("added-equality-delete-files" -> newEqs.size.toString,
+              "added-equality-deletes" -> newEqs.map(_.rowCount).sum.toString))
+        ++ wapId.map("wap.id" -> _),
       files = files,
       schemaEpoch = epoch,
       // position deletes survive every mode except full truncation:
@@ -350,7 +380,12 @@ object LakeWriteUtil {
       // dropped or rewritten simply never match again
       deleteFiles =
         if (mode == "truncate") Nil
-        else parent.map(_.deleteFiles).getOrElse(Nil))
+        else parent.map(_.deleteFiles).getOrElse(Nil),
+      // equality deletes: same carry-forward, plus this commit's own;
+      // retire() drops any delete no remaining file is old enough for
+      eqDeleteFiles =
+        if (mode == "truncate") Nil
+        else EqDeletes.retire(parentEqs ++ newEqs, files))
 
     // WAP id staging: snapshot recorded, no ref advance until
     // publish_changes (docs/spark-procedures.md:186)
@@ -469,7 +504,9 @@ object LakeWriteUtil {
   def copyOnWrite(spark: SparkSession, table: LakeTable, meta: TableMeta,
       parentFiles: Seq[DataFileMeta], filters: Array[Filter],
       conf: org.apache.hadoop.conf.Configuration,
-      applyDeletes: Map[String, Array[Long]] = Map.empty): Seq[DataFileMeta] = {
+      applyDeletes: Map[String, Array[Long]] = Map.empty,
+      applyEqs: Seq[EqDeleteMeta] = Nil,
+      newSeq: Long = 0L): Seq[DataFileMeta] = {
     val schema = meta.schema
     val (touched, untouched) = parentFiles.partition(f =>
       filters.forall(FileStats.mayMatch(f, _, schema)))
@@ -482,7 +519,7 @@ object LakeWriteUtil {
           .getOrElse(lit(true))
         rewriteFiles(spark, meta, partial,
           df => df.filter(!coalesce(cond, lit(false))), conf,
-          applyDeletes = applyDeletes)
+          applyDeletes = applyDeletes, applyEqs = applyEqs, newSeq = newSeq)
       }
     untouched ++ rewritten
   }
@@ -501,10 +538,18 @@ object LakeWriteUtil {
   def rewriteFiles(spark: SparkSession, meta: TableMeta,
       files: Seq[DataFileMeta], xform: DataFrame => DataFrame,
       conf: org.apache.hadoop.conf.Configuration,
-      applyDeletes: Map[String, Array[Long]] = Map.empty): Seq[DataFileMeta] = {
+      applyDeletes: Map[String, Array[Long]] = Map.empty,
+      applyEqs: Seq[EqDeleteMeta] = Nil,
+      newSeq: Long = 0L): Seq[DataFileMeta] = {
     val outDir = s"${meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
     val schema = meta.schema
-    files.groupBy(_.schemaEpoch).foreach { case (epoch, fs) =>
+    // files with different data sequence numbers are subject to
+    // DIFFERENT equality-delete subsets — group so each rewrite job
+    // applies exactly the deletes its inputs are old enough for
+    for {
+      (group, eqs) <- EqDeletes.groupByApplicable(meta, files, applyEqs)
+      (epoch, fs) <- group.groupBy(_.schemaEpoch)
+    } {
       val epochSchema = meta.schemaAt(epoch)
       val raw = spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
       // subtract merge-on-read position masks (anti-join on the file
@@ -526,7 +571,12 @@ object LakeWriteUtil {
           }
         }
       val df = masked.select(epochProjection(meta, epoch, epochSchema): _*)
-      xform(df).write.mode("append").parquet(outDir)
+      // equality masks too — the rewritten copies take the NEW commit's
+      // sequence number, which moves them past every existing delete,
+      // so the deletes must be applied (not carried) here
+      val eqMasked =
+        if (eqs.isEmpty) df else EqDeletes.antiJoin(spark, meta, df, eqs)
+      xform(eqMasked).write.mode("append").parquet(outDir)
     }
     val epoch = meta.currentSchemaEpoch
     val outPaths = listParquet(outDir, conf)
@@ -535,7 +585,7 @@ object LakeWriteUtil {
       p => {
         val t = tuples.getOrElse(normPath(p), Set.empty)
         if (t.size == 1) t.head else Map.empty
-      })
+      }).map(_.copy(seq = newSeq))
   }
 
   /** Dynamic partition overwrite: drop/rewrite parent files that
@@ -543,7 +593,9 @@ object LakeWriteUtil {
   private def dynamicKeep(spark: SparkSession, meta: TableMeta,
       parentFiles: Seq[DataFileMeta], stagedTuples: Set[Map[String, String]],
       conf: org.apache.hadoop.conf.Configuration,
-      applyDeletes: Map[String, Array[Long]] = Map.empty): Seq[DataFileMeta] = {
+      applyDeletes: Map[String, Array[Long]] = Map.empty,
+      applyEqs: Seq[EqDeleteMeta] = Nil,
+      newSeq: Long = 0L): Seq[DataFileMeta] = {
     if (stagedTuples.isEmpty) return parentFiles
     val known = parentFiles.filter(_.partitionValues.nonEmpty)
     val unknown = parentFiles.filter(_.partitionValues.isEmpty)
@@ -571,7 +623,7 @@ object LakeWriteUtil {
           meta.partitionSpec.map(f => t(f.name)).mkString(sep)).toSeq
         rewriteFiles(spark, meta, partials,
           df => df.filter(!key.isin(stagedKeys: _*)), conf,
-          applyDeletes = applyDeletes)
+          applyDeletes = applyDeletes, applyEqs = applyEqs, newSeq = newSeq)
       }
     keptKnown ++ keptUnknown ++ rewritten
   }
@@ -652,6 +704,19 @@ object LakeWriteUtil {
       val newlyMasked =
         if (newDels.isEmpty) Set.empty[String]
         else PosDeletes.deletedMap(newDels, conf).keySet.intersect(scanned)
+      // Equality deletes committed since the scan (a concurrent upsert)
+      // are write skew exactly like new position masks: rows this
+      // operation matched may no longer exist. Metadata-only check —
+      // a new delete conflicts iff it may apply to a scanned file.
+      val scanEqPaths =
+        scanSnap.map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+      val scannedMetas = scanSnap.map(_.files.filter(f =>
+        scanned(PosDeletes.norm(f.path)))).getOrElse(Nil)
+      val newlyEqMasked = p.eqDeleteFiles
+        .filterNot(e => scanEqPaths.contains(e.path))
+        .flatMap(e => scannedMetas.find(EqDeletes.mayApply(metaWithRef, _, e))
+          .map(f => PosDeletes.norm(f.path)))
+        .toSet
       val scanFilePaths =
         scanSnap.map(_.files.map(f => PosDeletes.norm(f.path)).toSet)
           .getOrElse(Set.empty)
@@ -700,7 +765,7 @@ object LakeWriteUtil {
       val phantom = FileStats.prune(
         phantomCandidates.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
         scanFilters.toSeq, schema).map(f => PosDeletes.norm(f.path))
-      val conflicts = newlyMasked ++ removedRead ++ phantom
+      val conflicts = newlyMasked ++ newlyEqMasked ++ removedRead ++ phantom
       if (conflicts.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"${table.name()}: files read by this $operation were " +
@@ -727,7 +792,10 @@ object LakeWriteUtil {
             s"${if (gone.size > 3) ", …" else ""}); retry the operation")
     }
 
-    val snap = SnapshotMeta(metaWithRef.lastSnapshotId + 1,
+    val nextId = metaWithRef.lastSnapshotId + 1
+    val allFiles = parent.map(_.files).getOrElse(Nil) ++
+      staged.map(_.copy(seq = nextId))
+    val snap = SnapshotMeta(nextId,
       parent.map(_.snapshotId), System.currentTimeMillis(), operation,
       Map(
         "spark.app.id" -> spark.sparkContext.applicationId,
@@ -736,8 +804,10 @@ object LakeWriteUtil {
         "added-delete-files" -> dels.size.toString,
         "added-position-deletes" -> dels.map(_.rowCount).sum.toString
       ) ++ wapId.map("wap.id" -> _),
-      parent.map(_.files).getOrElse(Nil) ++ staged, epoch,
-      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ dels)
+      allFiles, epoch,
+      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ dels,
+      eqDeleteFiles = EqDeletes.retire(
+        parent.map(_.eqDeleteFiles).getOrElse(Nil), allFiles))
     val advance = if (wapId.isDefined) None else Some(targetRef)
     metaWithRef.withSnapshot(snap, advance)
     }
@@ -758,13 +828,18 @@ object LakeWriteUtil {
       if (fresh.properties.get("write.delete.mode").contains("merge-on-read"))
         morDelete(spark, table, fresh, parent, parentFiles, filters, conf)
       else {
+        val nextId = fresh.lastSnapshotId + 1
         val kept = copyOnWrite(spark, table, fresh, parentFiles, filters, conf,
-          applyDeletes = parentDeleteMap(parent, conf))
-        val snap = SnapshotMeta(fresh.lastSnapshotId + 1, parent.map(_.snapshotId),
+          applyDeletes = parentDeleteMap(parent, conf),
+          applyEqs = parent.map(_.eqDeleteFiles).getOrElse(Nil),
+          newSeq = nextId)
+        val snap = SnapshotMeta(nextId, parent.map(_.snapshotId),
           System.currentTimeMillis(), "delete",
           Map("deleted-files" -> (parentFiles.size - kept.size).toString),
           kept, fresh.currentSchemaEpoch,
-          deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil))
+          deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil),
+          eqDeleteFiles = EqDeletes.retire(
+            parent.map(_.eqDeleteFiles).getOrElse(Nil), kept))
         fresh.withSnapshot(snap, Some(table.ref))
       }
     }
@@ -804,17 +879,27 @@ object LakeWriteUtil {
             spark.read.schema(PosDeletes.DeleteSchema)
               .parquet(priorDels.map(_.path): _*),
             Seq("file_path", "pos"), "left_anti")
-        partial.groupBy(_.schemaEpoch).foreach { case (epoch, fs) =>
+        // rows already equality-deleted must not be re-masked (the
+        // read dedups either way, but the pair would emit a phantom
+        // changelog delete for an already-dead row)
+        val parentEqs = parent.map(_.eqDeleteFiles).getOrElse(Nil)
+        for {
+          (group, eqs) <- EqDeletes.groupByApplicable(fresh, partial, parentEqs)
+          (epoch, fs) <- group.groupBy(_.schemaEpoch)
+        } {
           val epochSchema = fresh.schemaAt(epoch)
           val meta = Seq(
             regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/")
               .as("file_path"),
             col("_metadata.row_index").as("pos"))
-          subtractPrior(
+          val projected =
             spark.read.schema(epochSchema).parquet(fs.map(_.path): _*)
               .select(epochProjection(fresh, epoch, epochSchema) ++ meta: _*)
               .where(cond)
-              .select(col("file_path"), col("pos")))
+          val eqMasked =
+            if (eqs.isEmpty) projected
+            else EqDeletes.antiJoin(spark, fresh, projected, eqs)
+          subtractPrior(eqMasked.select(col("file_path"), col("pos")))
             .repartitionByRange(math.max(1, fs.size / 64),
               col("file_path"), col("pos"))
             .sortWithinPartitions(col("file_path"), col("pos"))
@@ -830,7 +915,8 @@ object LakeWriteUtil {
         "added-delete-files" -> newDeletes.size.toString,
         "added-position-deletes" -> newDeletes.map(_.rowCount).sum.toString),
       untouched ++ partial, fresh.currentSchemaEpoch,
-      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ newDeletes)
+      deleteFiles = parent.map(_.deleteFiles).getOrElse(Nil) ++ newDeletes,
+      eqDeleteFiles = parent.map(_.eqDeleteFiles).getOrElse(Nil))
     fresh.withSnapshot(snap, Some(table.ref))
   }
 

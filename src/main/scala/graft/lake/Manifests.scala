@@ -168,9 +168,9 @@ object Manifests {
     if (cached != null) return FileStats.prune(cached, filters, schema)
     val spark = SparkSession.active
     val df = spark.read.parquet(dir)
-    val entries =
+    val entries = withSeq(
       if (df.columns.contains("ord")) df.select("file.*")
-      else df // legacy ordinal-free spill
+      else df) // legacy ordinal-free spill
     val survivors = entries.as(Encoders.product[DataFileMeta])
       .filter(f => filters.forall(FileStats.mayMatch(f, _, schema)))
       .collect().toSeq
@@ -185,13 +185,20 @@ object Manifests {
     val df = spark.read.parquet(dir)
     val files =
       if (df.columns.contains("ord"))
-        df.orderBy("ord").select("file.*")
+        withSeq(df.orderBy("ord").select("file.*"))
           .as(Encoders.product[DataFileMeta]).collect().toSeq
       else // legacy ordinal-free spill (pre-round-3)
-        df.as(Encoders.product[DataFileMeta]).collect().toSeq
+        withSeq(df).as(Encoders.product[DataFileMeta]).collect().toSeq
     cachePut(dir, files)
     files
   }
+
+  /** Spills written before the data-sequence column existed read back
+    * with seq = 0 — the "every equality delete applies" sentinel. */
+  private def withSeq(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("seq")) df
+    else df.withColumn("seq", org.apache.spark.sql.functions.lit(0L))
 
   /** Simulates a cold start (the cache is process-wide otherwise). */
   private[lake] def clearCacheForTesting(): Unit = cache.clear()

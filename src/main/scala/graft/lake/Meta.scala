@@ -35,7 +35,35 @@ final case class DataFileMeta(
     minValues: Map[String, String],  // column -> encoded min (write-time names)
     maxValues: Map[String, String],
     nullCounts: Map[String, Long],
-    partitionValues: Map[String, String]) // spec field name -> encoded value
+    partitionValues: Map[String, String], // spec field name -> encoded value
+    // Data sequence number: the snapshot id of the commit that wrote
+    // this file's ROWS into the table (rewrites stamp their own commit
+    // id — legal because every rewrite reads through a scan that has
+    // already applied all older deletes). Equality deletes apply only
+    // to files with a strictly LOWER seq, so an upsert commit's own
+    // data files survive its delete file. 0 = pre-eq-delete metadata:
+    // every equality delete applies, which is correct for rows that
+    // predate all of them.
+    seq: Long = 0L)
+
+/** An equality-delete file (Iceberg v2 semantics, the write path
+  * Flink's upsert sink uses): a parquet file of identifier-column
+  * tuples. A row of a data file with `file.seq < this.seq` whose key
+  * columns equal any stored tuple is deleted. `keyColumns` are the
+  * column NAMES at `schemaEpoch` (identity follows field ids through
+  * renames); key VALUES are stored in that epoch's types and cast to
+  * current types at read time. min/max (footer stats of the key
+  * columns) let planning skip data files whose key range cannot
+  * intersect the delete's. */
+final case class EqDeleteMeta(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    schemaEpoch: Int,
+    seq: Long,
+    keyColumns: Seq[String],
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty)
 
 final case class SnapshotMeta(
     snapshotId: Long,
@@ -55,7 +83,12 @@ final case class SnapshotMeta(
     // positions are deleted and must be filtered at read time — see
     // [[PosDeletes]]. Carried forward across append/rewrite commits;
     // cleared by truncate and by rewrite_position_delete_files.
-    deleteFiles: Seq[DataFileMeta] = Nil)
+    deleteFiles: Seq[DataFileMeta] = Nil,
+    // Merge-on-read EQUALITY deletes (see [[EqDeleteMeta]] /
+    // [[EqDeletes]]): carried forward like position masks; retired by
+    // commits once no live data file has a lower seq; cleared by
+    // truncate and folded away by rewrite_data_files.
+    eqDeleteFiles: Seq[EqDeleteMeta] = Nil)
 
 /** Named ref (branch|tag) with optional retention (reference:
   * docs/spark-ddl.md:478-505 `CREATE BRANCH … RETAIN d DAYS WITH

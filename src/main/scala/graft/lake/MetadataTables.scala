@@ -123,8 +123,11 @@ object MetadataTables {
           s.snapshotId))
       case "files" | "data_files" => headSnap.toSeq.flatMap(fileRows)
       case "delete_files" =>
+        // content: 1 = position deletes, 2 = equality deletes (Iceberg)
         headSnap.toSeq.flatMap(_.deleteFiles).map(f =>
-          Row(1, f.path, "PARQUET", null, f.rowCount, f.sizeBytes))
+          Row(1, f.path, "PARQUET", null, f.rowCount, f.sizeBytes)) ++
+        headSnap.toSeq.flatMap(_.eqDeleteFiles).map(f =>
+          Row(2, f.path, "PARQUET", null, f.rowCount, f.sizeBytes))
       case "position_deletes" =>
         // masks are metadata-scale; reads are cached process-wide
         headSnap.toSeq.flatMap(_.deleteFiles).flatMap { f =>
@@ -137,6 +140,8 @@ object MetadataTables {
           f.sizeBytes, s.snapshotId)))
       case "all_delete_files" => visible.flatMap(s =>
         s.deleteFiles.map(f => Row(1, f.path, "PARQUET", null, f.rowCount,
+          f.sizeBytes, s.snapshotId)) ++
+        s.eqDeleteFiles.map(f => Row(2, f.path, "PARQUET", null, f.rowCount,
           f.sizeBytes, s.snapshotId)))
       case "entries" => headSnap.toSeq.flatMap { s =>
         val parentFiles = s.parentId.flatMap(meta.snapshotById)

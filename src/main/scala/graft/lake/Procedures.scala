@@ -99,16 +99,29 @@ object Procedures {
   private def cherrypick(catalog: LakeCatalog, m: TableMeta,
       snap: SnapshotMeta, ref: String): TableMeta = {
     val head = m.currentSnapshot(ref)
-    val parentFiles = snap.parentId.flatMap(m.snapshotById)
+    val parentSnap = snap.parentId.flatMap(m.snapshotById)
+    val parentFiles = parentSnap
       .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val added = snap.files.filterNot(f => parentFiles(f.path))
     val removed = parentFiles -- snap.files.map(_.path).toSet
     val headFiles = head.map(_.files).getOrElse(Nil)
     val newFiles = headFiles.filterNot(f => removed(f.path)) ++ added
+    // the staged commit's NEW masks (position and equality) must travel
+    // with its file diff, or publishing a WAP MoR delete/upsert would
+    // silently resurrect the rows it deleted
+    val parentDels = parentSnap.map(_.deleteFiles.map(_.path).toSet)
+      .getOrElse(Set.empty)
+    val newDels = snap.deleteFiles.filterNot(d => parentDels(d.path))
+    val parentEqs = parentSnap.map(_.eqDeleteFiles.map(_.path).toSet)
+      .getOrElse(Set.empty)
+    val newEqs = snap.eqDeleteFiles.filterNot(e => parentEqs(e.path))
     val next = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
       System.currentTimeMillis(), snap.operation,
       snap.summary ++ snap.summary.get("wap.id").map("published-wap-id" -> _),
-      newFiles, m.currentSchemaEpoch)
+      newFiles, m.currentSchemaEpoch,
+      deleteFiles = head.map(_.deleteFiles).getOrElse(Nil) ++ newDels,
+      eqDeleteFiles = EqDeletes.retire(
+        head.map(_.eqDeleteFiles).getOrElse(Nil) ++ newEqs, newFiles))
     catalog.commitMeta(m.withSnapshot(next, Some(ref)))
   }
 
@@ -273,8 +286,10 @@ object Procedures {
         val liveManifests = remaining.flatMap(_.manifestPath).toSet
         val deadManifests = expired.flatMap(_.manifestPath).distinct
           .filterNot(liveManifests)
-        val liveDeletes = remaining.flatMap(_.deleteFiles.map(_.path)).toSet
-        val deadDeletes = expired.flatMap(_.deleteFiles.map(_.path)).distinct
+        val liveDeletes = remaining.flatMap(s =>
+          s.deleteFiles.map(_.path) ++ s.eqDeleteFiles.map(_.path)).toSet
+        val deadDeletes = expired.flatMap(s =>
+          s.deleteFiles.map(_.path) ++ s.eqDeleteFiles.map(_.path)).distinct
           .filterNot(liveDeletes)
         // drop parent pointers into expired snapshots
         val patched = remaining.map(s =>
@@ -308,7 +323,8 @@ object Procedures {
         // data files AND position-delete files: a crashed delta write
         // can strand either kind
         val referenced = m.snapshots.flatMap(s =>
-          s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+            s.eqDeleteFiles.map(_.path)).toSet
         // distributed listing WITH modification times: the walk over
         // thousands of data/<uuid>/ subdirs fans out to executors, and
         // the age guard reuses the listed times instead of one
@@ -423,21 +439,30 @@ object Procedures {
         // Compact WITHIN partitions (like the reference's per-partition
         // bin packing): grouping keeps every rewritten file inside one
         // partition tuple, preserving partition-level pruning/ops.
+        // Equality deletes are APPLIED during the rewrite (the outputs
+        // take the new commit's sequence number, past every delete) —
+        // compaction is what folds an upsert table back onto the fully
+        // vectorized read path.
+        val nextId = m.lastSnapshotId + 1
+        val parentEqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
         val rewritten = small.groupBy(_.partitionValues).toSeq
           .flatMap { case (_, group) =>
             LakeWriteUtil.rewriteFiles(spark, m, group, xform(group),
-              catalog.hadoopConf)
+              catalog.hadoopConf, applyEqs = parentEqs, newSeq = nextId)
           }
         val untouched = files.filterNot(f => small.exists(_.path == f.path))
         val newFiles = untouched ++ rewritten
         // masked files were excluded from compaction, so their masks
         // must survive the commit: carry the parent's delete files
-        // (masks over rewritten files are inert — the paths changed)
-        val snap = SnapshotMeta(m.lastSnapshotId + 1, head.map(_.snapshotId),
+        // (masks over rewritten files are inert — the paths changed);
+        // equality deletes retire as soon as no remaining file is old
+        // enough for them
+        val snap = SnapshotMeta(nextId, head.map(_.snapshotId),
           System.currentTimeMillis(), "replace",
           Map("rewritten-data-files" -> small.size.toString),
           newFiles, m.currentSchemaEpoch,
-          deleteFiles = head.map(_.deleteFiles).getOrElse(Nil))
+          deleteFiles = head.map(_.deleteFiles).getOrElse(Nil),
+          eqDeleteFiles = EqDeletes.retire(parentEqs, newFiles))
         catalog.commitMeta(m.withSnapshot(snap, Some("main")))
         Seq(Row(small.size, rewritten.size, small.map(_.sizeBytes).sum))
       }
@@ -511,15 +536,20 @@ object Procedures {
           val files = head.map(_.files).getOrElse(Nil)
           val (dirty, clean) = files.partition(f =>
             delMap.contains(PosDeletes.norm(f.path)))
+          val nextId = m.lastSnapshotId + 1
+          val parentEqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
           val rewritten = dirty.groupBy(_.partitionValues).toSeq
             .flatMap { case (_, group) =>
               LakeWriteUtil.rewriteFiles(spark, m, group, identity,
-                catalog.hadoopConf, applyDeletes = delMap)
+                catalog.hadoopConf, applyDeletes = delMap,
+                applyEqs = parentEqs, newSeq = nextId)
             }
-          val snap = SnapshotMeta(m.lastSnapshotId + 1,
+          val newFiles = clean ++ rewritten
+          val snap = SnapshotMeta(nextId,
             head.map(_.snapshotId), System.currentTimeMillis(), "replace",
             Map("rewritten-delete-files" -> dels.size.toString),
-            clean ++ rewritten, m.currentSchemaEpoch, deleteFiles = Nil)
+            newFiles, m.currentSchemaEpoch, deleteFiles = Nil,
+            eqDeleteFiles = EqDeletes.retire(parentEqs, newFiles))
           catalog.commitMeta(m.withSnapshot(snap, Some("main")))
           Seq(Row(dels.size, rewritten.size, dels.map(_.sizeBytes).sum))
         }
@@ -647,6 +677,10 @@ object Procedures {
         val rewritten = m.copy(location = m.location.replace(src, dst),
           snapshots = m.snapshots.map(s => s.copy(
             files = s.files.map(f => f.copy(path = f.path.replace(src, dst))),
+            deleteFiles = s.deleteFiles.map(f =>
+              f.copy(path = f.path.replace(src, dst))),
+            eqDeleteFiles = s.eqDeleteFiles.map(f =>
+              f.copy(path = f.path.replace(src, dst))),
             manifestPath = None))) // paths changed: old spill is stale
         implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
         val fs = MetadataLog.fs(staging, catalog.hadoopConf)
@@ -658,7 +692,9 @@ object Procedures {
         finally out.close()
         val fileList = new org.apache.hadoop.fs.Path(staging, "file-list.txt")
         val fl = fs.create(fileList, true)
-        try fl.write(m.snapshots.flatMap(_.files.map(_.path)).distinct
+        try fl.write(m.snapshots.flatMap(s =>
+            s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+              s.eqDeleteFiles.map(_.path)).distinct
           .mkString("\n").getBytes("UTF-8"))
         finally fl.close()
         Seq(Row(f"v${m.version}%05d.json", fileList.toString))

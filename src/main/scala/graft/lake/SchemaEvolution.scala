@@ -42,6 +42,14 @@ object SchemaEvolution {
         }
         schemaChanged = true
       case c: DeleteColumn =>
+        // identifier fields anchor equality deletes (upserts): dropping
+        // one would strand every outstanding delete file's key mapping
+        // and silently resurrect deleted rows — Iceberg forbids it too
+        val idFields = props.get(EqDeletes.IdentifierKey)
+          .map(_.split(",").map(_.trim.toLowerCase).toSet).getOrElse(Set.empty)
+        require(!idFields.contains(c.fieldNames().mkString(".").toLowerCase),
+          s"cannot drop column ${c.fieldNames().mkString(".")}: it is an " +
+            "identifier field (DROP IDENTIFIER FIELDS first)")
         schema = deleteColumn(schema, c.fieldNames().toSeq)
         schemaChanged = true
       case c: UpdateColumnPosition => () // ordering is cosmetic here

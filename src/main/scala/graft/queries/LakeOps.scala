@@ -306,8 +306,45 @@ object LakeOps {
              |FROM lakeq.db.$t ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** Equality-delete upserts (Iceberg-v2 / Flink-sink semantics): the
+    * second batch's keys replace the first's rows WITHOUT reading or
+    * rewriting any existing file — the commit adds data files plus one
+    * equality-delete file of the batch's keys, and the scan applies
+    * them as an executor-side hash filter. Then compaction folds the
+    * filter away; the result must be identical before and after. */
+  def lakeUpsert(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("ups")
+    s.sql(s"""CREATE TABLE lakeq.db.$t (n_nationkey bigint, n_name string)
+             | USING lake TBLPROPERTIES (
+             |  'identifier-fields'='n_nationkey',
+             |  'write.upsert.enabled'='true')""".stripMargin)
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name FROM $v")
+    s.sql(s"""INSERT INTO lakeq.db.$t
+             |SELECT n_nationkey, lower(n_name) FROM $v
+             |WHERE n_nationkey < 10""".stripMargin)
+    val eqFiles = s.sql(
+      s"SELECT count(*) FROM lakeq.db.$t.delete_files WHERE content = 2")
+      .collect()(0).getLong(0)
+    require(eqFiles == 1, s"expected one equality-delete file, got $eqFiles")
+    val before = s.sql(s"SELECT n_nationkey, n_name FROM lakeq.db.$t").collect()
+    // compaction folds the deletes back into plain data files
+    s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'lakeq.db.$t', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    val eqAfter = s.sql(
+      s"SELECT count(*) FROM lakeq.db.$t.delete_files WHERE content = 2")
+      .collect()(0).getLong(0)
+    require(eqAfter == 0, s"compaction must retire equality deletes, got $eqAfter")
+    val after = s.sql(s"SELECT n_nationkey, n_name FROM lakeq.db.$t").collect()
+    require(before.map(_.toString).sorted.sameElements(after.map(_.toString).sorted),
+      "compaction changed the upsert result")
+    s.sql(s"SELECT n_nationkey, n_name FROM lakeq.db.$t ORDER BY n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_ctas" -> (lakeCtas _),
+    "lake_upsert" -> (lakeUpsert _),
     "lake_insert" -> (lakeInsert _),
     "lake_delete" -> (lakeDelete _),
     "lake_mor_delete" -> (lakeMorDelete _),
@@ -329,6 +366,11 @@ object LakeOps {
   val oracles: Map[String, String] = Map(
     "lake_ctas" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "lake_upsert" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END
+        |    AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "lake_insert" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "lake_delete" ->

@@ -1,0 +1,257 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equality deletes / upsert writes (Iceberg-v2 semantics: the CDC
+  * write path Flink's upsert sink uses). Covers the full lifecycle:
+  * upsert commits, read-side key filtering, time travel, changelog
+  * events, compaction folding, copy-on-write interplay, schema
+  * evolution across the key column, branches, streaming, and
+  * maintenance accounting. */
+class EqDeleteSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    wh = java.nio.file.Files.createTempDirectory("eq_wh").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("eq-delete-suite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .withExtensions(new LakeExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  private def sql(s: String) = spark.sql(s)
+  private def count(s: String): Long = sql(s).collect()(0).getLong(0)
+
+  private def mkUpsertTable(name: String, extra: String = ""): Unit = {
+    sql(s"""CREATE TABLE lake.db.$name (id bigint NOT NULL, v string)
+           | USING lake TBLPROPERTIES (
+           |  'identifier-fields'='id', 'write.upsert.enabled'='true'$extra
+           | )""".stripMargin)
+  }
+
+  private def state(name: String): Seq[(Long, String)] =
+    sql(s"SELECT id, v FROM lake.db.$name ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  /** Append a batch as ONE data file (tiny VALUES inserts write one
+    * file per row, which makes every predicate provably full-file and
+    * never exercises partial rewrites / masks). */
+  private def appendOneFile(name: String, rows: (Long, String)*): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id", "v").coalesce(1)
+      .writeTo(s"lake.db.$name").append()
+  }
+
+  test("upsert: second batch's keys replace the first's rows") {
+    mkUpsertTable("up1")
+    sql("INSERT INTO lake.db.up1 VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("INSERT INTO lake.db.up1 VALUES (2,'B'),(4,'d')")
+    assert(state("up1") == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+
+    // first commit is a plain append (nothing to delete); the second
+    // is an upsert carrying one equality-delete file
+    val ops = sql("SELECT operation FROM lake.db.up1.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("append", "upsert"))
+    val eqFiles = sql("SELECT * FROM lake.db.up1.delete_files WHERE content = 2")
+      .collect()
+    assert(eqFiles.length == 1)
+    assert(eqFiles.head.getLong(4) == 2L) // two keys in the delete file
+  }
+
+  test("upsert: time travel reads the pre-upsert state") {
+    mkUpsertTable("up2")
+    sql("INSERT INTO lake.db.up2 VALUES (1,'a'),(2,'b')")
+    val v1 = sql("SELECT snapshot_id FROM lake.db.up2.snapshots ORDER BY snapshot_id")
+      .collect().head.getLong(0)
+    sql("INSERT INTO lake.db.up2 VALUES (1,'A')")
+    assert(state("up2") == Seq((1L, "A"), (2L, "b")))
+    val old = sql(s"SELECT id, v FROM lake.db.up2 VERSION AS OF $v1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(old == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("upsert: aggregate pushdown declines — count is post-delete") {
+    mkUpsertTable("up3")
+    sql("INSERT INTO lake.db.up3 VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("INSERT INTO lake.db.up3 VALUES (2,'B')")
+    // 3 + 1 raw rows, but one is equality-deleted
+    assert(count("SELECT count(*) FROM lake.db.up3") == 3)
+    assert(count("SELECT count(*) FROM lake.db.up3 WHERE id = 2") == 1)
+    assert(sql("SELECT v FROM lake.db.up3 WHERE id = 2").collect()
+      .head.getString(0) == "B")
+  }
+
+  test("upsert: repeated upserts of the same key keep only the latest") {
+    mkUpsertTable("up4")
+    sql("INSERT INTO lake.db.up4 VALUES (7,'v0')")
+    for (i <- 1 to 4) sql(s"INSERT INTO lake.db.up4 VALUES (7,'v$i')")
+    assert(state("up4") == Seq((7L, "v4")))
+  }
+
+  test("changelog: an upsert emits deletes of the replaced rows") {
+    mkUpsertTable("up5")
+    sql("INSERT INTO lake.db.up5 VALUES (1,'a'),(2,'b')")
+    sql("INSERT INTO lake.db.up5 VALUES (2,'B'),(3,'c')")
+    val changes = sql(
+      "SELECT id, v, _change_type, _change_ordinal FROM lake.db.up5.changes " +
+        "ORDER BY _change_ordinal, _change_type, id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSeq
+    assert(changes == Seq(
+      (1L, "a", "insert", 0), (2L, "b", "insert", 0),
+      (2L, "b", "delete", 1), (2L, "B", "insert", 1), (3L, "c", "insert", 1)))
+
+    // the procedure view agrees and can pair the update
+    sql("CALL lake.system.create_changelog_view(table => 'lake.db.up5', " +
+      "changelog_view => 'up5_cl', identifier_columns => array('id'))")
+    val paired = sql("SELECT id, v, _change_type FROM up5_cl " +
+      "WHERE _change_ordinal = 1 ORDER BY _change_type, id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(paired == Seq(
+      (3L, "c", "insert"),
+      (2L, "B", "update_after"), (2L, "b", "update_before")))
+  }
+
+  test("compaction folds equality deletes back to a clean table") {
+    mkUpsertTable("up6")
+    sql("INSERT INTO lake.db.up6 VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("INSERT INTO lake.db.up6 VALUES (2,'B'),(4,'d')")
+    assert(count("SELECT count(*) FROM lake.db.up6.delete_files WHERE content = 2") == 1)
+    sql("CALL lake.system.rewrite_data_files(table => 'lake.db.up6', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    // delete file retired from the head snapshot; state unchanged
+    assert(count("SELECT count(*) FROM lake.db.up6.delete_files WHERE content = 2") == 0)
+    assert(state("up6") == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
+  test("copy-on-write DELETE does not resurrect equality-deleted rows") {
+    mkUpsertTable("up7")
+    appendOneFile("up7", (1L, "a"), (2L, "b"), (3L, "c"))
+    appendOneFile("up7", (2L, "B"))
+    // partial rewrite of the first file (negating id=1) must apply the
+    // eq mask while copying — old (2,'b') must not come back
+    sql("DELETE FROM lake.db.up7 WHERE id = 1")
+    assert(state("up7") == Seq((2L, "B"), (3L, "c")))
+  }
+
+  test("merge-on-read position deletes compose with equality deletes") {
+    mkUpsertTable("up8", extra = ", 'write.delete.mode'='merge-on-read'")
+    appendOneFile("up8", (1L, "a"), (2L, "b"), (3L, "c"))
+    appendOneFile("up8", (2L, "B"), (4L, "d"))
+    sql("DELETE FROM lake.db.up8 WHERE v = 'c'") // position mask on file 1
+    assert(state("up8") == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // both mask kinds present on the head snapshot
+    assert(count("SELECT count(*) FROM lake.db.up8.delete_files WHERE content = 1") >= 1)
+    assert(count("SELECT count(*) FROM lake.db.up8.delete_files WHERE content = 2") == 1)
+  }
+
+  test("upsert applies across a key-column rename (field-id identity)") {
+    mkUpsertTable("up9")
+    sql("INSERT INTO lake.db.up9 VALUES (1,'a'),(2,'b')")
+    sql("ALTER TABLE lake.db.up9 RENAME COLUMN id TO ident")
+    sql("ALTER TABLE lake.db.up9 SET IDENTIFIER FIELDS ident")
+    sql("INSERT INTO lake.db.up9 VALUES (2,'B')")
+    val rows = sql("SELECT ident, v FROM lake.db.up9 ORDER BY ident").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("dropping an identifier column is rejected") {
+    mkUpsertTable("up10")
+    val e = intercept[Exception] {
+      sql("ALTER TABLE lake.db.up10 DROP COLUMN id")
+    }
+    assert(e.getMessage.contains("identifier field"))
+  }
+
+  test("upsert on a branch stays isolated from main") {
+    mkUpsertTable("up11")
+    sql("INSERT INTO lake.db.up11 VALUES (1,'a'),(2,'b')")
+    sql("ALTER TABLE lake.db.up11 CREATE BRANCH dev")
+    sql("INSERT INTO lake.db.up11.branch_dev VALUES (2,'DEV')")
+    assert(state("up11") == Seq((1L, "a"), (2L, "b")))
+    val dev = sql("SELECT id, v FROM lake.db.up11.branch_dev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dev == Seq((1L, "a"), (2L, "DEV")))
+  }
+
+  test("incremental read treats upserts as appends (latest values)") {
+    mkUpsertTable("up12")
+    sql("INSERT INTO lake.db.up12 VALUES (1,'a'),(2,'b')")
+    val v1 = sql("SELECT snapshot_id FROM lake.db.up12.snapshots ORDER BY snapshot_id")
+      .collect().head.getLong(0)
+    sql("INSERT INTO lake.db.up12 VALUES (2,'B'),(3,'c')")
+    val inc = spark.read.format("lake")
+      .option("start-snapshot-id", v1.toString)
+      .table("lake.db.up12")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(inc == Seq((2L, "B"), (3L, "c")))
+  }
+
+  test("maintenance: live equality-delete files survive orphan sweep / expiry") {
+    mkUpsertTable("up13")
+    sql("INSERT INTO lake.db.up13 VALUES (1,'a'),(2,'b')")
+    sql("INSERT INTO lake.db.up13 VALUES (2,'B')")
+    assert(count("SELECT count(*) FROM lake.db.up13.delete_files WHERE content = 2") == 1)
+    // orphan sweep with an aggressive cutoff must NOT delete the live file
+    sql("CALL lake.system.remove_orphan_files(table => 'lake.db.up13', " +
+      "older_than => TIMESTAMP '2100-01-01 00:00:00')")
+    assert(state("up13") == Seq((1L, "a"), (2L, "B")))
+    // expire everything but the head — the delete file is still
+    // referenced by the head snapshot and must survive
+    sql("CALL lake.system.expire_snapshots(table => 'lake.db.up13', " +
+      "older_than => TIMESTAMP '2100-01-01 00:00:00', retain_last => 1)")
+    assert(state("up13") == Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("streaming sink into an upsert table applies per-epoch upserts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    mkUpsertTable("up14")
+    sql("INSERT INTO lake.db.up14 VALUES (1,'a'),(2,'b')")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eq_ck").toString)
+      .toTable("lake.db.up14")
+    try {
+      mem.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      assert(state("up14") == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // a second epoch upserts again
+      mem.addData((3L, "C2"))
+      q.processAllAvailable()
+      assert(state("up14") == Seq((1L, "a"), (2L, "B"), (3L, "C2")))
+    } finally q.stop()
+  }
+
+  test("MoR delta UPDATE works over equality-filtered scans") {
+    mkUpsertTable("up15", extra = ", 'write.update.mode'='merge-on-read'")
+    sql("INSERT INTO lake.db.up15 VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql("INSERT INTO lake.db.up15 VALUES (2,'B')")
+    // the delta scan must see the POST-upsert state: exactly one row
+    // with id=2, and the update must touch only that row
+    sql("UPDATE lake.db.up15 SET v = 'upd' WHERE id = 2")
+    assert(state("up15") == Seq((1L, "a"), (2L, "upd"), (3L, "c")))
+  }
+}
