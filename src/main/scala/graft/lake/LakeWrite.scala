@@ -741,7 +741,7 @@ object LakeWriteUtil {
       // falls back to every head file absent from the scan snapshot —
       // conservative, never under-reports.
       val rowPreserving = Set("replace", "delete")
-      val phantomCandidates: Seq[DataFileMeta] = {
+      lazy val phantomCandidates: Seq[DataFileMeta] = {
         val added = Seq.newBuilder[DataFileMeta]
         var cur: Option[SnapshotMeta] = Some(p)
         var broken = false
@@ -762,9 +762,22 @@ object LakeWriteUtil {
         if (broken) p.files
         else added.result()
       }
-      val phantom = FileStats.prune(
-        phantomCandidates.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
-        scanFilters.toSeq, schema).map(f => PosDeletes.norm(f.path))
+      // Isolation level (Iceberg's write.<op>.isolation-level):
+      // `serializable` (default) also fails on concurrently ADDED rows
+      // matching the condition (phantoms); `snapshot` validates only
+      // the rows actually read (masks/removals above) — the relief
+      // valve for workloads where steady concurrent appends would
+      // otherwise livelock row-level operations.
+      val isolation = metaWithRef.properties
+        .getOrElse(s"write.$operation.isolation-level", "serializable")
+      require(isolation == "serializable" || isolation == "snapshot",
+        s"invalid write.$operation.isolation-level '$isolation': " +
+          "expected 'serializable' or 'snapshot'")
+      val phantom =
+        if (isolation == "snapshot") Nil
+        else FileStats.prune(
+          phantomCandidates.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
+          scanFilters.toSeq, schema).map(f => PosDeletes.norm(f.path))
       val conflicts = newlyMasked ++ newlyEqMasked ++ removedRead ++ phantom
       if (conflicts.nonEmpty)
         throw new java.util.ConcurrentModificationException(

@@ -438,6 +438,28 @@ object TextOps {
     * per-doc overlap counts come from one hash aggregation. This is
     * the n-gram-overlap decontamination stage every training pipeline
     * runs against held-out benchmarks. */
+  /** Context-window chunking: split each document into overlapping
+    * fixed-token windows (size 64, stride 48 — 16-token overlap), the
+    * standard pre-tokenization step for embedding/RAG indexing and
+    * long-doc training. Narrow ops end to end: one explode over the
+    * per-doc start offsets, a slice per chunk — no shuffle except the
+    * result ordering, so at 100 TB it's a pure map stage. Chunk text
+    * is emitted as a digest (chunks are ~1.3x the corpus; the gate
+    * verifies content without re-materializing it). */
+  def tChunk(s: SparkSession, d: String): DataFrame = {
+    val size64 = lit(64)
+    val stride = lit(48)
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), stride)))
+      .withColumn("c", slice(col("t"), col("chunk_start") + 1, size64))
+      .select(col("doc_id"), col("chunk_start"),
+        size(col("c")).as("chunk_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+  }
+
   def tContamination(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -510,6 +532,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_exact" -> (tDedupExact _),
+    "t_chunk" -> (tChunk _),
     "t_token_stats" -> (tTokenStats _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
@@ -535,6 +558,15 @@ object TextOps {
         |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id,
         |  count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS group_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |st AS (SELECT doc_id, t,
+         |         unnest(range(0, len(t), 48)) AS chunk_start FROM tk)
+         |SELECT doc_id, chunk_start,
+         |  len(t[chunk_start+1 : chunk_start+64]) AS chunk_tokens,
+         |  md5(array_to_string(t[chunk_start+1 : chunk_start+64], ' '))
+         |    AS chunk_digest
+         |FROM st ORDER BY doc_id, chunk_start""".stripMargin,
     "t_token_stats" ->
       s"""SELECT doc_id, len(t) AS n_tokens,
          |  len(list_distinct(t)) AS n_uniq_tokens,

@@ -245,6 +245,54 @@ class EqDeleteSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("plan shape: only eq-affected files leave the vectorized path") {
+    mkUpsertTable("up16")
+    appendOneFile("up16", (1L, "a"), (2L, "b"))     // affected (key 2)
+    appendOneFile("up16", (100L, "x"), (101L, "y")) // key range disjoint
+    appendOneFile("up16", (2L, "B"))                // the upsert batch
+    val df = sql("SELECT id, v FROM lake.db.up16")
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly ONE file pays the row-based masked path; the disjoint
+    // file and the fresh batch stay on the vectorized scan
+    assert(plan.contains("1 masked files"),
+      s"eq relevance pruning must keep unaffected files vectorized:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == Seq((1L, "a"), (2L, "B"), (100L, "x"), (101L, "y")))
+  }
+
+  test("snapshot isolation skips the phantom check; serializable keeps it") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    sql("""CREATE TABLE lake.db.up17 (id bigint, v string) USING lake
+        |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+        |  'write.merge.isolation-level'='snapshot')""".stripMargin)
+    sql("INSERT INTO lake.db.up17 SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val stale = cat.loadTable(Identifier.of(Array("db"), "up17"))
+      .asInstanceOf[LakeTable]
+    val scanned = stale.meta.currentSnapshot("main").get.files.map(_.path)
+    sql("INSERT INTO lake.db.up17 VALUES (50, 'new')") // concurrent append
+    val loc = stale.meta.location
+    val stageDir = s"$loc/data/test-snap-iso"
+    sql("SELECT CAST(100 AS bigint) AS id, 'x' AS v")
+      .coalesce(1).write.parquet(stageDir)
+    // snapshot isolation: the unpushable-condition merge commits
+    // despite the concurrent append (no phantom validation)
+    LakeWriteUtil.commitDelta(stale, stageDir,
+      s"$loc/metadata/deletes/none", "merge", Some(scanned))
+    assert(count("SELECT count(*) FROM lake.db.up17") == 12)
+    // the same situation under serializable (the default) conflicts
+    sql("ALTER TABLE lake.db.up17 UNSET TBLPROPERTIES ('write.merge.isolation-level')")
+    val stale2 = cat.loadTable(Identifier.of(Array("db"), "up17"))
+      .asInstanceOf[LakeTable]
+    val scanned2 = stale2.meta.currentSnapshot("main").get.files.map(_.path)
+    sql("INSERT INTO lake.db.up17 VALUES (51, 'new2')")
+    intercept[java.util.ConcurrentModificationException] {
+      LakeWriteUtil.commitDelta(stale2, stageDir,
+        s"$loc/metadata/deletes/none2", "merge", Some(scanned2))
+    }
+  }
+
   test("MoR delta UPDATE works over equality-filtered scans") {
     mkUpsertTable("up15", extra = ", 'write.update.mode'='merge-on-read'")
     sql("INSERT INTO lake.db.up15 VALUES (1,'a'),(2,'b'),(3,'c')")
