@@ -66,7 +66,12 @@ object Changelog {
       // (immutable) data files' row ordinals against the mask pairs
       val parentDels = s.parentId.flatMap(meta.snapshotById)
         .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
-      val newMasks = s.deleteFiles.filterNot(f => parentDels(f.path))
+      // "replace" commits are row-preserving by definition (compaction,
+      // delete-format conversion): any mask they add covers rows that
+      // were already logically dead — not change events
+      val newMasks =
+        if (s.operation == "replace") Nil
+        else s.deleteFiles.filterNot(f => parentDels(f.path))
       val masked: Option[DataFrame] =
         if (newMasks.isEmpty) None
         else {
@@ -99,7 +104,9 @@ object Changelog {
         .map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty)
       val parentEqs = s.parentId.flatMap(meta.snapshotById)
         .map(_.eqDeleteFiles).getOrElse(Nil)
-      val newEqs = s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
+      val newEqs =
+        if (s.operation == "replace") Nil
+        else s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
       val eqDeleted: Seq[DataFrame] =
         if (newEqs.isEmpty) Nil
         else {

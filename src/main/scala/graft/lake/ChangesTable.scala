@@ -36,7 +36,7 @@ class ChangesTable(catalog: LakeCatalog, parent: Identifier, meta: TableMeta)
     (catalog.name() +: parent.namespace() :+ parent.name() :+ "changes").mkString(".")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   // No column pruning: every partition attaches the change metadata
   // and the full row image (a CDC consumer wants whole rows); Spark
@@ -45,17 +45,34 @@ class ChangesTable(catalog: LakeCatalog, parent: Identifier, meta: TableMeta)
     () => new ChangesScan(catalog, meta, ChangesTable.this.name(),
       dataSchema, tableSchema,
       Option(options.get("start-snapshot-id")).map(_.toLong),
-      Option(options.get("end-snapshot-id")).map(_.toLong))
+      Option(options.get("end-snapshot-id")).map(_.toLong),
+      freshMeta = () => catalog.loadMeta(parent),
+      options = options)
 }
 
 class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
     dataSchema: StructType, tableSchema: StructType,
-    startId: Option[Long], endId: Option[Long])
+    startId: Option[Long], endId: Option[Long],
+    freshMeta: () => TableMeta = () => null,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch {
 
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
   override def description(): String = s"ChangesScan($tableName)"
+
+  /** `spark.readStream.table("db.tbl.changes")` — the changelog as a
+    * STREAMING CDC source: offsets are snapshot ids, each micro-batch
+    * is exactly the change events of the snapshots it covers (inserts,
+    * file deletes, position-mask deletes, equality-delete events),
+    * planned by the same distributed partitioning as the batch
+    * relation. Options: `start-snapshot-id` (exclusive start),
+    * `stream-from-latest` (skip history), and
+    * `streaming-max-snapshots-per-micro-batch` (admission cap). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesMicroBatchStream(catalog, tableName, dataSchema, tableSchema,
+      freshMeta, startId, options)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = catalog.hadoopConf
@@ -82,7 +99,11 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
       // emit exactly the masked positions of each (immutable) data file
       val parentDels = parentSnap.map(_.deleteFiles.map(_.path).toSet)
         .getOrElse(Set.empty)
-      val newMasks = s.deleteFiles.filterNot(f => parentDels(f.path))
+      // "replace" commits are row-preserving (compaction, delete-format
+      // conversion): masks they add cover already-dead rows, not changes
+      val newMasks =
+        if (s.operation == "replace") Nil
+        else s.deleteFiles.filterNot(f => parentDels(f.path))
       val masked =
         if (newMasks.isEmpty) Nil
         else {
@@ -99,7 +120,9 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
       // masks, parent equality deletes) are excluded executor-side.
       val parentEqs = parentSnap.map(_.eqDeleteFiles).getOrElse(Nil)
       val parentEqPaths = parentEqs.map(_.path).toSet
-      val newEqs = s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
+      val newEqs =
+        if (s.operation == "replace") Nil
+        else s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
       val eqDeleted =
         if (newEqs.isEmpty) Nil
         else {
@@ -187,6 +210,92 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
   }
 
   private lazy val eqKeyFields = EqScanSupport.keyFields(meta, eqGroups)
+}
+
+/** Streaming CDC source over the snapshot log: each micro-batch plans
+  * the change partitions of the snapshots in its offset range against
+  * the CURRENT metadata (immutable snapshots make old ranges stable).
+  * Offsets are snapshot ids — a batch never splits a commit, so every
+  * micro-batch is transactionally consistent. Admission control caps
+  * snapshots per batch (`streaming-max-snapshots-per-micro-batch`), so
+  * a consumer bootstrapping a year of history drains in bounded steps. */
+class ChangesMicroBatchStream(catalog: LakeCatalog, tableName: String,
+    dataSchema: StructType, tableSchema: StructType,
+    freshMeta: () => TableMeta, startId: Option[Long],
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val maxSnaps =
+    Option(options.get("streaming-max-snapshots-per-micro-batch"))
+      .map(_.toInt).getOrElse(Int.MaxValue)
+
+  // Trigger.AvailableNow: pin the drain target at query start so the
+  // rate-limited batches walk up to it and the query then stops
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head().snapshotId)
+
+  override def initialOffset(): Offset = {
+    val fromLatest = options.getBoolean("stream-from-latest", false)
+    if (fromLatest)
+      ChangesOffset(freshMeta().currentSnapshotId("main").getOrElse(0L))
+    else ChangesOffset(startId.getOrElse(0L))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = head()
+
+  private def head(): ChangesOffset =
+    ChangesOffset(freshMeta().currentSnapshotId("main").getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val st = start.asInstanceOf[ChangesOffset].snapshotId
+    val m = freshMeta()
+    var ids = m.currentSnapshotId("main").map(m.ancestorsOf).getOrElse(Nil)
+      .map(_.snapshotId).filter(_ > st).sorted
+    availableNowCap.foreach(cap => ids = ids.filter(_ <= cap))
+    val admitted = ids.take(maxSnaps)
+    if (admitted.isEmpty) start else ChangesOffset(admitted.last)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ChangesOffset("\"snapshotId\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  @volatile private var lastFactory: PartitionReaderFactory = _
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangesOffset].snapshotId
+    val e = end.asInstanceOf[ChangesOffset].snapshotId
+    val m = freshMeta()
+    val scan = new ChangesScan(catalog, m, tableName, dataSchema, tableSchema,
+      Some(s), Some(e))
+    lastFactory = scan.createReaderFactory()
+    scan.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = lastFactory
+
+  override def toString: String = s"ChangesMicroBatchStream($tableName)"
+}
+
+/** Stream position: every snapshot with id <= snapshotId is consumed. */
+case class ChangesOffset(snapshotId: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId}"""
 }
 
 case class ChangesPartition(path: String, epoch: Int, fileLen: Long,

@@ -555,6 +555,80 @@ object Procedures {
         }
       }),
 
+    "convert_equality_deletes" -> (c =>
+      new Proc(c, "convert_equality_deletes") {
+        val params = Seq(in("table", StringType))
+        val resultSchema = result(
+          "converted_equality_delete_files_count" -> IntegerType,
+          "added_position_delete_files_count" -> IntegerType)
+        // Equality deletes are cheap to WRITE (the upsert path never
+        // reads existing data) but costly to READ: every affected scan
+        // task hashes its rows against the key sets. This procedure
+        // materializes them as position deletes — one distributed
+        // semi-join per key shape computes the matching (file, pos)
+        // pairs — and retires the equality files from the head. Reads
+        // return to plain mask subtraction (columnar decode), and
+        // rewrite_position_delete_files can later fold the masks into
+        // data. This is the "minor compaction" step streaming-upsert
+        // tables run continuously; unlike rewrite_data_files it never
+        // rewrites data bytes, so it stays O(deleted rows) at 100 TB.
+        def run(spark: SparkSession, a: Args): Seq[Row] = {
+          val (m, _) = meta(a)
+          val head = m.currentSnapshot("main")
+          val eqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
+          if (eqs.isEmpty) return Seq(Row(0, 0))
+          val conf = catalog.hadoopConf
+          val files = head.map(_.files).getOrElse(Nil)
+          val priorDels = head.map(_.deleteFiles).getOrElse(Nil)
+          val outDir = s"${m.location}/metadata/deletes/" +
+            java.util.UUID.randomUUID().toString.take(12)
+          val subtractPrior: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame =
+            if (priorDels.isEmpty) identity
+            else df => df.join(
+              spark.read.schema(PosDeletes.DeleteSchema)
+                .parquet(priorDels.map(_.path): _*),
+              Seq("file_path", "pos"), "left_anti")
+          for {
+            (group, eqsOfGroup) <- EqDeletes.groupByApplicable(m, files, eqs)
+            if eqsOfGroup.nonEmpty
+            (epoch, fs) <- group.groupBy(_.schemaEpoch)
+          } {
+            val epochSchema = m.schemaAt(epoch)
+            val metaCols = Seq(
+              regexp_replace(col("_metadata.file_path"),
+                "^[a-zA-Z0-9.+-]+:/+", "/").as("file_path"),
+              col("_metadata.row_index").as("pos"))
+            val rows = spark.read.schema(epochSchema)
+              .parquet(fs.map(_.path): _*)
+              .select(LakeWriteUtil.epochProjection(m, epoch, epochSchema)
+                ++ metaCols: _*)
+            val keys = EqDeletes.keysDf(spark, m, eqsOfGroup).get
+            subtractPrior(
+              rows.join(broadcast(keys), keys.columns.toSeq, "left_semi")
+                .select(col("file_path"), col("pos")))
+              .repartitionByRange(math.max(1, fs.size / 64),
+                col("file_path"), col("pos"))
+              .sortWithinPartitions(col("file_path"), col("pos"))
+              .write.mode("append").parquet(outDir)
+          }
+          val newDels = LakeWriteUtil.listParquet(outDir, conf)
+            .map(p => FileStats.fromFooter(p, conf, PosDeletes.DeleteSchema,
+              0, Map.empty))
+            .filter(_.rowCount > 0)
+          // row-preserving commit: changelog emits nothing for it
+          val snap = SnapshotMeta(m.lastSnapshotId + 1,
+            head.map(_.snapshotId), System.currentTimeMillis(), "replace",
+            Map("converted-equality-delete-files" -> eqs.size.toString,
+              "added-position-delete-files" -> newDels.size.toString),
+            files, m.currentSchemaEpoch,
+            deleteFiles = priorDels ++ newDels,
+            eqDeleteFiles = Nil)
+          catalog.commitMeta(m.withSnapshot(snap, Some("main")))
+          Seq(Row(eqs.size, newDels.size))
+        }
+      }),
+
     "snapshot" -> (c => new Proc(c, "snapshot") {
       val params = Seq(in("source_table", StringType), in("table", StringType),
         opt("location", StringType))

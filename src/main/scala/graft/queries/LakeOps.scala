@@ -342,9 +342,41 @@ object LakeOps {
     s.sql(s"SELECT n_nationkey, n_name FROM lakeq.db.$t ORDER BY n_nationkey")
   }
 
+  /** Streaming CDC end to end: upsert commits consumed through the
+    * `tbl.changes` STREAMING source (offsets = snapshot ids,
+    * Trigger.AvailableNow drains the history in bounded micro-batches)
+    * into a sink table; the collected event log — inserts plus the
+    * upsert's replacement deletes — must reproduce the oracle exactly. */
+  def lakeCdcStream(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("cdc")
+    s.sql(s"""CREATE TABLE lakeq.db.$t (n_nationkey bigint, n_name string)
+             | USING lake TBLPROPERTIES (
+             |  'identifier-fields'='n_nationkey',
+             |  'write.upsert.enabled'='true')""".stripMargin)
+    s.sql(s"INSERT INTO lakeq.db.$t SELECT n_nationkey, n_name FROM $v")
+    s.sql(s"""INSERT INTO lakeq.db.$t
+             |SELECT n_nationkey, lower(n_name) FROM $v
+             |WHERE n_nationkey < 10""".stripMargin)
+    val sink = fresh("cdcsink")
+    val ck = java.nio.file.Files.createTempDirectory("cdc_ck").toString
+    val q = s.readStream
+      .option("streaming-max-snapshots-per-micro-batch", "1")
+      .table(s"lakeq.db.$t.changes")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    s.sql(s"""SELECT n_nationkey, n_name, _change_type FROM $sink
+             |ORDER BY n_nationkey, _change_type, n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_ctas" -> (lakeCtas _),
     "lake_upsert" -> (lakeUpsert _),
+    "lake_cdc_stream" -> (lakeCdcStream _),
     "lake_insert" -> (lakeInsert _),
     "lake_delete" -> (lakeDelete _),
     "lake_mor_delete" -> (lakeMorDelete _),
@@ -371,6 +403,16 @@ object LakeOps {
         |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END
         |    AS n_name
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "lake_cdc_stream" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, 'insert' AS _change_type FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, lower(n_name), 'insert' FROM nation
+        |  WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, 'delete' FROM nation
+        |  WHERE n_nationkey < 10
+        |) ORDER BY n_nationkey, _change_type, n_name""".stripMargin,
     "lake_insert" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "lake_delete" ->

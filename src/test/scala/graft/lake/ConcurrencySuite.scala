@@ -207,4 +207,24 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT id FROM lake.db.ccblock ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
+
+  test("concurrent upserts on disjoint keys all land; latest values win") {
+    sql("""CREATE TABLE lake.db.ccups (id bigint NOT NULL, v string)
+        |USING lake TBLPROPERTIES (
+        |  'identifier-fields'='id', 'write.upsert.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.ccups SELECT id, 'v0' FROM range(0, 40, 1, 1)")
+    // 4 writers concurrently upsert disjoint 10-key slices; every
+    // commit is an append + equality-delete pair racing on the CAS —
+    // auto-retry must land all four, each key keeping its writer's value
+    inThreads(0 until 4) { t =>
+      spark.sql("INSERT INTO lake.db.ccups " +
+        s"SELECT id, 'w$t' FROM range(${t * 10}, ${t * 10 + 10}, 1, 1)")
+    }
+    assert(count("SELECT count(*) FROM lake.db.ccups") == 40)
+    val byWriter = sql(
+      "SELECT v, count(*) FROM lake.db.ccups GROUP BY v ORDER BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byWriter == Seq(("w0", 10L), ("w1", 10L), ("w2", 10L), ("w3", 10L)),
+      s"every slice must carry its upserting writer's value: $byWriter")
+  }
 }

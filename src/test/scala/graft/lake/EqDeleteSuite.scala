@@ -293,6 +293,29 @@ class EqDeleteSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("convert_equality_deletes: eq masks become position deletes") {
+    mkUpsertTable("up18")
+    appendOneFile("up18", (1L, "a"), (2L, "b"), (3L, "c"))
+    appendOneFile("up18", (2L, "B"), (4L, "d"))
+    val r = sql(
+      "CALL lake.system.convert_equality_deletes(table => 'lake.db.up18')")
+      .collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) >= 1, r.toString)
+    // equality files retired, position masks in their place, same state
+    assert(count("SELECT count(*) FROM lake.db.up18.delete_files WHERE content = 2") == 0)
+    assert(count("SELECT count(*) FROM lake.db.up18.delete_files WHERE content = 1") >= 1)
+    assert(state("up18") == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // the conversion commit is row-preserving: the only delete event in
+    // the whole history is the upsert's replacement of (2,'b')
+    val deletes = sql("SELECT id, v FROM lake.db.up18.changes " +
+      "WHERE _change_type = 'delete'").collect()
+      .map(r2 => (r2.getLong(0), r2.getString(1))).toSeq
+    assert(deletes == Seq((2L, "b")), s"conversion must emit no events: $deletes")
+    // a later upsert composes with the converted masks
+    appendOneFile("up18", (3L, "C3"))
+    assert(state("up18") == Seq((1L, "a"), (2L, "B"), (3L, "C3"), (4L, "d")))
+  }
+
   test("MoR delta UPDATE works over equality-filtered scans") {
     mkUpsertTable("up15", extra = ", 'write.update.mode'='merge-on-read'")
     sql("INSERT INTO lake.db.up15 VALUES (1,'a'),(2,'b'),(3,'c')")

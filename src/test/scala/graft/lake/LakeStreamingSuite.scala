@@ -56,6 +56,64 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CDC source: tbl.changes emits per-commit change events") {
+    spark.sql("""CREATE TABLE lake.db.cdc (id bigint NOT NULL, v string)
+        |USING lake TBLPROPERTIES (
+        |  'identifier-fields'='id', 'write.upsert.enabled'='true')""".stripMargin)
+    spark.sql("INSERT INTO lake.db.cdc VALUES (1,'a'),(2,'b')")
+
+    val q = spark.readStream.table("lake.db.cdc.changes")
+      .writeStream.format("memory").queryName("cdc_sink")
+      .option("checkpointLocation", s"$ckpt/qcdc")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      // bootstrap: the initial insert arrives as insert events
+      assert(spark.table("cdc_sink").count() == 2)
+
+      // an upsert commit emits its inserts AND the delete of the
+      // replaced row
+      spark.sql("INSERT INTO lake.db.cdc VALUES (2,'B'),(3,'c')")
+      q.processAllAvailable()
+      val events = spark.table("cdc_sink")
+        .select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(events.count(_._3 == "insert") == 4) // 2 bootstrap + 2 upsert
+      assert(events.contains((2L, "b", "delete")),
+        s"upsert must emit the replaced row as a delete: $events")
+
+      // a MoR-free CoW delete emits the removed rows as deletes
+      spark.sql("DELETE FROM lake.db.cdc WHERE id = 1")
+      q.processAllAvailable()
+      val all = spark.table("cdc_sink")
+        .select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(all.contains((1L, "a", "delete")), s"CoW delete event missing: $all")
+    } finally q.stop()
+  }
+
+  test("streaming CDC source: admission cap drains history in bounded batches") {
+    spark.sql("CREATE TABLE lake.db.cdcap (id bigint) USING lake")
+    for (i <- 1 to 5) spark.sql(s"INSERT INTO lake.db.cdcap VALUES ($i)")
+    val progress = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("streaming-max-snapshots-per-micro-batch", "2")
+      .table("lake.db.cdcap.changes")
+      .writeStream.format("memory").queryName("cdcap_sink")
+      .option("checkpointLocation", s"$ckpt/qcdcap")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      assert(spark.table("cdcap_sink").count() == 5)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3, // 5 snapshots / cap 2 -> >= 3 batches
+        s"expected >=3 bounded batches, got ${batches.length}")
+      progress.set(batches.length)
+    } finally q.stop()
+  }
+
   test("streaming write: each epoch commits an append snapshot") {
     val s = spark
     import s.implicits._
