@@ -293,6 +293,38 @@ class EqDeleteSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsert on a partitioned table: deletes respect key ranges per file") {
+    sql("""CREATE TABLE lake.db.up19 (id bigint NOT NULL, region string, v string)
+        |USING lake PARTITIONED BY (region) TBLPROPERTIES (
+        |  'identifier-fields'='id', 'write.upsert.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.up19 VALUES (1,'eu','a'),(2,'eu','b'),(3,'us','c')")
+    sql("INSERT INTO lake.db.up19 VALUES (2,'eu','B2'),(3,'us','C2'),(4,'ap','d')")
+    val rows = sql("SELECT id, region, v FROM lake.db.up19 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, "eu", "a"), (2L, "eu", "B2"), (3L, "us", "C2"),
+      (4L, "ap", "d")))
+    // partition pruning composes with the eq filter
+    assert(count("SELECT count(*) FROM lake.db.up19 WHERE region = 'eu'") == 2)
+  }
+
+  test("upsert across a key-type widening (old delete files cast up)") {
+    sql("""CREATE TABLE lake.db.up20 (id int NOT NULL, v string)
+        |USING lake TBLPROPERTIES (
+        |  'identifier-fields'='id', 'write.upsert.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.up20 VALUES (1,'a'),(2,'b')")
+    sql("INSERT INTO lake.db.up20 VALUES (2,'B')") // int-typed eq delete file
+    sql("ALTER TABLE lake.db.up20 ALTER COLUMN id TYPE bigint")
+    // the int-keyed delete file must still filter data now read as bigint
+    val rows = sql("SELECT id, v FROM lake.db.up20 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B")))
+    // and a post-widening upsert (bigint keys) composes with it
+    sql("INSERT INTO lake.db.up20 VALUES (1,'A2')")
+    val rows2 = sql("SELECT id, v FROM lake.db.up20 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows2 == Seq((1L, "A2"), (2L, "B")))
+  }
+
   test("convert_equality_deletes: eq masks become position deletes") {
     mkUpsertTable("up18")
     appendOneFile("up18", (1L, "a"), (2L, "b"), (3L, "c"))
