@@ -244,7 +244,15 @@ class ChangesMicroBatchStream(catalog: LakeCatalog, tableName: String,
     val fromLatest = options.getBoolean("stream-from-latest", false)
     if (fromLatest)
       ChangesOffset(freshMeta().currentSnapshotId("main").getOrElse(0L))
-    else ChangesOffset(startId.getOrElse(0L))
+    else Option(options.get("stream-from-timestamp")) match {
+      case Some(ts) =>
+        // start AFTER the last snapshot committed before the timestamp
+        val t = ts.toLong
+        val m = freshMeta()
+        ChangesOffset(m.snapshots.filter(_.timestampMs < t)
+          .map(_.snapshotId).maxOption.getOrElse(0L))
+      case None => ChangesOffset(startId.getOrElse(0L))
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

@@ -527,11 +527,51 @@ object Procedures {
         // masked data file is rewritten with its deleted rows dropped
         // (per partition group), and the delete files retire — the
         // table returns to the fully-vectorized read path.
+        //
+        // options => map('mode','minor'): consolidate the DELETE files
+        // only (sort-merge many small per-task masks into few
+        // range-partitioned ones) without touching data bytes — the
+        // cheap continuous maintenance for steady MoR delta workloads,
+        // where every MERGE task adds a small delete file and scan
+        // tasks would otherwise read dozens of masks each. Dangling
+        // pairs (whose data file is gone) drop in the same pass.
         def run(spark: SparkSession, a: Args): Seq[Row] = {
           val (m, _) = meta(a)
           val head = m.currentSnapshot("main")
           val dels = head.map(_.deleteFiles).getOrElse(Nil)
           if (dels.isEmpty) return Seq(Row(0, 0, 0L))
+          if (a.strMap("options").get("mode").contains("minor")) {
+            val conf = catalog.hadoopConf
+            val files = head.map(_.files).getOrElse(Nil)
+            val livePaths = files.map(f => PosDeletes.norm(f.path)).toSet
+            val liveDf = spark.createDataset(livePaths.toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file_path")
+            val outDir = s"${m.location}/metadata/deletes/" +
+              java.util.UUID.randomUUID().toString.take(12)
+            spark.read.schema(PosDeletes.DeleteSchema)
+              .parquet(dels.map(_.path): _*)
+              .join(broadcast(liveDf), Seq("file_path"), "left_semi")
+              .dropDuplicates("file_path", "pos")
+              .repartitionByRange(
+                math.max(1, dels.map(_.rowCount).sum.toInt / 1000000),
+                col("file_path"), col("pos"))
+              .sortWithinPartitions(col("file_path"), col("pos"))
+              .write.parquet(outDir)
+            val newDels = LakeWriteUtil.listParquet(outDir, conf)
+              .map(p => FileStats.fromFooter(p, conf, PosDeletes.DeleteSchema,
+                0, Map.empty))
+              .filter(_.rowCount > 0)
+            val snap = SnapshotMeta(m.lastSnapshotId + 1,
+              head.map(_.snapshotId), System.currentTimeMillis(), "replace",
+              Map("rewritten-delete-files" -> dels.size.toString,
+                "added-delete-files" -> newDels.size.toString),
+              files, m.currentSchemaEpoch,
+              deleteFiles = newDels,
+              eqDeleteFiles = head.map(_.eqDeleteFiles).getOrElse(Nil))
+            catalog.commitMeta(m.withSnapshot(snap, Some("main")))
+            return Seq(Row(dels.size, newDels.size,
+              dels.map(_.sizeBytes).sum))
+          }
           val delMap = PosDeletes.deletedMap(dels, catalog.hadoopConf)
           val files = head.map(_.files).getOrElse(Nil)
           val (dirty, clean) = files.partition(f =>

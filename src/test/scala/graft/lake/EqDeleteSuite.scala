@@ -348,6 +348,25 @@ class EqDeleteSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(state("up18") == Seq((1L, "a"), (2L, "B"), (3L, "C3"), (4L, "d")))
   }
 
+  test("rewrite_position_delete_files minor mode consolidates masks only") {
+    mkUpsertTable("up21", extra = ", 'write.delete.mode'='merge-on-read'")
+    appendOneFile("up21", (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    // two MoR deletes -> two small delete files over the same data file
+    sql("DELETE FROM lake.db.up21 WHERE id = 2")
+    sql("DELETE FROM lake.db.up21 WHERE id = 4")
+    assert(count("SELECT count(*) FROM lake.db.up21.delete_files WHERE content = 1") == 2)
+    val dataFiles = count("SELECT count(*) FROM lake.db.up21.files")
+    val r = sql("CALL lake.system.rewrite_position_delete_files(" +
+      "table => 'lake.db.up21', options => map('mode','minor'))").collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1, r.toString)
+    // one consolidated mask, data files untouched, state unchanged
+    assert(count("SELECT count(*) FROM lake.db.up21.delete_files WHERE content = 1") == 1)
+    assert(count("SELECT count(*) FROM lake.db.up21.files") == dataFiles)
+    assert(state("up21") == Seq((1L, "a"), (3L, "c")))
+    // position_deletes metadata table shows the merged sorted pairs
+    assert(count("SELECT count(*) FROM lake.db.up21.position_deletes") == 2)
+  }
+
   test("MoR delta UPDATE works over equality-filtered scans") {
     mkUpsertTable("up15", extra = ", 'write.update.mode'='merge-on-read'")
     sql("INSERT INTO lake.db.up15 VALUES (1,'a'),(2,'b'),(3,'c')")

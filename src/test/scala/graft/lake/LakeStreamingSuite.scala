@@ -114,6 +114,28 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CDC source: stream-from-timestamp skips older commits") {
+    spark.sql("CREATE TABLE lake.db.cdcts (id bigint) USING lake")
+    spark.sql("INSERT INTO lake.db.cdcts VALUES (1)")
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO lake.db.cdcts VALUES (2)")
+    val q = spark.readStream
+      .option("stream-from-timestamp", cut.toString)
+      .table("lake.db.cdcts.changes")
+      .writeStream.format("memory").queryName("cdcts_sink")
+      .option("checkpointLocation", s"$ckpt/qcdcts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val ids = spark.table("cdcts_sink").select("id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L), s"only the post-cut commit must stream: $ids")
+    } finally q.stop()
+  }
+
   test("streaming write: each epoch commits an append snapshot") {
     val s = spark
     import s.implicits._
