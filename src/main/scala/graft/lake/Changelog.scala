@@ -54,13 +54,41 @@ object Changelog {
       val parentPaths = parentFiles.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
       val added = s.files.filterNot(f => parentPaths(f.path)).map(_.path)
-      val removed = parentFiles.filterNot(f => curPaths(f.path)).map(_.path)
+      val removedMetas = parentFiles.filterNot(f => curPaths(f.path))
+      val removed = removedMetas.map(_.path)
+      def stamp(df: DataFrame, change: String): DataFrame = df
+        .withColumn("_change_type", lit(change))
+        .withColumn("_change_ordinal", lit(ordinal))
+        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
       def read(paths: Seq[String], change: String): Option[DataFrame] =
         if (paths.isEmpty) None
-        else Some(spark.read.schema(schema).parquet(paths: _*)
-          .withColumn("_change_type", lit(change))
-          .withColumn("_change_ordinal", lit(ordinal))
-          .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+        else Some(stamp(spark.read.schema(schema).parquet(paths: _*), change))
+      // Removed-file rows that were ALREADY dead at the parent — via
+      // its position masks or its equality deletes — are not deletes
+      // of this commit (the rewrite that removed the file applied
+      // those masks; re-emitting would double-delete a key a prior
+      // upsert already replaced).
+      def readRemoved(): Option[DataFrame] = {
+        if (removed.isEmpty) return None
+        val pSnap = s.parentId.flatMap(meta.snapshotById)
+        val pDels = pSnap.map(_.deleteFiles).getOrElse(Nil)
+        val pEqs = pSnap.map(_.eqDeleteFiles).getOrElse(Nil)
+          .filter(e => removedMetas.exists(EqDeletes.mayApply(meta, _, e)))
+        if (pDels.isEmpty && pEqs.isEmpty) return read(removed, "delete")
+        val base = spark.read.schema(schema).parquet(removed: _*)
+          .withColumn("__fp", regexp_replace(
+            col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val notPosMasked =
+          if (pDels.isEmpty) base
+          else base.join(broadcast(spark.read
+              .schema(PosDeletes.DeleteSchema)
+              .parquet(pDels.map(_.path): _*)
+              .toDF("__fp", "__pos")),
+            Seq("__fp", "__pos"), "left_anti")
+        val alive = EqDeletes.antiJoin(spark, meta, notPosMasked, pEqs)
+        Some(stamp(alive.drop("__fp", "__pos"), "delete"))
+      }
       // merge-on-read snapshot: the rows its NEW position masks cover
       // are this commit's deletes — materialize them by joining the
       // (immutable) data files' row ordinals against the mask pairs
@@ -117,32 +145,31 @@ object Changelog {
           EqDeletes.groupByApplicable(meta, affected, newEqs).flatMap {
             case (_, eqsOfGroup) if eqsOfGroup.isEmpty => None
             case (fs, eqsOfGroup) =>
-              EqDeletes.keysDf(spark, meta, eqsOfGroup).map { keys =>
-                val base = spark.read.schema(schema)
-                  .parquet(fs.map(_.path): _*)
-                val notPosMasked =
-                  if (parentMasks.isEmpty) base
-                  else base
-                    .withColumn("__fp", regexp_replace(
-                      col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
-                    .withColumn("__pos", col("_metadata.row_index"))
-                    .join(broadcast(spark.read
-                        .schema(PosDeletes.DeleteSchema)
-                        .parquet(parentMasks.map(_.path): _*)
-                        .toDF("__fp", "__pos")),
-                      Seq("__fp", "__pos"), "left_anti")
-                    .drop("__fp", "__pos")
-                val notPriorEq = EqDeletes.antiJoin(spark, meta, notPosMasked,
-                  parentEqs.filter(e => fs.exists(EqDeletes.mayApply(meta, _, e))))
-                notPriorEq
-                  .join(broadcast(keys), keys.columns.toSeq, "left_semi")
-                  .withColumn("_change_type", lit("delete"))
-                  .withColumn("_change_ordinal", lit(ordinal))
-                  .withColumn("_commit_snapshot_id", lit(s.snapshotId))
-              }
+              val base = spark.read.schema(schema)
+                .parquet(fs.map(_.path): _*)
+                .withColumn("__fp", regexp_replace(
+                  col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
+                .withColumn("__pos", col("_metadata.row_index"))
+              val notPosMasked =
+                if (parentMasks.isEmpty) base
+                else base.join(broadcast(spark.read
+                    .schema(PosDeletes.DeleteSchema)
+                    .parquet(parentMasks.map(_.path): _*)
+                    .toDF("__fp", "__pos")),
+                  Seq("__fp", "__pos"), "left_anti")
+              val notPriorEq = EqDeletes.antiJoin(spark, meta, notPosMasked,
+                parentEqs.filter(e => fs.exists(EqDeletes.mayApply(meta, _, e))))
+              // per-shape semi-joins, deduplicated on (file, pos) — a
+              // row matching several delete shapes is still ONE delete
+              Some(EqDeletes.semiJoinAny(spark, meta, notPriorEq,
+                  eqsOfGroup, Seq("__fp", "__pos"))
+                .drop("__fp", "__pos")
+                .withColumn("_change_type", lit("delete"))
+                .withColumn("_change_ordinal", lit(ordinal))
+                .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
           }
         }
-      read(added, "insert") ++ read(removed, "delete") ++ masked ++ eqDeleted
+      read(added, "insert") ++ readRemoved() ++ masked ++ eqDeleted
     }
 
     val raw = parts.reduceOption(_.unionByName(_)).getOrElse {

@@ -54,7 +54,12 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
     dataSchema: StructType, tableSchema: StructType,
     startId: Option[Long], endId: Option[Long],
     freshMeta: () => TableMeta = () => null,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    // streaming sets this: "replace" commits (compaction, delete-format
+    // conversion) are row-preserving, and their carryover insert/delete
+    // echo — O(table) non-events per compaction — must not flood a
+    // continuous consumer. The batch relation keeps raw-diff parity.
+    skipRowPreserving: Boolean = false)
   extends Scan with Batch {
 
   override def readSchema(): StructType = tableSchema
@@ -77,13 +82,25 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = catalog.hadoopConf
     val fs = MetadataLog.fs(meta.location, conf)
-    def len(p: String): Long =
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+    // one length lookup per distinct file, not per (file × use)
+    val lenCache = scala.collection.mutable.Map[String, Long]()
+    def len(p: String): Long = lenCache.getOrElseUpdate(p,
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+    // A start offset that no longer resolves means snapshots were
+    // expired past a lagging consumer: the events in the gap are
+    // unrecoverable, and silently resuming from the surviving history
+    // would diverge the sink — fail loudly instead.
+    startId.filter(_ > 0).foreach(id => require(
+      meta.snapshotById(id).isDefined,
+      s"changelog start snapshot $id is no longer in the table " +
+        "metadata (expired?); the change events after it cannot be " +
+        "reconstructed — restart the consumer from a full snapshot"))
     val head = meta.currentSnapshotId("main")
     val chain = head.map(meta.ancestorsOf).getOrElse(Nil).reverse // oldest first
     val inRange = chain
       .dropWhile(s => startId.exists(s.snapshotId <= _))
       .takeWhile(s => endId.forall(s.snapshotId <= _))
+      .filterNot(s => skipRowPreserving && s.operation == "replace")
     inRange.zipWithIndex.flatMap { case (s, ordinal) =>
       val parentSnap = s.parentId.flatMap(meta.snapshotById)
       val parentFiles = parentSnap.map(_.files).getOrElse(Nil)
@@ -92,9 +109,21 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
       val inserts = s.files.filterNot(f => parentPaths(f.path)).map(f =>
         ChangesPartition(f.path, f.schemaEpoch, len(f.path), "insert",
           ordinal, s.snapshotId, Array.empty, keepOnlyPositions = false))
+      // removed-file rows already dead at the parent (position masks /
+      // equality deletes) were not deleted by THIS commit: exclude
+      // them executor-side, like the procedure view does
+      val pDelMap = parentSnap.map(_.deleteFiles).getOrElse(Nil) match {
+        case Nil => Map.empty[String, Array[Long]]
+        case dels => PosDeletes.deletedMap(dels, conf)
+      }
+      val pEqs = parentSnap.map(_.eqDeleteFiles).getOrElse(Nil)
       val deletes = parentFiles.filterNot(f => curPaths(f.path)).map(f =>
         ChangesPartition(f.path, f.schemaEpoch, len(f.path), "delete",
-          ordinal, s.snapshotId, Array.empty, keepOnlyPositions = false))
+          ordinal, s.snapshotId,
+          pDelMap.getOrElse(PosDeletes.norm(f.path), Array.empty[Long]),
+          keepOnlyPositions = false,
+          eqExcludeSlices = pEqs.filter(EqDeletes.mayApply(meta, f, _))
+            .map(e => EqSlice(e.path, len(e.path), eqGroupOf(e.path)))))
       // merge-on-read commit: rows its NEW masks cover are deletes —
       // emit exactly the masked positions of each (immutable) data file
       val parentDels = parentSnap.map(_.deleteFiles.map(_.path).toSet)
@@ -118,19 +147,13 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
       // equality-delete keys are deletes. Each affected file becomes a
       // key-matching partition; rows already dead (parent position
       // masks, parent equality deletes) are excluded executor-side.
-      val parentEqs = parentSnap.map(_.eqDeleteFiles).getOrElse(Nil)
-      val parentEqPaths = parentEqs.map(_.path).toSet
+      val parentEqPaths = pEqs.map(_.path).toSet
       val newEqs =
         if (s.operation == "replace") Nil
         else s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
       val eqDeleted =
         if (newEqs.isEmpty) Nil
         else {
-          val parentMaskByPath = parentSnap.map(_.deleteFiles).getOrElse(Nil)
-            match {
-              case Nil => Map.empty[String, Array[Long]]
-              case dels => PosDeletes.deletedMap(dels, conf)
-            }
           def slices(eqs: Seq[EqDeleteMeta]): Seq[EqSlice] =
             eqs.map(e => EqSlice(e.path, len(e.path), eqGroupOf(e.path)))
           s.files.flatMap { f =>
@@ -138,12 +161,11 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
             if (keep.isEmpty) None
             else Some(ChangesPartition(f.path, f.schemaEpoch, len(f.path),
               "delete", ordinal, s.snapshotId,
-              parentMaskByPath.getOrElse(PosDeletes.norm(f.path),
-                Array.empty[Long]),
+              pDelMap.getOrElse(PosDeletes.norm(f.path), Array.empty[Long]),
               keepOnlyPositions = false,
               eqKeepSlices = slices(keep),
               eqExcludeSlices = slices(
-                parentEqs.filter(EqDeletes.mayApply(meta, f, _)))))
+                pEqs.filter(EqDeletes.mayApply(meta, f, _)))))
           }
         }
       inserts ++ deletes ++ masked ++ eqDeleted
@@ -290,7 +312,7 @@ class ChangesMicroBatchStream(catalog: LakeCatalog, tableName: String,
     val e = end.asInstanceOf[ChangesOffset].snapshotId
     val m = freshMeta()
     val scan = new ChangesScan(catalog, m, tableName, dataSchema, tableSchema,
-      Some(s), Some(e))
+      Some(s), Some(e), skipRowPreserving = true)
     lastFactory = scan.createReaderFactory()
     scan.planInputPartitions()
   }
@@ -328,26 +350,6 @@ class ChangesReaderFactory(
     eqSpecs: Map[Int, EqGroupSpec] = Map.empty)
   extends PartitionReaderFactory {
 
-  private def eqSets(part: ChangesPartition, slices: Seq[EqSlice])
-      : Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
-        Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])] =
-    slices.groupBy(_.groupId).toArray.map { case (g, ss) =>
-      val spec = eqSpecs(g)
-      val delProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(spec.castExprs.toArray)
-      val sets = ss.map { s =>
-        EqDeletes.keySet(s.path, spec.typesSig,
-          () => spec.read(
-            org.apache.spark.sql.execution.datasources.PartitionedFile(
-              org.apache.spark.sql.catalyst.InternalRow.empty,
-              org.apache.spark.paths.SparkPath.fromPathString(s.path),
-              0, s.fileLen)),
-          r => delProj(r))
-      }.toArray
-      (org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(keyExprs(part.epoch)(g).toArray), sets)
-    }
-
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val part = p.asInstanceOf[ChangesPartition]
@@ -373,24 +375,10 @@ class ChangesReaderFactory(
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     val mask = part.positionsSorted
     val keepOnly = part.keepOnlyPositions
-    val keep = eqSets(part, part.eqKeepSlices)
-    val exclude = eqSets(part, part.eqExcludeSlices)
-    def inAny(checks: Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
-        Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])],
-        r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
-      var i = 0
-      while (i < checks.length) {
-        val (extract, sets) = checks(i)
-        val key = extract(r)
-        var j = 0
-        while (j < sets.length) {
-          if (sets(j).contains(key)) return true
-          j += 1
-        }
-        i += 1
-      }
-      false
-    }
+    val keep = EqScanSupport.loadChecks(part.eqKeepSlices, part.epoch,
+      eqSpecs, keyExprs)
+    val exclude = EqScanSupport.loadChecks(part.eqExcludeSlices, part.epoch,
+      eqSpecs, keyExprs)
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
       private var di = 0
       private var pos = -1L
@@ -398,17 +386,16 @@ class ChangesReaderFactory(
       override def next(): Boolean = {
         while (rows.hasNext) {
           val r = rows.next(); pos += 1
+          // positionsSorted: the KEEP list when keepOnlyPositions
+          // (newly masked rows = this commit's deletes), otherwise the
+          // EXCLUDE list (rows already dead at the parent)
+          while (di < mask.length && mask(di) < pos) di += 1
+          val inMask = di < mask.length && mask(di) == pos
           val emit =
-            if (keep.nonEmpty) {
-              // equality-delete event: key matched, not already dead
-              while (di < mask.length && mask(di) < pos) di += 1
-              val posDead = di < mask.length && mask(di) == pos
-              !posDead && inAny(keep, r) && !inAny(exclude, r)
-            } else if (!keepOnly) true
-            else {
-              while (di < mask.length && mask(di) < pos) di += 1
-              di < mask.length && mask(di) == pos
-            }
+            if (keepOnly) inMask
+            else if (inMask) false
+            else if (EqScanSupport.matchesAny(exclude, r)) false
+            else keep.isEmpty || EqScanSupport.matchesAny(keep, r)
           if (emit) {
             cur = proj(joined(r, metaRow))
             return true

@@ -67,6 +67,12 @@ object EqDeletes {
     val keySchema = StructType(keys.map(f => f.copy(nullable = true)))
     spark.read.schema(meta.schema).parquet(stagedPaths: _*)
       .select(keys.map(f => col(f.name)): _*)
+      // rows with a null identifier component are never upsert-replaced
+      // (SQL equality semantics — Iceberg requires identifier fields
+      // non-null for the same reason); storing a null tuple would make
+      // the scan's byte-wise filter and the rewrite paths' SQL
+      // anti-joins disagree on them
+      .where(keys.map(f => col(f.name).isNotNull).reduce(_ && _))
       .distinct()
       // one file unless the batch's key set is itself huge
       .coalesce(1)
@@ -179,6 +185,26 @@ object EqDeletes {
           case None => acc
         }
       }
+
+  /** Rows of `df` matching ANY applicable delete key — one semi-join
+    * per key shape, unioned and deduplicated on the row's physical
+    * identity (`idCols`, e.g. (file_path, pos)) so a row matching two
+    * shapes emits once. The dual of [[antiJoin]] for paths that
+    * MATERIALIZE the deleted rows (changelog events, eq→pos
+    * conversion); mixing shapes in one join would either crash the
+    * union or silently mean AND instead of OR. */
+  def semiJoinAny(spark: SparkSession, meta: TableMeta, df: DataFrame,
+      eqs: Seq[EqDeleteMeta], idCols: Seq[String]): DataFrame = {
+    val parts = eqs.groupBy(e => (e.schemaEpoch, e.keyColumns)).values.toSeq
+      .flatMap { group =>
+        keysDf(spark, meta, group.toSeq).map { keys =>
+          df.join(broadcast(keys), keys.columns.toSeq, "left_semi")
+        }
+      }
+    parts.reduceOption(_.unionByName(_))
+      .map(_.dropDuplicates(idCols))
+      .getOrElse(df.limit(0))
+  }
 
   /** Group `files` by their applicable-delete signature so one rewrite
     * job per distinct signature applies exactly the right filters. */

@@ -1352,6 +1352,48 @@ private[lake] object EqScanSupport {
           else Cast(ref, f.dataType, Some(tz))
       }
     }
+
+  /** Executor-side key-set membership machinery, shared by every scan
+    * path that applies equality deletes (PosDeleteScan, the changes
+    * relation): one (extractor, loaded key sets) pair per key shape. */
+  type EqChecks = Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
+    Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])]
+
+  def loadChecks(slices: Seq[EqSlice], epoch: Int,
+      eqSpecs: Map[Int, EqGroupSpec],
+      keyExprs: Map[Int, Seq[Seq[Expression]]]): EqChecks =
+    slices.groupBy(_.groupId).toArray.map { case (g, ss) =>
+      val spec = eqSpecs(g)
+      val delProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(spec.castExprs.toArray)
+      val sets = ss.map { s =>
+        EqDeletes.keySet(s.path, spec.typesSig,
+          () => spec.read(
+            org.apache.spark.sql.execution.datasources.PartitionedFile(
+              org.apache.spark.sql.catalyst.InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPathString(s.path),
+              0, s.fileLen)),
+          r => delProj(r))
+      }.toArray
+      (org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(keyExprs(epoch)(g).toArray), sets)
+    }
+
+  def matchesAny(checks: EqChecks,
+      r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    var i = 0
+    while (i < checks.length) {
+      val (extract, sets) = checks(i)
+      val key = extract(r)
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(key)) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
 }
 
 class PosDeleteReaderFactory(
@@ -1393,25 +1435,8 @@ class PosDeleteReaderFactory(
       else PosDeletes.deletedFor(part.path, part.deleteFiles, conf.value)
     // equality-delete key sets, loaded HERE (executor) through the
     // per-JVM cache; one (extractor, sets) pair per key shape
-    val eqChecks: Array[(org.apache.spark.sql.catalyst.expressions.UnsafeProjection,
-        Array[java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]])] =
-      part.eqSlices.groupBy(_.groupId).toArray.map { case (g, slices) =>
-        val spec = eqSpecs(g)
-        val delProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-          .create(spec.castExprs.toArray)
-        val sets = slices.map { s =>
-          EqDeletes.keySet(s.path, spec.typesSig,
-            () => spec.read(
-              org.apache.spark.sql.execution.datasources.PartitionedFile(
-                org.apache.spark.sql.catalyst.InternalRow.empty,
-                org.apache.spark.paths.SparkPath.fromPathString(s.path),
-                0, s.fileLen)),
-            r => delProj(r))
-        }.toArray
-        val extract = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-          .create(keyExprs(part.epoch)(g).toArray)
-        (extract, sets)
-      }
+    val eqChecks: EqScanSupport.EqChecks =
+      EqScanSupport.loadChecks(part.eqSlices, part.epoch, eqSpecs, keyExprs)
     val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
     metaRow.update(0, org.apache.spark.unsafe.types.UTF8String
       .fromString(PosDeletes.norm(part.path)))
@@ -1420,26 +1445,12 @@ class PosDeleteReaderFactory(
       private var di = 0
       private var pos = -1L
       private var cur: org.apache.spark.sql.catalyst.InternalRow = _
-      private def eqDeleted(r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
-        var i = 0
-        while (i < eqChecks.length) {
-          val (extract, sets) = eqChecks(i)
-          val key = extract(r)
-          var j = 0
-          while (j < sets.length) {
-            if (sets(j).contains(key)) return true
-            j += 1
-          }
-          i += 1
-        }
-        false
-      }
       override def next(): Boolean = {
         while (rows.hasNext) {
           val r = rows.next(); pos += 1
           while (di < mask.length && mask(di) < pos) di += 1
           if (di < mask.length && mask(di) == pos) di += 1
-          else if (eqChecks.isEmpty || !eqDeleted(r)) {
+          else if (eqChecks.isEmpty || !EqScanSupport.matchesAny(eqChecks, r)) {
             metaRow.setLong(1, pos)
             cur = proj(joined(r, metaRow))
             return true

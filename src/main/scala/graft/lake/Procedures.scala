@@ -643,9 +643,11 @@ object Procedures {
               .parquet(fs.map(_.path): _*)
               .select(LakeWriteUtil.epochProjection(m, epoch, epochSchema)
                 ++ metaCols: _*)
-            val keys = EqDeletes.keysDf(spark, m, eqsOfGroup).get
+            // one semi-join per key SHAPE (identifier fields may have
+            // changed between upserts), deduped on (file, pos)
             subtractPrior(
-              rows.join(broadcast(keys), keys.columns.toSeq, "left_semi")
+              EqDeletes.semiJoinAny(spark, m, rows, eqsOfGroup,
+                  Seq("file_path", "pos"))
                 .select(col("file_path"), col("pos")))
               .repartitionByRange(math.max(1, fs.size / 64),
                 col("file_path"), col("pos"))

@@ -45,11 +45,31 @@ object SchemaEvolution {
         // identifier fields anchor equality deletes (upserts): dropping
         // one would strand every outstanding delete file's key mapping
         // and silently resurrect deleted rows — Iceberg forbids it too
+        val dropped = c.fieldNames().mkString(".")
         val idFields = props.get(EqDeletes.IdentifierKey)
           .map(_.split(",").map(_.trim.toLowerCase).toSet).getOrElse(Set.empty)
-        require(!idFields.contains(c.fieldNames().mkString(".").toLowerCase),
-          s"cannot drop column ${c.fieldNames().mkString(".")}: it is an " +
+        require(!idFields.contains(dropped.toLowerCase),
+          s"cannot drop column $dropped: it is an " +
             "identifier field (DROP IDENTIFIER FIELDS first)")
+        // ...and DROP IDENTIFIER FIELDS alone must not open the door:
+        // any OUTSTANDING equality-delete file still keys on the
+        // column (through its field id) — dropping it would make every
+        // read and every repair path throw on the unmappable key,
+        // bricking the table with no recovery statement
+        val droppedId = schema.fields
+          .find(_.name.equalsIgnoreCase(dropped)).flatMap(TableMeta.fieldId)
+        val anchored = meta.snapshots.flatMap(_.eqDeleteFiles)
+          .distinctBy(_.path).exists { eq =>
+            val epochSchema = meta.schemaAt(eq.schemaEpoch)
+            eq.keyColumns.exists(kc =>
+              epochSchema.fields.find(_.name.equalsIgnoreCase(kc))
+                .flatMap(TableMeta.fieldId)
+                .exists(id => droppedId.contains(id)))
+          }
+        require(!anchored,
+          s"cannot drop column $dropped: equality-delete files still " +
+            "key on it; run rewrite_data_files or " +
+            "convert_equality_deletes (and expire old snapshots) first")
         schema = deleteColumn(schema, c.fieldNames().toSeq)
         schemaChanged = true
       case c: UpdateColumnPosition => () // ordering is cosmetic here

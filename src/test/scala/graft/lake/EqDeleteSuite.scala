@@ -367,6 +367,103 @@ class EqDeleteSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.up21.position_deletes") == 2)
   }
 
+  test("changelog: CoW rewrite after an upsert emits no phantom delete") {
+    mkUpsertTable("up22")
+    appendOneFile("up22", (1L, "a"), (2L, "b"), (3L, "c"))
+    appendOneFile("up22", (2L, "B")) // eq-deletes (2,'b')
+    // rewrites the first file; (2,'b') was already dead and must NOT
+    // re-emit as a delete of the CoW commit
+    sql("DELETE FROM lake.db.up22 WHERE id = 1")
+    val deletes = sql("SELECT id, v, _change_ordinal FROM lake.db.up22.changes " +
+      "WHERE _change_type = 'delete' ORDER BY _change_ordinal, id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // raw relation: (2,b) deletes ONCE (the upsert); the CoW commit
+    // removes (1,a) plus the (3,c) carryover, which pairs with its
+    // re-insert — but must NOT re-emit the already-dead (2,b)
+    assert(deletes == Seq((2L, "b", 1), (1L, "a", 2), (3L, "c", 2)),
+      s"already-dead rows must not re-emit: $deletes")
+    assert(sql("SELECT * FROM lake.db.up22.changes WHERE _change_type = " +
+      "'insert' AND _change_ordinal = 2").count() == 1) // the carryover pair
+    // the procedure view nets the carryover away
+    sql("CALL lake.system.create_changelog_view(table => 'lake.db.up22', " +
+      "changelog_view => 'up22_cl')")
+    val netDeletes = sql("SELECT id, v FROM up22_cl WHERE _change_type = " +
+      "'delete' ORDER BY _change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(netDeletes == Seq((2L, "b"), (1L, "a")),
+      s"exactly one net delete per logical removal: $netDeletes")
+  }
+
+  test("dropping a column anchored by outstanding eq deletes is rejected") {
+    mkUpsertTable("up23")
+    appendOneFile("up23", (1L, "a"), (2L, "b"))
+    appendOneFile("up23", (2L, "B"))
+    sql("ALTER TABLE lake.db.up23 DROP IDENTIFIER FIELDS id")
+    val e = intercept[Exception] {
+      sql("ALTER TABLE lake.db.up23 DROP COLUMN id")
+    }
+    assert(e.getMessage.contains("equality-delete files still key on it"),
+      e.getMessage)
+    // after folding the deletes away the drop becomes legal... except
+    // historical snapshots still reference them until expiry
+    sql("CALL lake.system.rewrite_data_files(table => 'lake.db.up23', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    sql("CALL lake.system.expire_snapshots(table => 'lake.db.up23', " +
+      "older_than => TIMESTAMP '2100-01-01 00:00:00', retain_last => 1)")
+    sql("ALTER TABLE lake.db.up23 DROP COLUMN id")
+    assert(sql("SELECT * FROM lake.db.up23").columns.toSeq == Seq("v"))
+  }
+
+  test("null identifier keys are never upsert-replaced, consistently") {
+    sql("""CREATE TABLE lake.db.up24 (id bigint, v string)
+        | USING lake TBLPROPERTIES (
+        |  'identifier-fields'='id', 'write.upsert.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.up24 VALUES (1,'a'),(NULL,'x')")
+    sql("INSERT INTO lake.db.up24 VALUES (1,'A'),(NULL,'y')")
+    def rows() = sql("SELECT id, v FROM lake.db.up24 ORDER BY v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSeq
+    // null keys are SQL-unequal: both null rows survive, (1,a) replaced
+    assert(rows() == Seq((1L, "A"), (-1L, "x"), (-1L, "y")))
+    // compaction (the SQL anti-join path) must agree with the scan
+    sql("CALL lake.system.rewrite_data_files(table => 'lake.db.up24', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    assert(rows() == Seq((1L, "A"), (-1L, "x"), (-1L, "y")))
+  }
+
+  test("upserts across an identifier-fields change (mixed key shapes)") {
+    mkUpsertTable("up25")
+    appendOneFile("up25", (1L, "a"), (2L, "b"))
+    appendOneFile("up25", (2L, "B")) // shape [id]
+    sql("ALTER TABLE lake.db.up25 ADD COLUMN region string")
+    sql("ALTER TABLE lake.db.up25 SET IDENTIFIER FIELDS id, v")
+    sql("INSERT INTO lake.db.up25 VALUES (1,'a','eu')") // shape [id, v]
+    def rows() = sql("SELECT id, v, region FROM lake.db.up25 ORDER BY id, v")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(rows() == Seq((1L, "a", "eu"), (2L, "B", "-")))
+    // conversion handles both shapes in one pass (per-shape semi-joins)
+    sql("CALL lake.system.convert_equality_deletes(table => 'lake.db.up25')")
+    assert(count("SELECT count(*) FROM lake.db.up25.delete_files WHERE content = 2") == 0)
+    assert(rows() == Seq((1L, "a", "eu"), (2L, "B", "-")))
+  }
+
+  test("expired changelog start snapshot fails loudly, not silently") {
+    mkUpsertTable("up26")
+    appendOneFile("up26", (1L, "a"))
+    appendOneFile("up26", (2L, "b"))
+    appendOneFile("up26", (3L, "c"))
+    val first = sql("SELECT snapshot_id FROM lake.db.up26.snapshots " +
+      "ORDER BY snapshot_id").collect().head.getLong(0)
+    sql("CALL lake.system.expire_snapshots(table => 'lake.db.up26', " +
+      "older_than => TIMESTAMP '2100-01-01 00:00:00', retain_last => 1)")
+    val e = intercept[Exception] {
+      spark.read.option("start-snapshot-id", first.toString)
+        .table("lake.db.up26.changes").collect()
+    }
+    assert(e.getMessage.contains("no longer in the table metadata"),
+      e.getMessage)
+  }
+
   test("MoR delta UPDATE works over equality-filtered scans") {
     mkUpsertTable("up15", extra = ", 'write.update.mode'='merge-on-read'")
     sql("INSERT INTO lake.db.up15 VALUES (1,'a'),(2,'b'),(3,'c')")

@@ -90,6 +90,15 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
         .select("id", "v", "_change_type").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       assert(all.contains((1L, "a", "delete")), s"CoW delete event missing: $all")
+
+      // compaction is row-preserving: the STREAM must emit nothing for
+      // it (the batch relation keeps raw carryover parity)
+      val before = spark.table("cdc_sink").count()
+      spark.sql("CALL lake.system.rewrite_data_files(table => 'db.cdc', " +
+        "options => map('rewrite-all','true','min-input-files','1'))")
+      q.processAllAvailable()
+      assert(spark.table("cdc_sink").count() == before,
+        "replace commits must not flood the CDC stream")
     } finally q.stop()
   }
 
