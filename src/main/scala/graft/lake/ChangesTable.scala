@@ -182,17 +182,14 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal}
     val spark = SparkSession.active
-    val noVec = org.apache.spark.sql.graft.Shims.cloneSessionRowBasedParquet(spark)
-    val hconf = noVec.sessionState.newHadoopConf()
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val epochs = meta.schemas.indices
-    val perEpoch = epochs.map { e =>
-      val epochSchema = meta.schemaAt(e)
-      val rename = LakeScans.renameMap(dataSchema, epochSchema)
-      val epochRead = StructType(dataSchema.fields.flatMap { f =>
+    val ctx = new LakeScans.EpochReaders(spark)
+    val tz = ctx.tz
+    val built = ctx.build(meta, dataSchema, meta.schemas.indices,
+      pick = (epochSchema, rename) => StructType(dataSchema.fields.flatMap { f =>
         val en = rename.getOrElse(f.name, f.name)
         epochSchema.fields.find(_.name == en)
-      }.distinct)
+      }.distinct))
+    val perEpoch = built.map { case (e, (readFunc, epochRead, rename)) =>
       val n = epochRead.length
       // project epoch row -> current schema, then the three change
       // metadata columns bound past the data row's width (the reader
@@ -210,25 +207,16 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
         BoundReference(n, StringType, nullable = false),
         BoundReference(n + 1, IntegerType, nullable = false),
         BoundReference(n + 2, LongType, nullable = false))
-      val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      val vectorized = fmt.supportBatch(spark, epochRead)
-      val readSession =
-        if (vectorized) spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        else noVec
-      val econf = new org.apache.hadoop.conf.Configuration(hconf)
-      val readFunc = fmt.buildReaderWithPartitionValues(readSession, epochSchema,
-        StructType(Nil), epochRead, Nil,
-        Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> vectorized.toString), econf)
       val keyExprs: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
         eqKeyFields.map(fs => EqScanSupport.keyExprs(epochRead, rename, fs, tz))
       e -> (readFunc, exprs, keyExprs)
-    }.toMap
+    }
     new ChangesReaderFactory(
       perEpoch.map { case (e, (f, _, _)) => e -> f },
       perEpoch.map { case (e, (_, x, _)) => e -> x },
       perEpoch.map { case (e, (_, _, k)) => e -> k },
-      EqScanSupport.groupSpecs(meta, eqGroups, eqKeyFields, noVec, hconf, tz))
+      EqScanSupport.groupSpecs(meta, eqGroups, eqKeyFields, ctx.noVec,
+        ctx.hconf, tz))
   }
 
   private lazy val eqKeyFields = EqScanSupport.keyFields(meta, eqGroups)
@@ -359,12 +347,7 @@ class ChangesReaderFactory(
         org.apache.spark.paths.SparkPath.fromPathString(part.path),
         0, part.fileLen))
     val rows: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-      raw.asInstanceOf[Iterator[Any]].flatMap {
-        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
-          scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
-        case r => Iterator.single(
-          r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
-      }
+      LakeScans.unrollBatches(raw)
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(projections(part.epoch).toArray)
     val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)

@@ -100,7 +100,7 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
   private var current: OutputWriter = _
   private var currentKey: String = null
   private var currentPath: Path = _
-  private var rowsSinceSizeCheck = 0
+  private var bytesSinceSizeCheck = 0L
   private var fileCount = 0
   private val written = Seq.newBuilder[Path]
 
@@ -121,7 +121,7 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
     current = owf.newInstance(file.toString, schema,
       new TaskAttemptContextImpl(conf, attemptId))
     currentPath = file
-    rowsSinceSizeCheck = 0
+    bytesSinceSizeCheck = 0L
   }
 
   override def write(row: InternalRow): Unit = {
@@ -131,14 +131,24 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
     // Target-file-size roll-over (write.target-file-size-bytes): a
     // partition tuple receiving many gigabytes in one task must not
     // become one huge file — MoR-masked reads never split a data file,
-    // so file size bounds read parallelism. The on-disk length check is
-    // amortized (every 128 rows) and trails the writer's buffered row
-    // group, so files land at target + ~one row group — the same
-    // contract as a size-tracking rolling writer.
-    rowsSinceSizeCheck += 1
-    if (rowsSinceSizeCheck >= 128) {
-      rowsSinceSizeCheck = 0
-      if (fs.getFileStatus(currentPath).getLen >= targetBytes) roll()
+    // so file size bounds read parallelism. In-memory row-size
+    // accounting (UnsafeRow byte size) gates an on-disk length probe:
+    // no filesystem RPC until roughly a compressed target's worth of
+    // raw bytes has been written (vs one getFileStatus per 128 rows —
+    // ~78k NameNode RPCs for a 10M-row task). The probe itself is
+    // Try-wrapped: object stores (S3A) materialize a file only at
+    // close, so mid-write getFileStatus throws FileNotFoundException
+    // there — size rolls degrade to close-time granularity instead of
+    // failing every write task.
+    bytesSinceSizeCheck += (row match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        u.getSizeInBytes.toLong
+      case _ => 64L
+    })
+    if (bytesSinceSizeCheck >= targetBytes) {
+      bytesSinceSizeCheck = 0L
+      if (scala.util.Try(fs.getFileStatus(currentPath).getLen)
+          .getOrElse(0L) >= targetBytes) roll()
     }
   }
 

@@ -123,7 +123,14 @@ class LakeMicroBatchStream(table: LakeTable, readSchema: StructType,
     val st = start.asInstanceOf[LakeOffset]
     val (maxFiles, maxRows) = caps(limit)
     val capOff = availableNowCap
-    var snaps = meta.snapshots.filter(_.snapshotId >= st.snapshotId)
+    // a fully-consumed start snapshot (filePos = MaxValue, the shape
+    // stream-from-timestamp and whole-snapshot checkpoints produce)
+    // contributes nothing — and must not even be LOOKED at: it may be
+    // a non-append snapshot addedFiles would reject, even though zero
+    // of its files remain to read
+    var snaps = meta.snapshots.filter(s =>
+        s.snapshotId > st.snapshotId ||
+          (s.snapshotId == st.snapshotId && st.filePos < Int.MaxValue))
       .sortBy(_.snapshotId)
     capOff.foreach(c => snaps = snaps.filter(_.snapshotId <= c.snapshotId))
     var nf = 0
@@ -169,7 +176,9 @@ class LakeMicroBatchStream(table: LakeTable, readSchema: StructType,
     val s = start.asInstanceOf[LakeOffset]
     val e = end.asInstanceOf[LakeOffset]
     val snaps = meta.snapshots
-      .filter(x => x.snapshotId >= s.snapshotId && x.snapshotId <= e.snapshotId)
+      .filter(x => (x.snapshotId > s.snapshotId ||
+        (x.snapshotId == s.snapshotId && s.filePos < Int.MaxValue)) &&
+        x.snapshotId <= e.snapshotId)
       .sortBy(_.snapshotId)
     val files = snaps.flatMap { snap =>
       val added = addedFiles(meta, snap)

@@ -419,8 +419,7 @@ private[lake] object LakeAggPushdown {
       return None
     val schema = table.schema()
     val files = table.meta.filesOf(snapshotId)
-    val renames = files.map(_.schemaEpoch).distinct.map(e =>
-      e -> LakeScans.renameMap(schema, table.meta.schemaAt(e))).toMap
+    val renames = LakeScans.renamesFor(schema, table.meta, files)
     def statName(f: DataFileMeta, col: String): String =
       renames(f.schemaEpoch).getOrElse(col, col)
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -545,8 +544,7 @@ private[lake] object LakeColumnStats {
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     if (files.isEmpty) return out
     val schema = table.schema()
-    val renames = files.map(_.schemaEpoch).distinct.map(e =>
-      e -> LakeScans.renameMap(schema, table.meta.schemaAt(e))).toMap
+    val renames = LakeScans.renamesFor(schema, table.meta, files)
     schema.fields.foreach { f =>
       def statName(df: DataFileMeta): String =
         renames(df.schemaEpoch).getOrElse(f.name, f.name)
@@ -635,18 +633,20 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean) None
     else if (deleted.nonEmpty || eqDeleted.nonEmpty) None // keep MoR masks off the SPJ path
-    else if (files.isEmpty) None    // an empty keyed partitioning would
-                                    // report 0 partitions — use the
-                                    // ordinary empty scan instead
     else {
+      // spec shape checks come FIRST: they are free, while files.isEmpty
+      // forces a lazy spilled manifest — a full manifest read during
+      // planning for tables that can never be key-grouped anyway
       val spec = table.meta.partitionSpec
       if (spec.isEmpty ||
           !spec.forall(f => f.transform == "identity" || f.transform == "bucket"))
         None
+      else if (files.isEmpty) None // an empty keyed partitioning would
+                                   // report 0 partitions — use the
+                                   // ordinary empty scan instead
       else {
         val schema = table.schema()
-        val renames = files.map(_.schemaEpoch).distinct.map(e =>
-          e -> LakeScans.renameMap(schema, table.meta.schemaAt(e))).toMap
+        val renames = LakeScans.renamesFor(schema, table.meta, files)
         // one (transform expression, per-file key extractor) per field:
         //  - identity: constant proven by footer stats, typed value
         //  - bucket:   the manifest's recorded bucket id (a Long — the
@@ -950,6 +950,65 @@ object LakeScans {
     * same name) must not pick up the dropped column's values from old
     * files — it is remapped to a sentinel name absent from the files,
     * so the parquet reader yields nulls for it. */
+  /** Per-epoch rename maps for a planned file set (current name ->
+    * epoch name), derived once per distinct epoch. */
+  private[lake] def renamesFor(schema: StructType, meta: TableMeta,
+      files: Seq[DataFileMeta]): Map[Int, Map[String, String]] =
+    files.map(_.schemaEpoch).distinct.map(e =>
+      e -> renameMap(schema, meta.schemaAt(e))).toMap
+
+  /** Per-epoch parquet reader construction shared by the row-streaming
+    * scans (PosDeleteScan, the changes relation). Encapsulates the
+    * subtle parts that must never diverge between them: vectorized
+    * decode when the projected schema supports batches (columnar page
+    * decode, row-wise iteration), the row-based session fallback, and
+    * ONE FRESH hadoop conf per epoch — each reader builder writes its
+    * requested schema into the conf it is given (and local-mode
+    * broadcasts hand back the live object), so a shared conf would
+    * make every epoch read with the LAST epoch's schema. */
+  private[lake] class EpochReaders(spark: SparkSession) {
+    val noVec: org.apache.spark.sql.classic.SparkSession =
+      Shims.cloneSessionRowBasedParquet(spark)
+    val hconf: org.apache.hadoop.conf.Configuration =
+      noVec.sessionState.newHadoopConf()
+    val tz: String = spark.sessionState.conf.sessionLocalTimeZone
+
+    /** For each epoch: (readFunc over `pick`'s read schema, the read
+      * schema, the current->epoch rename map). */
+    def build(meta: TableMeta, current: StructType, epochs: Seq[Int],
+        pick: (StructType, Map[String, String]) => StructType)
+        : Map[Int, (org.apache.spark.sql.execution.datasources.PartitionedFile =>
+            Iterator[org.apache.spark.sql.catalyst.InternalRow],
+          StructType, Map[String, String])] =
+      epochs.map { e =>
+        val epochSchema = meta.schemaAt(e)
+        val rename = renameMap(current, epochSchema)
+        val epochRead = pick(epochSchema, rename)
+        val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        val vectorized = fmt.supportBatch(spark, epochRead)
+        val readSession =
+          if (vectorized) spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          else noVec
+        val econf = new org.apache.hadoop.conf.Configuration(hconf)
+        val readFunc = fmt.buildReaderWithPartitionValues(readSession,
+          epochSchema, StructType(Nil), epochRead, Nil,
+          Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> vectorized.toString), econf)
+        e -> (readFunc, epochRead, rename)
+      }.toMap
+  }
+
+  /** A batch-supporting readFunc yields ColumnarBatch elements through
+    * the Iterator[InternalRow] interface — unroll them in row order. */
+  private[lake] def unrollBatches(raw: Iterator[_])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    raw.asInstanceOf[Iterator[Any]].flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+      case r => Iterator.single(
+        r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    }
+
   private[lake] def renameMap(current: StructType, epoch: StructType): Map[String, String] = {
     val byId = epoch.fields.flatMap(f => TableMeta.fieldId(f).map(_ -> f.name)).toMap
     val epochNames = epoch.fields.map(_.name.toLowerCase).toSet
@@ -1187,29 +1246,30 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal}
     import org.apache.spark.sql.types.{LongType, StringType}
     val spark = SparkSession.active
-    val noVec = Shims.cloneSessionRowBasedParquet(spark)
-    val hconf = noVec.sessionState.newHadoopConf()
+    val ctx = new LakeScans.EpochReaders(spark)
     val current = table.schema()
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val tz = ctx.tz
     val dataNames = current.fieldNames.toSet
     // equality-delete key fields in CURRENT shape, one entry per group
     val eqKeyFields: Seq[Seq[org.apache.spark.sql.types.StructField]] =
       EqScanSupport.keyFields(table.meta, eqGroups)
-    val perEpoch = files.map(_.schemaEpoch).distinct.map { e =>
-      val epochSchema = table.meta.schemaAt(e)
-      val rename = LakeScans.renameMap(current, epochSchema)
-      val baseRead = StructType(required.fields.flatMap { f =>
-        val en = rename.getOrElse(f.name, f.name)
-        epochSchema.fields.find(_.name == en)
-      }.distinct)
-      // widen the read schema with any key columns the eq filters need
-      // (appended at the end — the output projection binds by indexOf,
-      // so existing indices are unchanged)
-      val keyEpochFields = eqKeyFields.flatten.flatMap { f =>
-        val en = rename.getOrElse(f.name, f.name)
-        epochSchema.fields.find(_.name == en)
-      }.distinct.filterNot(baseRead.fields.contains)
-      val epochRead = StructType(baseRead.fields ++ keyEpochFields)
+    val built = ctx.build(table.meta, current,
+      files.map(_.schemaEpoch).distinct,
+      pick = (epochSchema, rename) => {
+        val baseRead = StructType(required.fields.flatMap { f =>
+          val en = rename.getOrElse(f.name, f.name)
+          epochSchema.fields.find(_.name == en)
+        }.distinct)
+        // widen the read schema with any key columns the eq filters
+        // need (appended at the end — the output projection binds by
+        // indexOf, so existing indices are unchanged)
+        val keyEpochFields = eqKeyFields.flatten.flatMap { f =>
+          val en = rename.getOrElse(f.name, f.name)
+          epochSchema.fields.find(_.name == en)
+        }.distinct.filterNot(baseRead.fields.contains)
+        StructType(baseRead.fields ++ keyEpochFields)
+      })
+    val perEpoch = built.map { case (e, (readFunc, epochRead, rename)) =>
       // the reader projects over JoinedRow(dataRow, [filePath, pos]):
       // metadata columns bind past the data row's width
       val n = epochRead.length
@@ -1230,39 +1290,19 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
           }
         }
       }
-      // Vectorized decode whenever the projected schema supports
-      // batches: the reader hands back ColumnarBatches (page
-      // decompression + decoding stay columnar — the expensive part)
-      // and the mask/ordinal bookkeeping iterates their rows in file
-      // order. Nested/unsupported schemas fall back to the row-based
-      // parquet reader.
-      val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      val vectorized = fmt.supportBatch(spark, epochRead)
-      val readSession =
-        if (vectorized) spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        else noVec
-      // each reader builder WRITES its requested schema into the conf
-      // it is given (and local-mode broadcasts hand back the live
-      // object) — sharing one conf across epochs makes every epoch
-      // read with the LAST epoch's schema. One fresh copy per epoch.
-      val econf = new org.apache.hadoop.conf.Configuration(hconf)
-      val readFunc = fmt.buildReaderWithPartitionValues(readSession, epochSchema,
-        StructType(Nil), epochRead, Nil,
-        Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> vectorized.toString), econf)
       // per-group key extractors from THIS epoch's raw data row, cast
       // to current types so they byte-compare with the delete side
       val keyExprs: Seq[Seq[Expression]] = eqKeyFields.map(fs =>
         EqScanSupport.keyExprs(epochRead, rename, fs, tz))
       e -> (readFunc, exprs, keyExprs)
-    }.toMap
+    }
     val eqSpecs: Map[Int, EqGroupSpec] =
-      EqScanSupport.groupSpecs(table.meta, eqGroups, eqKeyFields, noVec,
-        hconf, tz)
+      EqScanSupport.groupSpecs(table.meta, eqGroups, eqKeyFields, ctx.noVec,
+        ctx.hconf, tz)
     new PosDeleteReaderFactory(
       perEpoch.map { case (e, (f, _, _)) => e -> f },
       perEpoch.map { case (e, (_, x, _)) => e -> x },
-      new org.apache.spark.util.SerializableConfiguration(hconf),
+      new org.apache.spark.util.SerializableConfiguration(ctx.hconf),
       perEpoch.map { case (e, (_, _, k)) => e -> k },
       eqSpecs)
   }
@@ -1416,15 +1456,8 @@ class PosDeleteReaderFactory(
         org.apache.spark.sql.catalyst.InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(part.path),
         0, part.fileLen))
-    // a batch-supporting reader yields ColumnarBatch elements through
-    // the Iterator[InternalRow] interface — unroll them in row order
     val rows: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-      raw.asInstanceOf[Iterator[Any]].flatMap {
-        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
-          scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
-        case r => Iterator.single(
-          r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
-      }
+      LakeScans.unrollBatches(raw)
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
       .create(projections(part.epoch).toArray)
     // mask content loads HERE, on the executor running this task,

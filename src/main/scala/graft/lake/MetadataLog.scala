@@ -152,7 +152,12 @@ object MetadataLog {
           s"already exists (base version ${meta.version} is stale); " +
           "reload the table metadata and reapply", e)
     }
-    val scheme = vf.toUri.getScheme
+    // The local-vs-remote branch keys off the RESOLVED filesystem's
+    // scheme, not the raw path URI: a scheme-less location resolves
+    // through fs.defaultFS, and on an HDFS-defaulted cluster the NIO
+    // path would write the version file to the driver's local disk
+    // while readers list HDFS.
+    val scheme = f.getUri.getScheme
     if (scheme == null || scheme == "file") {
       // Hadoop's local create(path, overwrite=false) is CHECK-then-act:
       // two simultaneous committers can both pass the existence check
@@ -252,5 +257,14 @@ object MetadataLog {
   def dropTableDir(location: String, conf: Configuration): Unit = {
     val f = fs(location, conf)
     if (f.exists(new Path(location))) f.delete(new Path(location), true)
+    // The (mtime, length) cache-key component has filesystem-dependent
+    // granularity (seconds on object stores): a DROP + re-CREATE whose
+    // fresh version file matches the old one's length within a tick
+    // could be served the dropped table's metadata. Dropping is rare —
+    // evict the location outright.
+    metaCache.synchronized {
+      val it = metaCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == location) it.remove()
+    }
   }
 }

@@ -492,16 +492,14 @@ object Procedures {
         val heads = m.refs.values.map(_.snapshotId).toSet
         var rewritten = 0
         var added = 0
-        val olds = Seq.newBuilder[String]
         val snaps = m.snapshots.map { s =>
           if (!heads(s.snapshotId)) s
           else if (s.files.size > thr) {
             val ns = Manifests.respill(m, s, conf)
-            s.manifestPath.foreach { p => olds += p; rewritten += 1 }
+            if (s.manifestPath.isDefined) rewritten += 1
             added += 1
             ns
           } else if (s.manifestPath.isDefined) {
-            olds += s.manifestPath.get
             rewritten += 1
             s.copy(manifestPath = None)
           } else s
