@@ -53,11 +53,19 @@ object Bench {
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // headline value = steady-state pass; the cold pass is reported
     // alongside so first-touch cost stays visible
+    // sfDir is environment-controlled: escape it, or a quote/backslash
+    // in the path silently corrupts the whole JSON line
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${json(results)},"total_cold":$coldTotal,""" +
       s""""queries_cold":${json(cold)},""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""sf":"$sfDir"}"""
+      s""""failed":${failed.map("\"" + esc(_) + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"${esc(sfDir)}"}"""
     println(line)
     // also persist to a file: the one-line JSON has outgrown captured
     // stdout tails before (round 5's headline was unrecoverable)

@@ -368,7 +368,13 @@ object LakeOps {
       .option("checkpointLocation", ck)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // a timed-out drain must FAIL the gate, not serve a half-filled
+    // sink as the "result" (and must not leave the query writing to
+    // the sink while the harness serializes it)
+    val drained = q.awaitTermination(120000)
+    if (!drained) q.stop()
+    require(drained, "CDC drain did not finish within 120s")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
     s.sql(s"""SELECT n_nationkey, n_name, _change_type FROM $sink
              |ORDER BY n_nationkey, _change_type, n_name""".stripMargin)
   }

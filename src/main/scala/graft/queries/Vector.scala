@@ -352,7 +352,12 @@ object VectorOps {
          |  FROM emb WHERE vec_id < 8),
          |sims AS (
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-         |    ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn) AS csim
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim -- NaN pinned below any real cosine, matching
+         |                -- the Spark side's nanvl(-2.0)
          |  FROM emb e CROSS JOIN cents c),
          |assigned AS (
          |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
