@@ -29,18 +29,6 @@ object TextOps {
   private def toks(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Materialize a gate-bounded result locally and RELEASE the
-    * corpus-scale cached intermediates behind it. Without this, every
-    * invocation (the bench runs each query twice per JVM) would leak
-    * the persisted signature/posting blocks for the process lifetime —
-    * the RESULT is small by construction (near-dup pairs / per-doc
-    * labels at gate scale), the cached inputs are corpus-sized. */
-  private def materialize(s: SparkSession, df: DataFrame,
-      cached: org.apache.spark.sql.Dataset[_]*): DataFrame = {
-    val rows = df.collect()
-    cached.foreach(_.unpersist())
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-  }
 
   private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
@@ -172,15 +160,24 @@ object TextOps {
         concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
           x => x.cast("string")))).cast("binary")))
 
+    // localCheckpoint, not persist: the self-join must read the
+    // signatures once, but an explicit cache would pin corpus-scale
+    // blocks in the CacheManager for the JVM lifetime (no
+    // post-materialization unpersist hook exists for a lazily returned
+    // result). Checkpoint blocks are freed by the ContextCleaner once
+    // the result is unreferenced. (On a multi-executor cluster a
+    // reliable checkpoint() or an explicit caller-managed persist
+    // would be preferred — localCheckpoint does not survive executor
+    // loss.)
     val sigs = sigs0
       .select(col("doc_id"), col("sig"), explode(bands).as("band_hash"))
-      .persist()
+      .localCheckpoint(true)
 
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_hash"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
       col("band_hash"))
-    materialize(s, a.join(b, Seq("band_hash"))
+    a.join(b, Seq("band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(aggregate(
@@ -190,7 +187,7 @@ object TextOps {
           4).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b")), sigs)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Max document frequency for a shingle to stay in the inverted
@@ -211,6 +208,8 @@ object TextOps {
   def tNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val wSh = Window.partitionBy(col("shingle"))
     val wDoc = Window.partitionBy(col("doc_id"))
+    // localCheckpoint, not persist — see tMinhashPairs: materialized
+    // once for the self-join, released by the ContextCleaner
     val posting = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
@@ -218,12 +217,12 @@ object TextOps {
       .filter(col("dfreq") <= MaxShingleDf)
       .withColumn("n_sh", count(lit(1)).over(wDoc))
       .select(col("doc_id"), col("n_sh"), col("shingle"))
-      .persist()
+      .localCheckpoint(true)
     val a = posting.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
       col("shingle"))
     val b = posting.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
       col("shingle"))
-    materialize(s, a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -231,7 +230,7 @@ object TextOps {
         (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b")), posting)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 16-bit SimHash from distinct-token md5 nibble parities — one
@@ -410,7 +409,14 @@ object TextOps {
     require(converged,
       s"dedup group propagation did not converge in $round rounds; " +
         "a component's graph diameter exceeds the cap")
-    materialize(s, labels.orderBy(col("doc_id")), labels)
+    // localCheckpoint (not persist) for the returned labels: it
+    // truncates the 16-join lineage AND its blocks are released by the
+    // ContextCleaner once the result is unreferenced — an explicit
+    // persist would pin per-doc blocks in the CacheManager forever
+    // (the bench invokes this twice per JVM)
+    val out = labels.orderBy(col("doc_id")).localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Deterministic stratified sampling — the "keep X% of each stratum"
