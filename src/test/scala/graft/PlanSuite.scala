@@ -110,4 +110,21 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(p) <= 2, s"digest shuffle (+order) only:\n$p")
     assert(!has(p, "CartesianProduct"), p)
   }
+
+  test("t_chunk: pure map stage — explode + slice, no join, order only") {
+    assume(ready)
+    val p = fmt("t_chunk")
+    assert(shuffles(p) <= 1, s"only the result ordering may shuffle:\n$p")
+    assert(!has(p, "SortMergeJoin") && !has(p, "BroadcastHashJoin") &&
+      !has(p, "Window"), p)
+    assert(has(p, "Generate"), "chunk starts must explode, not loop")
+  }
+
+  test("v_quantize: narrow per-row transforms, no join or window") {
+    assume(ready)
+    val p = fmt("v_quantize")
+    assert(shuffles(p) <= 1, s"only the result ordering may shuffle:\n$p")
+    assert(!has(p, "SortMergeJoin") && !has(p, "BroadcastHashJoin") &&
+      !has(p, "Window") && !has(p, "CartesianProduct"), p)
+  }
 }
