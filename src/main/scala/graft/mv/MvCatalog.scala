@@ -19,7 +19,13 @@ final case class MvMeta(
     storageLocation: String,
     rowCount: Long,
     sizeInBytes: Long,
-    baseTables: Set[String] = Set.empty) // lowercased relation names
+    baseTables: Set[String] = Set.empty, // lowercased relation names
+    // lowercased lake-table name -> snapshot id the backing table
+    // reflects; the delta floor for REFRESH ... INCREMENTAL
+    baseSnapshots: Map[String, Long] = Map.empty,
+    // how the last refresh ran: "full" | "incremental" — observability
+    // for specs and SHOW-level diagnostics
+    lastRefreshMode: String = "full")
 
 object MvCatalog {
   private val views = new ConcurrentHashMap[String, MvMeta]()

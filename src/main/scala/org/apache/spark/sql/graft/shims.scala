@@ -39,6 +39,15 @@ object Shims {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** DataFrame over a hand-built logical plan (Dataset.ofRows is
+    * private[sql]) — used by the incremental MV refresher to run the
+    * MV's defining plan against a substituted delta relation. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Unwrap the private[sql] RowLevelOperationTable wrapper that
     * group-based DELETE/UPDATE/MERGE plans put around the target. */
   def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table): org.apache.spark.sql.connector.catalog.Table =

@@ -21,9 +21,13 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.catalog.lake", classOf[graft.lake.LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse",
+        java.nio.file.Files.createTempDirectory("mv_lake_wh").toString)
       .withExtensions(new MvExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
     spark.sql("""CREATE TABLE sales (region string, product string,
                 | amount bigint, qty bigint) USING parquet""".stripMargin)
     spark.sql("""INSERT INTO sales VALUES
@@ -527,5 +531,146 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     assert(sql(s"SELECT * FROM $backing").count() == 2)
     sql("REFRESH MATERIALIZED VIEW mv_self")
     assert(sql(s"SELECT * FROM $backing").count() == 2)
+  }
+
+  // ----------------------------------------------------------------
+  // incremental refresh (beyond the reference: the reference's
+  // REFRESH ... INCREMENTAL always recomputes in full)
+  // ----------------------------------------------------------------
+
+  private def refreshMode(mv: String): String =
+    MvCatalog.get(mv).get.lastRefreshMode
+
+  test("incremental refresh: append-only delta merges SUM/COUNT/MIN/MAX") {
+    sql("CREATE TABLE lake.db.inc1 (region string, amount bigint) USING lake")
+    sql("INSERT INTO lake.db.inc1 VALUES ('east',100),('west',300)")
+    sql("""CREATE MATERIALIZED VIEW mv_i1 AS
+          |SELECT region, sum(amount) AS s, count(*) AS c,
+          |       min(amount) AS mn, max(amount) AS mx
+          |FROM lake.db.inc1 GROUP BY region""".stripMargin)
+    sql("INSERT INTO lake.db.inc1 VALUES ('east',50),('north',10)")
+    sql("REFRESH MATERIALIZED VIEW mv_i1 INCREMENTAL")
+    assert(refreshMode("mv_i1") == "incremental")
+    val res = spark.table(MvCommands.backingName("mv_i1")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(res == Map(
+      "east" -> (150L, 2L, 50L, 100L),
+      "west" -> (300L, 1L, 300L, 300L),
+      "north" -> (10L, 1L, 10L, 10L)))
+    // and the rewrite serves the refreshed numbers
+    val df = sql("SELECT region, sum(amount) AS s FROM lake.db.inc1 GROUP BY region")
+    assert(usesBacking(df, "mv_i1"), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("east" -> 150L, "west" -> 300L, "north" -> 10L))
+    sql("DROP TABLE lake.db.inc1")
+  }
+
+  test("incremental refresh: unchanged base is a freshness-only no-op") {
+    sql("CREATE TABLE lake.db.inc2 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.inc2 VALUES ('a',1)")
+    sql("CREATE MATERIALIZED VIEW mv_i2 AS SELECT k, sum(v) AS s FROM lake.db.inc2 GROUP BY k")
+    val before = MvCatalog.get("mv_i2").get
+    sql("REFRESH MATERIALIZED VIEW mv_i2 INCREMENTAL")
+    val after = MvCatalog.get("mv_i2").get
+    assert(after.lastRefreshMode == "incremental")
+    assert(after.baseSnapshots == before.baseSnapshots)
+    assert(spark.table(MvCommands.backingName("mv_i2")).count() == 1)
+    sql("DROP TABLE lake.db.inc2")
+  }
+
+  test("incremental refresh: delete in range falls back to full, stays exact") {
+    sql("CREATE TABLE lake.db.inc3 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.inc3 VALUES ('a',1),('b',2)")
+    sql("CREATE MATERIALIZED VIEW mv_i3 AS SELECT k, sum(v) AS s FROM lake.db.inc3 GROUP BY k")
+    sql("DELETE FROM lake.db.inc3 WHERE k = 'a'")
+    sql("INSERT INTO lake.db.inc3 VALUES ('b',5)")
+    sql("REFRESH MATERIALIZED VIEW mv_i3 INCREMENTAL")
+    assert(refreshMode("mv_i3") == "full")
+    val res = spark.table(MvCommands.backingName("mv_i3")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("b" -> 7L))
+    // the NEXT incremental refresh starts from the post-full floor and
+    // can merge appends again
+    sql("INSERT INTO lake.db.inc3 VALUES ('c',9)")
+    sql("REFRESH MATERIALIZED VIEW mv_i3 INCREMENTAL")
+    assert(refreshMode("mv_i3") == "incremental")
+    assert(spark.table(MvCommands.backingName("mv_i3")).count() == 2)
+    sql("DROP TABLE lake.db.inc3")
+  }
+
+  test("incremental refresh: AVG output cannot merge — full fallback") {
+    sql("CREATE TABLE lake.db.inc4 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.inc4 VALUES ('a',1)")
+    sql("CREATE MATERIALIZED VIEW mv_i4 AS SELECT k, avg(v) AS a FROM lake.db.inc4 GROUP BY k")
+    sql("INSERT INTO lake.db.inc4 VALUES ('a',3)")
+    sql("REFRESH MATERIALIZED VIEW mv_i4 INCREMENTAL")
+    assert(refreshMode("mv_i4") == "full")
+    val res = spark.table(MvCommands.backingName("mv_i4")).collect()
+    assert(res.length == 1 && res(0).getDouble(1) == 2.0)
+    sql("DROP TABLE lake.db.inc4")
+  }
+
+  test("incremental refresh: join MV falls back to full") {
+    sql("CREATE TABLE lake.db.inc5 (region string, amount bigint) USING lake")
+    sql("INSERT INTO lake.db.inc5 VALUES ('east',10)")
+    sql("""CREATE MATERIALIZED VIEW mv_i5 AS
+          |SELECT s.region AS region, r.country AS country, s.amount AS amount
+          |FROM lake.db.inc5 s JOIN regions r ON s.region = r.region""".stripMargin)
+    sql("INSERT INTO lake.db.inc5 VALUES ('west',20)")
+    sql("REFRESH MATERIALIZED VIEW mv_i5 INCREMENTAL")
+    assert(refreshMode("mv_i5") == "full")
+    assert(spark.table(MvCommands.backingName("mv_i5")).count() == 2)
+    sql("DROP TABLE lake.db.inc5")
+  }
+
+  test("incremental refresh: non-lake base table falls back to full") {
+    sql("CREATE MATERIALIZED VIEW mv_i6 AS SELECT region, sum(amount) AS s FROM sales GROUP BY region")
+    sql("REFRESH MATERIALIZED VIEW mv_i6 INCREMENTAL")
+    assert(refreshMode("mv_i6") == "full")
+  }
+
+  test("incremental refresh: aggregate-free projection MV appends the delta") {
+    sql("CREATE TABLE lake.db.inc7 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.inc7 VALUES ('a',1),('b',30)")
+    sql("""CREATE MATERIALIZED VIEW mv_i7 AS
+          |SELECT k, v FROM lake.db.inc7 WHERE v > 5""".stripMargin)
+    sql("INSERT INTO lake.db.inc7 VALUES ('c',50),('d',2)")
+    sql("REFRESH MATERIALIZED VIEW mv_i7 INCREMENTAL")
+    assert(refreshMode("mv_i7") == "incremental")
+    val res = spark.table(MvCommands.backingName("mv_i7")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(res == Set(("b", 30L), ("c", 50L)))
+    sql("DROP TABLE lake.db.inc7")
+  }
+
+  test("incremental refresh: global aggregate (no GROUP BY) merges") {
+    sql("CREATE TABLE lake.db.inc8 (v bigint) USING lake")
+    sql("INSERT INTO lake.db.inc8 VALUES (1),(2)")
+    sql("CREATE MATERIALIZED VIEW mv_i8 AS SELECT sum(v) AS s, count(*) AS c FROM lake.db.inc8")
+    sql("INSERT INTO lake.db.inc8 VALUES (10)")
+    sql("REFRESH MATERIALIZED VIEW mv_i8 INCREMENTAL")
+    assert(refreshMode("mv_i8") == "incremental")
+    val r = spark.table(MvCommands.backingName("mv_i8")).collect()(0)
+    assert(r.getLong(0) == 13L && r.getLong(1) == 3L)
+    sql("DROP TABLE lake.db.inc8")
+  }
+
+  test("incremental refresh: upsert in range falls back (rows were replaced)") {
+    sql("""CREATE TABLE lake.db.inc9 (k string NOT NULL, v bigint) USING lake
+          |TBLPROPERTIES ('identifier-fields'='k',
+          |               'write.upsert.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.inc9 VALUES ('a',1),('b',2)")
+    sql("CREATE MATERIALIZED VIEW mv_i9 AS SELECT k, sum(v) AS s FROM lake.db.inc9 GROUP BY k")
+    // this insert is an UPSERT commit replacing k='a' — the
+    // incremental batch read accepts upserts, but the MV must NOT
+    // double-count the replaced row, so the refresh goes full
+    sql("INSERT INTO lake.db.inc9 VALUES ('a',100)")
+    sql("REFRESH MATERIALIZED VIEW mv_i9 INCREMENTAL")
+    assert(refreshMode("mv_i9") == "full")
+    val res = spark.table(MvCommands.backingName("mv_i9")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("a" -> 100L, "b" -> 2L))
+    sql("DROP TABLE lake.db.inc9")
   }
 }
