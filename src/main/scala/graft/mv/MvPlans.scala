@@ -23,9 +23,28 @@ private[mv] object MvPlans {
     norm.sql.toLowerCase
   }
 
+  /** Read options that change WHICH rows a scan of the same table
+    * name returns; a relation carrying any of them must never
+    * fingerprint-match a current-state MV base. */
+  private val ScanAffectingOptions = Seq("snapshot-id", "as-of-timestamp",
+    "branch", "tag", "start-snapshot-id", "end-snapshot-id")
+
   def relationName(plan: LogicalPlan): Option[String] = plan match {
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      Some(r.table.name().toLowerCase)
+      // a pinned (time-travel/tag) or branch-routed lake table and a
+      // current-state read share a NAME but not a row set — suffix the
+      // fingerprint so the MV rewrite can never serve current backing
+      // data to a historical query (and vice versa)
+      val pin = r.table match {
+        case lt: graft.lake.LakeTable =>
+          lt.pinnedSnapshot.map(v => s"@v$v").getOrElse("") +
+            (if (lt.ref != "main") s"@ref=${lt.ref}" else "")
+        case _ => ""
+      }
+      val opts = ScanAffectingOptions
+        .flatMap(k => Option(r.options.get(k)).map(v => s"$k=$v"))
+      val optFp = if (opts.isEmpty) "" else opts.mkString("@opts[", ",", "]")
+      Some(r.table.name().toLowerCase + pin + optFp)
     case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       r.catalogTable.map(_.identifier.unquotedString.toLowerCase)
     case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>

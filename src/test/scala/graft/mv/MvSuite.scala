@@ -25,6 +25,7 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
       .config("spark.sql.catalog.lake.warehouse",
         java.nio.file.Files.createTempDirectory("mv_lake_wh").toString)
       .withExtensions(new MvExtensions)
+      .withExtensions(new graft.lake.LakeExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
@@ -654,6 +655,53 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     val r = spark.table(MvCommands.backingName("mv_i8")).collect()(0)
     assert(r.getLong(0) == 13L && r.getLong(1) == 3L)
     sql("DROP TABLE lake.db.inc8")
+  }
+
+  test("MV rewrite must not serve historical reads of the base table") {
+    sql("CREATE TABLE lake.db.tt1 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.tt1 VALUES ('a',1)")
+    val snap1 = sql("SELECT snapshot_id FROM lake.db.tt1.snapshots ORDER BY snapshot_id")
+      .collect()(0).getLong(0)
+    sql("INSERT INTO lake.db.tt1 VALUES ('a',10),('b',5)")
+    sql("CREATE MATERIALIZED VIEW mv_tt1 AS SELECT k, sum(v) AS s FROM lake.db.tt1 GROUP BY k")
+    // sanity: current-state query IS rewritten
+    val cur = sql("SELECT k, sum(v) AS s FROM lake.db.tt1 GROUP BY k")
+    assert(usesBacking(cur, "mv_tt1"))
+
+    // time travel must bypass the MV and see the OLD state
+    val tt = sql(s"SELECT k, sum(v) AS s FROM lake.db.tt1 VERSION AS OF $snap1 GROUP BY k")
+    assert(!usesBacking(tt, "mv_tt1"), tt.queryExecution.optimizedPlan.toString)
+    val res = tt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("a" -> 1L))
+
+    // option-based pinning must bypass too
+    val opt = spark.read.option("snapshot-id", snap1.toString)
+      .table("lake.db.tt1").groupBy("k").sum("v")
+    assert(!opt.queryExecution.optimizedPlan.toString
+      .contains(MvCommands.backingName("mv_tt1")))
+    assert(opt.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 1L))
+
+    // incremental-range reads must bypass
+    val inc = spark.read.option("start-snapshot-id", snap1.toString)
+      .table("lake.db.tt1")
+    assert(!inc.queryExecution.optimizedPlan.toString
+      .contains(MvCommands.backingName("mv_tt1")))
+    assert(inc.count() == 2)
+    sql("DROP TABLE lake.db.tt1")
+  }
+
+  test("MV rewrite must not serve branch reads of the base table") {
+    sql("CREATE TABLE lake.db.tt2 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.tt2 VALUES ('a',1)")
+    sql("ALTER TABLE lake.db.tt2 CREATE BRANCH dev")
+    sql("INSERT INTO lake.db.tt2.branch_dev VALUES ('a',100)")
+    sql("CREATE MATERIALIZED VIEW mv_tt2 AS SELECT k, sum(v) AS s FROM lake.db.tt2 GROUP BY k")
+    val br = sql("SELECT k, sum(v) AS s FROM lake.db.tt2.branch_dev GROUP BY k")
+    assert(!usesBacking(br, "mv_tt2"), br.queryExecution.optimizedPlan.toString)
+    assert(br.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 101L))
+    sql("DROP TABLE lake.db.tt2")
   }
 
   test("incremental refresh: upsert in range falls back (rows were replaced)") {
