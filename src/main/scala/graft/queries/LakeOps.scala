@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.lake.LakeCatalog
-import graft.mv.{CreateMaterializedViewCommand, MvCommands}
+import graft.mv.{CreateMaterializedViewCommand, MvCatalog, MvCommands, RefreshMaterializedViewCommand}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -249,6 +249,37 @@ object LakeOps {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** True incremental MV refresh (beyond reference): the MV is built
+    * over half of orders, the other half appends, and REFRESH
+    * INCREMENTAL must MERGE the delta (the gate hard-fails if the
+    * refresher fell back to a full recompute) — the oracle aggregates
+    * the whole table, so the merged backing must be exact. Mergeable
+    * outputs only: SUM/COUNT over exact int64, MIN/MAX over double. */
+  def lakeMvIncremental(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "orders")
+    val t = fresh("mvi")
+    s.sql(s"""CREATE TABLE lakeq.db.$t USING lake AS
+             |SELECT o_orderstatus, o_orderkey, o_totalprice FROM $v
+             |WHERE o_orderkey % 2 = 0""".stripMargin)
+    val mv = fresh("mv")
+    CreateMaterializedViewCommand(mv,
+      s"""SELECT o_orderstatus, sum(o_orderkey) AS key_sum,
+         |count(*) AS cnt, min(o_totalprice) AS min_price,
+         |max(o_totalprice) AS max_price
+         |FROM lakeq.db.$t GROUP BY o_orderstatus""".stripMargin,
+      ifNotExists = false).run(s)
+    s.sql(s"""INSERT INTO lakeq.db.$t
+             |SELECT o_orderstatus, o_orderkey, o_totalprice FROM $v
+             |WHERE o_orderkey % 2 = 1""".stripMargin)
+    RefreshMaterializedViewCommand(mv, incremental = true).run(s)
+    require(MvCatalog.get(mv).exists(_.lastRefreshMode == "incremental"),
+      "incremental MV refresh fell back to a full recompute")
+    s.sql(s"""SELECT o_orderstatus, key_sum, cnt, min_price, max_price
+             |FROM ${MvCommands.backingName(mv)}
+             |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Rows-only check: snapshot log introspection (not SQL-expressible
     * against the source tables — driver records a weaker check). */
   def lakeMetadata(s: SparkSession, d: String): DataFrame = {
@@ -398,6 +429,7 @@ object LakeOps {
     "lake_changelog" -> (lakeChangelog _),
     "lake_changes_table" -> (lakeChangesTable _),
     "lake_mv_rollup" -> (lakeMvRollup _),
+    "lake_mv_incremental" -> (lakeMvIncremental _),
     "lake_metadata" -> (lakeMetadata _),
   )
 
@@ -489,6 +521,12 @@ object LakeOps {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "lake_mv_incremental" ->
+      """SELECT o_orderstatus, sum(o_orderkey) AS key_sum,
+        |  count(*) AS cnt, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // lake_metadata intentionally has no oracle (rows-only check)
   )
 }

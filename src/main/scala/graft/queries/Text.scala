@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.storage.StorageLevel
 
 /** Training-data-pipeline text operators over the `documents` table:
   * exact dedup, MinHash-LSH near-dedup, SimHash, n-gram Jaccard,
@@ -160,32 +161,42 @@ object TextOps {
         concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
           x => x.cast("string")))).cast("binary")))
 
-    // localCheckpoint, not persist: the self-join must read the
-    // signatures once, but an explicit cache would pin corpus-scale
-    // blocks in the CacheManager for the JVM lifetime (no
-    // post-materialization unpersist hook exists for a lazily returned
-    // result). Checkpoint blocks are freed by the ContextCleaner once
-    // the result is unreferenced. (On a multi-executor cluster a
-    // reliable checkpoint() or an explicit caller-managed persist
-    // would be preferred — localCheckpoint does not survive executor
-    // loss.)
-    val sigs = sigs0
-      .select(col("doc_id"), col("sig"), explode(bands).as("band_hash"))
-      .localCheckpoint(true)
+    // localCheckpoint, not persist: the expensive part (signature
+    // computation: explode + md5 + 16 min-aggregates) must run once,
+    // but an explicit cache would pin corpus-scale blocks in the
+    // CacheManager for the JVM lifetime (no post-materialization
+    // unpersist hook exists for a lazily returned result). Checkpoint
+    // blocks are freed by the ContextCleaner once the result is
+    // unreferenced — and DISK_ONLY keeps the frame out of executor
+    // storage memory, where it would evict shuffle/execution pages
+    // for every later query in the session. (On a multi-executor
+    // cluster a reliable checkpoint() or an explicit caller-managed
+    // persist would be preferred — localCheckpoint does not survive
+    // executor loss.)
+    val sigs = sigs0.select(col("doc_id"), col("sig"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
 
-    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_hash"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_hash"))
-    a.join(b, Seq("band_hash"))
+    // candidate pairs ride the band join as (doc, band_hash) ONLY and
+    // dedup before the signatures attach — the 16-long sig arrays
+    // never cross the bucket-join shuffle (same pair-dedup-then-join
+    // shape as the embedding near-dup pipeline in Vector.scala)
+    val posting = sigs.select(col("doc_id"), explode(bands).as("band_hash"))
+    val cand = posting.toDF("doc_a", "band_hash")
+      .join(posting.toDF("doc_b", "band_hash"), Seq("band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(aggregate(
           zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / 16.0,
           4).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -207,25 +218,35 @@ object TextOps {
     * self-join, so the exchange is planned once and reused. */
   def tNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val wSh = Window.partitionBy(col("shingle"))
-    val wDoc = Window.partitionBy(col("doc_id"))
     // localCheckpoint, not persist — see tMinhashPairs: materialized
-    // once for the self-join, released by the ContextCleaner
+    // once, released by the ContextCleaner, DISK_ONLY so the posting
+    // list never competes with execution memory. Only the df window
+    // runs over the full posting (same partition key as the
+    // self-join); per-doc set sizes are a SEPARATE small aggregate
+    // joined onto the pair results — carrying them through a
+    // Window.partitionBy(doc_id) would reshuffle the whole posting a
+    // second time just to move one long per row.
     val posting = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
       .withColumn("dfreq", count(lit(1)).over(wSh))
       .filter(col("dfreq") <= MaxShingleDf)
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
-      .select(col("doc_id"), col("n_sh"), col("shingle"))
-      .localCheckpoint(true)
-    val a = posting.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
-      col("shingle"))
-    val b = posting.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
-      col("shingle"))
+      .select(col("doc_id"), col("shingle"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // exact per-doc sizes over the capped universe: one narrow
+    // aggregate of the already-materialized posting, |docs| rows
+    val docSizes = posting.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val a = posting.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = posting.select(col("doc_id").as("doc_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(docSizes.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(docSizes.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.6)
@@ -381,6 +402,10 @@ object TextOps {
       .persist()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("group_id")).persist()
+    // the handle persist() was called on — unpersisting a PROJECTION
+    // of a cached frame does not release the cache entry, so the
+    // loop must keep the persisted Dataset itself to free each round
+    var pinned = labels
     var round = 0
     var converged = false
     while (round < 16 && !converged) {
@@ -389,16 +414,21 @@ object TextOps {
           col("group_id").as("nl")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nl")).as("nmin"))
         .withColumnRenamed("doc_a", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      // carry a per-row changed flag instead of re-joining the new
+      // labels against the previous ones: convergence becomes a scan
+      // of the just-persisted frame, saving one |docs|-row join per
+      // round
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id")))
-            .as("group_id"))
+            .as("group_id"),
+          (coalesce(col("nmin"), col("group_id")) < col("group_id"))
+            .as("changed"))
         .persist()
-      converged = next
-        .join(labels.withColumnRenamed("group_id", "prev"), Seq("doc_id"))
-        .filter(col("group_id") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = stepped.filter(col("changed")).isEmpty
+      pinned.unpersist()
+      pinned = stepped
+      labels = stepped.select(col("doc_id"), col("group_id"))
       round += 1
     }
     edges.unpersist()
@@ -406,16 +436,20 @@ object TextOps {
     // the component minimum — fail diagnosably instead (the fix for a
     // corpus that legitimately needs more rounds is pointer-doubling,
     // not a silent cap)
-    require(converged,
-      s"dedup group propagation did not converge in $round rounds; " +
-        "a component's graph diameter exceeds the cap")
+    if (!converged) {
+      pinned.unpersist()
+      throw new IllegalStateException(
+        s"dedup group propagation did not converge in $round rounds; " +
+          "a component's graph diameter exceeds the cap")
+    }
     // localCheckpoint (not persist) for the returned labels: it
     // truncates the 16-join lineage AND its blocks are released by the
-    // ContextCleaner once the result is unreferenced — an explicit
-    // persist would pin per-doc blocks in the CacheManager forever
-    // (the bench invokes this twice per JVM)
-    val out = labels.orderBy(col("doc_id")).localCheckpoint(true)
-    labels.unpersist()
+    // ContextCleaner once the result is unreferenced — DISK_ONLY so
+    // the per-doc frame never competes with execution memory (the
+    // bench invokes this twice per JVM)
+    val out = labels.orderBy(col("doc_id"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    pinned.unpersist()
     out
   }
 
