@@ -355,8 +355,10 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
 }
 
 object LakeScanBuilder {
-  /** Spec observability: file count in the most recent normal-read plan. */
-  private[lake] val lastPlannedFileCount =
+  /** Spec observability: file count in the most recent normal-read
+    * plan (private[graft]: the MV suite asserts the incremental
+    * refresher's O(delta) planning through it too). */
+  private[graft] val lastPlannedFileCount =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
@@ -606,7 +608,8 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty,
     skippedFiles: Long = -1L)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   @volatile private var files: Seq[DataFileMeta] = initial
   // lazy so a key-grouped (SPJ) execution never pays for the flat
@@ -716,6 +719,28 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  // Within a key group every identity partition column is CONSTANT
+  // (proven per file by footer min==max, nulls==0 — the same evidence
+  // that built the group key), and a constant column is trivially
+  // sorted in either direction. Reporting that ordering lets a
+  // sort-merge join over storage-partitioned tables drop its SortExec
+  // on the identity keys too: co-located joins become exchange-free
+  // AND sort-free. Bucket fields cannot claim this (rows inside a
+  // bucket vary on the source column), so only identity fields are
+  // reported.
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keyed match {
+      case Some(_) =>
+        table.meta.partitionSpec.filter(_.transform == "identity").map { pf =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(pf.sourceColumn),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        }.toArray
+      case None => Array.empty
     }
 
   // runtime-filterable on the partition source columns: bounded

@@ -42,10 +42,19 @@ object MvIncremental {
     try MvCatalog.withRewriteDisabled(attempt(spark, meta))
     catch {
       case _: Exception =>
-        // a failed attempt may have left the swap staging table behind
-        try spark.sql(
-          s"DROP TABLE IF EXISTS ${meta.backingTable}_swap")
-        catch { case _: Exception => () }
+        // a failed attempt may have left the swap staging table
+        // behind — and if the failure hit between DROP and RENAME,
+        // the backing table itself is missing: finish the rename
+        // (the swap holds the complete merged state) instead of
+        // dropping the only surviving copy
+        try {
+          val swap = s"${meta.backingTable}_swap"
+          if (!spark.catalog.tableExists(meta.backingTable) &&
+              spark.catalog.tableExists(swap))
+            spark.sql(s"ALTER TABLE $swap RENAME TO ${meta.backingTable}")
+          else
+            spark.sql(s"DROP TABLE IF EXISTS $swap")
+        } catch { case _: Exception => () }
         None
     }
 

@@ -1245,6 +1245,36 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("storage-partitioned join on identity keys is sort-free too") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sql("""CREATE TABLE lake.db.spjs1 (id bigint, cat string) USING lake
+          |PARTITIONED BY (cat)""".stripMargin)
+      sql("""INSERT INTO lake.db.spjs1
+          |SELECT id, concat('c', cast(id % 4 AS string)) FROM range(80)""".stripMargin)
+      sql("""CREATE TABLE lake.db.spjs2 (v bigint, cat string) USING lake
+          |PARTITIONED BY (cat)""".stripMargin)
+      sql("""INSERT INTO lake.db.spjs2
+          |SELECT id * 2, concat('c', cast(id % 4 AS string)) FROM range(40)""".stripMargin)
+      val df = sql("""SELECT a.id, b.v FROM lake.db.spjs1 a
+                   |JOIN lake.db.spjs2 b ON a.cat = b.cat""".stripMargin)
+      assert(df.count() == 80L * 40 / 4)
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("Exchange"), plan.toString)
+      // within a key group the identity column is constant, the scan
+      // reports that ordering, and the sort-merge join needs no sorts
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"identity-keyed SPJ must not re-sort constant columns:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("LIMIT plans only enough files to cover the limit") {
     sql("CREATE TABLE lake.db.limt (id bigint, v string) USING lake")
     for (i <- 0 until 4)

@@ -567,6 +567,26 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     sql("DROP TABLE lake.db.inc1")
   }
 
+  test("incremental refresh plans only the delta's files, not the base") {
+    sql("CREATE TABLE lake.db.inc10 (k string, v bigint) USING lake")
+    // 6 append commits = at least 6 data files in the base
+    for (i <- 0 until 6)
+      sql(s"INSERT INTO lake.db.inc10 VALUES ('k$i', $i)")
+    sql("CREATE MATERIALIZED VIEW mv_i10 AS SELECT k, sum(v) AS s FROM lake.db.inc10 GROUP BY k")
+    sql("INSERT INTO lake.db.inc10 VALUES ('k9', 9)")
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    sql("REFRESH MATERIALIZED VIEW mv_i10 INCREMENTAL")
+    assert(refreshMode("mv_i10") == "incremental")
+    // the refresh's ONLY lake scan is the incremental delta read — the
+    // O(delta) claim, observable: it must plan the one appended file,
+    // not the table's seven
+    val planned = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    assert(planned >= 0 && planned <= 1,
+      s"incremental refresh planned $planned files; expected the 1-file delta")
+    assert(spark.table(MvCommands.backingName("mv_i10")).count() == 7)
+    sql("DROP TABLE lake.db.inc10")
+  }
+
   test("incremental refresh: unchanged base is a freshness-only no-op") {
     sql("CREATE TABLE lake.db.inc2 (k string, v bigint) USING lake")
     sql("INSERT INTO lake.db.inc2 VALUES ('a',1)")
