@@ -56,13 +56,15 @@ object FileStats {
           if (st != null && !st.isEmpty) {
             nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
             if (st.hasNonNullValue) {
-              val (mn, mx) = (encode(st.genericGetMin), encode(st.genericGetMax))
+              val dt = typeOf(schema, name)
+              val (mn, mx) =
+                (encode(st.genericGetMin, dt), encode(st.genericGetMax, dt))
               mins(name) = mins.get(name) match {
-                case Some(cur) => if (lt(mn, cur, typeOf(schema, name))) mn else cur
+                case Some(cur) => if (lt(mn, cur, dt)) mn else cur
                 case None => mn
               }
               maxs(name) = maxs.get(name) match {
-                case Some(cur) => if (lt(cur, mx, typeOf(schema, name))) mx else cur
+                case Some(cur) => if (lt(cur, mx, dt)) mx else cur
                 case None => mx
               }
             }
@@ -70,13 +72,21 @@ object FileStats {
         }
       }
       DataFileMeta(path, rowCount, sizeBytes, epoch,
-        mins.toMap, maxs.toMap, nulls.toMap, partitionValues)
+        mins.toMap, maxs.toMap, nulls.toMap, partitionValues,
+        valueSets = harvestValueSets(reader, blocks.toSeq, schema))
     } finally reader.close()
   }
 
-  private def encode(v: Any): String = v match {
-    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-    case x => String.valueOf(x)
+  /** Footer-stat string space. Decimals encode as their UNSCALED
+    * integer — parquet statistics carry the raw physical value (an
+    * int/long, or the big-endian unscaled bytes for binary-backed
+    * precision), never a scaled decimal; [[encodeLiteral]] scales
+    * filter literals into the same space. */
+  private def encode(v: Any, dt: DataType): String = (v, dt) match {
+    case (b: org.apache.parquet.io.api.Binary, _: DecimalType) =>
+      new java.math.BigInteger(b.getBytes).toString
+    case (b: org.apache.parquet.io.api.Binary, _) => b.toStringUsingUTF8
+    case (x, _) => String.valueOf(x)
   }
 
   private def typeOf(schema: StructType, name: String): DataType =
@@ -106,16 +116,120 @@ object FileStats {
       case _ => None
     } catch { case _: Exception => None }
 
-  /** Encode a filter literal into the same string space as footer stats. */
-  private[lake] def encodeLiteral(v: Any, dt: DataType): Option[String] = v match {
-    case null => None
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
-    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
-    case t: java.sql.Timestamp =>
-      Some((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString)
-    case t: java.time.Instant =>
-      Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
-    case other => Some(other.toString)
+  /** Encode a filter literal into the same string space as footer stats.
+    * Decimal literals rescale to the column's scale and encode UNSCALED
+    * (matching [[encode]]); a literal the column scale cannot represent
+    * exactly yields None — the caller then keeps the file, and Spark's
+    * own filter still evaluates exactly. */
+  private[lake] def encodeLiteral(v: Any, dt: DataType): Option[String] =
+    (v, dt) match {
+      case (null, _) => None
+      case (x, dec: DecimalType) =>
+        val bd = x match {
+          case b: java.math.BigDecimal => Some(b)
+          case b: scala.math.BigDecimal => Some(b.bigDecimal)
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+          case _ => None
+        }
+        bd.flatMap(b => scala.util.Try(
+          b.setScale(dec.scale).unscaledValue.toString).toOption)
+      case (d: java.sql.Date, _) => Some(d.toLocalDate.toEpochDay.toString)
+      case (d: java.time.LocalDate, _) => Some(d.toEpochDay.toString)
+      case (t: java.sql.Timestamp, _) =>
+        Some((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString)
+      case (t: java.time.Instant, _) =>
+        Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+      case (other, _) => Some(other.toString)
+    }
+
+  // Value-set harvest caps: sets stay metadata-sized at 100 TB (a
+  // million-file manifest must not grow by more than a few GB, and the
+  // spill is columnar + distributed-pruned anyway). A column whose
+  // dictionary exceeds the value cap carries no set — min/max still
+  // applies.
+  private val MaxSetValues = 64
+  private val MaxSetBytesPerFile = 4096
+
+  /** Exact distinct-value sets from parquet DICTIONARY PAGES — the
+    * file-level lift of parquet's own row-group dictionary filtering.
+    * A column qualifies only when every page of every row group is
+    * dictionary-encoded (EncodingStats proves no plain fallback), so
+    * the union of dictionaries is a superset of the column's values
+    * and membership tests are exact. Runs at commit time next to the
+    * footer read; planning pays nothing. */
+  private def harvestValueSets(reader: ParquetFileReader,
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      schema: StructType): Map[String, Seq[String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (blocks.isEmpty) return Map.empty
+    val descs = reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+      .filter(_.getPath.length == 1)
+    val eligible = descs.filter { d =>
+      val name = d.getPath()(0)
+      val dictComplete = blocks.forall { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == name).exists { c =>
+          val es = c.getEncodingStats
+          es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
+        }
+      }
+      dictComplete && (typeOf(schema, name) match {
+        case StringType | _: CharType | _: VarcharType |
+             ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType | TimestampNTZType |
+             FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      })
+    }
+    if (eligible.isEmpty) return Map.empty
+    var budget = MaxSetBytesPerFile
+    val out = Map.newBuilder[String, Seq[String]]
+    val stores: Seq[org.apache.parquet.column.page.DictionaryPageReadStore] =
+      blocks.map(reader.getDictionaryReader(_)
+        : org.apache.parquet.column.page.DictionaryPageReadStore)
+    for (d <- eligible if budget > 0) {
+      try {
+        val dt = typeOf(schema, d.getPath()(0))
+        val isDecimal = dt.isInstanceOf[DecimalType]
+        val values = scala.collection.mutable.LinkedHashSet[String]()
+        var ok = true
+        for (store <- stores if ok) {
+          val page = store.readDictionaryPage(d)
+          if (page == null) ok = false
+          else {
+            val dict = page.getEncoding.initDictionary(d, page)
+            var i = 0
+            val n = dict.getMaxId + 1
+            while (i < n && ok) {
+              val s = d.getPrimitiveType.getPrimitiveTypeName match {
+                case BINARY | FIXED_LEN_BYTE_ARRAY if isDecimal =>
+                  new java.math.BigInteger(
+                    dict.decodeToBinary(i).getBytes).toString
+                case BINARY => dict.decodeToBinary(i).toStringUsingUTF8
+                case INT32 => String.valueOf(dict.decodeToInt(i))
+                case INT64 => String.valueOf(dict.decodeToLong(i))
+                case FLOAT => String.valueOf(dict.decodeToFloat(i))
+                case DOUBLE => String.valueOf(dict.decodeToDouble(i))
+                case _ => null
+              }
+              if (s == null) ok = false
+              else {
+                values += s
+                if (values.size > MaxSetValues) ok = false
+              }
+              i += 1
+            }
+          }
+        }
+        if (ok && values.nonEmpty) {
+          val bytes = values.iterator.map(_.length + 8).sum
+          if (bytes <= budget) {
+            budget -= bytes
+            out += d.getPath()(0) -> values.toSeq
+          }
+        }
+      } catch { case _: Exception => () } // conservative: no set, no claim
+    }
+    out.result()
   }
 
   /** Can `file` possibly contain rows matching `filter`? */
@@ -131,7 +245,10 @@ object FileStats {
         encodeLiteral(v, dt) match {
           case Some(lit) =>
             mn.forall(m => cmp(lit, m, dt).forall(_ >= 0)) &&
-            mx.forall(m => cmp(lit, m, dt).forall(_ <= 0))
+            mx.forall(m => cmp(lit, m, dt).forall(_ <= 0)) &&
+            // dictionary value set: exact membership when present
+            file.valueSets.get(a).forall(_.exists(x =>
+              cmp(lit, x, dt).map(_ == 0).getOrElse(lit == x)))
           case None => true
         }
       case GreaterThan(a, v) =>
@@ -158,9 +275,17 @@ object FileStats {
         val (_, _, nulls, _) = stats(a)
         nulls.forall(_ < file.rowCount)
       case StringStartsWith(a, prefix) =>
-        val (mn, mx, _, _) = stats(a)
+        val (mn, mx, _, dt) = stats(a)
+        val stringly = dt match {
+          case StringType | _: CharType | _: VarcharType => true
+          case _ => false
+        }
         mn.forall(m => m.take(prefix.length) <= prefix) &&
-          mx.forall(m => m.take(prefix.length) >= prefix)
+          mx.forall(m => m.take(prefix.length) >= prefix) &&
+          // the stat space IS the string value space only for string
+          // columns; other types' sets make no prefix claim
+          (!stringly ||
+            file.valueSets.get(a).forall(_.exists(_.startsWith(prefix))))
       case And(l, r) => mayMatch(file, l, schema) && mayMatch(file, r, schema)
       case Or(l, r) => mayMatch(file, l, schema) || mayMatch(file, r, schema)
       case _ => true

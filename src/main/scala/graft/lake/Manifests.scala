@@ -193,12 +193,17 @@ object Manifests {
     files
   }
 
-  /** Spills written before the data-sequence column existed read back
-    * with seq = 0 — the "every equality delete applies" sentinel. */
+  /** Columns added to [[DataFileMeta]] after a spill was written read
+    * back at their conservative defaults: seq = 0 ("every equality
+    * delete applies"), valueSets = empty ("no membership claim"). */
   private def withSeq(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    if (df.columns.contains("seq")) df
-    else df.withColumn("seq", org.apache.spark.sql.functions.lit(0L))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    val d1 =
+      if (df.columns.contains("seq")) df else df.withColumn("seq", lit(0L))
+    if (d1.columns.contains("valueSets")) d1
+    else d1.withColumn("valueSets", typedLit(Map.empty[String, Seq[String]]))
+  }
 
   /** Simulates a cold start (the cache is process-wide otherwise). */
   private[lake] def clearCacheForTesting(): Unit = cache.clear()

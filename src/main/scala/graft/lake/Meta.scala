@@ -44,7 +44,16 @@ final case class DataFileMeta(
     // data files survive its delete file. 0 = pre-eq-delete metadata:
     // every equality delete applies, which is correct for rows that
     // predate all of them.
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // Exact per-column distinct-value sets, harvested from parquet
+    // dictionary pages at commit time for columns whose every page is
+    // dictionary-encoded with a small dictionary (caps in
+    // [[FileStats]]). Planning uses them to skip files a min/max range
+    // check cannot: an unsorted low-cardinality column spans the full
+    // range in every file, but each file's VALUE SET is still sparse.
+    // Values live in the same encoded-string space as min/max; absent
+    // column → no claim (conservative). Empty for pre-round-7 metadata.
+    valueSets: Map[String, Seq[String]] = Map.empty)
 
 /** An equality-delete file (Iceberg v2 semantics, the write path
   * Flink's upsert sink uses): a parquet file of identifier-column

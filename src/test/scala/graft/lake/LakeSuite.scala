@@ -925,6 +925,58 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected min/max pruning to skip low-id files: scanned $scanned of $total")
   }
 
+  test("decimal filter pushdown prunes in the unscaled stat space") {
+    sql("CREATE TABLE lake.db.decp (id bigint, price decimal(10,2)) USING lake")
+    sql("INSERT INTO lake.db.decp VALUES (1, 1.00), (2, 1.50), (3, 2.00)")
+    sql("INSERT INTO lake.db.decp VALUES (4, 30.00), (5, 40.00)")
+    // parquet footers store decimals UNSCALED (150 for 1.50); a literal
+    // encoded scaled ("1.50") compares below every unscaled min and
+    // wrongly skips the file that contains the row
+    assert(sql("SELECT id FROM lake.db.decp WHERE price = 1.50")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(sql("SELECT count(*) FROM lake.db.decp WHERE price < 2.00")
+      .collect().head.getLong(0) == 2L)
+    assert(sql("SELECT count(*) FROM lake.db.decp WHERE price >= 30.00")
+      .collect().head.getLong(0) == 2L)
+    // and the skipping still prunes: a point lookup outside the second
+    // commit's range must not plan its files
+    val total = sql("SELECT count(*) FROM lake.db.decp.files")
+      .collect().head.getLong(0)
+    sql("SELECT id FROM lake.db.decp WHERE price = 35.00").collect()
+    val planned = LakeScanBuilder.lastPlannedFileCount.get()
+    assert(planned < total,
+      s"expected decimal min/max to skip the 1.00-2.00 files: planned $planned of $total")
+    sql("DROP TABLE lake.db.decp")
+  }
+
+  test("dictionary value-sets skip files min/max cannot") {
+    sql("CREATE TABLE lake.db.vset (id bigint, cat string) USING lake")
+    // both files span the same min/max range 'a'..'z' but hold
+    // DIFFERENT value sets — range pruning alone cannot separate them
+    sql("INSERT INTO lake.db.vset SELECT /*+ REPARTITION(1) */ id, elt(1 + cast(id % 3 AS int), 'a', 'mm', 'z') FROM range(1998)")
+    sql("INSERT INTO lake.db.vset SELECT /*+ REPARTITION(1) */ id, elt(1 + cast(id % 3 AS int), 'a', 'qq', 'z') FROM range(1998, 3996)")
+    assert(sql("SELECT count(*) FROM lake.db.vset.files")
+      .collect().head.getLong(0) == 2L)
+    assert(sql("SELECT count(*) FROM lake.db.vset WHERE cat = 'mm'")
+      .collect().head.getLong(0) == 666L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "expected the value set to skip the 'qq' file")
+    // IN follows the same path; both branches present keeps both files
+    assert(sql("SELECT count(*) FROM lake.db.vset WHERE cat IN ('mm','qq')")
+      .collect().head.getLong(0) == 1332L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 2)
+    // value sets survive a manifest spill round-trip (cold cache,
+    // distributed pruned planning path)
+    sql("ALTER TABLE lake.db.vset SET TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='1')")
+    sql("INSERT INTO lake.db.vset VALUES (999, 'bb')")
+    Manifests.clearCacheForTesting()
+    assert(sql("SELECT count(*) FROM lake.db.vset WHERE cat = 'qq'")
+      .collect().head.getLong(0) == 666L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "expected value-set pruning through the spilled manifest")
+    sql("DROP TABLE lake.db.vset")
+  }
+
   test("dataframe writer v2 and read options") {
     val s = spark
     import s.implicits._
