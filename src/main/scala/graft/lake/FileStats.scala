@@ -24,16 +24,36 @@ object FileStats {
   /** Footer-harvest MANY files concurrently: footer reads are
     * IO-bound driver work, and a commit staging hundreds of files
     * (one per partition tuple) must not pay them serially. */
+  /** Paths-per-commit above which footer harvesting fans out to
+    * executors instead of driver threads: a backfill/CTAS commit at
+    * 100 TB stages tens of thousands of files, and the footer reads
+    * (IO + dictionary-page decode for value sets) must not serialize
+    * through one JVM. Small commits stay on the driver — a Spark job
+    * costs more than 256 local footer reads. */
+  private[lake] var DistributedFooterThreshold = 256
+
   def fromFooters(paths: Seq[String], conf: Configuration,
       schema: StructType, epoch: Int,
       partitionValuesOf: String => Map[String, String] = _ => Map.empty)
       : Seq[DataFileMeta] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.traverse(paths)(p =>
-      Future(fromFooter(p, conf, schema, epoch, partitionValuesOf(p)))),
-      Duration.Inf)
+    if (paths.size > DistributedFooterThreshold) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      // ship the resolved partition tuple with each path: the lookup
+      // function itself may close over driver-only state
+      val tagged = paths.map(p => (p, partitionValuesOf(p)))
+      spark.sparkContext
+        .parallelize(tagged, math.min(64, 1 + tagged.size / 64))
+        .map { case (p, pv) => fromFooter(p, sconf.value, schema, epoch, pv) }
+        .collect().toSeq
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(paths)(p =>
+        Future(fromFooter(p, conf, schema, epoch, partitionValuesOf(p)))),
+        Duration.Inf)
+    }
   }
 
   /** Read row count + min/max/null-counts for one parquet file. */

@@ -474,6 +474,67 @@ object LakeWriteUtil {
     * file:/x — compare on the bare URI path. */
   def normPath(p: String): String = new Path(p).toUri.getPath
 
+  /** Column-level twin of [[normPath]] for executor-side path set
+    * comparisons (same idiom the MoR mask join uses). */
+  def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
+
+  /** DataFrame variant of [[listParquetWithAge]]: the listing stays on
+    * the executors as (`path` raw, `norm`, `mtime`) instead of
+    * collecting every on-disk file to the driver — remove_orphan_files
+    * anti-joins it against the referenced set, so the driver only ever
+    * materializes actual orphans. */
+  def listParquetWithAgeDf(spark: SparkSession, dir: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = MetadataLog.fs(dir, conf)
+    val p = new Path(dir)
+    val empty = spark.emptyDataset[(String, Long)].toDF("path", "mtime")
+    val raw =
+      if (!fs.exists(p)) empty
+      else {
+        val top = fs.listStatus(p).toSeq
+        val (dirs, files) = top.partition(_.isDirectory)
+        val topHits = files
+          .filter(s => s.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath.toString, s.getModificationTime))
+        val topDf = spark.createDataset(topHits).toDF("path", "mtime")
+        if (dirs.isEmpty) topDf
+        else {
+          val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+          val sub = spark.sparkContext
+            .parallelize(dirs.map(_.getPath.toString),
+              math.min(64, dirs.size))
+            .flatMap { d =>
+              val path = new Path(d)
+              listParquetLocal(path, path.getFileSystem(sconf.value))
+            }
+          spark.createDataset(sub).toDF("path", "mtime").unionAll(topDf)
+        }
+      }
+    raw.withColumn("norm", normPathCol(col("path")))
+  }
+
+  /** Distributed delete of a one-column (`path`) DataFrame without
+    * driver materialization; returns the number of files removed. */
+  def bulkDeleteDf(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val n = spark.sparkContext.longAccumulator("bulkDeleteDf")
+    df.select("path").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val path = new Path(r.getString(0))
+          if (scala.util.Try(
+              path.getFileSystem(sconf.value).delete(path, false))
+            .getOrElse(false)) n.add(1L)
+        }
+    }
+    n.value
+  }
+
   /** Best-effort delete of many paths. Small batches stay on the
     * driver (no job overhead); large batches ship to executors — at
     * 100 TB file counts a maintenance pass deletes millions of files,

@@ -178,6 +178,45 @@ object Manifests {
     survivors
   }
 
+  /** One-column (`path`, scheme-normalized) DataFrame of every data
+    * file across `snapshots`, computed WITHOUT hydrating spilled
+    * manifests on the driver — the maintenance-side twin of
+    * [[readPruned]]. Unforced spill pointers contribute one multi-dir
+    * parquet scan evaluated on executors; inline (small or
+    * already-hydrated) lists ship from the driver. expire_snapshots /
+    * remove_orphan_files difference their live and on-disk path sets
+    * through anti-joins over this frame, so maintenance memory stays
+    * O(changed), not O(every file in history), at 100 TB file counts. */
+  private[lake] def dataPathsDf(spark: SparkSession,
+      snapshots: Seq[SnapshotMeta]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val lazyDirs = Seq.newBuilder[String]
+    val inline = Seq.newBuilder[String]
+    snapshots.foreach { s =>
+      s.files match {
+        case l: LazyManifestFiles if !l.isForced => lazyDirs += l.dir
+        case fs => fs.foreach(inline += _.path)
+      }
+    }
+    val inlineDf = spark.createDataset(inline.result())(Encoders.STRING)
+      .toDF("path")
+    val dirs = lazyDirs.result().distinct
+    val raw =
+      if (dirs.isEmpty) inlineDf
+      else {
+        // mergeSchema tolerates a mix of current (ord, file struct) and
+        // legacy (flat) spill layouts in one scan
+        val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val pathCol =
+          if (df.columns.contains("file") && df.columns.contains("path"))
+            coalesce(col("file.path"), col("path"))
+          else if (df.columns.contains("file")) col("file.path")
+          else col("path")
+        df.select(pathCol.as("path")).unionAll(inlineDf)
+      }
+    raw.select(LakeWriteUtil.normPathCol(col("path")).as("path"))
+  }
+
   private[lake] def read(dir: String, conf: Configuration): Seq[DataFileMeta] = {
     val cached = cache.get(dir)
     if (cached != null) return cached

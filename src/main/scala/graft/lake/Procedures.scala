@@ -278,9 +278,6 @@ object Procedures {
         }
         val expIds = expired.map(_.snapshotId).toSet
         val remaining = m.snapshots.filterNot(s => expIds(s.snapshotId))
-        val liveFiles = remaining.flatMap(_.files.map(_.path)).toSet
-        val deadFiles = expired.flatMap(_.files.map(_.path))
-          .filterNot(liveFiles).distinct
         // spilled manifests and position-delete files referenced only
         // by expired snapshots retire with them
         val liveManifests = remaining.flatMap(_.manifestPath).toSet
@@ -302,13 +299,23 @@ object Procedures {
         // A crash between commit and delete merely strands files for
         // remove_orphan_files, matching the spill-dir invariant.
         catalog.commitMeta(m.copy(snapshots = patched, refs = liveRefs))
-        // distributed: an expire on a 100 TB table retires millions of
-        // files — they must not funnel through a driver loop
-        LakeWriteUtil.bulkDelete(spark, deadFiles ++ deadDeletes,
-          catalog.hadoopConf)
+        // Dead data files = expired minus remaining, differenced as a
+        // distributed anti-join over the spilled manifests (read as a
+        // parquet scan, never hydrated to the driver) and deleted
+        // executor-side: an expire on a 100 TB table retires millions
+        // of files — neither the path sets nor the deletes may funnel
+        // through a driver loop. The expired spill dirs are still on
+        // disk here (dropped last, below), so the post-commit scan is
+        // safe.
+        val deadDf = Manifests.dataPathsDf(spark, expired).distinct()
+          .join(Manifests.dataPathsDf(spark, remaining).distinct(),
+            Seq("path"), "left_anti")
+        val deadDataCount =
+          LakeWriteUtil.bulkDeleteDf(spark, deadDf, catalog.hadoopConf)
+        LakeWriteUtil.bulkDelete(spark, deadDeletes, catalog.hadoopConf)
         LakeWriteUtil.bulkDelete(spark, deadManifests, catalog.hadoopConf,
           recursive = true)
-        Seq(Row((deadFiles.size + deadDeletes.size).toLong,
+        Seq(Row(deadDataCount + deadDeletes.size,
           deadManifests.size.toLong, expired.size.toLong))
       }
     }),
@@ -320,19 +327,26 @@ object Procedures {
       def run(spark: SparkSession, a: Args): Seq[Row] = {
         val (m, _) = meta(a)
         val conf = catalog.hadoopConf
-        // data files AND position-delete files: a crashed delta write
-        // can strand either kind
-        val referenced = m.snapshots.flatMap(s =>
-          s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
-            s.eqDeleteFiles.map(_.path)).toSet
+        // Referenced set as a DataFrame: data files come from the
+        // spilled manifests via a distributed parquet scan (never
+        // hydrated to the driver — see Manifests.dataPathsDf); the
+        // per-snapshot position/equality delete-file lists are inline
+        // JSON metadata and ship from the driver. A crashed delta
+        // write can strand either kind.
+        val inlineDeletes = m.snapshots.flatMap(s =>
+          s.deleteFiles.map(_.path) ++ s.eqDeleteFiles.map(_.path))
+        import spark.implicits._
+        val referenced = Manifests.dataPathsDf(spark, m.snapshots)
+          .unionAll(inlineDeletes.toDF("path")
+            .select(LakeWriteUtil.normPathCol(col("path")).as("path")))
         // distributed listing WITH modification times: the walk over
         // thousands of data/<uuid>/ subdirs fans out to executors, and
         // the age guard reuses the listed times instead of one
         // getFileStatus RPC per candidate
-        val all =
-          LakeWriteUtil.listParquetWithAge(spark, s"${m.location}/data", conf) ++
-          LakeWriteUtil.listParquetWithAge(spark,
-            s"${m.location}/metadata/deletes", conf)
+        val all = LakeWriteUtil.listParquetWithAgeDf(
+            spark, s"${m.location}/data", conf)
+          .unionAll(LakeWriteUtil.listParquetWithAgeDf(
+            spark, s"${m.location}/metadata/deletes", conf))
         val fs = MetadataLog.fs(m.location, conf)
         // only files older than the cutoff are orphan candidates: a
         // file staged by an in-flight, not-yet-committed write is
@@ -344,8 +358,13 @@ object Procedures {
           try fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
             .getModificationTime < cutoffMs
           catch { case _: java.io.FileNotFoundException => false }
-        val orphans = all.filterNot { case (p, _) => referenced(p) }
-          .filter(_._2 < cutoffMs).map(_._1)
+        // anti-join listed-on-disk against referenced: only actual
+        // orphans (bounded by real garbage, not table size) ever
+        // materialize on the driver — they ARE the procedure's output
+        val orphans = all.filter(col("mtime") < cutoffMs)
+          .join(referenced.withColumnRenamed("path", "norm"),
+            Seq("norm"), "left_anti")
+          .select("path").as[String].collect().toSeq
         // stranded manifest-spill DIRS: a commit that wrote a fresh
         // spill and then crashed (or lost the CAS before round 5's
         // cleanup) leaves a whole directory no metadata version points

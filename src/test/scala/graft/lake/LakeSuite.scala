@@ -1037,6 +1037,70 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("append"), ex.getMessage)
   }
 
+  test("maintenance plans without hydrating spilled manifests on the driver") {
+    sql("""CREATE TABLE lake.db.maintlazy (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.maintlazy SELECT id FROM range(0, 12, 1, 4)")
+    // overwrite: the first snapshot's files become uniquely dead
+    sql("INSERT OVERWRITE lake.db.maintlazy SELECT id FROM range(0, 9, 1, 3)")
+    val loc = s"$wh/db/maintlazy"
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$loc/data"))
+    }
+    val before = dataFiles().length
+    assert(before == 7, s"4 overwritten + 3 live files expected, got $before")
+    val cutoff = java.time.Instant.now().plusSeconds(60)
+    // both maintenance procedures difference their path sets through
+    // distributed scans over the manifest parquet; the driver-side
+    // manifest cache staying cold PROVES no snapshot was hydrated —
+    // the property that keeps maintenance O(changed) at 100 TB
+    Manifests.clearCacheForTesting()
+    sql("""CALL lake.system.remove_orphan_files(table => 'db.maintlazy',
+        |dry_run => true)""".stripMargin).collect()
+    assert(Manifests.cacheSize == 0,
+      "remove_orphan_files must not hydrate spilled manifests")
+    val exp = sql(
+      s"""CALL lake.system.expire_snapshots(table => 'db.maintlazy',
+         |older_than => TIMESTAMP '${java.sql.Timestamp.from(cutoff)}',
+         |retain_last => 1)""".stripMargin).collect()(0)
+    assert(Manifests.cacheSize == 0,
+      "expire_snapshots must not hydrate spilled manifests")
+    assert(exp.getLong(0) == 4L,
+      s"the 4 overwritten files retire: ${exp}")
+    assert(dataFiles().length == 3, "live files survive the expire")
+    assert(count("SELECT count(*) FROM lake.db.maintlazy") == 9)
+    sql("DROP TABLE lake.db.maintlazy")
+  }
+
+  test("footer stats harvest distributes for wide commits, same result") {
+    val saved = FileStats.DistributedFooterThreshold
+    try {
+      sql("CREATE TABLE lake.db.widestats (id bigint, cat string) USING lake")
+      sql("""INSERT INTO lake.db.widestats
+          |SELECT id, chr(97 + cast(id % 3 AS int)) FROM range(0, 30, 1, 2)""".stripMargin)
+      // force the executor-side path for the next commit's 6 files
+      FileStats.DistributedFooterThreshold = 2
+      sql("""INSERT INTO lake.db.widestats
+          |SELECT id, chr(97 + cast(id % 3 AS int)) FROM range(30, 90, 1, 6)""".stripMargin)
+      assert(count("SELECT count(*) FROM lake.db.widestats") == 90)
+      // stats harvested on executors must be byte-identical to the
+      // driver path: file skipping and value sets still work
+      val planned = sql(
+        "SELECT count(*) FROM lake.db.widestats WHERE id >= 60").collect()
+        .head.getLong(0)
+      assert(planned == 30)
+      val stats = sql("SELECT record_count FROM lake.db.widestats.files")
+        .collect()
+      assert(stats.forall(_.getLong(0) > 0), "row counts present")
+    } finally {
+      FileStats.DistributedFooterThreshold = saved
+      sql("DROP TABLE IF EXISTS lake.db.widestats")
+    }
+  }
+
   test("remove_orphan_files age guard protects freshly staged files") {
     sql("CREATE TABLE lake.db.fresh_orphan (id bigint) USING lake")
     sql("INSERT INTO lake.db.fresh_orphan VALUES (1)")
