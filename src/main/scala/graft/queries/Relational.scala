@@ -194,6 +194,34 @@ object Relational {
         col("o_orderpriority").asc_nulls_first)
 
   /** Event-time tumbling-hour aggregation on the events stream table. */
+  /** Batch twin of [[graft.streaming.EventStreams.dedup]]: distinct
+    * event identity (user, type, minute), rolled up per type so the
+    * gate result is small and stable. */
+  def qEventsDedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Batch twin of [[graft.streaming.EventStreams.attribution]]: each
+    * purchase joins the same user's clicks in the preceding hour —
+    * a single user_id-keyed shuffle join; the time-range predicate
+    * evaluates post-join on co-located rows. */
+  def qEventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_attrib"))
+      .orderBy(col("user_id"))
+  }
+
   def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -234,6 +262,8 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_events_dedup" -> (qEventsDedup _),
+    "q_events_attribution" -> (qEventsAttribution _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -352,5 +382,19 @@ object Relational {
         |                ORDER BY ts, event_id) AS prev_us
         |            FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM (SELECT DISTINCT user_id, event_type,
+        |        date_trunc('minute', ts) AS minute FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_attribution" ->
+      """SELECT p.user_id, count(*) AS n_attrib
+        |FROM (SELECT user_id, ts AS purchase_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts AS click_ts FROM events
+        |      WHERE event_type = 'click') c USING (user_id)
+        |WHERE c.click_ts <= p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
   )
 }

@@ -33,6 +33,37 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
 
+  /** Watermarked streaming dedup — `dropDuplicatesWithinWatermark`
+    * keyed on the event identity (user, type, minute). State holds one
+    * entry per distinct key seen inside the watermark horizon and is
+    * evicted as the watermark advances, so it stays O(recent keys) on
+    * an unbounded stream — the streaming twin of exact dedup. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+
+  /** Stream-stream attribution join: each purchase matches the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * evict join state once the watermark passes — without the interval
+    * bound, stream-stream join state grows forever. One shuffle per
+    * side, on the join key. */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: events of a
     * user belong to one session while gaps stay under `gap`; a session
     * closes (and is emitted downstream, append mode) when the

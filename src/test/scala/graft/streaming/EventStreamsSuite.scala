@@ -55,6 +55,65 @@ class EventStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/dedup")
+      .start()
+    try {
+      mem.addData(
+        EventStreams.Event(1, ts(10), "click"),
+        EventStreams.Event(1, ts(10), "click"), // exact dup, same batch
+        EventStreams.Event(2, ts(10), "click"))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(1, ts(10), "click")) // dup, later batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(rows.sorted == Seq((1L, "click"), (2L, "click")),
+        s"dups inside the watermark must drop: $rows")
+      // past the watermark horizon the key re-admits (state evicted)
+      mem.addData(EventStreams.Event(9, ts(500), "z")) // wm -> 440
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(1, ts(450), "click"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").collect()
+        .count(r => r.getLong(0) == 1L) == 2,
+        "same key past the watermark is a new event, not a dup")
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution join matches clicks to purchases") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.attribution(mem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/attrib")
+      .start()
+    try {
+      mem.addData(
+        EventStreams.Event(1, ts(10), "click"),
+        EventStreams.Event(1, ts(40), "purchase"),  // joins the 10' click
+        EventStreams.Event(1, ts(120), "purchase"), // >1h after it: no match
+        EventStreams.Event(2, ts(30), "click"),     // user 2 never purchases
+        EventStreams.Event(3, ts(50), "purchase"))  // user 3 never clicks
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(9, ts(500), "view")) // advance wm
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), m(r.getTimestamp(1)),
+          m(r.getTimestamp(2)))).toSet
+      assert(rows == Set((1L, 40L, 10L)),
+        s"only the in-window (purchase, click) pair joins: $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap and watermark") {
     val s = spark
     import s.implicits._
