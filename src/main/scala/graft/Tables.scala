@@ -32,6 +32,14 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      // some scale factors store µs-precision NTZ instead of nanos:
+      // normalize to TimestampType (naive value read as a UTC instant,
+      // session-TZ independent) so downstream epoch math — e.g.
+      // unix_micros in the sessionization query — sees ONE type
+      // everywhere
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.to_utc_timestamp(
+          org.apache.spark.sql.functions.col("ts"), "UTC"))
       case _ => df
     }
   }

@@ -93,7 +93,8 @@ object FileStats {
       }
       DataFileMeta(path, rowCount, sizeBytes, epoch,
         mins.toMap, maxs.toMap, nulls.toMap, partitionValues,
-        valueSets = harvestValueSets(reader, blocks.toSeq, schema))
+        valueSets = harvestValueSets(reader, blocks.toSeq, schema),
+        blooms = harvestBlooms(reader, blocks.toSeq, schema))
     } finally reader.close()
   }
 
@@ -252,6 +253,124 @@ object FileStats {
     out.result()
   }
 
+  // Manifest-bloom harvest cap: blooms are the fattest per-file stat,
+  // so only explicitly opted-in columns have them (the parquet writer
+  // emits blooms solely for `write.parquet.bloom-filter-enabled.
+  // column.<col>`) and a file whose blooms exceed the cap carries
+  // none (row-group-level skipping inside the scan still applies).
+  // Size the write-side blooms with `write.parquet.bloom-filter-
+  // expected-ndv.column.<col>` — at the parquet default FPP, NDV 1024
+  // is ~1.2 KB per row group.
+  private val MaxBloomBytesPerFile = 64 * 1024
+
+  /** Lift the parquet writer's own column bloom filters into the
+    * manifest, so point predicates skip files at PLANNING time — at
+    * 100 TB a needle lookup on an unsorted high-NDV column otherwise
+    * schedules a scan task for every file: min/max spans everything,
+    * and dictionaries cap out at [[MaxSetValues]]. Stored per column
+    * as (physical-type tag, per-row-group base64 bitsets): the tag
+    * tells the probe how to hash the literal (parquet's xxhash is
+    * typed), and a file may contain the value only if EVERY row
+    * group's bloom is consulted — any one admitting it keeps the
+    * file. */
+  private def harvestBlooms(reader: ParquetFileReader,
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      schema: StructType): Map[String, Seq[String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    if (blocks.isEmpty) return Map.empty
+    var budget = MaxBloomBytesPerFile
+    val out = Map.newBuilder[String, Seq[String]]
+    val byName = blocks.map(b =>
+      b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap)
+    // only top-level columns of bloom-hashable physical types; the
+    // column must carry a bloom in EVERY row group or the file-level
+    // claim is unsound for rows in the uncovered groups
+    val names = blocks.head.getColumns.asScala
+      .map(_.getPath.toDotString).filter(!_.contains('.'))
+    for (name <- names if budget > 0) {
+      try {
+        val cols = byName.flatMap(_.get(name))
+        if (cols.size == blocks.size) {
+          val tag = cols.head.getPrimitiveType.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 => "INT32"
+            case PrimitiveTypeName.INT64 => "INT64"
+            case PrimitiveTypeName.FLOAT => "FLOAT"
+            case PrimitiveTypeName.DOUBLE => "DOUBLE"
+            case PrimitiveTypeName.BINARY => "BINARY"
+            case _ => null // FIXED_LEN (decimals), INT96: no probe path
+          }
+          if (tag != null) {
+            val bits = blocks.zip(cols).map { case (b, c) =>
+              Option(reader.getBloomFilterDataReader(b).readBloomFilter(c))
+                .map { bf =>
+                  val bos = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
+                  bf.writeTo(bos)
+                  bos.toByteArray
+                }
+            }
+            if (bits.forall(_.isDefined)) {
+              val total = bits.flatten.map(_.length).sum
+              if (total <= budget) {
+                budget -= total
+                out += name -> (tag +: bits.flatten.map(
+                  java.util.Base64.getEncoder.encodeToString))
+              }
+            }
+          }
+        }
+      } catch { case _: Exception => () } // conservative: no bloom, no claim
+    }
+    out.result()
+  }
+
+  /** Probe a manifest bloom: may `file` contain `v` in column `a`?
+    * True (no claim) when the column has no bloom, the literal cannot
+    * be mapped onto the tagged physical type, or any row-group bloom
+    * admits the hash. The literal→physical mapping mirrors Spark's
+    * parquet writer (dates = epoch-day INT32, timestamps = micros
+    * INT64, strings = UTF-8 binary); an unexpected pairing makes no
+    * claim rather than guessing. */
+  private def bloomMayContain(file: DataFileMeta, a: String, v: Any,
+      dt: DataType): Boolean = file.blooms.get(a) match {
+    case None => true
+    case Some(tagged) if tagged.size < 2 => true
+    case Some(tagged) =>
+      import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+      val tag = tagged.head
+      try {
+        // hash once with a throwaway filter (hashing is bitset-independent)
+        val hasher = new BlockSplitBloomFilter(
+          java.util.Base64.getDecoder.decode(tagged(1)))
+        val hash: Option[Long] = (tag, v, dt) match {
+          case ("INT32", n: Number, ByteType | ShortType | IntegerType) =>
+            Some(hasher.hash(n.intValue()))
+          case ("INT32", d: java.sql.Date, _) =>
+            Some(hasher.hash(d.toLocalDate.toEpochDay.toInt))
+          case ("INT32", d: java.time.LocalDate, _) =>
+            Some(hasher.hash(d.toEpochDay.toInt))
+          case ("INT64", n: Number, LongType) => Some(hasher.hash(n.longValue()))
+          case ("INT64", t: java.sql.Timestamp, _) =>
+            Some(hasher.hash(t.getTime * 1000L + (t.getNanos / 1000) % 1000))
+          case ("INT64", t: java.time.Instant, _) =>
+            Some(hasher.hash(t.getEpochSecond * 1000000L + t.getNano / 1000))
+          case ("FLOAT", n: Number, FloatType) => Some(hasher.hash(n.floatValue()))
+          case ("DOUBLE", n: Number, DoubleType) =>
+            Some(hasher.hash(n.doubleValue()))
+          case ("BINARY", s: String, StringType | _: CharType | _: VarcharType) =>
+            Some(hasher.hash(
+              org.apache.parquet.io.api.Binary.fromString(s)))
+          case _ => None
+        }
+        hash match {
+          case None => true
+          case Some(h) =>
+            hasher.findHash(h) || tagged.drop(2).exists(b64 =>
+              new BlockSplitBloomFilter(
+                java.util.Base64.getDecoder.decode(b64)).findHash(h))
+        }
+      } catch { case _: Exception => true }
+  }
+
   /** Can `file` possibly contain rows matching `filter`? */
   def mayMatch(file: DataFileMeta, filter: Filter, schema: StructType): Boolean = {
     def stats(attr: String): (Option[String], Option[String], Option[Long], DataType) = {
@@ -268,7 +387,10 @@ object FileStats {
             mx.forall(m => cmp(lit, m, dt).forall(_ <= 0)) &&
             // dictionary value set: exact membership when present
             file.valueSets.get(a).forall(_.exists(x =>
-              cmp(lit, x, dt).map(_ == 0).getOrElse(lit == x)))
+              cmp(lit, x, dt).map(_ == 0).getOrElse(lit == x))) &&
+            // manifest bloom: probabilistic membership for high-NDV
+            // columns (no false negatives, so skipping is sound)
+            bloomMayContain(file, a, v, dt)
           case None => true
         }
       case GreaterThan(a, v) =>

@@ -240,8 +240,11 @@ object Manifests {
     import org.apache.spark.sql.functions.{lit, typedLit}
     val d1 =
       if (df.columns.contains("seq")) df else df.withColumn("seq", lit(0L))
-    if (d1.columns.contains("valueSets")) d1
-    else d1.withColumn("valueSets", typedLit(Map.empty[String, Seq[String]]))
+    val d2 =
+      if (d1.columns.contains("valueSets")) d1
+      else d1.withColumn("valueSets", typedLit(Map.empty[String, Seq[String]]))
+    if (d2.columns.contains("blooms")) d2
+    else d2.withColumn("blooms", typedLit(Map.empty[String, Seq[String]]))
   }
 
   /** Simulates a cold start (the cache is process-wide otherwise). */

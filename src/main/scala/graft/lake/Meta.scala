@@ -53,7 +53,19 @@ final case class DataFileMeta(
     // range in every file, but each file's VALUE SET is still sparse.
     // Values live in the same encoded-string space as min/max; absent
     // column → no claim (conservative). Empty for pre-round-7 metadata.
-    valueSets: Map[String, Seq[String]] = Map.empty)
+    valueSets: Map[String, Seq[String]] = Map.empty,
+    // Manifest-resident bloom filters for PLANNING-time point-lookup
+    // file skipping — the complement of `valueSets` for high-NDV
+    // columns (whose dictionaries blow the value-set cap) on unsorted
+    // data (where min/max spans everything). Harvested at commit time
+    // from the parquet blooms the writer already produces for columns
+    // opted in via `write.parquet.bloom-filter-enabled.column.<col>`.
+    // Per column: head element is the parquet physical-type tag
+    // (INT32|INT64|FLOAT|DOUBLE|BINARY — the probe must hash the
+    // literal exactly as the writer hashed the value), tail is one
+    // base64 xxhash block-split bitset per row group ("file may
+    // contain v" = any row-group bloom may). Absent column → no claim.
+    blooms: Map[String, Seq[String]] = Map.empty)
 
 /** An equality-delete file (Iceberg v2 semantics, the write path
   * Flink's upsert sink uses): a parquet file of identifier-column

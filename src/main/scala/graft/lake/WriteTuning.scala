@@ -16,7 +16,14 @@ package graft.lake
   *  - `write.parquet.page-size-bytes` → `parquet.page.size`;
   *  - `write.parquet.bloom-filter-enabled.column.<col>` →
   *    `parquet.bloom.filter.enabled#<col>` (read back automatically by
-  *    Spark's vectorized reader for pushed point predicates);
+  *    Spark's vectorized reader for pushed point predicates, AND
+  *    lifted into the manifest at commit time for planning-level file
+  *    skipping — [[FileStats]]);
+  *  - `write.parquet.bloom-filter-expected-ndv.column.<col>` →
+  *    `parquet.bloom.filter.expected.ndv#<col>` (sizes the bloom;
+  *    without it parquet reserves the 1 MB max, too fat to lift);
+  *  - `write.parquet.dict-enabled.column.<col>` →
+  *    `parquet.enable.dictionary#<col>`;
   *  - `write.target-file-size-bytes` → roll-over threshold of the
   *    fanout writer (see [[LakeFanoutDataWriter]]).
   *
@@ -32,6 +39,8 @@ object WriteTuning {
   val RowGroupSize = "write.parquet.row-group-size-bytes"
   val PageSize = "write.parquet.page-size-bytes"
   val BloomPrefix = "write.parquet.bloom-filter-enabled.column."
+  val BloomNdvPrefix = "write.parquet.bloom-filter-expected-ndv.column."
+  val DictPrefix = "write.parquet.dict-enabled.column."
   val TargetFileSize = "write.target-file-size-bytes"
   val DefaultTargetFileSize: Long = 512L * 1024 * 1024
 
@@ -42,6 +51,21 @@ object WriteTuning {
       meta.properties.collect {
         case (k, v) if k.startsWith(BloomPrefix) =>
           s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomPrefix)}" -> v
+      } ++
+      // sizes the written bloom (parquet default is 1 MB max — far too
+      // fat to lift into the manifest; at the default FPP, NDV 1024 is
+      // ~1.2 KB/row group, which the manifest harvest accepts)
+      meta.properties.collect {
+        case (k, v) if k.startsWith(BloomNdvPrefix) =>
+          s"parquet.bloom.filter.expected.ndv#${k.stripPrefix(BloomNdvPrefix)}" -> v
+      } ++
+      // per-column dictionary toggle: a high-NDV column's dictionary
+      // pages are pure overhead (and parquet drops the bloom filter
+      // for fully dictionary-encoded chunks — the dictionary already
+      // answers membership exactly)
+      meta.properties.collect {
+        case (k, v) if k.startsWith(DictPrefix) =>
+          s"parquet.enable.dictionary#${k.stripPrefix(DictPrefix)}" -> v
       }
 
   /** DataSource-level write options for the stock parquet write path. */

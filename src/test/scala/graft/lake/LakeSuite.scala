@@ -977,6 +977,58 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.vset")
   }
 
+  test("manifest bloom filters skip files for high-NDV point lookups") {
+    // High-NDV probe column: dictionaries are disabled (so value sets
+    // make no claim and parquet actually emits the bloom) and both
+    // files span the same min/max range — only the manifest bloom can
+    // separate them at planning time.
+    sql("""CREATE TABLE lake.db.bloomskip (id bigint, k string) USING lake
+          |TBLPROPERTIES (
+          |  'write.parquet.bloom-filter-enabled.column.k'='true',
+          |  'write.parquet.bloom-filter-expected-ndv.column.k'='1024',
+          |  'write.parquet.dict-enabled.column.k'='false')""".stripMargin)
+    // file A: even suffixes, file B: odd — interleaved, same range
+    sql("INSERT INTO lake.db.bloomskip SELECT /*+ REPARTITION(1) */ id, " +
+      "format_string('v%05d', id * 2) FROM range(500)")
+    sql("INSERT INTO lake.db.bloomskip SELECT /*+ REPARTITION(1) */ id, " +
+      "format_string('v%05d', id * 2 + 1) FROM range(500)")
+    val metas = sql("SELECT count(*) FROM lake.db.bloomskip.files").collect()
+    assert(metas.head.getLong(0) == 2L)
+    // the harvest actually lifted blooms into the manifest
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "bloomskip")).asInstanceOf[LakeTable]
+    val files = t.meta.snapshots.last.files
+    assert(files.forall(_.blooms.contains("k")),
+      s"expected manifest blooms on k, got ${files.map(_.blooms.keySet)}")
+    // point lookup on an odd suffix: bloom keeps file B, skips file A
+    assert(sql("SELECT count(*) FROM lake.db.bloomskip WHERE k = 'v00111'")
+      .collect().head.getLong(0) == 1L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "expected the manifest bloom to skip the even-suffix file")
+    // IN over both parities keeps both files
+    assert(sql("SELECT count(*) FROM lake.db.bloomskip " +
+      "WHERE k IN ('v00110','v00111')").collect().head.getLong(0) == 2L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 2)
+    // an absent value prunes everything: zero files planned
+    assert(sql("SELECT count(*) FROM lake.db.bloomskip WHERE k = 'w99999'")
+      .collect().head.getLong(0) == 0L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 0,
+      "expected blooms to prune every file for an absent value")
+    // blooms survive a manifest spill round-trip (cold cache,
+    // distributed pruned planning path)
+    sql("ALTER TABLE lake.db.bloomskip SET TBLPROPERTIES " +
+      "('write.metadata.manifest.spill-threshold'='1')")
+    sql("INSERT INTO lake.db.bloomskip VALUES (9999, 'zz')")
+    Manifests.clearCacheForTesting()
+    assert(sql("SELECT count(*) FROM lake.db.bloomskip WHERE k = 'v00111'")
+      .collect().head.getLong(0) == 1L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "expected bloom pruning through the spilled manifest")
+    sql("DROP TABLE lake.db.bloomskip")
+  }
+
   test("dataframe writer v2 and read options") {
     val s = spark
     import s.implicits._
