@@ -468,6 +468,29 @@ object TextOps {
     out
   }
 
+  /** Canonical-document selection — the step a dedup pipeline runs
+    * AFTER grouping: each near-dup group keeps exactly one
+    * representative, the member with the best quality score (ties to
+    * the smallest doc_id). Selection is a single struct-max aggregate
+    * over (quality, -doc_id) — no window, no second shuffle beyond
+    * the group_id key — so at 100 TB the cost after the (already
+    * gated) grouping is one map-side-combining hash aggregate. */
+  def tDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val groups = tDedupGroups(s, d)
+    val quality = tQualityScore(s, d).select(col("doc_id"), col("quality"))
+    groups.join(quality, Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(
+        // max (quality, -doc_id) = best quality, ties to the smallest
+        // doc_id; a null quality (empty doc) sorts below any real one,
+        // matching the oracle's DESC NULLS LAST
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), (-col("best.nid")).as("kept_doc_id"),
+        col("best.quality").as("quality"), col("n_members"))
+      .orderBy(col("group_id"))
+  }
+
   /** Deterministic stratified sampling — the "keep X% of each stratum"
     * stage of corpus curation, reproducible across runs and engines:
     * the sampling coin is a hash bucket of the doc id (first 15 md5
@@ -623,6 +646,7 @@ object TextOps {
     "t_corpus_stats" -> (tCorpusStats _),
     "t_pii_redact" -> (tPiiRedact _),
     "t_dedup_groups" -> (tDedupGroups _),
+    "t_dedup_keep_best" -> (tDedupKeepBest _),
     "t_sample_stratified" -> (tSampleStratified _),
     "t_shard_pack" -> (tShardPack _),
     "t_contamination" -> (tContamination _),
@@ -823,6 +847,48 @@ object TextOps {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          |SELECT src AS doc_id, min(dst) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "t_dedup_keep_best" ->
+      s"""WITH RECURSIVE p0 AS (
+         |  SELECT doc_id, unnest(sh) AS shingle
+         |  FROM (SELECT doc_id, $shSql AS sh
+         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+         |p1 AS (SELECT doc_id, shingle,
+         |         count(*) OVER (PARTITION BY shingle) AS dfreq FROM p0),
+         |p AS (SELECT doc_id, shingle,
+         |        count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |      FROM p1 WHERE dfreq <= 100),
+         |prs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+         |        FROM p a JOIN p b ON a.shingle = b.shingle
+         |          AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2, 3, 4)
+         |  WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.6),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |grp AS (SELECT src AS doc_id, min(dst) AS group_id
+         |        FROM reach GROUP BY src),
+         |q AS (SELECT doc_id,
+         |        round(0.4*stop_ratio + 0.6*lexical_div, 4) AS quality
+         |      FROM (SELECT doc_id,
+         |         round(len(list_filter(t, x -> x IN ('the','a','and',
+         |           'of','to','in','is','on','for','with')))::DOUBLE
+         |           / len(t), 4) AS stop_ratio,
+         |         round(len(list_distinct(t))::DOUBLE / len(t), 4)
+         |           AS lexical_div
+         |       FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+         |r AS (SELECT g.group_id, g.doc_id, q.quality,
+         |        row_number() OVER (PARTITION BY g.group_id
+         |          ORDER BY q.quality DESC NULLS LAST, g.doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY g.group_id) AS n_members
+         |      FROM grp g JOIN q USING (doc_id))
+         |SELECT group_id, doc_id AS kept_doc_id, quality, n_members
+         |FROM r WHERE rk = 1 ORDER BY group_id""".stripMargin,
     "t_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket
         |FROM (SELECT doc_id, lang, source,

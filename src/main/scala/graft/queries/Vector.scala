@@ -203,18 +203,21 @@ object VectorOps {
     * corpus — the IVF trade that keeps ANN sublinear at corpus scale.
     * Centroids here are the first K vectors (a deterministic k-means
     * stand-in; a real pipeline would refresh them and re-assign). */
-  def vAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val k = 8
-    val nprobe = 2
-    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+  /** Nearest-of-K-centroid cell assignment, shared by the IVF index
+    * and the centroid-refresh step. K centroids (the first K vectors,
+    * a deterministic k-means stand-in) travel as ONE broadcast row, so
+    * assignment is a narrow shuffle-free projection: `transform`
+    * builds each row's K-slot similarity array in place and
+    * `array_max` over (csim, -cid) structs takes the argmax — no n×k
+    * row expansion, no window, no exchange. nanvl pins a zero-norm
+    * vector's NaN cosine below any real similarity so the argmax (and
+    * IVF's probe-cell slice) can't flip on degenerate vectors.
+    * Returns (vec_id, embedding, nrm, sims, cell). */
+  private def ivfAssign(emb: DataFrame, k: Int): DataFrame = {
     // one row: [(cid, cv, cn)] sorted by cid — K is small by design
     val centsRow = emb.filter(col("vec_id") < k)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
         col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
-    // nanvl: a zero-norm vector or centroid yields csim = NaN, and NaN
-    // sorts differently through array_max (last) vs the old
-    // ORDER BY csim DESC window (first). Pin it below any real cosine
-    // so the argmax and the qcells slice agree on degenerate vectors.
     val withSims = emb.crossJoin(broadcast(centsRow))
       .withColumn("sims", transform(col("cents"), c =>
         struct(nanvl(dot(col("embedding"), c.getField("cv")) /
@@ -226,9 +229,16 @@ object VectorOps {
     // row_number() OVER (ORDER BY csim DESC, cid)
     val best = array_max(transform(col("sims"), s0 =>
       struct(s0.getField("csim").as("csim"), (-s0.getField("cid")).as("ncid"))))
+    withSims.withColumn("cell", -best.getField("ncid"))
+  }
+
+  def vAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val nprobe = 2
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val withSims = ivfAssign(emb, k)
     val assigned = withSims
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-best.getField("ncid")).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     // the query row's nprobe best cells: sort its OWN sim array
     // ascending on (-csim, cid) and slice — 1 row, no global window
     val qcells = withSims.filter(col("vec_id") === 0)
@@ -246,6 +256,40 @@ object VectorOps {
       .limit(5)
   }
 
+  /** One distributed Lloyd (k-means) refresh step — the centroid
+    * update the IVF index defers ("a real pipeline would refresh them
+    * and re-assign"): assign every vector to its nearest centroid
+    * (shuffle-free broadcast argmax, [[ivfAssign]]), then recompute
+    * each cell's centroid as the element-wise mean of its members.
+    *
+    * The mean deliberately rides stock aggregation instead of a custom
+    * vector-sum Aggregator: posexplode is a NARROW map (no shuffle),
+    * and the (cell, dim-index) group-by partial-aggregates map-side —
+    * each task ships at most k×dim partial sums regardless of corpus
+    * size, so the exchange is metadata-sized at 100 TB and the whole
+    * plan stays inside whole-stage codegen. Member counts ride a
+    * separate k-row aggregate joined back by broadcast. */
+  def vCentroidUpdate(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val assigned = ivfAssign(emb, k)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // member counts ride the SAME (cell, pos) aggregation as the sums
+    // (every pos of a cell sees each member once, so max-over-pos of
+    // the per-pos count IS the member count) — one pass over the
+    // corpus, no second scan/branch/join
+    assigned
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s0 => round(s0.getField("m"), 4)).as("centroid"),
+        max(col("c")).as("n_members"))
+      .select(col("cell").as("cluster_id"), col("n_members"), col("centroid"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_neardup_pairs" -> (vNearDupPairs _),
     "v_vector_stats" -> (vVectorStats _),
@@ -254,6 +298,7 @@ object VectorOps {
     "v_ann_lsh" -> (vAnnLsh _),
     "v_ann_ivf" -> (vAnnIvf _),
     "v_knn_join" -> (vKnnJoin _),
+    "v_centroid_update" -> (vCentroidUpdate _),
   )
 
   // --- DuckDB oracle -------------------------------------------------
@@ -376,6 +421,37 @@ object VectorOps {
          |FROM assigned a JOIN qcells q USING (cell)
          |WHERE a.vec_id <> 0
          |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
+    "v_centroid_update" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim
+         |  FROM emb e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |ex AS (
+         |  SELECT cell, generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS x
+         |  FROM assigned),
+         |agg AS (SELECT cell, i, avg(x) AS m, count(*) AS c
+         |        FROM ex GROUP BY cell, i),
+         |cent AS (SELECT cell, list(round(m, 4) ORDER BY i) AS centroid,
+         |           max(c) AS n_members
+         |         FROM agg GROUP BY cell)
+         |SELECT cell AS cluster_id, n_members, centroid
+         |FROM cent ORDER BY cluster_id""".stripMargin,
     "v_knn_join" ->
       s"""SELECT qid, nid, cos_sim, rank FROM (
          |  SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -127,4 +127,28 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!has(p, "SortMergeJoin") && !has(p, "BroadcastHashJoin") &&
       !has(p, "Window") && !has(p, "CartesianProduct"), p)
   }
+
+  test("v_centroid_update: broadcast assignment, k×dim-bounded shuffles") {
+    assume(ready)
+    val p = fmt("v_centroid_update")
+    // assignment must stay a broadcast argmax — never a window or an
+    // n×k expansion join; the only exchanges are the (cell, dim) /
+    // cell aggregations (k×dim keys, map-side partials) + result order
+    assert(!has(p, "Window") && !has(p, "CartesianProduct") &&
+      !has(p, "SortMergeJoin"), p)
+    assert(shuffles(p) <= 4, s"k×dim agg + count + order shuffles only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("t_dedup_keep_best: one struct-max aggregate after grouping") {
+    assume(ready)
+    val p = fmt("t_dedup_keep_best")
+    // selection must be an aggregate, not a per-group window ranking;
+    // grouping lineage is checkpoint-truncated upstream. struct-max
+    // plans as SortAggregate (struct buffers aren't hash-aggregable) —
+    // partial + final proves map-side combining still happens
+    assert(!has(p, "Window") && !has(p, "CartesianProduct"), p)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
