@@ -69,10 +69,29 @@ object Bench {
     // two totals; the per-query COLD map is file-only detail (it doubled
     // the line past the capture limit, and the cold headline survives
     // as total_cold).
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":${json(results)},"total_cold":${r3(coldTotal)},""" +
-      s""""failed":${failed.map("\"" + esc(_) + "\"").mkString("[", ",", "]")},""" +
-      s""""sf":"${esc(sfDir)}"}"""
+    def mkLine(qs: Map[String, Double]) =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":${json(qs)},"total_cold":${r3(coldTotal)},""" +
+        s""""failed":${failed.map("\"" + esc(_) + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"${esc(sfDir)}"}"""
+    // The harness captures only a ~2000-char stdout tail; as the query
+    // count grows the full per-query map will eventually outgrow it
+    // (round 5's line did, and the headline was unrecoverable). The
+    // printed line must stay parseable NO MATTER how many queries
+    // exist: if the full map doesn't fit, keep the slowest-first
+    // prefix that does — headline totals + the queries that matter
+    // survive, and target/bench.json always has everything.
+    val full = mkLine(results)
+    val line =
+      if (full.length <= 1900) full
+      else {
+        val slowestFirst = results.toSeq.sortBy(-_._2)
+        val keep = (slowestFirst.indices.reverse
+          .map(n => slowestFirst.take(n + 1))
+          .find(qs => mkLine(qs.toMap).length <= 1900)
+          .getOrElse(Seq.empty)).toMap
+        mkLine(keep)
+      }
     println(line)
     // full detail (incl. per-query cold pass) persists to a file: the
     // one-line JSON has outgrown captured stdout tails before (round
@@ -80,7 +99,9 @@ object Bench {
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      val detail = line.dropRight(1) +
+      // always the FULL steady map in the file, even when the printed
+      // line was truncated to fit the capture tail
+      val detail = full.dropRight(1) +
         s""","queries_cold":${json(cold)}}"""
       java.nio.file.Files.write(out,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -216,7 +216,13 @@ object TextOps {
     * non-stop-shingle sets, and no single join key can go quadratic.
     * The df window partitions by shingle, the same key as the
     * self-join, so the exchange is planned once and reused. */
-  def tNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def tNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramPairsRaw(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unsorted n-gram-Jaccard pairs — the gate adds the presentation
+    * orderBy; graph consumers ([[tDedupGroups]]) must not inherit a
+    * global sort exchange they immediately destroy. */
+  private def ngramPairsRaw(s: SparkSession, d: String): DataFrame = {
     val wSh = Window.partitionBy(col("shingle"))
     // localCheckpoint, not persist — see tMinhashPairs: materialized
     // once, released by the ContextCleaner, DISK_ONLY so the posting
@@ -251,7 +257,6 @@ object TextOps {
         (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 16-bit SimHash from distinct-token md5 nibble parities — one
@@ -396,9 +401,14 @@ object TextOps {
     * keep lineage flat; the per-round count() is the convergence
     * check, a scalar action, not a data collect. */
   def tDedupGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = tNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val pairs = ngramPairsRaw(s, d).select(col("doc_a"), col("doc_b"))
+    // symmetrize with ONE evaluation: union(pairs, pairs.swapped)
+    // would run the (expensive) pair-mining DAG once per branch —
+    // explode duplicates each row in place instead
+    val edges = pairs.select(explode(array(
+      struct(col("doc_a"), col("doc_b")),
+      struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .persist()
     // Iterate over EDGE VERTICES only: a document with no near-dup
     // edge is its own component and can never change, so it has no
@@ -489,6 +499,33 @@ object TextOps {
       .select(col("group_id"), (-col("best.nid")).as("kept_doc_id"),
         col("best.quality").as("quality"), col("n_members"))
       .orderBy(col("group_id"))
+  }
+
+  /** Unigram language-model scoring — the LM-lite quality filter a
+    * curation pipeline runs when a real LM is too expensive for a
+    * first pass: each document's mean log10 token probability under
+    * the corpus's OWN unigram distribution (MLE, no smoothing needed —
+    * every token is in-vocabulary by construction). Gibberish and
+    * boilerplate separate cleanly on this score.
+    *
+    * Two corpus passes, as a distribution must: one builds the term
+    * frequencies (vocab-sized, checkpointed so the total and the join
+    * don't recompute it), one joins them back token-partitioned. The
+    * grand total derives from the materialized tf — a k-row sum, not a
+    * third corpus pass — and rides a 1-row broadcast. */
+  def tUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val n = tf.agg(sum(col("c")).as("total"))
+    tk.join(tf, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("c").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic stratified sampling — the "keep X% of each stratum"
@@ -647,6 +684,7 @@ object TextOps {
     "t_pii_redact" -> (tPiiRedact _),
     "t_dedup_groups" -> (tDedupGroups _),
     "t_dedup_keep_best" -> (tDedupKeepBest _),
+    "t_unigram_logprob" -> (tUnigramLogprob _),
     "t_sample_stratified" -> (tSampleStratified _),
     "t_shard_pack" -> (tShardPack _),
     "t_contamination" -> (tContamination _),
@@ -889,6 +927,16 @@ object TextOps {
          |      FROM grp g JOIN q USING (doc_id))
          |SELECT group_id, doc_id AS kept_doc_id, quality, n_members
          |FROM r WHERE rk = 1 ORDER BY group_id""".stripMargin,
+    "t_unigram_logprob" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(t) AS tok
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         |tf AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |n AS (SELECT sum(c) AS total FROM tf)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  round(avg(log10(f.c::DOUBLE / n.total)), 4) AS avg_logprob
+         |FROM tk t JOIN tf f USING (tok) CROSS JOIN n
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "t_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket
         |FROM (SELECT doc_id, lang, source,

@@ -1,0 +1,174 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based DML fuzz.
+  *
+  * A SEEDED random sequence of mixed row-level operations (insert,
+  * predicate delete/update, merge upsert, overwrite, compaction) runs
+  * against a lake table and, in lockstep, an in-memory model; after
+  * every operation the table must equal the model exactly. The same
+  * sequence runs twice — copy-on-write and merge-on-read — so a
+  * divergence immediately pins the write mode. Two cross-cutting
+  * invariants close the loop:
+  *
+  *  - time travel: `VERSION AS OF` each recorded snapshot returns the
+  *    state the model had at that point (history is immutable no
+  *    matter how later operations rewrote files or masks);
+  *  - changelog reconstruction: for sampled consecutive snapshots,
+  *    `create_changelog_view` over (prev, next] equals the model
+  *    diff — inserts and deletes as (id, v) multisets — and
+  *    row-preserving compaction commits contribute NOTHING.
+  *
+  * Individual operator specs pin each path in isolation; this suite
+  * exists for the interactions between them (mask-over-rewrite,
+  * changelog-after-overwrite, CoW fast path then MoR delta, …), which
+  * is where hand-enumerated cases run out. Deterministic by seed, so
+  * a failure reproduces exactly.
+  */
+class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    wh = java.nio.file.Files.createTempDirectory("lake_fuzz").toString
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("fuzz-suite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String) = spark.sql(s)
+
+  private def tableState(tbl: String, asOf: Option[Long] = None): Map[Long, String] = {
+    val src = asOf.map(v => s"$tbl VERSION AS OF $v").getOrElse(tbl)
+    sql(s"SELECT id, v FROM $src").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  private def run(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fz_${mode}_$seed"
+    val props =
+      if (mode == "mor")
+        """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read',
+          |'write.merge.mode'='merge-on-read')""".stripMargin
+      else ""
+    sql(s"CREATE TABLE $tbl (id bigint, v string) USING lake $props")
+    val rng = new scala.util.Random(seed)
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var nextId = 0L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+    def lit(rows: Seq[(Long, String)]): String =
+      rows.map { case (i, v) => s"($i, '$v')" }.mkString(", ")
+
+    // recorded (snapshotId, model state) after every committed op
+    val history = Seq.newBuilder[(Long, Map[Long, String])]
+    def snapId(): Long =
+      sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots").collect()(0).getLong(0)
+
+    var opIdx = 0
+    while (opIdx < nOps) {
+      val committed = rng.nextInt(10) match {
+        case 0 | 1 | 2 => // insert a fresh batch
+          val rows = freshIds(1 + rng.nextInt(5))
+            .map(i => i -> s"v${rng.nextInt(100)}")
+          sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
+          model ++= rows; true
+        case 3 | 4 => // predicate delete
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          model.filterInPlace((i, _) => i % k != r); true
+        case 5 | 6 => // predicate update
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"UPDATE $tbl SET v = concat(v, '+') WHERE id % $k = $r")
+          model.mapValuesInPlace((i, v) => if (i % k == r) v + "+" else v); true
+        case 7 => // merge upsert: half existing keys, half fresh
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(math.min(3, model.size))
+            .map(i => i -> s"u${rng.nextInt(100)}")
+          val fresh = freshIds(1 + rng.nextInt(3))
+            .map(i => i -> s"n${rng.nextInt(100)}")
+          val src = existing ++ fresh
+          sql(s"""MERGE INTO $tbl t
+                 |USING (SELECT * FROM (VALUES ${lit(src)}) AS s(id, v)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          model ++= src; true
+        case 8 => // overwrite (unpartitioned → truncate-and-replace)
+          val rows = freshIds(2 + rng.nextInt(3))
+            .map(i => i -> s"o${rng.nextInt(100)}")
+          sql(s"INSERT OVERWRITE $tbl VALUES ${lit(rows)}")
+          model.clear(); model ++= rows; true
+        case 9 => // compaction: state-preserving, changelog-invisible
+          sql(s"CALL lake.system.rewrite_data_files(table => 'db." +
+            s"${tbl.split('.').last}')")
+          true
+      }
+      if (committed) {
+        assert(tableState(tbl) == model.toMap,
+          s"$mode seed=$seed diverged after op #$opIdx")
+        history += ((snapId(), model.toMap))
+      }
+      opIdx += 1
+    }
+
+    val states = history.result()
+    // time travel: every 4th recorded snapshot still shows its state
+    states.zipWithIndex.filter(_._2 % 4 == 0).foreach { case ((sid, st), _) =>
+      assert(tableState(tbl, asOf = Some(sid)) == st,
+        s"$mode seed=$seed: VERSION AS OF $sid lost its state")
+    }
+    // changelog reconstruction over sampled consecutive pairs
+    states.sliding(2).zipWithIndex.filter(_._2 % 3 == 0).foreach {
+      case (Seq((sidA, stA), (sidB, stB)), _) =>
+        val view = s"fz_ch_${mode}_$seed"
+        sql(s"""CALL lake.system.create_changelog_view(
+               |table => 'db.${tbl.split('.').last}',
+               |changelog_view => '$view',
+               |options => map('start-snapshot-id', '$sidA',
+               |               'end-snapshot-id', '$sidB'))""".stripMargin)
+        val got = sql(s"SELECT id, v, _change_type FROM $view").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val deletes = stA.toSet.diff(stB.toSet)
+          .map { case (i, v) => (i, v, "delete") -> 1 }
+        val inserts = stB.toSet.diff(stA.toSet)
+          .map { case (i, v) => (i, v, "insert") -> 1 }
+        val want: Map[(Long, String, String), Int] =
+          (deletes ++ inserts).toMap
+        assert(got == want,
+          s"$mode seed=$seed: changelog ($sidA,$sidB] != model diff:\n" +
+            s"got  $got\nwant $want")
+      case _ => ()
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: copy-on-write DML sequence tracks the model") {
+    run("cow", seed = 11, nOps = 18)
+  }
+
+  test("fuzz: merge-on-read DML sequence tracks the model") {
+    run("mor", seed = 11, nOps = 18)
+  }
+
+  test("fuzz: second seed, both modes, shorter") {
+    run("cow", seed = 47, nOps = 10)
+    run("mor", seed = 47, nOps = 10)
+  }
+}
