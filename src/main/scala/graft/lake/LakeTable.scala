@@ -323,9 +323,18 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     if (rowLevel && table.meta.partitionSpec.nonEmpty)
       new LakeRowLevelScan(table, pruned, required, options, onBuild, deleted,
         eqDeleted)
-    else if (rowLevel)
-      LakeScans.build(table, pruned, required, Array.empty, options, deleted,
-        eqDeleted)
+    else if (rowLevel) {
+      val s = LakeScans.build(table, pruned, required, Array.empty, options,
+        deleted, eqDeleted)
+      // A SINGLE-epoch delegate is a bare parquet scan whose readSchema
+      // carries the files' WRITE-TIME column names — after RENAME
+      // COLUMN, Spark's row-level scan planning resolves readSchema
+      // against the relation's CURRENT names and crashes. Composite
+      // (multi-epoch) and LakeBatchScan paths already relabel; do the
+      // same here when the names diverge.
+      if (s.readSchema() == required) s
+      else new CompositeScan(Seq(s), required)
+    }
     else {
       val planned = limit match {
         case Some(n) if filesOverride.isEmpty && pushed.isEmpty &&

@@ -141,6 +141,16 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("t_unigram_logprob: tf joins token-partitioned, total broadcasts") {
+    assume(ready)
+    val p = fmt("t_unigram_logprob")
+    // the 1-row grand total must broadcast; the corpus-sized tf join
+    // may shuffle on token but never windows or goes quadratic
+    assert(has(p, "BroadcastNestedLoopJoin") || has(p, "BroadcastExchange"), p)
+    assert(!has(p, "Window"), p)
+    assert(shuffles(p) <= 4, s"tf agg + token join + doc agg + order:\n$p")
+  }
+
   test("t_dedup_keep_best: one struct-max aggregate after grouping") {
     assume(ready)
     val p = fmt("t_dedup_keep_best")

@@ -1,0 +1,70 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level operations immediately after schema evolution — the
+  * regression surface the DML fuzz uncovered: a single-epoch
+  * copy-on-write row-level scan used to report its files' WRITE-TIME
+  * column names in readSchema, which Spark's group-based scan
+  * planning resolves against the relation's CURRENT names (crash
+  * after RENAME COLUMN). */
+class EvolutionRowLevelSuite extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("lake_rr").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("update after rename") {
+    val sql = spark.sql(_: String)
+    sql("CREATE TABLE lake.db.rr (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.rr VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE lake.db.rr RENAME COLUMN v TO vv")
+    sql("UPDATE lake.db.rr SET vv = concat(vv, '+') WHERE id % 2 = 0")
+    val rows = sql("SELECT id, vv FROM lake.db.rr ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b+")))
+    sql("DROP TABLE lake.db.rr")
+  }
+
+  test("merge after rename") {
+    val sql = spark.sql(_: String)
+    sql("CREATE TABLE lake.db.rr2 (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.rr2 VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE lake.db.rr2 RENAME COLUMN v TO vv")
+    sql("""MERGE INTO lake.db.rr2 t
+          |USING (SELECT * FROM (VALUES (1, 'x')) AS s(id, vv)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET vv = s.vv""".stripMargin)
+    val rows = sql("SELECT id, vv FROM lake.db.rr2 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "b")))
+    sql("DROP TABLE lake.db.rr2")
+  }
+
+  test("update after add column") {
+    val sql = spark.sql(_: String)
+    sql("CREATE TABLE lake.db.rr3 (id bigint, v string) USING lake")
+    sql("INSERT INTO lake.db.rr3 VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE lake.db.rr3 ADD COLUMN extra bigint")
+    sql("UPDATE lake.db.rr3 SET v = concat(v, '+') WHERE id % 2 = 0")
+    sql("ALTER TABLE lake.db.rr3 DROP COLUMN extra")
+    sql("UPDATE lake.db.rr3 SET v = concat(v, '!') WHERE id % 2 = 1")
+    val rows = sql("SELECT id, v FROM lake.db.rr3 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a!"), (2L, "b+")))
+    sql("DROP TABLE lake.db.rr3")
+  }
+}

@@ -171,4 +171,91 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     run("cow", seed = 47, nOps = 10)
     run("mor", seed = 47, nOps = 10)
   }
+
+  /** Schema evolution interleaved with DML — the riskiest interaction
+    * surface: RENAME COLUMN mid-history means later masks, rewrites
+    * and time travel must resolve the value column through its FIELD
+    * ID across files written under either name; ADD then DROP COLUMN
+    * exercises epoch-mapped reads over files with extra/missing
+    * physical columns. The model only ever tracks (id, v-value) — the
+    * engine must agree no matter which name/epoch each file was
+    * written under. MoR mode, where masks reference files across
+    * epochs, is the half that historically breaks in real systems. */
+  private def runEvo(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fze_${mode}_$seed"
+    val props =
+      if (mode == "mor")
+        """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read',
+          |'write.merge.mode'='merge-on-read')""".stripMargin
+      else ""
+    sql(s"CREATE TABLE $tbl (id bigint, v string) USING lake $props")
+    val rng = new scala.util.Random(seed)
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var nextId = 0L
+    var vName = "v"        // current name of the value column
+    var hasExtra = false   // a nullable add-on column comes and goes
+    def lit(rows: Seq[(Long, String)]): String =
+      rows.map { case (i, v) =>
+        if (hasExtra) s"($i, '$v', ${i % 7})" else s"($i, '$v')"
+      }.mkString(", ")
+    def state(): Map[Long, String] =
+      sql(s"SELECT id, $vName FROM $tbl").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until nOps).foreach { opIdx =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val rows = (nextId until nextId + 1 + rng.nextInt(4))
+            .map(i => i -> s"v${rng.nextInt(100)}")
+          nextId += rows.size
+          sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
+          model ++= rows
+        case 3 | 4 =>
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          model.filterInPlace((i, _) => i % k != r)
+        case 5 =>
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"UPDATE $tbl SET $vName = concat($vName, '+') " +
+            s"WHERE id % $k = $r")
+          model.mapValuesInPlace((i, v) => if (i % k == r) v + "+" else v)
+        case 6 => // rename the value column back and forth
+          val next = if (vName == "v") "vv" else "v"
+          sql(s"ALTER TABLE $tbl RENAME COLUMN $vName TO $next")
+          vName = next
+        case 7 => // add / drop a nullable tail column
+          if (!hasExtra) {
+            sql(s"ALTER TABLE $tbl ADD COLUMN extra bigint")
+            hasExtra = true
+          } else {
+            sql(s"ALTER TABLE $tbl DROP COLUMN extra")
+            hasExtra = false
+          }
+        case 8 => sql(s"CALL lake.system.rewrite_data_files(" +
+          s"table => 'db.${tbl.split('.').last}')")
+        case 9 => // point update via merge on a sampled key set
+          val src = rng.shuffle(model.keys.toSeq)
+            .take(math.min(3, model.size))
+            .map(i => i -> s"m${rng.nextInt(100)}")
+          if (src.nonEmpty) {
+            val cols = if (hasExtra) s"(id, $vName, extra)" else s"(id, $vName)"
+            sql(s"""MERGE INTO $tbl t
+                   |USING (SELECT * FROM (VALUES ${lit(src)})
+                   |       AS s$cols) s
+                   |ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET $vName = s.$vName""".stripMargin)
+            model ++= src
+          }
+      }
+      assert(state() == model.toMap,
+        s"evo $mode seed=$seed diverged after op #$opIdx (vName=$vName, " +
+          s"extra=$hasExtra)")
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: schema evolution interleaved with DML, both modes") {
+    runEvo("cow", seed = 23, nOps = 16)
+    runEvo("mor", seed = 23, nOps = 16)
+  }
 }
