@@ -202,6 +202,17 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     def state(): Map[Long, String] =
       sql(s"SELECT id, $vName FROM $tbl").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def snapId(): Option[Long] = {
+      val r = sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots").collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // (snapshot, state, value-column name AT THAT SNAPSHOT) — time
+    // travel reads with the snapshot's schema, so the name recorded at
+    // commit time must still resolve there after later renames.
+    // ALTER-only ops record under the PREVIOUS snapshot id; distinctBy
+    // below keeps the first (pre-ALTER) record, whose name matches
+    // that snapshot's epoch.
+    val hist = Seq.newBuilder[(Long, Map[Long, String], String)]
     (0 until nOps).foreach { opIdx =>
       rng.nextInt(10) match {
         case 0 | 1 | 2 =>
@@ -250,12 +261,108 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(state() == model.toMap,
         s"evo $mode seed=$seed diverged after op #$opIdx (vName=$vName, " +
           s"extra=$hasExtra)")
+      snapId().foreach(sid => hist += ((sid, model.toMap, vName)))
     }
+    // sampled snapshots still show their state under their OWN schema
+    hist.result().distinctBy(_._1).zipWithIndex.filter(_._2 % 4 == 0)
+      .foreach { case ((sid, st, name), _) =>
+        val got = sql(s"SELECT id, $name FROM $tbl VERSION AS OF $sid")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == st,
+          s"evo $mode seed=$seed: VERSION AS OF $sid (col $name) lost state")
+      }
     sql(s"DROP TABLE $tbl")
   }
 
   test("fuzz: schema evolution interleaved with DML, both modes") {
     runEvo("cow", seed = 23, nOps = 16)
     runEvo("mor", seed = 23, nOps = 16)
+  }
+
+  /** Partitioned-table fuzz: identity partitioning routes every write
+    * through the fanout writer, row-level operations through the
+    * partition-aware scan, and INSERT OVERWRITE through DYNAMIC
+    * partition replacement — only partitions present in the new rows
+    * are replaced, the rest must survive untouched. The model applies
+    * the same rule, so a fanout/overwrite/row-level disagreement on
+    * partition routing shows up as a diff. */
+  private def runPart(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzp_${mode}_$seed"
+    val props =
+      if (mode == "mor")
+        """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read',
+          |'write.merge.mode'='merge-on-read')""".stripMargin
+      else ""
+    sql(s"""CREATE TABLE $tbl (id bigint, p bigint, v string) USING lake
+           |PARTITIONED BY (p) $props""".stripMargin)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val rng = new scala.util.Random(seed)
+    // model: id -> (p, v); id unique, p = id % 3 at insert time
+    val model = scala.collection.mutable.LinkedHashMap[Long, (Long, String)]()
+    var nextId = 0L
+    def lit(rows: Seq[(Long, (Long, String))]): String =
+      rows.map { case (i, (p, v)) => s"($i, $p, '$v')" }.mkString(", ")
+    def state(): Map[Long, (Long, String)] =
+      sql(s"SELECT id, p, v FROM $tbl").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    (0 until nOps).foreach { opIdx =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val rows = (nextId until nextId + 1 + rng.nextInt(5))
+            .map(i => i -> (i % 3, s"v${rng.nextInt(100)}"))
+          nextId += rows.size
+          sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
+          model ++= rows
+        case 3 | 4 => // delete: alternate partition-aligned / crossing
+          if (rng.nextBoolean()) {
+            val p = rng.nextInt(3)
+            sql(s"DELETE FROM $tbl WHERE p = $p")
+            model.filterInPlace((_, pv) => pv._1 != p)
+          } else {
+            val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+            sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+            model.filterInPlace((i, _) => i % k != r)
+          }
+        case 5 | 6 =>
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          sql(s"UPDATE $tbl SET v = concat(v, '+') WHERE id % $k = $r")
+          model.mapValuesInPlace((i, pv) =>
+            if (i % k == r) (pv._1, pv._2 + "+") else pv)
+        case 7 => // merge upsert across partitions
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(math.min(3, model.size))
+            .map(i => i -> (model(i)._1, s"u${rng.nextInt(100)}"))
+          val fresh = (nextId until nextId + 1 + rng.nextInt(2))
+            .map(i => i -> (i % 3, s"n${rng.nextInt(100)}"))
+          nextId += fresh.size
+          val src = existing ++ fresh
+          sql(s"""MERGE INTO $tbl t
+                 |USING (SELECT * FROM (VALUES ${lit(src)})
+                 |       AS s(id, p, v)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          model ++= src
+        case 8 => // DYNAMIC overwrite: replaces ONLY the touched partitions
+          val p = rng.nextInt(3)
+          val rows = (nextId until nextId + 2 + rng.nextInt(2))
+            .map(i => i -> (p.toLong, s"o${rng.nextInt(100)}"))
+          nextId += rows.size
+          sql(s"INSERT OVERWRITE $tbl VALUES ${lit(rows)}")
+          model.filterInPlace((_, pv) => pv._1 != p)
+          model ++= rows
+        case 9 => sql(s"CALL lake.system.rewrite_data_files(" +
+          s"table => 'db.${tbl.split('.').last}')")
+      }
+      assert(state() == model.toMap,
+        s"part $mode seed=$seed diverged after op #$opIdx")
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: partitioned table with dynamic overwrite, both modes") {
+    runPart("cow", seed = 31, nOps = 16)
+    runPart("mor", seed = 31, nOps = 16)
   }
 }
