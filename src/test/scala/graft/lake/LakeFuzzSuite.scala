@@ -365,4 +365,92 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     runPart("cow", seed = 31, nOps = 16)
     runPart("mor", seed = 31, nOps = 16)
   }
+
+  /** Upsert-table fuzz: `write.upsert.enabled` turns every INSERT into
+    * a write-without-read upsert (data files + one equality-delete
+    * file of the batch keys, Iceberg-v2 / Flink-sink semantics).
+    * Interleaving upserts with predicate DML, compaction, and both
+    * delete-file maintenance procedures stresses the data-sequence
+    * ordering rules (an eq delete applies only to STRICTLY OLDER
+    * files) and the eq↔position mask composition — after any op the
+    * table must still equal the key-latest model, and sampled time
+    * travel must show each snapshot's recorded state (seq ordering is
+    * per-snapshot, so folding later deletes must not leak backwards). */
+  private def runUpsert(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzu_${mode}_$seed"
+    val morProps =
+      if (mode == "mor")
+        """,'write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read'""".stripMargin
+      else ""
+    sql(s"""CREATE TABLE $tbl (id bigint, v string) USING lake
+           |TBLPROPERTIES ('identifier-fields'='id',
+           |'write.upsert.enabled'='true'$morProps)""".stripMargin)
+    val rng = new scala.util.Random(seed)
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var nextId = 0L
+    def lit(rows: Seq[(Long, String)]): String =
+      rows.map { case (i, v) => s"($i, '$v')" }.mkString(", ")
+    def state(): Map[Long, String] =
+      sql(s"SELECT id, v FROM $tbl").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def snapId(): Option[Long] = {
+      val r = sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots").collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val hist = Seq.newBuilder[(Long, Map[Long, String])]
+    (0 until nOps).foreach { opIdx =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // upsert: existing keys get new values
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(rng.nextInt(1 + math.min(3, model.size)))
+            .map(i => i -> s"u${rng.nextInt(100)}")
+          val fresh = (nextId until nextId + 1 + rng.nextInt(3))
+            .map(i => i -> s"v${rng.nextInt(100)}")
+          nextId += fresh.size
+          val batch = existing ++ fresh
+          sql(s"INSERT INTO $tbl VALUES ${lit(batch)}")
+          model ++= batch
+        case 4 =>
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          model.filterInPlace((i, _) => i % k != r)
+        case 5 =>
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          sql(s"UPDATE $tbl SET v = concat(v, '+') WHERE id % $k = $r")
+          model.mapValuesInPlace((i, v) => if (i % k == r) v + "+" else v)
+        case 6 => sql(s"CALL lake.system.rewrite_data_files(table => " +
+          s"'db.${tbl.split('.').last}', options => " +
+          "map('rewrite-all','true','min-input-files','1'))")
+        case 7 => sql(s"CALL lake.system.convert_equality_deletes(" +
+          s"table => 'db.${tbl.split('.').last}')")
+        case 8 => sql(s"CALL lake.system.rewrite_position_delete_files(" +
+          s"table => 'db.${tbl.split('.').last}')")
+        case 9 => // pure-overwrite upsert batch over existing keys only
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(math.min(4, model.size))
+            .map(i => i -> s"w${rng.nextInt(100)}")
+          if (existing.nonEmpty) {
+            sql(s"INSERT INTO $tbl VALUES ${lit(existing)}")
+            model ++= existing
+          }
+      }
+      assert(state() == model.toMap,
+        s"upsert $mode seed=$seed diverged after op #$opIdx")
+      snapId().foreach(sid => hist += ((sid, model.toMap)))
+    }
+    hist.result().distinctBy(_._1).zipWithIndex.filter(_._2 % 4 == 0)
+      .foreach { case ((sid, st), _) =>
+        val got = sql(s"SELECT id, v FROM $tbl VERSION AS OF $sid")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == st,
+          s"upsert $mode seed=$seed: VERSION AS OF $sid lost state")
+      }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: equality-delete upserts with maintenance, both modes") {
+    runUpsert("cow", seed = 59, nOps = 16)
+    runUpsert("mor", seed = 59, nOps = 16)
+  }
 }
