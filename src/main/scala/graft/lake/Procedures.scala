@@ -215,6 +215,16 @@ object Procedures {
         val to = a.str("to")
         val target = m.refs(to).snapshotId
         val prev = m.refs.get(branch).map(_.snapshotId).getOrElse(-1L)
+        // Fast-forward is only defined when the branch head is an
+        // ancestor of (or equal to) the target head — anything else
+        // is a divergent or backward move that would silently discard
+        // the branch's own commits (Iceberg's FastForwardBranch makes
+        // the same refusal). A branch with no ref yet has nothing to
+        // lose and simply attaches.
+        if (prev >= 0 && !m.ancestorsOf(target).exists(_.snapshotId == prev))
+          throw new IllegalArgumentException(
+            s"Cannot fast-forward: $branch ($prev) is not an ancestor of " +
+              s"$to ($target)")
         setRef(catalog, m, branch, target)
         Seq(Row(branch, prev, target))
       }

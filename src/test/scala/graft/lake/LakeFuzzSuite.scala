@@ -38,6 +38,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark = SparkSession.builder()
       .master("local[8]")
       .appName("fuzz-suite")
+      .withExtensions(new LakeExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
@@ -452,5 +453,105 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
   test("fuzz: equality-delete upserts with maintenance, both modes") {
     runUpsert("cow", seed = 59, nOps = 16)
     runUpsert("mor", seed = 59, nOps = 16)
+  }
+
+  /** Branch-aware fuzz: DML interleaves on `main` and a `dev` branch
+    * (via the `tbl.branch_dev` identifier) with per-ref models —
+    * writes to one ref must NEVER leak into the other. fast_forward
+    * main→dev succeeds exactly when main has not advanced since the
+    * branch forked (and then main's model becomes dev's); after a
+    * divergent main write it must refuse. DROP + re-CREATE BRANCH
+    * re-forks from current main. */
+  private def runBranch(seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzb_$seed"
+    val short = tbl.split('.').last
+    sql(s"CREATE TABLE $tbl (id bigint, v string) USING lake")
+    val rng = new scala.util.Random(seed)
+    val main = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var dev: Option[scala.collection.mutable.LinkedHashMap[Long, String]] = None
+    var mainDiverged = false // main advanced since the branch forked
+    var nextId = 0L
+    def lit(rows: Seq[(Long, String)]): String =
+      rows.map { case (i, v) => s"($i, '$v')" }.mkString(", ")
+    def state(ident: String): Map[Long, String] =
+      sql(s"SELECT id, v FROM $ident").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until nOps).foreach { opIdx =>
+      rng.nextInt(8) match {
+        case 0 | 1 => // insert on main
+          val rows = (nextId until nextId + 1 + rng.nextInt(3))
+            .map(i => i -> s"m${rng.nextInt(100)}")
+          nextId += rows.size
+          sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
+          main ++= rows
+          if (dev.isDefined) mainDiverged = true
+        case 2 => // predicate DML on main
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          main.filterInPlace((i, _) => i % k != r)
+          if (dev.isDefined) mainDiverged = true
+        case 3 | 4 => dev match { // insert/update on the branch
+          case Some(d) =>
+            if (rng.nextBoolean() || d.isEmpty) {
+              val rows = (nextId until nextId + 1 + rng.nextInt(3))
+                .map(i => i -> s"d${rng.nextInt(100)}")
+              nextId += rows.size
+              sql(s"INSERT INTO $tbl.branch_dev VALUES ${lit(rows)}")
+              d ++= rows
+            } else {
+              val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+              sql(s"UPDATE $tbl.branch_dev SET v = concat(v, '*') " +
+                s"WHERE id % $k = $r")
+              d.mapValuesInPlace((i, v) => if (i % k == r) v + "*" else v)
+            }
+          case None => ()
+        }
+        case 5 => // (re-)fork dev from current main (needs a snapshot)
+          val hasSnap = !sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots")
+            .collect()(0).isNullAt(0)
+          if (hasSnap) {
+            if (dev.isDefined) sql(s"ALTER TABLE $tbl DROP BRANCH dev")
+            sql(s"ALTER TABLE $tbl CREATE BRANCH dev")
+            dev = Some(scala.collection.mutable.LinkedHashMap(main.toSeq: _*))
+            mainDiverged = false
+          }
+        case 6 => dev match { // fast_forward main to dev
+          case Some(d) if !mainDiverged =>
+            sql(s"CALL lake.system.fast_forward(table => 'db.$short', " +
+              "branch => 'main', to => 'dev')")
+            main.clear(); main ++= d
+          case Some(_) => // divergent: the procedure must refuse
+            val e = intercept[Exception] {
+              sql(s"CALL lake.system.fast_forward(table => 'db.$short', " +
+                "branch => 'main', to => 'dev')")
+            }
+            assert(!e.isInstanceOf[NullPointerException], e.toString)
+          case None => ()
+        }
+        case 7 => // merge upsert on main
+          val src = (nextId until nextId + 1 + rng.nextInt(2))
+            .map(i => i -> s"g${rng.nextInt(100)}") ++
+            rng.shuffle(main.keys.toSeq).take(math.min(2, main.size))
+              .map(i => i -> s"h${rng.nextInt(100)}")
+          nextId += src.count(_._2.startsWith("g"))
+          sql(s"""MERGE INTO $tbl t
+                 |USING (SELECT * FROM (VALUES ${lit(src)}) AS s(id, v)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          main ++= src
+          if (dev.isDefined) mainDiverged = true
+      }
+      assert(state(tbl) == main.toMap,
+        s"branch seed=$seed: MAIN diverged after op #$opIdx")
+      dev.foreach(d => assert(state(s"$tbl.branch_dev") == d.toMap,
+        s"branch seed=$seed: DEV diverged after op #$opIdx"))
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: branch DML isolation and fast_forward, two seeds") {
+    runBranch(seed = 71, nOps = 20)
+    runBranch(seed = 103, nOps = 20)
   }
 }
