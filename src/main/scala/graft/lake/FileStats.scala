@@ -330,17 +330,43 @@ object FileStats {
     * parquet writer (dates = epoch-day INT32, timestamps = micros
     * INT64, strings = UTF-8 binary); an unexpected pairing makes no
     * claim rather than guessing. */
+  // Decoded-bloom LRU: an IN list (or DPP's runtime filter with
+  // hundreds of keys) probes the same blooms once per value, and every
+  // planning round probes the same files again — decoding the base64
+  // bitset each time is pure allocation churn. Keyed by the base64
+  // text itself (content-addressed, so no invalidation); probes
+  // (findHash) are read-only absolute gets, safe to share.
+  private val MaxDecodedBlooms = 1024
+  private val decodedBlooms: java.util.Map[String,
+      org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String,
+          org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter](
+          16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String,
+            org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter])
+            : Boolean = size() > MaxDecodedBlooms
+      })
+
+  private def decodeBloom(b64: String)
+      : org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter = {
+    val hit = decodedBlooms.get(b64)
+    if (hit != null) return hit
+    val bf = new org.apache.parquet.column.values.bloomfilter
+      .BlockSplitBloomFilter(java.util.Base64.getDecoder.decode(b64))
+    decodedBlooms.put(b64, bf)
+    bf
+  }
+
   private def bloomMayContain(file: DataFileMeta, a: String, v: Any,
       dt: DataType): Boolean = file.blooms.get(a) match {
     case None => true
     case Some(tagged) if tagged.size < 2 => true
     case Some(tagged) =>
-      import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
       val tag = tagged.head
       try {
-        // hash once with a throwaway filter (hashing is bitset-independent)
-        val hasher = new BlockSplitBloomFilter(
-          java.util.Base64.getDecoder.decode(tagged(1)))
+        // hashing is bitset-independent; any decoded filter can hash
+        val hasher = decodeBloom(tagged(1))
         val hash: Option[Long] = (tag, v, dt) match {
           case ("INT32", n: Number, ByteType | ShortType | IntegerType) =>
             Some(hasher.hash(n.intValue()))
@@ -364,9 +390,8 @@ object FileStats {
         hash match {
           case None => true
           case Some(h) =>
-            hasher.findHash(h) || tagged.drop(2).exists(b64 =>
-              new BlockSplitBloomFilter(
-                java.util.Base64.getDecoder.decode(b64)).findHash(h))
+            hasher.findHash(h) ||
+              tagged.drop(2).exists(b64 => decodeBloom(b64).findHash(h))
         }
       } catch { case _: Exception => true }
   }
