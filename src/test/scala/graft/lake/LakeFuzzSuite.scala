@@ -554,4 +554,90 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     runBranch(seed = 71, nOps = 20)
     runBranch(seed = 103, nOps = 20)
   }
+
+  /** Streaming CDC replay: after a random DML history, streaming
+    * `tbl.changes` with Trigger.AvailableNow and folding the change
+    * rows (deletes then inserts, per commit ordinal) into an empty
+    * state must reconstruct the final table exactly. This checks the
+    * micro-batch offset tiling end to end — a skipped, duplicated, or
+    * mis-ordered commit in the stream shows up as a wrong final
+    * state. MoR modes keep the per-commit diff position-exact. */
+  private def runCdcReplay(seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzc_$seed"
+    sql(s"""CREATE TABLE $tbl (id bigint, v string) USING lake
+           |TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+           |'write.update.mode'='merge-on-read',
+           |'write.merge.mode'='merge-on-read')""".stripMargin)
+    val rng = new scala.util.Random(seed)
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var nextId = 0L
+    def lit(rows: Seq[(Long, String)]): String =
+      rows.map { case (i, v) => s"($i, '$v')" }.mkString(", ")
+    (0 until nOps).foreach { _ =>
+      rng.nextInt(6) match {
+        case 0 | 1 | 2 =>
+          val rows = (nextId until nextId + 1 + rng.nextInt(4))
+            .map(i => i -> s"v${rng.nextInt(100)}")
+          nextId += rows.size
+          sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
+          model ++= rows
+        case 3 =>
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          model.filterInPlace((i, _) => i % k != r)
+        case 4 =>
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          sql(s"UPDATE $tbl SET v = concat(v, '+') WHERE id % $k = $r")
+          model.mapValuesInPlace((i, v) => if (i % k == r) v + "+" else v)
+        case 5 =>
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(math.min(3, model.size))
+            .map(i => i -> s"u${rng.nextInt(100)}")
+          if (existing.nonEmpty) {
+            sql(s"""MERGE INTO $tbl t
+                   |USING (SELECT * FROM (VALUES ${lit(existing)})
+                   |       AS s(id, v)) s
+                   |ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+            model ++= existing
+          }
+      }
+    }
+    val sink = s"cdc_replay_$seed"
+    val q = spark.readStream.table(s"$tbl.changes")
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // fold: per ordinal, deletes first then inserts (an update pairs a
+    // delete of the old row with an insert of the new in ONE commit)
+    val events = sql(s"SELECT id, v, _change_type, _change_ordinal " +
+      s"FROM $sink ORDER BY _change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    val state = scala.collection.mutable.Map[(Long, String), Int]()
+    events.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, evs) =>
+      evs.filter(_._3 == "delete").foreach { case (i, v, _, _) =>
+        val k = (i, v)
+        state.get(k) match {
+          case Some(1) => state.remove(k)
+          case Some(n) => state(k) = n - 1
+          case None => fail(s"cdc seed=$seed: delete of absent row $k")
+        }
+      }
+      evs.filter(_._3 == "insert").foreach { case (i, v, _, _) =>
+        state(( i, v)) = state.getOrElse((i, v), 0) + 1
+      }
+    }
+    assert(state.values.forall(_ == 1),
+      s"cdc seed=$seed: duplicate rows in replayed state")
+    assert(state.keySet.map(_._1).toSeq.sorted ==
+      model.keys.toSeq.sorted &&
+      state.keySet == model.toSet.map((kv: (Long, String)) => kv),
+      s"cdc seed=$seed: replayed state != final table model")
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: streaming CDC replay reconstructs the final state") {
+    runCdcReplay(seed = 83, nOps = 12)
+  }
 }
