@@ -83,10 +83,17 @@ class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String
   // Within each task: deletes first (their data columns are null, and
   // nulls sort first), grouped by (_file, _pos) so the delete writer
   // streams pre-sorted pairs; inserts tuple-major so the fanout
-  // writer keeps one open file.
+  // writer keeps one open file. A DELETE-only delta's rows carry just
+  // (__row_operation, _file, _pos) — partition sort terms would then
+  // reference columns the plan cannot resolve, so only transforms
+  // whose source column is present in the write schema participate
+  // (the delete writer needs only the (_file,_pos) grouping anyway).
   override def requiredOrdering(): Array[SortOrder] = {
-    val parts = table.meta.partitionSpec.map(f =>
-      Expressions.sort(Transforms.toTransform(f), SortDirection.ASCENDING))
+    val present = info.schema().fieldNames.map(_.toLowerCase).toSet
+    val parts = table.meta.partitionSpec
+      .filter(f => present.contains(f.sourceColumn.toLowerCase))
+      .map(f =>
+        Expressions.sort(Transforms.toTransform(f), SortDirection.ASCENDING))
     val ids = Seq(
       Expressions.sort(Expressions.column(LakeMetaColumns.File),
         SortDirection.ASCENDING),

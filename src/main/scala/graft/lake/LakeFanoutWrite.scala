@@ -55,7 +55,15 @@ object LakeFanoutWrite {
     // Resolve the transform Columns through a real (empty) Dataset so
     // the analyzed plan carries plain catalyst expressions, then bind
     // them to the write schema's ordinals for executor-side eval.
-    val cols = meta.partitionSpec.zipWithIndex.map { case (f, i) =>
+    // A DELETE-only delta write's schema carries no data columns at
+    // all — its partition transforms cannot (and need not) resolve,
+    // because no insert row can ever reach this factory; building the
+    // factory must not fail analysis for them. If a row DOES arrive
+    // with a truncated spec, the writer fails loudly below rather
+    // than silently mis-partitioning.
+    val resolvable = meta.partitionSpec.filter(f =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(f.sourceColumn)))
+    val cols = resolvable.zipWithIndex.map { case (f, i) =>
       Transforms.eval(f, schema).as(s"__p$i")
     }
     val analyzed = spark.createDataFrame(
@@ -72,17 +80,31 @@ object LakeFanoutWrite {
       s"could not resolve partition transforms for ${meta.location}"))
     new LakeFanoutWriterFactory(owf, bound, schema, stagingDir,
       new SerializableConfiguration(job.getConfiguration),
-      WriteTuning.targetFileSize(meta))
+      WriteTuning.targetFileSize(meta),
+      specTruncated = resolvable.size != meta.partitionSpec.size)
   }
 }
 
 class LakeFanoutWriterFactory(owf: OutputWriterFactory,
     tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
-    conf: SerializableConfiguration, targetBytes: Long) extends DataWriterFactory {
+    conf: SerializableConfiguration, targetBytes: Long,
+    specTruncated: Boolean = false) extends DataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    if (specTruncated)
+      return new DataWriter[InternalRow] {
+        override def write(row: InternalRow): Unit =
+          throw new IllegalStateException(
+            "insert row reached a fanout writer whose partition spec " +
+              "could not resolve against the write schema — the plan " +
+              "routed a data row into a delete-only delta write")
+        override def commit(): WriterCommitMessage = LakeFanoutCommit(Nil)
+        override def abort(): Unit = ()
+        override def close(): Unit = ()
+      }
     new LakeFanoutDataWriter(owf, tupleExprs, schema, stagingDir,
       conf.value, partitionId, taskId, targetBytes)
+  }
 }
 
 case class LakeFanoutCommit(files: Seq[String]) extends WriterCommitMessage

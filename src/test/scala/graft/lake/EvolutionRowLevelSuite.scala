@@ -54,6 +54,22 @@ class EvolutionRowLevelSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.rr2")
   }
 
+  test("merge-on-read delete on a partitioned table (delete-only delta)") {
+    // a pure-delete delta row carries only (__row_operation,_file,_pos)
+    // — the write's required ordering must not reference the partition
+    // source column it doesn't have
+    val sql = spark.sql(_: String)
+    sql("""CREATE TABLE lake.db.rr4 (id bigint, p bigint, v string)
+          |USING lake PARTITIONED BY (p)
+          |TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.rr4 VALUES (1, 0, 'a'), (2, 1, 'b'), (3, 0, 'c')")
+    sql("DELETE FROM lake.db.rr4 WHERE id % 2 = 1") // crosses partitions
+    val rows = sql("SELECT id, v FROM lake.db.rr4 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b")))
+    sql("DROP TABLE lake.db.rr4")
+  }
+
   test("update after add column") {
     val sql = spark.sql(_: String)
     sql("CREATE TABLE lake.db.rr3 (id bigint, v string) USING lake")

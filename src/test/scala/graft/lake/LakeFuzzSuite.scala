@@ -78,8 +78,10 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
 
     // recorded (snapshotId, model state) after every committed op
     val history = Seq.newBuilder[(Long, Map[Long, String])]
-    def snapId(): Long =
-      sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots").collect()(0).getLong(0)
+    def snapId(): Option[Long] = {
+      val r = sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots").collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
     var opIdx = 0
     while (opIdx < nOps) {
@@ -123,7 +125,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       if (committed) {
         assert(tableState(tbl) == model.toMap,
           s"$mode seed=$seed diverged after op #$opIdx")
-        history += ((snapId(), model.toMap))
+        snapId().foreach(sid => history += ((sid, model.toMap)))
       }
       opIdx += 1
     }
@@ -639,5 +641,21 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fuzz: streaming CDC replay reconstructs the final state") {
     runCdcReplay(seed = 83, nOps = 12)
+  }
+
+  // Opt-in soak: many seeds × longer sequences across every mode.
+  // Skipped in normal runs (it would triple the suite's wall time);
+  // run with FUZZ_SOAK=1 after changes to the write/commit/changelog
+  // paths.
+  test("fuzz soak: many seeds, long sequences (FUZZ_SOAK=1)") {
+    assume(sys.env.contains("FUZZ_SOAK"))
+    Seq(211L, 223L, 227L).foreach { s =>
+      run("cow", s, nOps = 30); run("mor", s, nOps = 30)
+      runEvo("cow", s, nOps = 24); runEvo("mor", s, nOps = 24)
+      runPart("cow", s, nOps = 24); runPart("mor", s, nOps = 24)
+      runUpsert("cow", s, nOps = 24); runUpsert("mor", s, nOps = 24)
+      runBranch(s, nOps = 30)
+      runCdcReplay(s, nOps = 16)
+    }
   }
 }
