@@ -649,7 +649,12 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
   // paths.
   test("fuzz soak: many seeds, long sequences (FUZZ_SOAK=1)") {
     assume(sys.env.contains("FUZZ_SOAK"))
-    Seq(211L, 223L, 227L).foreach { s =>
+    // default seeds are fixed for reproducibility; FUZZ_SEEDS=a,b,c
+    // points a hunting run at fresh ones
+    val seeds = sys.env.get("FUZZ_SEEDS")
+      .map(_.split(',').toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(211L, 223L, 227L))
+    seeds.foreach { s =>
       run("cow", s, nOps = 30); run("mor", s, nOps = 30)
       runEvo("cow", s, nOps = 24); runEvo("mor", s, nOps = 24)
       runPart("cow", s, nOps = 24); runPart("mor", s, nOps = 24)
