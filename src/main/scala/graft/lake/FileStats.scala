@@ -94,7 +94,7 @@ object FileStats {
       DataFileMeta(path, rowCount, sizeBytes, epoch,
         mins.toMap, maxs.toMap, nulls.toMap, partitionValues,
         valueSets = harvestValueSets(reader, blocks.toSeq, schema),
-        blooms = harvestBlooms(reader, blocks.toSeq, schema))
+        blooms = harvestBlooms(reader, blocks.toSeq))
     } finally reader.close()
   }
 
@@ -274,8 +274,8 @@ object FileStats {
     * group's bloom is consulted — any one admitting it keeps the
     * file. */
   private def harvestBlooms(reader: ParquetFileReader,
-      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
-      schema: StructType): Map[String, Seq[String]] = {
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      : Map[String, Seq[String]] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     if (blocks.isEmpty) return Map.empty
     var budget = MaxBloomBytesPerFile
@@ -367,31 +367,48 @@ object FileStats {
       try {
         // hashing is bitset-independent; any decoded filter can hash
         val hasher = decodeBloom(tagged(1))
-        val hash: Option[Long] = (tag, v, dt) match {
+        // candidate hashes: None = no claim (keep the file); a file may
+        // contain the value iff ANY row-group bloom admits ANY hash.
+        // ±0.0 need BOTH zero bit patterns — Spark's `=` treats them
+        // equal, and parquet normalizes ±0.0 in min/max stats but NOT
+        // in bloom hashes, so a single-pattern probe would be the one
+        // false negative this mechanism can produce. NaN: no claim.
+        val hashes: Option[Seq[Long]] = (tag, v, dt) match {
           case ("INT32", n: Number, ByteType | ShortType | IntegerType) =>
-            Some(hasher.hash(n.intValue()))
+            Some(Seq(hasher.hash(n.intValue())))
           case ("INT32", d: java.sql.Date, _) =>
-            Some(hasher.hash(d.toLocalDate.toEpochDay.toInt))
+            Some(Seq(hasher.hash(d.toLocalDate.toEpochDay.toInt)))
           case ("INT32", d: java.time.LocalDate, _) =>
-            Some(hasher.hash(d.toEpochDay.toInt))
-          case ("INT64", n: Number, LongType) => Some(hasher.hash(n.longValue()))
+            Some(Seq(hasher.hash(d.toEpochDay.toInt)))
+          case ("INT64", n: Number, LongType) =>
+            Some(Seq(hasher.hash(n.longValue())))
           case ("INT64", t: java.sql.Timestamp, _) =>
-            Some(hasher.hash(t.getTime * 1000L + (t.getNanos / 1000) % 1000))
+            Some(Seq(hasher.hash(t.getTime * 1000L + (t.getNanos / 1000) % 1000)))
           case ("INT64", t: java.time.Instant, _) =>
-            Some(hasher.hash(t.getEpochSecond * 1000000L + t.getNano / 1000))
-          case ("FLOAT", n: Number, FloatType) => Some(hasher.hash(n.floatValue()))
+            Some(Seq(hasher.hash(t.getEpochSecond * 1000000L + t.getNano / 1000)))
+          case ("FLOAT", n: Number, FloatType) =>
+            val f0 = n.floatValue()
+            if (f0.isNaN) None
+            else if (f0 == 0.0f) Some(Seq(hasher.hash(0.0f), hasher.hash(-0.0f)))
+            else Some(Seq(hasher.hash(f0)))
           case ("DOUBLE", n: Number, DoubleType) =>
-            Some(hasher.hash(n.doubleValue()))
+            val d0 = n.doubleValue()
+            if (d0.isNaN) None
+            else if (d0 == 0.0d) Some(Seq(hasher.hash(0.0d), hasher.hash(-0.0d)))
+            else Some(Seq(hasher.hash(d0)))
           case ("BINARY", s: String, StringType | _: CharType | _: VarcharType) =>
-            Some(hasher.hash(
-              org.apache.parquet.io.api.Binary.fromString(s)))
+            Some(Seq(hasher.hash(
+              org.apache.parquet.io.api.Binary.fromString(s))))
           case _ => None
         }
-        hash match {
+        hashes match {
           case None => true
-          case Some(h) =>
-            hasher.findHash(h) ||
-              tagged.drop(2).exists(b64 => decodeBloom(b64).findHash(h))
+          case Some(hs) =>
+            hs.exists(hasher.findHash) ||
+              tagged.drop(2).exists { b64 =>
+                val bf = decodeBloom(b64)
+                hs.exists(bf.findHash)
+              }
         }
       } catch { case _: Exception => true }
   }

@@ -43,6 +43,18 @@ object Manifests {
   def threshold(meta: TableMeta): Int =
     meta.properties.get(ThresholdKey).map(_.toInt).getOrElse(DefaultThreshold)
 
+  // Inline-JSON byte ceiling for manifest blooms: the metadata JSON
+  // re-serializes EVERY retained snapshot's inline file list on each
+  // commit, so bloom-fat entries amplify by history length — a
+  // bloom-heavy manifest must spill to parquet even when its file
+  // COUNT is under the spill threshold. 2 MB of base64 inline is the
+  // cap; past it, the columnar spill (distributed-pruned anyway) holds
+  // the payload once.
+  private val MaxInlineBloomBytes = 2 * 1024 * 1024
+  private def bloomBytes(files: Seq[DataFileMeta]): Long =
+    files.iterator.map(_.blooms.valuesIterator
+      .map(_.iterator.map(_.length.toLong).sum).sum).sum
+
   /** Slim a snapshot for JSON serialization: spill an oversized file
     * list to parquet (once — an existing pointer is reused as long as
     * the hydrated list still matches its stored content), keep small
@@ -70,7 +82,8 @@ object Manifests {
         return s.copy(files = Nil)
       case _ => ()
     }
-    if (s.files.size <= threshold(meta)) {
+    if (s.files.size <= threshold(meta) &&
+        bloomBytes(s.files) <= MaxInlineBloomBytes) {
       // small (or emptied) list: inline, and retire a stale pointer
       if (s.manifestPath.isDefined) s.copy(manifestPath = None) else s
     } else s.manifestPath match {

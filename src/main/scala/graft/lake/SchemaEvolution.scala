@@ -14,6 +14,7 @@ object SchemaEvolution {
   def applyChanges(meta: TableMeta, changes: Seq[TableChange]): TableMeta = {
     var schema = meta.schema
     var props = meta.properties
+    var spec = meta.partitionSpec
     var schemaChanged = false
 
     changes.foreach {
@@ -25,6 +26,19 @@ object SchemaEvolution {
         schemaChanged = true
       case c: RenameColumn =>
         schema = mapField(schema, c.fieldNames().toSeq)(f => f.copy(name = c.newName()))
+        // The partition spec references its source column by CURRENT
+        // name (Iceberg tracks field ids and re-displays the new name;
+        // here the name IS the reference) — a spec left pointing at
+        // the old name would stop resolving in every later write's
+        // transform evaluation and required ordering. Field NAMES in
+        // the spec (e.g. "ts_day") are display names and stay.
+        if (c.fieldNames().length == 1) {
+          val old = c.fieldNames()(0)
+          spec = spec.map(f =>
+            if (f.sourceColumn.equalsIgnoreCase(old))
+              f.copy(sourceColumn = c.newName())
+            else f)
+        }
         schemaChanged = true
       case c: UpdateColumnType =>
         val from = fieldAt(schema, c.fieldNames().toSeq).dataType
@@ -46,6 +60,13 @@ object SchemaEvolution {
         // one would strand every outstanding delete file's key mapping
         // and silently resurrect deleted rows — Iceberg forbids it too
         val dropped = c.fieldNames().mkString(".")
+        // a partition source column anchors the live spec: dropping it
+        // would leave every later write's transform evaluation
+        // unresolvable (Iceberg requires dropping the partition field
+        // first, same here)
+        require(!spec.exists(_.sourceColumn.equalsIgnoreCase(dropped)),
+          s"cannot drop column $dropped: it is a partition source " +
+            "column (ALTER TABLE ... DROP PARTITION FIELD first)")
         val idFields = props.get(EqDeletes.IdentifierKey)
           .map(_.split(",").map(_.trim.toLowerCase).toSet).getOrElse(Set.empty)
         require(!idFields.contains(dropped.toLowerCase),
@@ -79,10 +100,10 @@ object SchemaEvolution {
 
     if (schemaChanged) {
       val stamped = TableMeta.withFieldIds(schema, meta.highestFieldId)
-      meta.copy(properties = props,
+      meta.copy(properties = props, partitionSpec = spec,
         schemas = meta.schemas :+ stamped.json,
         currentSchemaEpoch = meta.schemas.size)
-    } else meta.copy(properties = props)
+    } else meta.copy(properties = props, partitionSpec = spec)
   }
 
   /** Promotion rules (docs/spark-getting-started.md:163-166). */

@@ -70,6 +70,28 @@ class EvolutionRowLevelSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.rr4")
   }
 
+  test("partition source column rename: spec follows, writes keep working") {
+    // the partition spec references its source column by current name
+    // — a rename must rewrite the spec, or every later write's
+    // transform evaluation and ordering stops resolving
+    val sql = spark.sql(_: String)
+    sql("""CREATE TABLE lake.db.rr5 (id bigint, p bigint, v string)
+          |USING lake PARTITIONED BY (p)
+          |TBLPROPERTIES ('write.update.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.rr5 VALUES (1, 0, 'a'), (2, 1, 'b')")
+    sql("ALTER TABLE lake.db.rr5 RENAME COLUMN p TO q")
+    sql("INSERT INTO lake.db.rr5 VALUES (3, 1, 'c')")      // append resolves q
+    sql("UPDATE lake.db.rr5 SET v = 'x' WHERE id = 2")     // delta resolves q
+    val rows = sql("SELECT id, q, v FROM lake.db.rr5 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 0L, "a"), (2L, 1L, "x"), (3L, 1L, "c")))
+    // dropping the (renamed) partition source column is refused
+    val e = intercept[Exception](
+      sql("ALTER TABLE lake.db.rr5 DROP COLUMN q"))
+    assert(e.getMessage.contains("partition source"), e.getMessage)
+    sql("DROP TABLE lake.db.rr5")
+  }
+
   test("update after add column") {
     val sql = spark.sql(_: String)
     sql("CREATE TABLE lake.db.rr3 (id bigint, v string) USING lake")

@@ -299,7 +299,9 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       else ""
     sql(s"""CREATE TABLE $tbl (id bigint, p bigint, v string) USING lake
            |PARTITIONED BY (p) $props""".stripMargin)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
     val rng = new scala.util.Random(seed)
     // model: id -> (p, v); id unique, p = id % 3 at insert time
     val model = scala.collection.mutable.LinkedHashMap[Long, (Long, String)]()
@@ -361,6 +363,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(state() == model.toMap,
         s"part $mode seed=$seed diverged after op #$opIdx")
     }
+    } finally // the shared session must not leak dynamic mode into
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     sql(s"DROP TABLE $tbl")
   }
 
@@ -610,7 +614,9 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName(sink)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      s"cdc seed=$seed: AvailableNow stream did not drain in 120s — " +
+        "replay below would fold a PARTIAL sink")
     // fold: per ordinal, deletes first then inserts (an update pairs a
     // delete of the old row with an insert of the new in ONE commit)
     val events = sql(s"SELECT id, v, _change_type, _change_ordinal " +
