@@ -306,13 +306,14 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     // model: id -> (p, v); id unique, p = id % 3 at insert time
     val model = scala.collection.mutable.LinkedHashMap[Long, (Long, String)]()
     var nextId = 0L
+    var pName = "p" // the partition source column gets renamed mid-run
     def lit(rows: Seq[(Long, (Long, String))]): String =
       rows.map { case (i, (p, v)) => s"($i, $p, '$v')" }.mkString(", ")
     def state(): Map[Long, (Long, String)] =
-      sql(s"SELECT id, p, v FROM $tbl").collect()
+      sql(s"SELECT id, $pName, v FROM $tbl").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     (0 until nOps).foreach { opIdx =>
-      rng.nextInt(10) match {
+      rng.nextInt(11) match {
         case 0 | 1 | 2 =>
           val rows = (nextId until nextId + 1 + rng.nextInt(5))
             .map(i => i -> (i % 3, s"v${rng.nextInt(100)}"))
@@ -322,7 +323,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
         case 3 | 4 => // delete: alternate partition-aligned / crossing
           if (rng.nextBoolean()) {
             val p = rng.nextInt(3)
-            sql(s"DELETE FROM $tbl WHERE p = $p")
+            sql(s"DELETE FROM $tbl WHERE $pName = $p")
             model.filterInPlace((_, pv) => pv._1 != p)
           } else {
             val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
@@ -344,7 +345,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
           val src = existing ++ fresh
           sql(s"""MERGE INTO $tbl t
                  |USING (SELECT * FROM (VALUES ${lit(src)})
-                 |       AS s(id, p, v)) s
+                 |       AS s(id, $pName, v)) s
                  |ON t.id = s.id
                  |WHEN MATCHED THEN UPDATE SET v = s.v
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
@@ -359,9 +360,14 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
           model ++= rows
         case 9 => sql(s"CALL lake.system.rewrite_data_files(" +
           s"table => 'db.${tbl.split('.').last}')")
+        case 10 => // rename the PARTITION SOURCE column — the spec
+          // must follow, and every later write/prune keep resolving
+          val next = if (pName == "p") "pp" else "p"
+          sql(s"ALTER TABLE $tbl RENAME COLUMN $pName TO $next")
+          pName = next
       }
       assert(state() == model.toMap,
-        s"part $mode seed=$seed diverged after op #$opIdx")
+        s"part $mode seed=$seed diverged after op #$opIdx (pName=$pName)")
     }
     } finally // the shared session must not leak dynamic mode into
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
