@@ -37,6 +37,22 @@ case class DotProduct(left: Expression, right: Expression)
     case other => other
   }
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  /** A null ELEMENT also nulls the result, so the default
+    * BinaryExpression nullability (children only) is too narrow —
+    * declaring nullable=false while doGenCode assigns `ev.isNull =
+    * true` made janino reject the generated Java ("not an rvalue",
+    * because Spark emits isNull as the constant `false`) and every
+    * consumer silently fell back to interpreted eval. Nullable must
+    * cover the element path whenever either array may contain nulls. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elemNullable(left) || elemNullable(right)
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(lt, _), ArrayType(rt, _))
@@ -75,14 +91,23 @@ case class DotProduct(left: Expression, right: Expression)
         case FloatType => s"(double) $arr.getFloat($i)"
         case _ => s"$arr.getDouble($i)"
       }
+      // Assigning ev.isNull is only legal Java when `nullable` is true
+      // (otherwise Spark emits it as the constant `false`); when
+      // neither array can hold null elements the check is dead code,
+      // so the non-nullable hot loop drops the two isNullAt branches
+      // entirely instead of paying them per element.
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"""if ($xa.isNullAt($i) || $ya.isNullAt($i)) {
+             |    ${ev.isNull} = true;
+             |    break;
+             |  }""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($xa.isNullAt($i) || $ya.isNullAt($i)) {
-         |    ${ev.isNull} = true;
-         |    break;
-         |  }
+         |  $nullCheck
          |  $acc += ${get(xa, elemType(left))} * ${get(ya, elemType(right))};
          |}
          |${ev.value} = $acc;

@@ -522,7 +522,7 @@ object LakeOps {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "lake_mv_incremental" ->
-      """SELECT o_orderstatus, sum(o_orderkey) AS key_sum,
+      """SELECT o_orderstatus, sum(o_orderkey)::BIGINT AS key_sum,
         |  count(*) AS cnt, min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus

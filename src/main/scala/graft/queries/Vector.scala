@@ -267,27 +267,29 @@ object VectorOps {
     * and the (cell, dim-index) group-by partial-aggregates map-side —
     * each task ships at most k×dim partial sums regardless of corpus
     * size, so the exchange is metadata-sized at 100 TB and the whole
-    * plan stays inside whole-stage codegen. Member counts ride a
-    * separate k-row aggregate joined back by broadcast. */
+    * plan stays inside whole-stage codegen.
+    *
+    * Output shape is one SCALAR row per (cluster_id, pos) — the
+    * natural product of the aggregation, and the only shape the
+    * driver's pandas-based comparator can hash (an array-typed result
+    * column crashes its row sort). A consumer wanting packed arrays
+    * reassembles with one k-group collect_list; the gate stays on the
+    * exploded form. Member count rides the same aggregate: every
+    * member contributes exactly one element at each pos, so the
+    * per-(cell,pos) count IS the member count — no second scan. */
   def vCentroidUpdate(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
     val assigned = ivfAssign(emb, k)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // member counts ride the SAME (cell, pos) aggregation as the sums
-    // (every pos of a cell sees each member once, so max-over-pos of
-    // the per-pos count IS the member count) — one pass over the
-    // corpus, no second scan/branch/join
     assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("c"))
-      .groupBy(col("cell"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-        s0 => round(s0.getField("m"), 4)).as("centroid"),
-        max(col("c")).as("n_members"))
-      .select(col("cell").as("cluster_id"), col("n_members"), col("centroid"))
-      .orderBy(col("cluster_id"))
+      .agg(round(avg(col("col").cast("double")), 4).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell").as("cluster_id"), col("pos").cast("long").as("pos"),
+        col("m"), col("n_members"))
+      .orderBy(col("cluster_id"), col("pos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -444,14 +446,11 @@ object VectorOps {
          |ex AS (
          |  SELECT cell, generate_subscripts(embedding, 1) AS i,
          |    unnest(embedding)::DOUBLE AS x
-         |  FROM assigned),
-         |agg AS (SELECT cell, i, avg(x) AS m, count(*) AS c
-         |        FROM ex GROUP BY cell, i),
-         |cent AS (SELECT cell, list(round(m, 4) ORDER BY i) AS centroid,
-         |           max(c) AS n_members
-         |         FROM agg GROUP BY cell)
-         |SELECT cell AS cluster_id, n_members, centroid
-         |FROM cent ORDER BY cluster_id""".stripMargin,
+         |  FROM assigned)
+         |SELECT cell AS cluster_id, (i - 1)::BIGINT AS pos,
+         |  round(avg(x), 4) AS m, count(*) AS n_members
+         |FROM ex GROUP BY cell, i
+         |ORDER BY cluster_id, pos""".stripMargin,
     "v_knn_join" ->
       s"""SELECT qid, nid, cos_sim, rank FROM (
          |  SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codegen-compilation lock for the custom-expression hot paths.
+  *
+  * Spark falls back to interpreted evaluation SILENTLY when generated
+  * Java fails to compile (rc stays 0, results stay correct, only a
+  * WARN in the log) — which is exactly how round 6 shipped a
+  * DotProduct whose generated code was invalid whenever its inputs
+  * were non-nullable: every vector query ran interpreted and nothing
+  * failed. This suite removes the safety net: with
+  * `spark.sql.codegen.fallback=false` a whole-stage CompileException
+  * aborts the query, and with `codegen.factoryMode=CODEGEN_ONLY`
+  * non-whole-stage projections (where the round-6 failure actually
+  * surfaced, in an UnsafeProjection) must compile too. Any future
+  * custom Expression whose doGenCode emits invalid Java fails here
+  * instead of silently degrading the bench.
+  */
+class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("codegen-suite")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      // no interpreted safety net: compile failures must THROW
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ready: Boolean = new java.io.File(sfDir).isDirectory
+
+  for (name <- graft.queries.VectorOps.queries.keys.toSeq.sorted) {
+    test(s"$name compiles under CODEGEN_ONLY / fallback=false") {
+      assume(ready)
+      // the assertion IS the collect: under fallback=false a codegen
+      // CompileException aborts the query (row counts are the
+      // correctness gate's job — v_neardup_pairs is legitimately
+      // empty at sf0.001)
+      SparkEntry.queries(name)(spark, sfDir).collect()
+    }
+  }
+
+  test("DotProduct codegen compiles for NON-NULLABLE inputs (r6 regression)") {
+    assume(ready)
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions._
+    // Array literals are non-nullable with containsNull=false — the
+    // exact shape that made BinaryExpression report nullable=false
+    // while doGenCode assigned `ev.isNull = true`, so janino rejected
+    // the generated projection ("not an rvalue") in round 6. Under
+    // CODEGEN_ONLY this collect() throws if that regresses.
+    val lit1 = typedLit(Seq(1.0f, 2.0f))
+    val lit2 = typedLit(Seq(3.0f, 4.0f))
+    val out = spark.range(1).select(VectorFunctions.dot(lit1, lit2).as("d"))
+    assert(!out.schema("d").nullable,
+      "non-nullable inputs with non-null elements => non-nullable result")
+    assert(out.collect().map(_.getDouble(0)).toSeq == Seq(11.0))
+  }
+
+  test("DotProduct is nullable — and yields null — when elements can be null") {
+    assume(ready)
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions._
+    // CreateArray over a nullable child => containsNull=true: the
+    // result schema must be nullable (declaring false here was the
+    // round-6 contract violation), and a null element must null the
+    // whole product, in codegen, matching nullSafeEval.
+    val a = array(lit(1.0f), lit(null).cast("float"))
+    val b = array(lit(3.0f), lit(4.0f))
+    val out = spark.range(1).select(
+      VectorFunctions.dot(a, b).as("dn"),
+      VectorFunctions.dot(b, b).as("dv"))
+    assert(out.schema("dn").nullable,
+      "nullable elements must make the result nullable")
+    val row = out.collect().head
+    assert(row.isNullAt(0), "null element must null the dot product")
+    assert(row.getDouble(1) == 25.0)
+  }
+}

@@ -73,6 +73,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_bad += 1
             continue
+        # the DRIVER's comparator sorts rows via pandas and throws
+        # "unhashable type: numpy.ndarray" on any list-typed result
+        # column (round 6: v_centroid_update) — this tool tuple-izes
+        # lists, so it would wrongly pass; hard-fail instead so an
+        # array-shaped gate can never look locally green again
+        arr_cols = [c for c, t in sorted(gtypes.items())
+                    if t.startswith(("list", "large_list", "fixed_size_list"))]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed result column(s) "
+                  f"{arr_cols} — the driver comparator cannot hash "
+                  f"these; project scalars (explode or concat_ws)")
+            n_bad += 1
+            continue
         for cname, ot in sorted(otypes.items()):
             gt = gtypes.get(cname)
             if gt is not None and gt != ot:
