@@ -1,7 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Counts silent codegen fallbacks: Spark logs "Failed to compile"
+  * (CodeGenerator, ERROR) / "codegen disabled" (WholeStageCodegenExec,
+  * WARN) and then falls back to interpreted evaluation with rc 0 and
+  * correct results — which is how round 6 benched every vector query
+  * in interpreted mode without any signal. CodegenMetrics has no
+  * error counter, so this taps the log stream itself via a root
+  * log4j2 appender; per-query deltas land in bench.json.
+  */
+object CodegenFallbackCounter {
+  val hits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private final class A extends
+      org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-fallbacks", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+      val m = String.valueOf(e.getMessage.getFormattedMessage)
+      if (m.contains("ailed to compile") || m.contains("codegen disabled"))
+        hits.incrementAndGet()
+    }
+  }
+
+  def install(): Unit = {
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val app = new A
+    app.start()
+    ctx.getConfiguration.getRootLogger
+      .addAppender(app, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Tee stderr to a file BEFORE any Spark class loads: log4j2's
+    // console appender latches System.err at first-log time, so the
+    // tee sees Spark's log stream too. Round 6's codegen stacks were
+    // only visible as a truncated stdout-tail artifact; with this the
+    // full stderr is always on disk.
+    val errPath = java.nio.file.Paths.get("target/bench.stderr")
+    java.nio.file.Files.createDirectories(errPath.getParent)
+    val errFile = new java.io.PrintStream(
+      new java.io.FileOutputStream(errPath.toFile), true, "UTF-8")
+    val origErr = System.err
+    System.setErr(new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = { origErr.write(b); errFile.write(b) }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        origErr.write(b, off, len); errFile.write(b, off, len)
+      }
+      override def flush(): Unit = { origErr.flush(); errFile.flush() }
+    }, true, "UTF-8"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -13,6 +64,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CodegenFallbackCounter.install()
     // Warm the JVM (codegen, parquet reader paths, file listings) so
     // timings measure query cost, not first-touch cost.
     try {
@@ -34,25 +86,35 @@ object Bench {
     // report a `failed` list, and exit non-zero so the harness sees
     // the regression here instead of only in the correctness gate.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): Map[String, Double] = wanted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch {
-        case t: Throwable =>
-          failed += name
-          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: " +
-            s"${String.valueOf(t.getMessage).take(500)}")
+    def pass(): (Map[String, Double], Map[String, Long]) = {
+      val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val falls = scala.collection.mutable.LinkedHashMap[String, Long]()
+      wanted.foreach { case (name, fn) =>
+        val f0 = CodegenFallbackCounter.hits.get()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: " +
+              s"${String.valueOf(t.getMessage).take(500)}")
+        }
+        times(name) = (System.nanoTime() - t0) / 1e9
+        val df = CodegenFallbackCounter.hits.get() - f0
+        if (df > 0) falls(name) = df
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (times.toMap, falls.toMap)
     }
-    val cold = pass()
-    val results = pass()
+    val (cold, fallsCold) = pass()
+    val (results, fallsWarm) = pass()
     // Millisecond precision keeps the line inside the ~2000-char stdout
     // tail the harness captures (round 5's full-precision line was cut
     // mid-JSON and the headline lost); sub-ms digits are run noise.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(m: Map[String, Double]) = m.map { case (k, v) =>
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def jsonL(m: Map[String, Long]) = m.map { case (k, v) =>
+      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // headline value = steady-state pass; the cold pass is reported
@@ -65,13 +127,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // The captured line carries the steady-state per-query map plus the
-    // two totals; the per-query COLD map is file-only detail (it doubled
-    // the line past the capture limit, and the cold headline survives
-    // as total_cold).
+    // The captured line carries the steady-state per-query map, the two
+    // totals, and the total fallback count (a nonzero value here means
+    // some query ran interpreted — per-query detail is in bench.json);
+    // the per-query COLD map is file-only detail (it doubled the line
+    // past the capture limit, and the cold headline survives as
+    // total_cold).
+    val fallbackTotal = CodegenFallbackCounter.hits.get()
     def mkLine(qs: Map[String, Double]) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""queries":${json(qs)},"total_cold":${r3(coldTotal)},""" +
+        s""""codegen_fallbacks":$fallbackTotal,""" +
         s""""failed":${failed.map("\"" + esc(_) + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"${esc(sfDir)}"}"""
     // The harness captures only a ~2000-char stdout tail; as the query
@@ -93,21 +159,25 @@ object Bench {
         mkLine(keep)
       }
     println(line)
-    // full detail (incl. per-query cold pass) persists to a file: the
-    // one-line JSON has outgrown captured stdout tails before (round
-    // 5's headline was unrecoverable)
+    // full detail (incl. per-query cold pass + per-query fallback
+    // deltas) persists to a file: the one-line JSON has outgrown
+    // captured stdout tails before (round 5's headline was
+    // unrecoverable)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       // always the FULL steady map in the file, even when the printed
       // line was truncated to fit the capture tail
       val detail = full.dropRight(1) +
-        s""","queries_cold":${json(cold)}}"""
+        s""","queries_cold":${json(cold)}""" +
+        s""","fallbacks":${jsonL(fallsWarm)}""" +
+        s""","fallbacks_cold":${jsonL(fallsCold)}}"""
       java.nio.file.Files.write(out,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable =>
       System.err.println(s"could not write target/bench.json: $t") }
     spark.stop()
+    errFile.flush()
     if (failed.nonEmpty) {
       System.err.println(s"${failed.size} queries failed: " +
         failed.mkString(", "))

@@ -256,9 +256,14 @@ object FileStats {
   // Manifest-bloom harvest cap: blooms are the fattest per-file stat,
   // so only explicitly opted-in columns have them (the parquet writer
   // emits blooms solely for `write.parquet.bloom-filter-enabled.
-  // column.<col>`) and a file whose blooms exceed the cap carries
-  // none (row-group-level skipping inside the scan still applies).
-  // Size the write-side blooms with `write.parquet.bloom-filter-
+  // column.<col>`). The budget is PER COLUMN SET, smallest columns
+  // first: candidates are sorted by encoded size (name tie-break) and
+  // admitted greedily, so one fat column can only starve a fatter
+  // one — never a cheaper one that would have fit — and which columns
+  // carry manifest blooms is deterministic regardless of parquet
+  // schema order. Dropped columns are logged once per file; their
+  // row-group-level skipping inside the scan still applies. Size the
+  // write-side blooms with `write.parquet.bloom-filter-
   // expected-ndv.column.<col>` — at the parquet default FPP, NDV 1024
   // is ~1.2 KB per row group.
   private val MaxBloomBytesPerFile = 64 * 1024
@@ -278,8 +283,6 @@ object FileStats {
       : Map[String, Seq[String]] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     if (blocks.isEmpty) return Map.empty
-    var budget = MaxBloomBytesPerFile
-    val out = Map.newBuilder[String, Seq[String]]
     val byName = blocks.map(b =>
       b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap)
     // only top-level columns of bloom-hashable physical types; the
@@ -287,10 +290,11 @@ object FileStats {
     // claim is unsound for rows in the uncovered groups
     val names = blocks.head.getColumns.asScala
       .map(_.getPath.toDotString).filter(!_.contains('.'))
-    for (name <- names if budget > 0) {
+    val candidates = names.flatMap { name =>
       try {
         val cols = byName.flatMap(_.get(name))
-        if (cols.size == blocks.size) {
+        if (cols.size != blocks.size) None
+        else {
           val tag = cols.head.getPrimitiveType.getPrimitiveTypeName match {
             case PrimitiveTypeName.INT32 => "INT32"
             case PrimitiveTypeName.INT64 => "INT64"
@@ -299,7 +303,8 @@ object FileStats {
             case PrimitiveTypeName.BINARY => "BINARY"
             case _ => null // FIXED_LEN (decimals), INT96: no probe path
           }
-          if (tag != null) {
+          if (tag == null) None
+          else {
             val bits = blocks.zip(cols).map { case (b, c) =>
               Option(reader.getBloomFilterDataReader(b).readBloomFilter(c))
                 .map { bf =>
@@ -308,20 +313,36 @@ object FileStats {
                   bos.toByteArray
                 }
             }
-            if (bits.forall(_.isDefined)) {
-              val total = bits.flatten.map(_.length).sum
-              if (total <= budget) {
-                budget -= total
-                out += name -> (tag +: bits.flatten.map(
-                  java.util.Base64.getEncoder.encodeToString))
-              }
+            if (!bits.forall(_.isDefined)) None
+            else {
+              val raw = bits.flatten
+              Some((name, raw.map(_.length).sum, tag +: raw.map(
+                java.util.Base64.getEncoder.encodeToString)))
             }
           }
         }
-      } catch { case _: Exception => () } // conservative: no bloom, no claim
+      } catch { case _: Exception => None } // conservative: no bloom, no claim
+    }
+    // smallest-first greedy admission: deterministic (size, name)
+    // order, so schema position never decides which opted-in columns
+    // get manifest blooms, and a drop is logged instead of silent
+    var budget = MaxBloomBytesPerFile
+    val out = Map.newBuilder[String, Seq[String]]
+    candidates.sortBy { case (n, sz, _) => (sz, n) }.foreach {
+      case (name, sz, enc) =>
+        if (sz <= budget) {
+          budget -= sz
+          out += name -> enc
+        } else {
+          log.warn(s"manifest bloom for column '$name' dropped: " +
+            s"$sz bytes exceeds remaining budget $budget of " +
+            s"$MaxBloomBytesPerFile (row-group blooms still apply)")
+        }
     }
     out.result()
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Probe a manifest bloom: may `file` contain `v` in column `a`?
     * True (no claim) when the column has no bloom, the literal cannot
