@@ -694,14 +694,35 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
           val keyedFiles: Option[Seq[(Seq[Any], DataFileMeta)]] =
             traverse(files)(f => traverse(ex)(_._2(f)).map(_ -> f))
           keyedFiles.map { kf =>
-            val groups = kf.groupBy(_._1).toSeq.map { case (k, fs) =>
+            val grouped = kf.groupBy(_._1).toSeq.map { case (k, fs) =>
+              (k, fs.map(_._2))
+            }
+            val groups = grouped.map { case (k, fs) =>
               val row: org.apache.spark.sql.catalyst.InternalRow =
                 new org.apache.spark.sql.catalyst.expressions
                   .GenericInternalRow(k.toArray[Any])
-              row -> LakeScans.build(table, fs.map(_._2), required, pushed,
-                options)
+              row -> LakeScans.build(table, fs, required, pushed, options)
             }
-            (ex.map(_._1).toArray, new KeyedBatch(groups))
+            // Bucket-key sort-free SPJ claim: when every key group is
+            // exactly ONE file whose write-order provenance covers the
+            // table's current sort order (translated to that file's
+            // write-time names), the group's rows are read in sorted
+            // order — provided the file also planned as a single input
+            // partition, which KeyedBatch checks (a split file's
+            // pieces pack size-ordered, not offset-ordered). Identity
+            // fields never need this (constant per group).
+            val so = table.meta.sortOrder
+            val sortClaim: Seq[String] =
+              if (so.isEmpty) Nil
+              else if (grouped.forall { case (_, fs) =>
+                fs.size == 1 && {
+                  val f = fs.head
+                  val rn = renames(f.schemaEpoch)
+                  f.sortedBy.take(so.size) == so.map(c => rn.getOrElse(c, c))
+                }
+              }) so
+              else Nil
+            (ex.map(_._1).toArray, new KeyedBatch(groups, sortClaim))
           }
         }
       }
@@ -736,19 +757,31 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
   // sorted in either direction. Reporting that ordering lets a
   // sort-merge join over storage-partitioned tables drop its SortExec
   // on the identity keys too: co-located joins become exchange-free
-  // AND sort-free. Bucket fields cannot claim this (rows inside a
-  // bucket vary on the source column), so only identity fields are
-  // reported.
+  // AND sort-free. Bucket fields can't ride the constant argument
+  // (rows inside a bucket vary on the source column) — they claim
+  // through write-order provenance instead: when every key group is a
+  // single sortedBy-stamped file planned as a single input partition
+  // (KeyedBatch.sortedClaim), the sort-order columns are appended, so
+  // a bucket-co-partitioned join on a WRITE ORDERED BY key is
+  // exchange-free and sort-free too.
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     keyed match {
-      case Some(_) =>
-        table.meta.partitionSpec.filter(_.transform == "identity").map { pf =>
+      case Some((_, batch)) =>
+        val asc = org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING
+        val idSorts = table.meta.partitionSpec
+          .filter(_.transform == "identity").map { pf =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(pf.sourceColumn), asc)
+          }
+        val soSorts = batch.sortedClaim.map { c =>
           org.apache.spark.sql.connector.expressions.Expressions.sort(
-            org.apache.spark.sql.connector.expressions.Expressions
-              .column(pf.sourceColumn),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-        }.toArray
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            asc)
+        }
+        (idSorts ++ soSorts).toArray
       case None => Array.empty
     }
 
@@ -1162,12 +1195,24 @@ case class KeyedPartition(inner: InputPartition, idx: Int,
 /** One delegate scan per partition tuple; every input partition is
   * tagged with its tuple's key row. Mirrors CompositeScan's routing. */
 class KeyedBatch(
-    groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Scan)])
+    groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Scan)],
+    fileSortClaim: Seq[String] = Nil)
   extends Batch {
 
   private lazy val delegates: Seq[Batch] = groups.map(_._2.toBatch)
   private lazy val partitionsByDelegate: Seq[Array[InputPartition]] =
     delegates.map(_.planInputPartitions())
+
+  /** The sort-order columns each key group's rows are provably read
+    * in: the scan-side file check (single sortedBy-stamped file per
+    * group) passed via `fileSortClaim`, and every group must also
+    * plan as ONE input partition — a file split across partitions
+    * reads its pieces in size-packed order, which would break the
+    * claim. Empty = no claim. */
+  lazy val sortedClaim: Seq[String] =
+    if (fileSortClaim.nonEmpty && partitionsByDelegate.forall(_.length == 1))
+      fileSortClaim
+    else Nil
 
   override def planInputPartitions(): Array[InputPartition] =
     partitionsByDelegate.zipWithIndex.flatMap { case (ps, i) =>

@@ -83,19 +83,32 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
     // tuple-major ordering: sort by the partition TRANSFORM values
     // first (bucket values interleave under a source-column sort), so
     // each task's rows are contiguous per tuple and the roll-over
-    // fanout writer holds exactly one open file at a time
+    // fanout writer holds exactly one open file at a time. Only
+    // IDENTITY partition sources drop out of the trailing sort-order
+    // columns (the transform sort already pins them); a bucket/
+    // truncate/date transform does NOT order its source column, so a
+    // WRITE ORDERED BY on it must still sort within each tuple — that
+    // within-file order is what the sortedBy stamp (and the bucket
+    // SPJ sort-free claim) stands on.
     val partSorts = table.meta.partitionSpec.map(f =>
       Expressions.sort(Transforms.toTransform(f), SortDirection.ASCENDING))
-    val partCols = table.meta.partitionSpec.map(_.sourceColumn).toSet
-    (partSorts ++ table.meta.sortOrder.filterNot(partCols.contains).map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))).toArray
+    val identityCols = table.meta.partitionSpec
+      .filter(_.transform == "identity").map(_.sourceColumn).toSet
+    (partSorts ++ table.meta.sortOrder.filterNot(identityCols.contains)
+      .map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+      .toArray
   }
 
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite =
+    // batch plans enforce requiredOrdering (Spark injects the sort),
+    // so committed files may carry the write-order provenance stamp;
+    // streaming epochs construct LakeBatchWrite directly and don't
     new LakeBatchWrite(table, info, mode, overwriteFilters,
-      operationOverride, onCommit, replacedFiles)
+      operationOverride, onCommit, replacedFiles,
+      sortedWith = table.meta.sortOrder)
 
   override def toStreaming: StreamingWrite =
     new LakeStreamingWrite(table, info, mode)
@@ -104,7 +117,8 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
 class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
     overwriteFilters: Array[Filter], operationOverride: Option[String],
     onCommit: Option[TableMeta => Unit],
-    replacedFiles: () => Option[Seq[String]] = () => None)
+    replacedFiles: () => Option[Seq[String]] = () => None,
+    sortedWith: Seq[String] = Nil)
   extends BatchWrite {
 
   private val stagingDir =
@@ -135,7 +149,8 @@ class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (!partitioned) delegate.commit(messages)
     val committed = LakeWriteUtil.commitStaged(table, stagingDir, mode,
-      overwriteFilters, info.schema(), operationOverride, replacedFiles())
+      overwriteFilters, info.schema(), operationOverride, replacedFiles(),
+      sortedWith)
     onCommit.foreach(_(committed))
   }
 
@@ -240,7 +255,8 @@ object LakeWriteUtil {
   def commitStaged(table: LakeTable, stagingDir: String, mode: String,
       overwriteFilters: Array[Filter], writeSchema: StructType,
       operationOverride: Option[String],
-      replaced: Option[Seq[String]] = None): TableMeta = {
+      replaced: Option[Seq[String]] = None,
+      sortedWith: Seq[String] = Nil): TableMeta = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
     table.catalog.commitRetrying(table.ident) { fresh =>
@@ -266,11 +282,23 @@ object LakeWriteUtil {
 
     val stagedPaths = listParquet(stagingDir, conf)
     val specTuples = partitionTuples(spark, stagedPaths, evolved)
-    val staged = FileStats.fromFooters(stagedPaths, conf, schema, epoch,
+    val harvested = FileStats.fromFooters(stagedPaths, conf, schema, epoch,
       p => {
         val tuples = specTuples.getOrElse(normPath(p), Set.empty)
         if (tuples.size == 1) tuples.head else Map.empty
       })
+    // write-order provenance: rows arrived sorted tuple-major then by
+    // the sort-order columns (requiredOrdering, batch plans only), so
+    // a single-tuple file — or any file of an unpartitioned table —
+    // is internally sorted by those columns. Multi-tuple files (empty
+    // partitionValues on a partitioned table) make no claim.
+    val staged =
+      if (sortedWith.isEmpty) harvested
+      else harvested.map { f =>
+        if (evolved.partitionSpec.isEmpty || f.partitionValues.nonEmpty)
+          f.copy(sortedBy = sortedWith)
+        else f
+      }
 
     // WAP / branch routing
     val sconf = spark.conf

@@ -256,8 +256,11 @@ object Manifests {
     val d2 =
       if (d1.columns.contains("valueSets")) d1
       else d1.withColumn("valueSets", typedLit(Map.empty[String, Seq[String]]))
-    if (d2.columns.contains("blooms")) d2
-    else d2.withColumn("blooms", typedLit(Map.empty[String, Seq[String]]))
+    val d3 =
+      if (d2.columns.contains("blooms")) d2
+      else d2.withColumn("blooms", typedLit(Map.empty[String, Seq[String]]))
+    if (d3.columns.contains("sortedBy")) d3
+    else d3.withColumn("sortedBy", typedLit(Seq.empty[String]))
   }
 
   /** Simulates a cold start (the cache is process-wide otherwise). */

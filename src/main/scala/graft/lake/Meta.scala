@@ -65,7 +65,16 @@ final case class DataFileMeta(
     // literal exactly as the writer hashed the value), tail is one
     // base64 xxhash block-split bitset per row group ("file may
     // contain v" = any row-group bloom may). Absent column → no claim.
-    blooms: Map[String, Seq[String]] = Map.empty)
+    blooms: Map[String, Seq[String]] = Map.empty,
+    // Write-order provenance (write-time column names): the WRITE
+    // ORDERED BY columns this file's rows are sorted by, stamped ONLY
+    // by the batch-write commit path whose requiredOrdering Spark
+    // enforced (streaming epochs and delete-applying rewrites stamp
+    // nothing). Read side: when every SPJ key group is one such file
+    // in one input partition, the scan can report this ordering and a
+    // bucket-co-partitioned sort-merge join drops its SortExec too.
+    // Nil = no claim (pre-round-7 metadata, unsorted writers).
+    sortedBy: Seq[String] = Nil)
 
 /** An equality-delete file (Iceberg v2 semantics, the write path
   * Flink's upsert sink uses): a parquet file of identifier-column

@@ -33,6 +33,11 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
   private def sql(s: String) = spark.sql(s)
   private def count(s: String): Long = sql(s).collect()(0).getLong(0)
 
+  /** Sort operator occurrences in a printed physical plan (tree-edge
+    * prefixed, so "SortMergeJoin"/"SortAggregate" don't match). */
+  private def sortNodes(plan: String): Int =
+    "- Sort \\[".r.findAllIn(plan).size
+
   test("create / insert / select / time travel / metadata tables") {
     sql("CREATE TABLE lake.db.sample (id bigint NOT NULL, data string) USING lake")
     sql("INSERT INTO lake.db.sample VALUES (1,'a'),(2,'b')")
@@ -1428,15 +1433,64 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       val df = sql("""SELECT a.id, b.v FROM lake.db.spjs1 a
                    |JOIN lake.db.spjs2 b ON a.cat = b.cat""".stripMargin)
       assert(df.count() == 80L * 40 / 4)
-      val plan = df.queryExecution.executedPlan
-      assert(!plan.toString.contains("Exchange"), plan.toString)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
       // within a key group the identity column is constant, the scan
-      // reports that ordering, and the sort-merge join needs no sorts
-      val sorts = plan.collect {
-        case s: org.apache.spark.sql.execution.SortExec => s
-      }
-      assert(sorts.isEmpty,
+      // reports that ordering, and the sort-merge join needs no sorts.
+      // (String match, not collect: AdaptiveSparkPlanExec does not
+      // expose its inner plan to TreeNode.collect.)
+      assert(sortNodes(plan) == 0,
         s"identity-keyed SPJ must not re-sort constant columns:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("storage-partitioned join on bucket keys is sort-free with write order") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def mkTable(name: String, valCol: String): Unit = {
+        sql(s"""CREATE TABLE lake.db.$name (id bigint, $valCol string)
+             |USING lake PARTITIONED BY (bucket(4, id))""".stripMargin)
+        // WRITE ORDERED BY the bucket SOURCE column: the write sorts
+        // (bucket(id), id) per task, so each single-tuple file is
+        // internally sorted by id and commits with that provenance.
+        // (This suite runs without the DDL parser extension, so the
+        // command behind `ALTER TABLE ... WRITE ORDERED BY` runs
+        // directly.)
+        LakeWriteOrderCommand(Seq("lake", "db", name), Seq("id")).run(spark)
+      }
+      mkTable("spjbs1", "x")
+      sql("INSERT INTO lake.db.spjbs1 SELECT id, concat('x', id) FROM range(120)")
+      mkTable("spjbs2", "y")
+      sql("INSERT INTO lake.db.spjbs2 SELECT id, concat('y', id) FROM range(60)")
+
+      val df = sql("""SELECT a.x, b.y FROM lake.db.spjbs1 a
+                   |JOIN lake.db.spjbs2 b ON a.id = b.id""".stripMargin)
+      assert(df.count() == 60)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-co-partitioned join must not shuffle:\n$plan")
+      // every key group is one write-ordered file in one input
+      // partition, the scan reports the id ordering, and the
+      // sort-merge join drops BOTH SortExecs
+      assert(sortNodes(plan) == 0,
+        s"write-ordered bucket SPJ must not re-sort:\n$plan")
+
+      // soundness valve: a second append gives some group two files,
+      // whose concatenation is NOT id-sorted — the ordering claim must
+      // withdraw (a sort reappears on that side) while the exchange
+      // stays eliminated
+      sql("INSERT INTO lake.db.spjbs1 SELECT id + 120, concat('x', id) FROM range(20)")
+      val df2 = sql("""SELECT a.x, b.y FROM lake.db.spjbs1 a
+                    |JOIN lake.db.spjbs2 b ON a.id = b.id""".stripMargin)
+      assert(df2.count() == 60)
+      val plan2 = df2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange"), plan2)
+      assert(sortNodes(plan2) >= 1,
+        s"multi-file groups must withdraw the ordering claim:\n$plan2")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
