@@ -282,10 +282,16 @@ object VectorOps {
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
     val assigned = ivfAssign(emb, k)
       .select(col("vec_id"), col("embedding"), col("cell"))
+    // ±0.0 canonicalization: a dimension whose true mean magnitude is
+    // below round-4 resolution rounds to zero, but the SIGN of the
+    // underlying tiny sum depends on summation order — Spark's partial
+    // aggregation and DuckDB disagree per cell, and -0.0 vs 0.0 breaks
+    // a hash/sort compare even though the values are equal
+    val m0 = round(avg(col("col").cast("double")), 4)
     assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 4).as("m"),
+      .agg(when(m0 === 0.0, lit(0.0)).otherwise(m0).as("m"),
         count(lit(1)).as("n_members"))
       .select(col("cell").as("cluster_id"), col("pos").cast("long").as("pos"),
         col("m"), col("n_members"))
@@ -448,7 +454,10 @@ object VectorOps {
          |    unnest(embedding)::DOUBLE AS x
          |  FROM assigned)
          |SELECT cell AS cluster_id, (i - 1)::BIGINT AS pos,
-         |  round(avg(x), 4) AS m, count(*) AS n_members
+         |  CASE WHEN round(avg(x), 4) = 0 THEN 0.0
+         |       ELSE round(avg(x), 4) END AS m, -- ±0.0 canonicalized,
+         |                                       -- matching the Spark side
+         |  count(*) AS n_members
          |FROM ex GROUP BY cell, i
          |ORDER BY cluster_id, pos""".stripMargin,
     "v_knn_join" ->
