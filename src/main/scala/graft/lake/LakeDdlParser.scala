@@ -217,7 +217,17 @@ case class LakeWriteOrderCommand(table: Seq[String], cols: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
     val meta = cat.loadMeta(ident)
-    cat.commitMeta(meta.copy(sortOrder = cols))
+    // normalize `col [ASC|DESC] [NULLS FIRST|LAST]` items and verify
+    // the columns exist — both fail loudly; an unparsed direction
+    // token stored as part of a column NAME would silently corrupt
+    // the write ordering, the sortedBy stamp and the SPJ claim
+    val entries = cols.map(SortSpec.normalize)
+    val have = meta.schema.fieldNames.toSet
+    val missing = entries.map(SortSpec.parse(_).column).filterNot(have)
+    require(missing.isEmpty,
+      s"WRITE ORDERED BY references missing column(s): " +
+        s"${missing.mkString(", ")} (have: ${have.mkString(", ")})")
+    cat.commitMeta(meta.copy(sortOrder = entries))
     Nil
   }
 }

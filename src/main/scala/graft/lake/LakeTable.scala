@@ -716,9 +716,16 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
               if (so.isEmpty) Nil
               else if (grouped.forall { case (_, fs) =>
                 fs.size == 1 && {
+                  // stamped entries carry write-time column names:
+                  // translate the NAME portion of each current entry
+                  // into that file's epoch before comparing
                   val f = fs.head
                   val rn = renames(f.schemaEpoch)
-                  f.sortedBy.take(so.size) == so.map(c => rn.getOrElse(c, c))
+                  val want = so.map { e =>
+                    val p = SortSpec.parse(e)
+                    p.copy(column = rn.getOrElse(p.column, p.column)).normalized
+                  }
+                  f.sortedBy.take(want.size) == want
                 }
               }) so
               else Nil
@@ -776,10 +783,21 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
               org.apache.spark.sql.connector.expressions.Expressions
                 .column(pf.sourceColumn), asc)
           }
-        val soSorts = batch.sortedClaim.map { c =>
+        val soSorts = batch.sortedClaim.map { entry =>
+          val e = SortSpec.parse(entry)
           org.apache.spark.sql.connector.expressions.Expressions.sort(
-            org.apache.spark.sql.connector.expressions.Expressions.column(c),
-            asc)
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(e.column),
+            if (e.descending)
+              org.apache.spark.sql.connector.expressions
+                .SortDirection.DESCENDING
+            else asc,
+            if (e.nullsFirst)
+              org.apache.spark.sql.connector.expressions
+                .NullOrdering.NULLS_FIRST
+            else
+              org.apache.spark.sql.connector.expressions
+                .NullOrdering.NULLS_LAST)
         }
         (idSorts ++ soSorts).toArray
       case None => Array.empty

@@ -94,9 +94,15 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
       Expressions.sort(Transforms.toTransform(f), SortDirection.ASCENDING))
     val identityCols = table.meta.partitionSpec
       .filter(_.transform == "identity").map(_.sourceColumn).toSet
-    (partSorts ++ table.meta.sortOrder.filterNot(identityCols.contains)
-      .map(c =>
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+    (partSorts ++ table.meta.sortOrder.map(SortSpec.parse)
+      .filterNot(e => identityCols.contains(e.column))
+      .map(e => Expressions.sort(Expressions.column(e.column),
+        if (e.descending) SortDirection.DESCENDING
+        else SortDirection.ASCENDING,
+        if (e.nullsFirst)
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+        else
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST)))
       .toArray
   }
 
@@ -629,7 +635,8 @@ object LakeWriteUtil {
       conf: org.apache.hadoop.conf.Configuration,
       applyDeletes: Map[String, Array[Long]] = Map.empty,
       applyEqs: Seq[EqDeleteMeta] = Nil,
-      newSeq: Long = 0L): Seq[DataFileMeta] = {
+      newSeq: Long = 0L,
+      sortedWith: Seq[String] = Nil): Seq[DataFileMeta] = {
     val outDir = s"${meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
     val schema = meta.schema
     // files with different data sequence numbers are subject to
@@ -674,7 +681,11 @@ object LakeWriteUtil {
       p => {
         val t = tuples.getOrElse(normPath(p), Set.empty)
         if (t.size == 1) t.head else Map.empty
-      }).map(_.copy(seq = newSeq))
+      // sortedWith: only sort-strategy compaction passes it (its xform
+      // ends in sortWithinPartitions over exactly these entries, one
+      // output file per df partition) — binpack/zorder/delete-applying
+      // rewrites stamp nothing
+      }).map(_.copy(seq = newSeq, sortedBy = sortedWith))
   }
 
   /** Dynamic partition overwrite: drop/rewrite parent files that

@@ -132,6 +132,59 @@ final case class RefMeta(refType: String, snapshotId: Long,
     minSnapshotsToKeep: Option[Int] = None,
     maxSnapshotAgeMs: Option[Long] = None)
 
+/** One WRITE ORDERED BY entry. `TableMeta.sortOrder` (and the per-file
+  * `DataFileMeta.sortedBy` stamp) store entries in NORMALIZED string
+  * form — `name`, `name desc`, `name nulls last`, `name desc nulls
+  * first` — where a bare name means the default ascending / nulls
+  * first, and desc defaults to nulls last (the Iceberg/Spark
+  * convention). Plain pre-round-8 metadata (bare column names) parses
+  * unchanged. Normalization matters: the write path, the file stamp
+  * and the SPJ ordering claim all compare these strings.
+  */
+final case class SortSpec(column: String, descending: Boolean,
+    nullsFirst: Boolean) {
+  def normalized: String =
+    column +
+      (if (descending) " desc" else "") +
+      (if (nullsFirst != SortSpec.defaultNullsFirst(descending))
+        (if (nullsFirst) " nulls first" else " nulls last")
+      else "")
+}
+
+object SortSpec {
+  def defaultNullsFirst(descending: Boolean): Boolean = !descending
+
+  /** Parse a stored entry or a raw SQL item (`col [ASC|DESC]
+    * [NULLS FIRST|LAST]`, any case). Unknown trailing tokens are an
+    * error — silently treating "category ASC NULLS LAST" as a column
+    * NAME was exactly the bug this type removes. */
+  def parse(entry: String): SortSpec = {
+    val toks = entry.trim.split("\\s+").toList
+    require(toks.nonEmpty && toks.head.nonEmpty, s"empty sort entry '$entry'")
+    val column = toks.head.replace("`", "")
+    var rest = toks.tail.map(_.toLowerCase)
+    var desc = false
+    rest match {
+      case ("asc" | "desc") :: t =>
+        desc = rest.head == "desc"
+        rest = t
+      case _ => ()
+    }
+    var nullsFirst = defaultNullsFirst(desc)
+    rest match {
+      case "nulls" :: ("first" | "last") :: t =>
+        nullsFirst = rest(1) == "first"
+        rest = t
+      case _ => ()
+    }
+    require(rest.isEmpty,
+      s"unrecognized tokens '${rest.mkString(" ")}' in sort entry '$entry'")
+    SortSpec(column, desc, nullsFirst)
+  }
+
+  def normalize(entry: String): String = parse(entry).normalized
+}
+
 final case class TableMeta(
     formatVersion: Int,
     uuid: String,

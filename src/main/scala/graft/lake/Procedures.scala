@@ -474,10 +474,21 @@ object Procedures {
         // vectorized read path.
         val nextId = m.lastSnapshotId + 1
         val parentEqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
+        // sort-strategy outputs end in sortWithinPartitions over the
+        // requested columns, so each rewritten file carries the
+        // write-order provenance stamp — compaction RESTORES the
+        // bucket-SPJ sort-free claim that multi-file groups withdrew
+        val sortedStamp: Seq[String] =
+          if (strategy.equalsIgnoreCase("sort") && zorderCols.isEmpty &&
+              sortCols.nonEmpty)
+            sortSpec.toSeq.flatMap(_.split(","))
+              .map(_.trim).filter(_.nonEmpty).map(SortSpec.normalize)
+          else Nil
         val rewritten = small.groupBy(_.partitionValues).toSeq
           .flatMap { case (_, group) =>
             LakeWriteUtil.rewriteFiles(spark, m, group, xform(group),
-              catalog.hadoopConf, applyEqs = parentEqs, newSeq = nextId)
+              catalog.hadoopConf, applyEqs = parentEqs, newSeq = nextId,
+              sortedWith = sortedStamp)
           }
         val untouched = files.filterNot(f => small.exists(_.path == f.path))
         val newFiles = untouched ++ rewritten

@@ -1491,9 +1491,61 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan2.contains("Exchange"), plan2)
       assert(sortNodes(plan2) >= 1,
         s"multi-file groups must withdraw the ordering claim:\n$plan2")
+
+      // sort-strategy compaction rewrites each bucket back to one
+      // sorted stamped file — the claim (and the sort-free plan) must
+      // come back. This is the production shape: steady-state bucket
+      // tables are compacted, so the sorts stay dropped.
+      sql("""CALL lake.system.rewrite_data_files(table => 'db.spjbs1',
+           |strategy => 'sort', sort_order => 'id',
+           |options => map('min-input-files', '1', 'rewrite-all', 'true'))"""
+        .stripMargin)
+      val df3 = sql("""SELECT a.x, b.y FROM lake.db.spjbs1 a
+                    |JOIN lake.db.spjbs2 b ON a.id = b.id""".stripMargin)
+      assert(df3.count() == 60)
+      val plan3 = df3.queryExecution.executedPlan.toString
+      assert(!plan3.contains("Exchange"), plan3)
+      assert(sortNodes(plan3) == 0,
+        s"sort-strategy compaction must restore the sort-free claim:\n$plan3")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("WRITE ORDERED BY normalizes direction tokens and honors DESC") {
+    sql("CREATE TABLE lake.db.wodesc (id bigint, cat string) USING lake")
+    LakeWriteOrderCommand(Seq("lake", "db", "wodesc"),
+      Seq("cat ASC NULLS LAST", "id DESC")).run(spark)
+    val meta = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+      .loadMeta(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "wodesc"))
+    // direction tokens become part of the normalized ENTRY, never the
+    // column name (the old parser stored "cat ASC NULLS LAST" as a
+    // column, silently corrupting the write ordering)
+    assert(meta.sortOrder == Seq("cat nulls last", "id desc"), meta.sortOrder)
+    // a write under this order really is cat-asc, id-desc within files
+    sql("""INSERT INTO lake.db.wodesc
+         |SELECT id, concat('c', cast(id % 3 AS string)) FROM range(30)""".stripMargin)
+    val m2 = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+      .loadMeta(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "wodesc"))
+    val file = m2.currentSnapshot("main").get.files.head
+    assert(file.sortedBy == Seq("cat nulls last", "id desc"), file.sortedBy)
+    val rows = spark.read.parquet(file.path)
+      .select("cat", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sameElements(rows.sortBy { case (c, i) => (c, -i) }),
+      s"file rows must be (cat asc, id desc)-sorted: ${rows.take(10).toSeq}")
+    // unknown tokens fail loudly instead of becoming column names
+    intercept[IllegalArgumentException] {
+      LakeWriteOrderCommand(Seq("lake", "db", "wodesc"),
+        Seq("id SIDEWAYS")).run(spark)
+    }
+    intercept[IllegalArgumentException] {
+      LakeWriteOrderCommand(Seq("lake", "db", "wodesc"),
+        Seq("nosuchcol")).run(spark)
     }
   }
 
