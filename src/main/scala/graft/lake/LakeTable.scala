@@ -333,7 +333,7 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
       // (multi-epoch) and LakeBatchScan paths already relabel; do the
       // same here when the names diverge.
       if (s.readSchema() == required) s
-      else new CompositeScan(Seq(s), required)
+      else new CompositeScan(Seq("all" -> s), required)
     }
     else {
       val planned = limit match {
@@ -624,8 +624,20 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
   // lazy so a key-grouped (SPJ) execution never pays for the flat
   // delegate's file index; runtime filtering swaps in a narrowed one
   @volatile private var narrowedDelegate: Option[Scan] = None
+  // Runtime filtering can pair the reader factory of one toBatch with
+  // the partitions of another (either direction — BatchScanExec
+  // re-calls toBatch after filter(), and factory/partition evaluation
+  // order is lazy). Pinning ONE leaf layout, derived from the
+  // pre-narrowing file set, for both the initial and every narrowed
+  // delegate makes all such pairings route correctly. Scans that can
+  // never be runtime-filtered (unpartitioned; the keyed SPJ path
+  // disables filtering) keep the bare fast path.
+  private lazy val leafLayout: Option[Seq[String]] =
+    if (table.meta.partitionSpec.isEmpty) None
+    else Some(LakeScans.leafKeysFor(initial, deleted, eqDeleted))
   private lazy val initialDelegate: Scan =
-    LakeScans.build(table, files, required, pushed, options, deleted, eqDeleted)
+    LakeScans.build(table, files, required, pushed, options, deleted,
+      eqDeleted, layout = leafLayout)
   private def delegate: Scan = narrowedDelegate.getOrElse(initialDelegate)
 
   override def readSchema(): StructType = required
@@ -819,8 +831,9 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
       LakeBatchScan.lastRuntimeFileCount.set(narrowed.size)
       if (narrowed.size < files.size) {
         files = narrowed
+        // same pinned layout as initialDelegate — see leafLayout
         narrowedDelegate = Some(LakeScans.build(table, files, required,
-          pushed, options, deleted, eqDeleted))
+          pushed, options, deleted, eqDeleted, layout = leafLayout))
       }
     }
   }
@@ -930,9 +943,15 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
   extends Scan with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[DataFileMeta] = initial
+  // pinned leaf layout for the same reason as LakeBatchScan.leafLayout:
+  // Spark's runtime (group) filtering pairs one toBatch's reader
+  // factory with another's partitions in either direction, so the
+  // initial and narrowed delegates must share one leaf-key layout
+  private val leafLayout: Option[Seq[String]] =
+    Some(LakeScans.leafKeysFor(initial, deleted, eqDeleted))
   @volatile private var delegate: Scan =
     LakeScans.build(table, files, required, Array.empty, options, deleted,
-      eqDeleted)
+      eqDeleted, layout = leafLayout)
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -949,7 +968,7 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
       files = FileStats.prune(files, v1.toSeq, table.schema())
       onFiles(files)
       delegate = LakeScans.build(table, files, required, Array.empty, options,
-        deleted, eqDeleted)
+        deleted, eqDeleted, layout = leafLayout)
     }
   }
 
@@ -958,47 +977,83 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
 
 object LakeScans {
 
+  /** Split into mask-routed (dirty) and vectorized (clean) files. */
+  private def splitDirty(files: Seq[DataFileMeta],
+      deleted: Map[String, Seq[String]],
+      eqDeleted: Map[String, Seq[EqDeleteMeta]])
+      : (Seq[DataFileMeta], Seq[DataFileMeta]) =
+    if (deleted.isEmpty && eqDeleted.isEmpty) (Nil, files)
+    else {
+      val (d, c) = files.partition { f =>
+        val np = PosDeletes.norm(f.path)
+        deleted.contains(np) || eqDeleted.contains(np)
+      }
+      (d, c)
+    }
+
+  /** The stable leaf-key layout a file set plans under: one
+    * "e<epoch>" per clean schema epoch plus "pos" when any file is
+    * mask-routed ("e" for an empty set). A scan that can be
+    * runtime-filtered must build its INITIAL and NARROWED delegates
+    * over the SAME layout (see [[build]]'s `layout`). */
+  def leafKeysFor(files: Seq[DataFileMeta],
+      deleted: Map[String, Seq[String]],
+      eqDeleted: Map[String, Seq[EqDeleteMeta]]): Seq[String] = {
+    val (dirty, clean) = splitDirty(files, deleted, eqDeleted)
+    val epochKeys =
+      clean.map(_.schemaEpoch).distinct.sorted.map(e => s"e$e")
+    val base =
+      if (epochKeys.isEmpty && dirty.isEmpty) Seq("e") else epochKeys
+    base ++ (if (dirty.nonEmpty) Seq("pos") else Nil)
+  }
+
   /** Build a (possibly epoch-composite) parquet scan over a pinned
     * file list. Single-epoch tables get a bare ParquetScan — full
     * vectorization, row-group skipping and exchange reuse, visible
-    * as such in .explain(). */
+    * as such in .explain().
+    *
+    * `layout`: Spark's runtime-filtering path freely MIXES the reader
+    * factory of one toBatch with the input partitions of another
+    * (BatchScanExec re-calls scan.toBatch after filter(), and lazy
+    * evaluation order can pair them either way round) — so a scan
+    * that supports runtime filtering passes the SAME leaf-key layout
+    * ([[leafKeysFor]] over the PRE-narrowing file set) to both its
+    * initial and narrowed builds. Leaves missing from the current
+    * file set build empty (zero partitions), keeping every factory
+    * able to route every partition key. Positional routing here
+    * previously sent a bare FilePartition into the composite factory
+    * (MatchError, DML-fuzz seed 7701) and could have routed a masked
+    * file's partitions to the unmasked reader. */
   def build(table: LakeTable, files: Seq[DataFileMeta],
       required: StructType, pushed: Array[Filter],
       options: CaseInsensitiveStringMap,
       deleted: Map[String, Seq[String]] = Map.empty,
-      eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty): Scan = {
+      eqDeleted: Map[String, Seq[EqDeleteMeta]] = Map.empty,
+      layout: Option[Seq[String]] = None): Scan = {
     val spark = SparkSession.active
     val currentSchema = table.schema()
     // Projections of the _file/_pos metadata columns need per-row file
     // ordinals: every file takes the ordinal-tracking row scan (which
     // also subtracts any masks). Only metadata-column queries and
-    // delta row-level scans pay this path.
+    // delta row-level scans pay this path. (Both the initial and any
+    // narrowed build take this same early exit, so the pairing stays
+    // PosDeleteScan-to-PosDeleteScan — its partitions are
+    // self-describing and its eq-delete group indices are
+    // deterministic over the same delete maps.)
     val wantsMeta = required.fields.exists(f =>
       LakeMetaColumns.Names(f.name) && !currentSchema.fieldNames.contains(f.name))
     if (wantsMeta)
       return new PosDeleteScan(table, files, required, deleted, eqDeleted)
-    // Files with position-delete masks or applicable equality deletes
-    // route through the row-based mask-applying scan; clean files keep
-    // the vectorized path.
-    val (dirty, clean) =
-      if (deleted.isEmpty && eqDeleted.isEmpty) (Nil, files)
-      else files.partition { f =>
-        val np = PosDeletes.norm(f.path)
-        deleted.contains(np) || eqDeleted.contains(np)
-      }
-    if (dirty.nonEmpty) {
-      val cleanScan =
-        if (clean.isEmpty) Nil
-        else Seq(build(table, clean, required, pushed, options))
-      val all = cleanScan :+
-        new PosDeleteScan(table, dirty, required, deleted, eqDeleted)
-      return if (all.size == 1) all.head else new CompositeScan(all, required)
-    }
-    val byEpoch = files.groupBy(_.schemaEpoch).toSeq.sortBy(_._1)
-    val scans = byEpoch match {
-      case Seq() => Seq(parquetScan(spark, table, Nil, currentSchema,
-        required, pushed, options))
-      case es => es.map { case (epoch, fs) =>
+    val (dirty, clean) = splitDirty(files, deleted, eqDeleted)
+    val cleanByEpoch = clean.groupBy(_.schemaEpoch)
+    def leafFor(key: String): Scan = key match {
+      case "pos" => new PosDeleteScan(table, dirty, required, deleted,
+        eqDeleted)
+      case "e" => parquetScan(spark, table, Nil, currentSchema, required,
+        pushed, options)
+      case k =>
+        val epoch = k.drop(1).toInt
+        val fs = cleanByEpoch.getOrElse(epoch, Nil)
         val epochSchema = table.meta.schemaAt(epoch)
         val rename = renameMap(currentSchema, epochSchema)
         val dataSchema = mapNames(currentSchema, rename)
@@ -1006,10 +1061,13 @@ object LakeScans {
         val filters = pushed.flatMap(renameFilter(_, rename))
         parquetScan(spark, table, fs.map(_.path), dataSchema, readSchema,
           filters, options)
-      }
     }
-    if (scans.size == 1) scans.head
-    else new CompositeScan(scans, required)
+    val keys = layout.getOrElse(leafKeysFor(files, deleted, eqDeleted))
+    val leaves = keys.map(k => k -> leafFor(k))
+    // bare fast path only without a pinned layout: a layout means this
+    // scan's batches can be cross-paired, so even one leaf must wrap
+    if (leaves.size == 1 && layout.isEmpty) leaves.head._2
+    else new CompositeScan(leaves, required)
   }
 
   private def parquetScan(spark: SparkSession, table: LakeTable,
@@ -1147,8 +1205,9 @@ object LakeScans {
 
 /** Concatenates per-epoch scans; partitions route to their own
   * delegate reader factory (columnar included). */
-class CompositeScan(scans: Seq[Scan], schema: StructType)
+class CompositeScan(keyedScans: Seq[(String, Scan)], schema: StructType)
   extends Scan with Batch with SupportsReportStatistics {
+  private def scans: Seq[Scan] = keyedScans.map(_._2)
   override def readSchema(): StructType = schema
   override def description(): String =
     s"CompositeScan(${scans.map(_.description()).mkString("; ")})"
@@ -1174,37 +1233,45 @@ class CompositeScan(scans: Seq[Scan], schema: StructType)
   }
   override def toBatch: Batch = this
 
-  private lazy val delegates: Seq[Batch] = scans.map(_.toBatch)
+  private lazy val delegates: Seq[(String, Batch)] =
+    keyedScans.map { case (k, s) => k -> s.toBatch }
 
   private lazy val partitionsByDelegate: Seq[Array[InputPartition]] =
-    delegates.map(_.planInputPartitions())
+    delegates.map(_._2.planInputPartitions())
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitionsByDelegate.zipWithIndex.flatMap { case (ps, i) =>
-      ps.map(p => EpochPartition(p, i): InputPartition)
+    partitionsByDelegate.zip(delegates).flatMap { case (ps, (k, _)) =>
+      ps.map(p => EpochPartition(p, k): InputPartition)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val factories = delegates.map(_.createReaderFactory())
+    val factories = delegates.map { case (k, b) => k -> b.createReaderFactory() }
     // Spark requires every partition of one scan to be uniformly
     // columnar or row-based. If the delegates disagree (vectorized
     // parquet + row-based position-delete scans), run the whole
     // composite row-based: columnar delegates decode vectorized
     // internally and hand rows out through an adapter.
-    val support = factories.zip(partitionsByDelegate).flatMap {
+    val support = factories.map(_._2).zip(partitionsByDelegate).flatMap {
       case (f, ps) => ps.map(f.supportColumnarReads)
     }
     val mixed = support.contains(true) && support.contains(false)
-    new CompositeReaderFactory(factories, forceRows = mixed)
+    new CompositeReaderFactory(factories.toMap, forceRows = mixed)
   }
 }
 
-case class EpochPartition(inner: InputPartition, idx: Int) extends InputPartition
+/** Delegate-routed input partition. `key` is the leaf's STABLE id
+  * ("e<epoch>" / "pos" / "g<n>"), NOT a position: the reader factory
+  * that unwraps this partition may come from an earlier toBatch of
+  * the same logical scan with a different leaf layout (Spark's
+  * runtime-filtering re-plan), and only a self-describing key routes
+  * it to the right reader there. */
+case class EpochPartition(inner: InputPartition, key: String)
+  extends InputPartition
 
 /** Delegate-routed input partition carrying a storage-partition key:
   * all rows of `inner` share `key` (proven from footer stats), which
   * is what lets Spark group partitions for a shuffle-free join. */
-case class KeyedPartition(inner: InputPartition, idx: Int,
+case class KeyedPartition(inner: InputPartition, leaf: String,
     key: org.apache.spark.sql.catalyst.InternalRow)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
@@ -1234,40 +1301,54 @@ class KeyedBatch(
 
   override def planInputPartitions(): Array[InputPartition] =
     partitionsByDelegate.zipWithIndex.flatMap { case (ps, i) =>
-      ps.map(p => KeyedPartition(p, i, groups(i)._1): InputPartition)
+      ps.map(p => KeyedPartition(p, s"g$i", groups(i)._1): InputPartition)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val factories = delegates.map(_.createReaderFactory())
-    val support = factories.zip(partitionsByDelegate).flatMap {
+    val factories = delegates.zipWithIndex.map { case (b, i) =>
+      s"g$i" -> b.createReaderFactory()
+    }
+    val support = factories.map(_._2).zip(partitionsByDelegate).flatMap {
       case (f, ps) => ps.map(f.supportColumnarReads)
     }
     val mixed = support.contains(true) && support.contains(false)
-    new CompositeReaderFactory(factories, forceRows = mixed)
+    new CompositeReaderFactory(factories.toMap, forceRows = mixed)
   }
 }
 
-class CompositeReaderFactory(factories: Seq[PartitionReaderFactory],
+class CompositeReaderFactory(factories: Map[String, PartitionReaderFactory],
     forceRows: Boolean = false)
   extends PartitionReaderFactory {
-  private def unwrap(p: InputPartition): (InputPartition, Int) = p match {
-    case EpochPartition(inner, i) => (inner, i)
-    case KeyedPartition(inner, i, _) => (inner, i)
+  private def unwrap(p: InputPartition): (InputPartition, PartitionReaderFactory) = {
+    val (inner, key) = p match {
+      case EpochPartition(i, k) => (i, k)
+      case KeyedPartition(i, k, _) => (i, k)
+      case other => throw new IllegalStateException(
+        s"composite reader got an unwrapped partition " +
+          s"${other.getClass.getName}; a narrowed re-plan must pin the " +
+          "same leaf layout as its initial build (LakeScans.build layout)")
+    }
+    factories.get(key) match {
+      case Some(f) => (inner, f)
+      case None => throw new IllegalStateException(
+        s"composite reader has no delegate for leaf '$key' " +
+          s"(have: ${factories.keys.toSeq.sorted.mkString(", ")})")
+    }
   }
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val (inner, i) = unwrap(p)
-    if (forceRows && factories(i).supportColumnarReads(inner))
-      columnarToRows(factories(i).createColumnarReader(inner))
-    else factories(i).createReader(inner)
+    val (inner, f) = unwrap(p)
+    if (forceRows && f.supportColumnarReads(inner))
+      columnarToRows(f.createColumnarReader(inner))
+    else f.createReader(inner)
   }
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (inner, i) = unwrap(p)
-    factories(i).createColumnarReader(inner)
+    val (inner, f) = unwrap(p)
+    f.createColumnarReader(inner)
   }
   override def supportColumnarReads(p: InputPartition): Boolean =
     !forceRows && {
-      val (inner, i) = unwrap(p)
-      factories(i).supportColumnarReads(inner)
+      val (inner, f) = unwrap(p)
+      f.supportColumnarReads(inner)
     }
 
   private def columnarToRows(

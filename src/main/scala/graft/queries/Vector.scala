@@ -256,6 +256,50 @@ object VectorOps {
       .limit(5)
   }
 
+  /** IVF + int8 ANN — the two scale levers composed: the inverted
+    * file bounds WHICH candidates are scored (nprobe/K of the corpus,
+    * [[vAnnIvf]]) and symmetric int8 quantization ([[vQuantize]])
+    * bounds WHAT each scoring touches — a 4× smaller candidate payload
+    * whose dot product runs over packed integers, which is what a
+    * memory-bandwidth-bound 100 TB vector store actually ships to the
+    * ranking stage. Score = (scale_a·scale_q)·Σ(qa·qq) / (‖a‖·‖q‖),
+    * association written identically in the DuckDB oracle so both
+    * engines round the same doubles. Exact integer products (|q|≤127,
+    * 64 dims ⇒ |Σ|≤1.04e6) — no float drift in the sum itself. */
+  def vAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val nprobe = 2
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val withSims = ivfAssign(emb, k)
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val quantized = withSims
+      .withColumn("e", dbl)
+      .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") > 0, col("amax") / 127.0).otherwise(lit(1.0)))
+      .withColumn("q", transform(col("e"),
+        x => floor(x / col("scale") + 0.5).cast("long")))
+    val assigned = quantized
+      .select(col("vec_id"), col("cell"), col("q"), col("scale"), col("nrm"))
+    // the query row carries its probe cells AND its quantized form in
+    // one 2-row broadcast (cell, qq, qs, qn)
+    val qrow = quantized.filter(col("vec_id") === 0)
+      .select(explode(slice(sort_array(transform(col("sims"), s0 =>
+        struct((-s0.getField("csim")).as("negsim"),
+          s0.getField("cid").as("cid")))), 1, nprobe)).as("t"),
+        col("q").as("qq"), col("scale").as("qs"), col("nrm").as("qn"))
+      .select(col("t.cid").as("cell"), col("qq"), col("qs"), col("qn"))
+    val ip = aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qrow), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(((col("scale") * col("qs")) * ip) /
+          (col("nrm") * col("qn")), 4).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** One distributed Lloyd (k-means) refresh step — the centroid
     * update the IVF index defers ("a real pipeline would refresh them
     * and re-assign"): assign every vector to its nearest centroid
@@ -305,6 +349,7 @@ object VectorOps {
     "v_ann_bruteforce" -> (vAnnBruteforce _),
     "v_ann_lsh" -> (vAnnLsh _),
     "v_ann_ivf" -> (vAnnIvf _),
+    "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_knn_join" -> (vKnnJoin _),
     "v_centroid_update" -> (vCentroidUpdate _),
   )
@@ -429,6 +474,55 @@ object VectorOps {
          |FROM assigned a JOIN qcells q USING (cell)
          |WHERE a.vec_id <> 0
          |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
+    "v_ann_ivf_pq" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.nrm, c.cid,
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim
+         |  FROM emb e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |q8 AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(e, x -> floor(x/scale + 0.5)::BIGINT) AS q
+         |  FROM (SELECT vec_id,
+         |          CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale, e
+         |        FROM (SELECT vec_id,
+         |                list_transform(embedding, x -> x::DOUBLE) AS e,
+         |                list_max(list_transform(embedding,
+         |                  x -> abs(x::DOUBLE))) AS m
+         |              FROM embeddings))),
+         |a2 AS (
+         |  SELECT a.vec_id, a.cell, a.nrm, z.scale, z.q
+         |  FROM assigned a JOIN q8 z USING (vec_id)),
+         |qcells AS (
+         |  SELECT cell FROM (
+         |    SELECT cid AS cell,
+         |      row_number() OVER (ORDER BY csim DESC, cid) AS rk
+         |    FROM sims WHERE vec_id = 0)
+         |  WHERE rk <= 2),
+         |qv AS (SELECT q AS qq, scale AS qs FROM q8 WHERE vec_id = 0),
+         |qn AS (SELECT nrm AS qn FROM emb WHERE vec_id = 0)
+         |SELECT a2.vec_id, a2.cell,
+         |  round(((a2.scale * qv.qs) *
+         |      list_sum(list_transform(range(len(a2.q)),
+         |        i -> a2.q[i+1] * qv.qq[i+1]))::DOUBLE) /
+         |    (a2.nrm * qn.qn), 4) AS pq_cos
+         |FROM a2 JOIN qcells USING (cell) CROSS JOIN qv CROSS JOIN qn
+         |WHERE a2.vec_id <> 0
+         |ORDER BY pq_cos DESC, a2.vec_id LIMIT 5""".stripMargin,
     "v_centroid_update" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm

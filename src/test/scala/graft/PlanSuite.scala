@@ -80,6 +80,17 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(has(p, "TakeOrderedAndProject"), "top-k must not globally sort")
   }
 
+  test("v_ann_ivf_pq: quantized scoring stays broadcast-probed, no window") {
+    assume(ready)
+    val p = fmt("v_ann_ivf_pq")
+    assert(!has(p, "Window"), s"assignment/quantization must not window:\n$p")
+    assert(!has(p, "SortMergeJoin") && !has(p, "CartesianProduct"), p)
+    assert(has(p, "BroadcastHashJoin"), "probe join must broadcast")
+    assert(has(p, "TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(shuffles(p) <= 2,
+      s"only the K-row centroid aggregations may shuffle:\n$p")
+  }
+
   test("v_knn_join: query side broadcasts, top-k pushed below the window") {
     assume(ready)
     val p = fmt("v_knn_join")

@@ -105,4 +105,39 @@ class EvolutionRowLevelSuite extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, "a!"), (2L, "b+")))
     sql("DROP TABLE lake.db.rr3")
   }
+
+  test("runtime group filtering that narrows to one epoch keeps routing") {
+    // Two schema epochs (rename between inserts) make the row-level
+    // scan's delegate a keyed composite; the UPDATE's runtime group
+    // filter (matched rows all in p=0) then narrows the file set to
+    // the SECOND epoch only. Spark pairs the reader factory of one
+    // toBatch with the partitions of the re-planned one, so the
+    // narrowed delegate must keep the same leaf-key layout — the
+    // positional routing this replaces threw a FilePartition
+    // MatchError here (DML-fuzz seed 7701) and could route a masked
+    // file to the wrong reader.
+    val sql = spark.sql(_: String)
+    sql("""CREATE TABLE lake.db.rr4 (id bigint, p bigint, v string)
+         |USING lake PARTITIONED BY (p)""".stripMargin)
+    // epoch-0 file: p=1, id range [1,100] (overlaps id=50, so the
+    // static min/max prune can NOT remove it — only the runtime
+    // group filter does)
+    sql("INSERT INTO lake.db.rr4 VALUES (1, 1, 'a'), (100, 1, 'b')")
+    sql("ALTER TABLE lake.db.rr4 RENAME COLUMN v TO vv")
+    // epoch-1 file: p=0, the only matched group
+    sql("INSERT INTO lake.db.rr4 VALUES (50, 0, 'c')")
+    sql("UPDATE lake.db.rr4 SET vv = concat(vv, '+') WHERE id = 50")
+    val rows = sql("SELECT id, p, vv FROM lake.db.rr4 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 1L, "a"), (50L, 0L, "c+"), (100L, 1L, "b")))
+    // same shape through MERGE (the fuzz op that actually crashed)
+    sql("""MERGE INTO lake.db.rr4 t
+          |USING (SELECT * FROM (VALUES (50, 0, 'm')) AS s(id, p, vv)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET vv = s.vv""".stripMargin)
+    val rows2 = sql("SELECT id, vv FROM lake.db.rr4 ORDER BY id").collect()
+    assert(rows2.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (50L, "m"), (100L, "b")))
+    sql("DROP TABLE lake.db.rr4")
+  }
 }

@@ -667,12 +667,20 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.split(',').toSeq.map(_.trim.toLong))
       .getOrElse(Seq(211L, 223L, 227L))
     seeds.foreach { s =>
-      run("cow", s, nOps = 30); run("mor", s, nOps = 30)
-      runEvo("cow", s, nOps = 24); runEvo("mor", s, nOps = 24)
-      runPart("cow", s, nOps = 24); runPart("mor", s, nOps = 24)
-      runUpsert("cow", s, nOps = 24); runUpsert("mor", s, nOps = 24)
-      runBranch(s, nOps = 30)
-      runCdcReplay(s, nOps = 16)
+      def step(name: String)(body: => Unit): Unit = {
+        println(s"[fuzz-soak] seed=$s $name")
+        body
+      }
+      step("cow")(run("cow", s, nOps = 30))
+      step("mor")(run("mor", s, nOps = 30))
+      step("evo-cow")(runEvo("cow", s, nOps = 24))
+      step("evo-mor")(runEvo("mor", s, nOps = 24))
+      step("part-cow")(runPart("cow", s, nOps = 24))
+      step("part-mor")(runPart("mor", s, nOps = 24))
+      step("upsert-cow")(runUpsert("cow", s, nOps = 24))
+      step("upsert-mor")(runUpsert("mor", s, nOps = 24))
+      step("branch")(runBranch(s, nOps = 30))
+      step("cdc")(runCdcReplay(s, nOps = 16))
     }
   }
 }
