@@ -41,7 +41,16 @@ class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ready: Boolean = new java.io.File(sfDir).isDirectory
 
-  for (name <- graft.queries.VectorOps.queries.keys.toSeq.sorted) {
+  // every pure-query operator (relational, text, vector): the lake
+  // queries stay out — they run DDL/DML against a catalog this
+  // sessionless suite doesn't mount, and their scan path is codegen-
+  // locked transitively through the same expressions
+  private val pureQueries =
+    (graft.queries.Relational.queries.keys ++
+      graft.queries.TextOps.queries.keys ++
+      graft.queries.VectorOps.queries.keys).toSeq.sorted
+
+  for (name <- pureQueries) {
     test(s"$name compiles under CODEGEN_ONLY / fallback=false") {
       assume(ready)
       // the assertion IS the collect: under fallback=false a codegen
