@@ -244,6 +244,100 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join: each purchase picks the latest click by the same user
+    * at or before the purchase time (financial-tick / attribution
+    * semantics Spark has no native operator for).
+    *
+    * Spark-first shape: NOT a join at all — union both sides tagged,
+    * ONE shuffle on user_id, and a running `last(click, ignoreNulls)`
+    * window carries the most recent click forward onto each purchase
+    * row. At 100 TB this is a single hash partitioning by a
+    * high-cardinality key with a sort inside each partition — no
+    * range-probe explosion, no equi+inequality join fallback to
+    * BroadcastNestedLoop. Clicks sort BEFORE purchases on ts ties
+    * (tag 0 < 1) to make the match inclusive, like DuckDB's
+    * `ASOF ... ON p.ts >= c.ts`. Lag sums stay in exact integer
+    * microseconds so the oracle compare is float-free. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        unix_micros(col("ts")).as("click_us"),
+        lit(null).cast("long").as("purchase_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_us"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purch)
+      .withColumn("last_click_us",
+        last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("purchase_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("last_click_us")).as("n_matched"),
+        sum(col("purchase_us") - col("last_click_us")).as("lag_us_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Range join: count click/purchase pairs (across ALL users) where
+    * the click lands in the 10 minutes before the purchase.
+    *
+    * A naive inequality-only join plans as BroadcastNestedLoopJoin /
+    * CartesianProduct — O(n²) and dead at scale. Banded bucketing
+    * turns it into an equi-join: each click maps to ONE time bucket
+    * of exactly the window width, each purchase probes its own bucket
+    * and the previous one (any click within one band-width back lives
+    * in one of those two), and the residual range predicate refines
+    * post-join on co-located rows. Bucket ids use integer `div` so
+    * band edges are exact. PlanSuite locks the no-cartesian shape. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bandUs = 600L * 1000000L // band width == window width (10 min)
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cus"))
+      .withColumn("bucket", expr(s"cus div ${bandUs}L"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("pts"), unix_micros(col("ts")).as("pus"))
+      .withColumn("bucket",
+        explode(array(expr(s"pus div ${bandUs}L"),
+          expr(s"pus div ${bandUs}L") - 1)))
+    purch.join(clicks, Seq("bucket"))
+      .filter(col("cus") <= col("pus") && col("cus") > col("pus") - bandUs)
+      .groupBy(date_trunc("hour", col("pts")).as("hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hour"))
+  }
+
+  /** Exact linear-interpolation percentiles per group. Exact
+    * `percentile` buffers per-group value counts — fine for bounded
+    * group cardinality (3 flags here); the 100 TB scale path for
+    * high-cardinality groups is `approx_percentile` (KLL-style sketch,
+    * mergeable map-side), which the oracle can't hash-match, so the
+    * gate pins the exact variant DuckDB's quantile_cont mirrors. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r2(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+        r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot: daily event counts, one column per event type. The value
+    * list is EXPLICIT — `.pivot(col)` without values runs a distinct
+    * job over the fact table first, a full extra scan at 100 TB. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -264,6 +358,10 @@ object Relational {
     "q_events_sessions" -> (qEventsSessions _),
     "q_events_dedup" -> (qEventsDedup _),
     "q_events_attribution" -> (qEventsAttribution _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_pivot" -> (qPivot _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -396,5 +494,41 @@ object Relational {
         |WHERE c.click_ts <= p.purchase_ts
         |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // sum(BIGINT) is HUGEINT in DuckDB — cast, or the driver's
+    // type-sensitive hash mismatches (the lake_mv_incremental trap)
+    "q_asof_join" ->
+      """SELECT p.user_id, count(*) AS n_purchases,
+        |  count(c.click_ts) AS n_matched,
+        |  sum(epoch_us(p.purchase_ts) - epoch_us(c.click_ts))::BIGINT
+        |    AS lag_us_sum
+        |FROM (SELECT user_id, ts AS purchase_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts AS click_ts FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT date_trunc('hour', p.pts) AS hour, count(*) AS n_pairs
+        |FROM (SELECT ts AS pts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT ts AS cts FROM events WHERE event_type = 'click') c
+        |  ON c.cts <= p.pts AND c.cts > p.pts - INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25),2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5),2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75),2) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.99),2) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP —
+    // cast, or the driver's type-sensitive compare mismatches
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }

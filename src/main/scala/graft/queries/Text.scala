@@ -684,7 +684,7 @@ object TextOps {
     * Spark-side shape (schema, partitioning, per-partition batching)
     * is real and oracle-checked while the codec is fake (container has
     * no codec libs). */
-  def mmDecodeStub(s: SparkSession, d: String): DataFrame = {
+  private def mmDecoded(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id").cast("long"), col("text"))
@@ -708,8 +708,26 @@ object TextOps {
         }
       }
       .toDF("doc_id", "width", "n_frames", "luma")
-      .orderBy(col("doc_id"))
   }
+
+  def mmDecodeStub(s: SparkSession, d: String): DataFrame =
+    mmDecoded(s, d).orderBy(col("doc_id"))
+
+  /** Multimodal frame sampling: every 5th frame index of each decoded
+    * "video", stamped with a deterministic per-frame signature (the
+    * slot where a real frame feature-extractor — resize, embed —
+    * would run). The fan-out is a narrow explode bounded by n_frames:
+    * no shuffle until the final presentation sort, so at 100 TB the
+    * frame rows stream straight into the next stage without a
+    * repartition. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    mmDecoded(s, d)
+      .withColumn("fi", explode(sequence(lit(0), col("n_frames") - 1, lit(5))))
+      .withColumn("frame_idx", col("fi").cast("long"))
+      .select(col("doc_id"), col("frame_idx"),
+        ((col("doc_id") * 31 + col("frame_idx") * 7 + col("luma")) % 997)
+          .as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same tokens, same md5-derived hashes.
@@ -744,6 +762,7 @@ object TextOps {
     "t_contamination" -> (tContamination _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_frame_sample" -> (mmFrameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1036,5 +1055,18 @@ object TextOps {
         |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
         |       ELSE 0 END AS luma
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH dec AS (SELECT doc_id,
+        |  octet_length(text::BLOB) % 30 + 1 AS n_frames,
+        |  CASE WHEN length(text) > 0
+        |       THEN (list_sum(list_transform(range(1, least(length(text),64)+1),
+        |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
+        |       ELSE 0 END AS luma
+        |FROM documents),
+        |fr AS (SELECT doc_id, luma,
+        |         unnest(range(0, n_frames, 5)) AS frame_idx FROM dec)
+        |SELECT doc_id, frame_idx,
+        |  (doc_id*31 + frame_idx*7 + luma) % 997 AS frame_sig
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

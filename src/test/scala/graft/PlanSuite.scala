@@ -172,4 +172,26 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!has(p, "Window") && !has(p, "CartesianProduct"), p)
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q_asof_join: no join at all — one user_id shuffle + window") {
+    assume(ready)
+    val p = fmt("q_asof_join")
+    // the as-of match is a running last() over a tagged union: any
+    // Join node here means the plan regressed to an equi+range join
+    // (which Spark executes as BNLJ at worst)
+    assert(!p.contains("Join"), s"as-of must be join-free:\n$p")
+    assert(has(p, "Window"), p)
+    assert(shuffles(p) <= 3, s"user_id window + agg + order only:\n$p")
+  }
+
+  test("q_range_join: banded buckets keep the range join equi-keyed") {
+    assume(ready)
+    val p = fmt("q_range_join")
+    // the whole point: a pure-inequality join would plan as
+    // BroadcastNestedLoopJoin / CartesianProduct — O(n²) at scale
+    assert(!has(p, "CartesianProduct") &&
+      !has(p, "BroadcastNestedLoopJoin"),
+      s"range join must stay bucket-equi-keyed:\n$p")
+    assert(!has(p, "Window"), p)
+  }
 }
