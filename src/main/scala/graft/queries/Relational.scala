@@ -338,6 +338,20 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("day"))
 
+  /** Semi-structured extraction: parse the JSON props column with an
+    * EXPLICIT schema (`from_json`) — one typed parse per row, struct
+    * fields prune like ordinary columns. The 100 TB anti-patterns are
+    * schema inference (`schema_of_json` = extra full scan) and
+    * repeated `get_json_object` calls (one parse per field). */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k",
+        from_json(col("props"), lit("k BIGINT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -362,6 +376,7 @@ object Relational {
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
+    "q_json_extract" -> (qJsonExtract _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -530,5 +545,11 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
