@@ -207,12 +207,88 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     onFilters: Array[Filter] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val fullSchema = table.schema()
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None // col, desc, n
+
+  // ---- top-N pushdown: ORDER BY c LIMIT n cuts dominated files ----
+  // Partial-only (isPartiallyPushed — Spark keeps its own Sort+Limit
+  // on top, so results cannot change): a file is skippable when OTHER
+  // files already guarantee n rows sorting STRICTLY before its entire
+  // range. Strict dominance keeps multi-key sorts sound too (only the
+  // leading key participates; ties within it could be reordered by
+  // later keys, so ties never justify a skip). Requires exact footer
+  // min/max with zero nulls in every planned file — checked in
+  // build(), which silently keeps everything otherwise. At 100 TB
+  // `ORDER BY ts DESC LIMIT 100` on a time-clustered snapshot plans a
+  // handful of head files instead of the whole table.
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], n: Int): Boolean = {
+    if (orders.isEmpty || n <= 0) return false
+    orders.head.expression match {
+      case fr: NamedReference if fr.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name.equalsIgnoreCase(fr.fieldNames()(0)))
+          .filter(f => LakeAggPushdown.statComparable(f.dataType)) match {
+          case Some(f) =>
+            topN = Some((f.name,
+              orders.head.direction ==
+                org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+              n))
+            true
+          case None => false
+        }
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Keep file F only while fewer than n rows live in files whose
+    * whole range sorts strictly before F's first value. Declines (no
+    * pruning) unless every file has decodable min/max and zero nulls
+    * for the key — with zero nulls the sort's null ordering is moot. */
+  private def topNPrune(fs: Seq[DataFileMeta], col: String, desc: Boolean,
+      n: Int): Seq[DataFileMeta] = {
+    if (fs.size <= 1) return fs
+    val field = fullSchema.fields.find(_.name == col).getOrElse(return fs)
+    val renames = LakeScans.renamesFor(fullSchema, table.meta, fs)
+    val stats: Seq[Option[(Any, Any)]] = fs.map { f =>
+      val nm = renames(f.schemaEpoch).getOrElse(col, col)
+      for {
+        nc <- f.nullCounts.get(nm) if nc == 0L
+        mn <- f.minValues.get(nm)
+          .flatMap(LakeAggPushdown.decode(_, field.dataType))
+        mx <- f.maxValues.get(nm)
+          .flatMap(LakeAggPushdown.decode(_, field.dataType))
+      } yield (mn, mx)
+    }
+    if (stats.exists(_.isEmpty)) return fs
+    val dir = if (desc) -1 else 1
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) * dir
+    // worst(F) = F's last value in sort direction; best(F) = its first
+    val entries = fs.zip(stats.map(_.get)).map { case (f, (mn, mx)) =>
+      (if (desc) mn else mx, if (desc) mx else mn, f.rowCount)
+    }
+    val sortedWorst = entries.map(e => (e._1, e._3))
+      .sortWith((x, y) => cmp(x._1, y._1) < 0)
+    val prefixRows = sortedWorst.scanLeft(0L)(_ + _._2)
+    // rows strictly before v = prefix at lower bound of v over worsts
+    def rowsBefore(v: Any): Long = {
+      var lo = 0; var hi = sortedWorst.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(sortedWorst(mid)._1, v) < 0) lo = mid + 1 else hi = mid
+      }
+      prefixRows(lo)
+    }
+    fs.zip(entries).collect {
+      case (f, (_, best, _)) if rowsBefore(best) < n => f
+    }
+  }
 
   // ---- limit pushdown: plan only enough files to cover the limit ----
   // `SELECT * FROM t LIMIT 10` on a million-file snapshot must not
@@ -336,9 +412,12 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
       else new CompositeScan(Seq("all" -> s), required)
     }
     else {
-      val planned = limit match {
-        case Some(n) if filesOverride.isEmpty && pushed.isEmpty &&
-            deleted.isEmpty && eqDeleted.isEmpty =>
+      // limit/top-N file cuts need exact per-file row counts: any
+      // pushed filter or MoR mask makes membership row-inexact
+      val exactRows = filesOverride.isEmpty && pushed.isEmpty &&
+        deleted.isEmpty && eqDeleted.isEmpty
+      val planned = (limit, topN) match {
+        case (Some(n), _) if exactRows =>
           // row counts are exact here: keep files until they cover n
           val out = Seq.newBuilder[DataFileMeta]
           var acc = 0L
@@ -347,6 +426,8 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
             val f = it.next(); out += f; acc += f.rowCount
           }
           out.result()
+        case (_, Some((col, desc, n))) if exactRows =>
+          topNPrune(pruned, col, desc, n)
         case _ => pruned
       }
       LakeScanBuilder.lastPlannedFileCount.set(planned.size)
@@ -408,6 +489,17 @@ private[lake] object LakeAggPushdown {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.types._
+
+  /** Types whose encoded footer stats decode losslessly AND compare
+    * correctly through `Comparable` — the precondition both the
+    * MIN/MAX pushdown and the top-N file cut share. Float/double stay
+    * excluded (NaN breaks total order), decimal for its binary
+    * encoding. */
+  private[lake] def statComparable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 
   private[lake] def decode(s: String, dt: DataType): Option[Any] = try dt match {
     case ByteType => Some(s.toLong.toByte)
@@ -632,8 +724,23 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
   // delegate makes all such pairings route correctly. Scans that can
   // never be runtime-filtered (unpartitioned; the keyed SPJ path
   // disables filtering) keep the bare fast path.
+  // Current-name columns with a manifest bloom in at least one planned
+  // file: runtime-prunable like partition sources — a broadcast join's
+  // surviving key set probes each file's bloom at filter() time.
+  private lazy val bloomFilterCols: Seq[String] =
+    if (initial.forall(_.blooms.isEmpty)) Nil
+    else {
+      val schema = table.schema()
+      val renames = LakeScans.renamesFor(schema, table.meta, initial)
+      schema.fieldNames.toSeq.filter { c =>
+        initial.exists(f =>
+          f.blooms.contains(renames(f.schemaEpoch).getOrElse(c, c)))
+      }
+    }
   private lazy val leafLayout: Option[Seq[String]] =
-    if (table.meta.partitionSpec.isEmpty) None
+    // pin a layout whenever runtime filtering is possible (partition
+    // sources OR bloom columns) — see the pairing note above
+    if (table.meta.partitionSpec.isEmpty && bloomFilterCols.isEmpty) None
     else Some(LakeScans.leafKeysFor(initial, deleted, eqDeleted))
   private lazy val initialDelegate: Scan =
     LakeScans.build(table, files, required, pushed, options, deleted,
@@ -815,18 +922,25 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
       case None => Array.empty
     }
 
-  // runtime-filterable on the partition source columns: bounded
-  // cardinality, and the file-level stats are decisive for them.
-  // Disabled when key-grouped (a narrowed file set would invalidate
-  // the partition count already reported to the planner).
+  // runtime-filterable on the partition source columns (bounded
+  // cardinality, file-level stats decisive) AND on manifest-bloom
+  // columns (high-NDV join keys — a fact⋈dim broadcast join hands the
+  // dim's surviving keys back and files whose blooms admit none of
+  // them are skipped before any task launches; no false negatives, so
+  // skipping is sound). Disabled when key-grouped (a narrowed file
+  // set would invalidate the partition count already reported).
   override def filterAttributes(): Array[NamedReference] =
     if (keyed.isDefined) Array.empty
-    else table.meta.partitionSpec.map(_.sourceColumn).distinct
-      .map(Shims.columnRef).toArray
+    else (table.meta.partitionSpec.map(_.sourceColumn) ++ bloomFilterCols)
+      .distinct.map(Shims.columnRef).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1 = predicates.flatMap(Shims.predicateToV1(_))
-    if (v1.nonEmpty) {
+    // defensive cap: a degenerate runtime IN-set (dim side far past
+    // broadcast size) would cost values×files bloom probes at plan
+    // time for pruning that selective joins never need
+    val inValues = v1.collect { case sources.In(_, vs) => vs.length.toLong }.sum
+    if (v1.nonEmpty && inValues <= 100000L) {
       val narrowed = FileStats.prune(files, v1.toSeq, table.schema())
       LakeBatchScan.lastRuntimeFileCount.set(narrowed.size)
       if (narrowed.size < files.size) {

@@ -193,6 +193,50 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** GROUPING SETS — the general form rollup/cube specialize. The
+    * non-hierarchical set list ((f,s),(f),(s),()) is one Expand over
+    * the scan (4 rows per input row, map-side partial-aggregated
+    * immediately) + ONE shuffle — not four scans unioned, which is
+    * what a hand-rolled equivalent costs at 100 TB. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Sliding time-range window: each event's total value over the SAME
+    * user's preceding hour — a RANGE frame on the event-time axis
+    * (row frames can't express "1 hour", only "k rows"). One user_id
+    * shuffle; frame state per partition is bounded by the hour span,
+    * not the partition length. */
+  def qWindowTimeRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("hour_value", r2(sum(col("value")).over(w)))
+      .select(col("event_id"), col("user_id"), col("hour_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Scalar subquery: orders priced far above the global average. The
+    * scalar aggregates first (one partial+final pass), then rides a
+    * 1-row broadcast onto every row — no correlated per-row
+    * re-evaluation, no shuffle on the fact side. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val avgP = ord.agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > col("avg_price") * 1.8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r2(max(col("o_totalprice"))).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Event-time tumbling-hour aggregation on the events stream table. */
   /** Batch twin of [[graft.streaming.EventStreams.dedup]]: distinct
     * event identity (user, type, minute), rolled up per type so the
@@ -368,6 +412,9 @@ object Relational {
     "q_set_intersect" -> (qSetIntersect _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_window_time_range" -> (qWindowTimeRange _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_events_dedup" -> (qEventsDedup _),
@@ -479,6 +526,24 @@ object Relational {
         |  round(sum(o_totalprice),2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_time_range" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+        |    AS hour_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(max(o_totalprice),2) AS max_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value),2) AS sum_value,

@@ -77,6 +77,25 @@ object TextOps {
           (size(col("t")) * 2)) / 100.0).as("avg_tok_len"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer shape:
+    * letter runs | digit runs | punctuation runs) — the token-count
+    * signal LLM data pipelines budget by, next to the whitespace
+    * counts of [[tTokenStats]]. One codegen'd narrow projection; the
+    * pattern is RE2-safe so the oracle runs it verbatim. */
+  def tTokenBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("b", regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("b")).cast("long").as("n_bpe"),
+        size(filter(col("b"), t => t.rlike("^[a-z]+$"))).cast("long")
+          .as("n_word"),
+        size(filter(col("b"), t => t.rlike("^[0-9]+$"))).cast("long")
+          .as("n_num"),
+        size(array_distinct(col("b"))).cast("long").as("n_uniq"))
+      .orderBy(col("doc_id"))
+
   /** Quality scoring: stopword ratio + lexical diversity. */
   def tQualityScore(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -272,6 +291,72 @@ object TextOps {
       .select(col("doc_id"),
         aggregate(bits, lit(0), (acc, x) => acc * 2 + x).as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup PAIR MINING — the banded-blocking step that
+    * turns signatures into a dedup candidate graph. Uses its own
+    * 64-bit signature (4 × 16-bit band values, never materialized as
+    * one long): band width is what keeps posting lists sub-linear —
+    * banding the 16-bit `t_simhash` signature would put a
+    * million-doc corpus behind 4-bit keys (64 buckets → quadratic
+    * candidates). 4 × 16-bit banding is sound blocking for hamming
+    * ≤ 3: three flipped bits touch at most three bands, so one band
+    * always matches exactly. Same pair-dedup-then-score shape as
+    * [[tMinhashPairs]]; only (doc, band, 16-bit key) crosses the
+    * bucket-join shuffle. */
+  def tSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // Per-token 64-hex digest (two md5s) → 8 × 32-bit integer words
+    // (two conv() calls per band; one 64-bit conv would overflow the
+    // signed long cast), then ONE doc_id-keyed hash aggregation with
+    // 64 integer bit-vote sums — the same explode → N-aggregates
+    // shape as [[tMinhashPairs]], entirely whole-stage-codegen. (A
+    // first cut voted with per-bit higher-order aggregates over the
+    // token array: 64 interpreted substr+isin passes per document,
+    // 4× the minhash cost at sf0.1.) A hex digit's low bit is its
+    // parity, so vote bit i of word w = (w >> 4*(7-i)) & 1; signature
+    // bit = ones outnumber zeros (2·ones > n), matching the oracle's
+    // ±1 sum. Empty docs drop at the explode (their all-zero
+    // signatures would pairwise-collide without being near-dups).
+    val words = (0 until 8).map(w =>
+      conv(substring(col("h"), w * 8 + 1, 8), 16, 10).cast("long")
+        .as(s"w$w"))
+    val votes = for { w <- 0 until 8; i <- 0 until 8 } yield
+      sum(shiftright(col(s"w$w"), 4 * (7 - i)).bitwiseAND(1))
+        .as(s"v${w * 8 + i}")
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map { i =>
+        when(col(s"v${b * 16 + i}") * 2 > col("n"), 1 << (15 - i))
+          .otherwise(0)
+      }.reduce(_ + _).as(s"band$b")
+    }
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_remove(array_distinct(toks(col("text"))), ""))
+          .as("tok"))
+      .withColumn("h", concat(md5(col("tok").cast("binary")),
+        md5(concat(lit("~"), col("tok")).cast("binary"))))
+      .select(col("doc_id") +: words: _*)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), votes: _*)
+      .select(col("doc_id"), array(bandCols: _*).as("sig"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val posting = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", element_at(col("sig"), col("band") + 1))
+    posting.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("bkey"))
+      .join(posting.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Repetition filter (Gopher-style quality signal): per-document
@@ -744,12 +829,14 @@ object TextOps {
     "t_dedup_exact" -> (tDedupExact _),
     "t_chunk" -> (tChunk _),
     "t_token_stats" -> (tTokenStats _),
+    "t_token_bpe" -> (tTokenBpe _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
     "t_minhash_pairs" -> (tMinhashPairs _),
     "t_ngram_jaccard" -> (tNgramJaccard _),
     "t_simhash" -> (tSimhash _),
+    "t_simhash_pairs" -> (tSimhashPairs _),
     "t_repetition" -> (tRepetition _),
     "t_bm25" -> (tBm25 _),
     "t_corpus_stats" -> (tCorpusStats _),
@@ -786,6 +873,16 @@ object TextOps {
          |  floor((200.0*length(array_to_string(t,'')) + len(t)) /
          |    (2*len(t))) / 100.0 AS avg_tok_len
          |FROM (SELECT doc_id, $tokSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t_token_bpe" ->
+      raw"""SELECT doc_id, len(b) AS n_bpe,
+         |  len(list_filter(b, x -> regexp_matches(x, '^[a-z]+$$')))
+         |    AS n_word,
+         |  len(list_filter(b, x -> regexp_matches(x, '^[0-9]+$$')))
+         |    AS n_num,
+         |  len(list_distinct(b)) AS n_uniq
+         |FROM (SELECT doc_id, regexp_extract_all(lower(text),
+         |        '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS b FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "t_quality_score" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, lexical_div,
@@ -870,6 +967,37 @@ object TextOps {
          |      THEN 1 ELSE 0 END), (a, b) -> a*2 + b) AS simhash
          |FROM (SELECT doc_id, list_distinct($tokSql) AS td FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "t_simhash_pairs" ->
+      s"""WITH td AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter($tokSql, x -> x <> '')) AS td
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(td, t -> md5(t) || md5('~' || t)) AS hs
+         |  FROM td WHERE len(td) > 0),
+         |sig AS (
+         |  SELECT doc_id, list_transform(range(4), b ->
+         |    list_reduce([0] || list_transform(range(1,17), i ->
+         |      CASE WHEN list_sum(list_transform(hs, h ->
+         |        CASE WHEN substr(h, (b*16 + i)::INT, 1) IN
+         |          ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
+         |        THEN 1 ELSE 0 END), (a, x) -> a*2 + x)) AS sig
+         |  FROM hs),
+         |banded AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig AS sa, b.sig AS sb
+         |  FROM banded a JOIN banded b ON a.band = b.band
+         |    AND a.sig[(a.band+1)::INT] = b.sig[(b.band+1)::INT]
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |    list_sum(list_transform(range(4),
+         |      i -> bit_count(xor(sa[(i+1)::INT], sb[(i+1)::INT]))))::BIGINT
+         |      AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "t_repetition" ->
       s"""WITH tc AS (
          |  SELECT doc_id, tok, count(*)::BIGINT AS c

@@ -194,4 +194,32 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"range join must stay bucket-equi-keyed:\n$p")
     assert(!has(p, "Window"), p)
   }
+
+  test("q_grouping_sets: one Expand, one aggregation shuffle — not N scans") {
+    assume(ready)
+    val p = fmt("q_grouping_sets")
+    assert(has(p, "Expand"), s"grouping sets should plan as Expand:\n$p")
+    assert(shuffles(p) <= 2, s"agg + order shuffles only:\n$p")
+    assert(!p.contains("Union"), s"must not rewrite to unioned scans:\n$p")
+  }
+
+  test("q_window_time_range: single user_id shuffle feeds the range frame") {
+    assume(ready)
+    val p = fmt("q_window_time_range")
+    assert(has(p, "Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, s"window partition + order only:\n$p")
+  }
+
+  test("t_simhash_pairs: banded blocking, no cartesian, sigs checkpointed") {
+    assume(ready)
+    val p = fmt("t_simhash_pairs")
+    assert(!has(p, "CartesianProduct") &&
+      !has(p, "BroadcastNestedLoopJoin"),
+      s"simhash pair mining must stay band-bucketed:\n$p")
+    assert(!has(p, "Window"), p)
+    // signature computation is materialized once (localCheckpoint →
+    // the join reads an RDD scan, not two copies of the md5 pipeline)
+    assert(p.contains("Scan ExistingRDD"), s"signatures should be checkpointed:\n$p")
+  }
 }

@@ -1653,6 +1653,76 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"runtime filter should prune partition files, planned $survived of 8")
   }
 
+  test("ORDER BY + LIMIT plans only undominated files (top-N pushdown)") {
+    sql("CREATE TABLE lake.db.topn (id bigint, v string) USING lake")
+    for (i <- 0 until 4) // four files with disjoint id ranges
+      sql(s"INSERT INTO lake.db.topn SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, 'x' FROM range(100)")
+
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    val asc = sql("SELECT * FROM lake.db.topn ORDER BY id LIMIT 5").collect()
+    assert(asc.map(_.getLong(0)).toSeq == (0L until 5L))
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      s"ascending top-5 should plan only the lowest-range file, " +
+        s"planned ${LakeScanBuilder.lastPlannedFileCount.get()}")
+
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    val desc = sql("SELECT * FROM lake.db.topn ORDER BY id DESC LIMIT 5")
+      .collect()
+    assert(desc.map(_.getLong(0)).toSeq == (399L to 395L by -1L))
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "descending top-5 should plan only the highest-range file")
+
+    // limit past one file keeps exactly the files that can contribute
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(sql("SELECT * FROM lake.db.topn ORDER BY id LIMIT 150")
+      .collect().length == 150)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 2)
+
+    // a null in any file withdraws the cut (null ordering unknowable
+    // from stats) — results stay correct, everything planned
+    sql("INSERT INTO lake.db.topn VALUES (CAST(NULL AS bigint), 'n')")
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    val withNull = sql(
+      "SELECT * FROM lake.db.topn ORDER BY id NULLS FIRST LIMIT 2").collect()
+    assert(withNull(0).isNullAt(0) && withNull(1).getLong(0) == 0L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 5,
+      "a file with nulls must decline the top-N cut")
+    sql("DROP TABLE lake.db.topn")
+  }
+
+  test("runtime bloom filtering: join keys prune unpartitioned fact files") {
+    // same shape as the planning-time bloom test, but the point lookup
+    // arrives as a JOIN's runtime filter instead of a literal predicate
+    sql("""CREATE TABLE lake.db.bloomjoin (id bigint, k string) USING lake
+          |TBLPROPERTIES (
+          |  'write.parquet.bloom-filter-enabled.column.k'='true',
+          |  'write.parquet.bloom-filter-expected-ndv.column.k'='1024',
+          |  'write.parquet.dict-enabled.column.k'='false')""".stripMargin)
+    // file A: even suffixes, file B: odd — same min/max span, only the
+    // bloom can tell them apart
+    sql("INSERT INTO lake.db.bloomjoin SELECT /*+ REPARTITION(1) */ id, " +
+      "format_string('v%05d', id * 2) FROM range(500)")
+    sql("INSERT INTO lake.db.bloomjoin SELECT /*+ REPARTITION(1) */ id, " +
+      "format_string('v%05d', id * 2 + 1) FROM range(500)")
+    sql("CREATE TABLE lake.db.bloomdim (k string, flag int) USING lake")
+    sql("INSERT INTO lake.db.bloomdim SELECT " +
+      "format_string('v%05d', id * 2 + 1), cast(id < 3 AS int) FROM range(8)")
+
+    LakeBatchScan.lastRuntimeFileCount.set(-1)
+    val df = sql("""SELECT f.id FROM lake.db.bloomjoin f
+                 |JOIN lake.db.bloomdim d ON f.k = d.k
+                 |WHERE d.flag = 1""".stripMargin)
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime filter on the fact scan's bloom column:\n$plan")
+    val survived = LakeBatchScan.lastRuntimeFileCount.get()
+    assert(survived == 1,
+      s"blooms should skip the even-suffix file at runtime, planned $survived of 2")
+    sql("DROP TABLE lake.db.bloomjoin"); sql("DROP TABLE lake.db.bloomdim")
+  }
+
   private def firstFooter(table: String) = {
     val path = sql(s"SELECT file_path FROM $table.files LIMIT 1")
       .collect()(0).getString(0)
