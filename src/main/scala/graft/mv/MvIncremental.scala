@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.functions.{col, lit, when, max => fmax, min => fmin, sum => fsum}
 import org.apache.spark.sql.graft.Shims
 
 /** True incremental MV refresh — beyond the reference, whose
@@ -15,19 +15,26 @@ import org.apache.spark.sql.graft.Shims
   * A refresh is applied as a delta when ALL of:
   *   - the MV reads exactly one base table, and it is a lake table
   *     (its snapshot history makes "what changed" answerable);
-  *   - the base's history since the last refresh is pure `append`
-  *     snapshots — upserts/deletes/updates/overwrites retire rows that
-  *     are already folded into the backing aggregate, which no
-  *     row-level delta can unwind without keyed state;
-  *   - the MV is either (a) an aggregate whose outputs all merge
-  *     (SUM/COUNT roll up as SUM of partials, MIN/MAX as MIN/MAX;
-  *     group-by columns pass through; a bare AVG output does not
-  *     merge) or (b) an aggregate-free filter/projection, where the
-  *     delta rows simply append.
+  *   - either the base's history since the last refresh is pure
+  *     `append` snapshots (delta rows run through the defining plan
+  *     and merge: SUM/COUNT as SUM of partials, MIN/MAX as
+  *     themselves, projection MVs append), or — the RETRACTABLE path
+  *     — the history contains row-level deletes/updates/upserts/
+  *     overwrites and every aggregate output is SUM/COUNT with a
+  *     COUNT(*) liveness column present: the changelog over the range
+  *     replays as signed partials (insert = +1, delete = −1; CoW
+  *     carry-over rows cancel exactly, so no pairing join is needed),
+  *     groups whose net row count reaches zero drop out, and a SUM
+  *     whose input may be null is only taken when a COUNT over the
+  *     same expression proves surviving non-null rows (else the
+  *     column nulls, matching a recompute). MIN/MAX cannot retract —
+  *     a deleted extremum needs the unaggregated history — so they
+  *     fall back.
   *
-  * Cost: O(|backing| + |delta|) — at a 100 TB base with a compact
-  * rollup MV this is the difference between re-scanning the corpus and
-  * touching only the new partition's worth of data. Anything not
+  * Cost: O(|backing| + |delta|) appends, O(|backing| + |changed
+  * rows|) retractions — at a 100 TB base with a compact rollup MV
+  * this is the difference between re-scanning the corpus and
+  * touching only the changed partition's worth of data. Anything not
   * provably incrementalizable returns None and the caller falls back
   * to the reference's full recompute, so results are always exact.
   */
@@ -80,17 +87,16 @@ object MvIncremental {
       return Some(meta.copy(lastRefreshTs = now,
         lastRefreshMode = "incremental"))
 
-    // pure-append ancestry check, same walk as the incremental batch
-    // read (LakeTable.newScanBuilder) but STRICTER: upserts qualify
-    // there (their delete files only retire pre-range rows from the
-    // reader's view) yet here the retired rows are already inside the
-    // backing aggregate, so any non-append operation forces a full
-    // recompute.
+    // ancestry check, same walk as the incremental batch read
+    // (LakeTable.newScanBuilder). A pure-append range merges delta
+    // partials directly; anything else goes through the retractable
+    // signed-changelog path (or falls back when the MV's outputs
+    // cannot retract).
     val ancestry = lake.meta.ancestorsOf(head)
     if (startSnap != 0L && !ancestry.exists(_.snapshotId == startSnap))
       return None // rollback/rewritten history: floor is gone
     val range = ancestry.filter(_.snapshotId > startSnap)
-    if (range.exists(_.operation != "append")) return None
+    val appendOnly = range.forall(_.operation == "append")
 
     // classify MV outputs: group columns pass through, SUM/COUNT merge
     // as SUM of partials, MIN/MAX as themselves; anything else bails
@@ -111,25 +117,26 @@ object MvIncremental {
         case _ => return None // AVG, DISTINCT aggs, UDAFs, ...
       }
     }
+    val aggFns: Map[String, AggregateExpression] = shape.output.flatMap { o =>
+      MvPlans.stripAlias(o) match {
+        case ae: AggregateExpression => Some(o.name -> ae)
+        case _ => None
+      }
+    }.toMap
 
-    // run the MV's defining plan against the append delta only: swap
-    // the base leaf for an incremental read bridged back to the
-    // original attribute ids (types must still line up — a widening
-    // ALTER in range falls back via the dataType check)
-    val deltaRel = spark.read
-      .option("start-snapshot-id", startSnap.toString)
-      .option("end-snapshot-id", head.toString)
-      .table(baseName).queryExecution.analyzed
-    val byName = deltaRel.output.map(a => a.name.toLowerCase -> a).toMap
-    val bridge = Project(leaf.output.map { o =>
-      val src = byName.getOrElse(o.name.toLowerCase, return None)
-      if (src.dataType != o.dataType) return None
-      Alias(src, o.name)(exprId = o.exprId)
-    }, deltaRel)
-    val deltaPlan = mvPlan.transform {
-      case l: LogicalPlan if l eq leaf => bridge
+    /** Swap the base leaf for `relPlan` bridged back to the original
+      * attribute ids, and run the MV's defining plan over it. */
+    def overRelation(relPlan: LogicalPlan): Option[DataFrame] = {
+      val byName = relPlan.output.map(a => a.name.toLowerCase -> a).toMap
+      val bridge = Project(leaf.output.map { o =>
+        val src = byName.getOrElse(o.name.toLowerCase, return None)
+        if (src.dataType != o.dataType) return None
+        Alias(src, o.name)(exprId = o.exprId)
+      }, relPlan)
+      Some(Shims.ofRows(spark, mvPlan.transform {
+        case l: LogicalPlan if l eq leaf => bridge
+      }))
     }
-    val delta = Shims.ofRows(spark, deltaPlan)
 
     val backing = spark.table(meta.backingTable)
     val bSchema = backing.schema
@@ -139,7 +146,24 @@ object MvIncremental {
       .find(_.name.equalsIgnoreCase(n)).get.dataType
     val ordered = bSchema.fieldNames.toSeq
 
-    if (isAgg) {
+    // the merged result reads the backing table, so it cannot
+    // overwrite it in place: stage to a swap table, then swap
+    def swapIn(merged: DataFrame): Unit = {
+      val swap = s"${meta.backingTable}_swap"
+      merged.select(ordered.map(col): _*)
+        .write.mode("overwrite").format(meta.storageFormat).saveAsTable(swap)
+      spark.sql(s"DROP TABLE IF EXISTS ${meta.backingTable}")
+      spark.sql(s"ALTER TABLE $swap RENAME TO ${meta.backingTable}")
+    }
+
+    if (isAgg && appendOnly) {
+      // run the MV's defining plan against the append delta only
+      // (types must still line up — a widening ALTER in range falls
+      // back via overRelation's dataType check)
+      val delta = overRelation(spark.read
+        .option("start-snapshot-id", startSnap.toString)
+        .option("end-snapshot-id", head.toString)
+        .table(baseName).queryExecution.analyzed).getOrElse(return None)
       val groupCols = merges.collect { case (n, None) => n }
       val aggCols = merges.collect { case (n, Some(m)) =>
         val merged = m match {
@@ -155,14 +179,94 @@ object MvIncremental {
       val merged =
         if (aggCols.isEmpty) union.distinct() // SELECT DISTINCT-style MV
         else union.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      // the merged result reads the backing table, so it cannot
-      // overwrite it in place: stage to a swap table, then swap
-      val swap = s"${meta.backingTable}_swap"
-      merged.select(ordered.map(col): _*)
-        .write.mode("overwrite").format(meta.storageFormat).saveAsTable(swap)
-      spark.sql(s"DROP TABLE IF EXISTS ${meta.backingTable}")
-      spark.sql(s"ALTER TABLE $swap RENAME TO ${meta.backingTable}")
+      swapIn(merged)
+    } else if (isAgg) {
+      // ---- retractable path: signed changelog merge ----
+      // The changelog replays the range as insert/delete row events;
+      // aggregating them with a ±1 sign and adding the backing
+      // partials is exact INCREMENTAL VIEW MAINTENANCE for SUM/COUNT:
+      // CoW rewrites' carry-over rows arrive as delete+insert of the
+      // same values and cancel, so carry-over removal (a pairing
+      // join) is skipped on purpose.
+      if (lake.meta.schemas.size > 1) return None // changelog reads raw
+        // files name-mapped; an old schema epoch would null renamed
+        // columns — conservative, exactness first
+      // liveness: a COUNT(*) output decides when a group dies (net
+      // row count 0 → the recompute would not emit the group at all)
+      def isStarCount(n: String): Boolean =
+        aggFns.get(n).exists(_.aggregateFunction match {
+          case c: Count => c.children.forall(_.foldable)
+          case _ => false
+        })
+      val liveness = merges.collectFirst {
+        case (n, Some(BySum)) if isStarCount(n) => n
+      }.getOrElse(return None)
+      // every aggregate output must retract: SUM/COUNT only
+      if (merges.exists { case (_, m) => m.exists(_ != BySum) }) return None
+      // a SUM over a nullable input cannot tell "all surviving inputs
+      // are null" (sum = NULL) from "they cancel to zero" (sum = 0)
+      // without a COUNT over the same expression
+      val guards: Seq[(String, String)] = merges.flatMap {
+        case (n, Some(BySum)) => aggFns(n).aggregateFunction match {
+          case s: Sum if s.child.nullable =>
+            val cnt = aggFns.collectFirst {
+              case (cn, ae) if ae.aggregateFunction.isInstanceOf[Count] &&
+                ae.aggregateFunction.children.map(_.canonicalized) ==
+                  Seq(s.child.canonicalized) => cn
+            }
+            cnt match {
+              case Some(c) => Seq(n -> c)
+              case None => return None
+            }
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+      val changes = graft.lake.Changelog.build(spark, lake.meta,
+        Some(startSnap), Some(head), Nil, computeUpdates = false,
+        netChanges = false, removeCarryovers = false)
+      def side(tpe: String): Option[DataFrame] = overRelation(
+        changes.filter(col("_change_type") === tpe)
+          .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+          .queryExecution.analyzed)
+      val plus = side("insert").getOrElse(return None)
+      val minus = side("delete").getOrElse(return None)
+      def withSign(df: DataFrame, s: Long): DataFrame =
+        df.select(ordered.map(col): _*).withColumn("_sign", lit(s))
+      val signed = withSign(backing, 1L)
+        .unionByName(withSign(plus, 1L))
+        .unionByName(withSign(minus, -1L))
+      val groupCols = merges.collect { case (n, None) => n }
+      val aggCols = merges.collect { case (n, Some(_)) =>
+        fsum(col(n) * col("_sign")).cast(typed(n)).as(n)
+      }
+      var merged =
+        if (groupCols.isEmpty) signed.agg(aggCols.head, aggCols.tail: _*)
+        else signed.groupBy(groupCols.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      merged =
+        if (groupCols.nonEmpty) merged.filter(col(liveness) > 0)
+        else {
+          // a global aggregate over an emptied base must read as the
+          // canonical empty row: counts 0, sums null
+          val sums = merges.collect { case (n, Some(BySum))
+            if aggFns(n).aggregateFunction.isInstanceOf[Sum] => n }
+          sums.foldLeft(merged)((df, n) => df.withColumn(n,
+            when(col(liveness) === 0, lit(null).cast(typed(n)))
+              .otherwise(col(n))))
+        }
+      merged = guards.foldLeft(merged) { case (df, (sn, cn)) =>
+        df.withColumn(sn, when(col(cn) === 0, lit(null).cast(typed(sn)))
+          .otherwise(col(sn)))
+      }
+      swapIn(merged)
     } else {
+      if (!appendOnly) return None // projection MVs cannot retract
+        // rows without keyed state
+      val delta = overRelation(spark.read
+        .option("start-snapshot-id", startSnap.toString)
+        .option("end-snapshot-id", head.toString)
+        .table(baseName).queryExecution.analyzed).getOrElse(return None)
       // aggregate-free MV: the delta's MV rows are exactly the new
       // backing rows — append, no rewrite of existing data
       delta.select(ordered.map(n =>

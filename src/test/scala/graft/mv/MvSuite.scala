@@ -732,7 +732,8 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     sql("CREATE MATERIALIZED VIEW mv_i9 AS SELECT k, sum(v) AS s FROM lake.db.inc9 GROUP BY k")
     // this insert is an UPSERT commit replacing k='a' — the
     // incremental batch read accepts upserts, but the MV must NOT
-    // double-count the replaced row, so the refresh goes full
+    // double-count the replaced row; without a COUNT(*) liveness
+    // column the signed path cannot retract, so the refresh goes full
     sql("INSERT INTO lake.db.inc9 VALUES ('a',100)")
     sql("REFRESH MATERIALIZED VIEW mv_i9 INCREMENTAL")
     assert(refreshMode("mv_i9") == "full")
@@ -740,5 +741,135 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(res == Map("a" -> 100L, "b" -> 2L))
     sql("DROP TABLE lake.db.inc9")
+  }
+
+  // ---- retractable (signed changelog) incremental refresh ----
+
+  test("retractable refresh: DELETE and UPDATE merge through the changelog") {
+    sql("CREATE TABLE lake.db.ret1 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.ret1 VALUES ('a',1),('a',2),('b',10),('c',100)")
+    sql("""CREATE MATERIALIZED VIEW mv_r1 AS
+          |SELECT k, sum(v) AS s, count(v) AS cv, count(*) AS c
+          |FROM lake.db.ret1 GROUP BY k""".stripMargin)
+    sql("DELETE FROM lake.db.ret1 WHERE v = 2")       // a: 3 -> 1
+    sql("UPDATE lake.db.ret1 SET v = 20 WHERE k = 'b'") // b: 10 -> 20
+    sql("INSERT INTO lake.db.ret1 VALUES ('d',7)")
+    sql("REFRESH MATERIALIZED VIEW mv_r1 INCREMENTAL")
+    assert(refreshMode("mv_r1") == "incremental")
+    val res = spark.table(MvCommands.backingName("mv_r1")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(res == Map(
+      "a" -> (1L, 1L, 1L), "b" -> (20L, 1L, 1L),
+      "c" -> (100L, 1L, 1L), "d" -> (7L, 1L, 1L)), res.toString)
+    sql("DROP TABLE lake.db.ret1")
+  }
+
+  test("retractable refresh: a group that empties disappears") {
+    sql("CREATE TABLE lake.db.ret2 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.ret2 VALUES ('a',1),('b',2)")
+    sql("""CREATE MATERIALIZED VIEW mv_r2 AS
+          |SELECT k, sum(v) AS s, count(v) AS cv, count(*) AS c
+          |FROM lake.db.ret2 GROUP BY k""".stripMargin)
+    sql("DELETE FROM lake.db.ret2 WHERE k = 'a'")
+    sql("REFRESH MATERIALIZED VIEW mv_r2 INCREMENTAL")
+    assert(refreshMode("mv_r2") == "incremental")
+    val res = spark.table(MvCommands.backingName("mv_r2")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("b" -> 2L), s"emptied group must vanish: $res")
+    sql("DROP TABLE lake.db.ret2")
+  }
+
+  test("retractable refresh: SUM nulls when surviving inputs are all null") {
+    sql("CREATE TABLE lake.db.ret3 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.ret3 VALUES ('a',5),('a',NULL),('b',1)")
+    sql("""CREATE MATERIALIZED VIEW mv_r3 AS
+          |SELECT k, sum(v) AS s, count(v) AS cv, count(*) AS c
+          |FROM lake.db.ret3 GROUP BY k""".stripMargin)
+    sql("DELETE FROM lake.db.ret3 WHERE v = 5")
+    sql("REFRESH MATERIALIZED VIEW mv_r3 INCREMENTAL")
+    assert(refreshMode("mv_r3") == "incremental")
+    val rows = spark.table(MvCommands.backingName("mv_r3"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // group 'a' survives (one NULL row), its sum must be NULL — a
+    // signed merge without the count(v) guard would report 0
+    assert(rows("a") == ((null, 0L, 1L)), rows.toString)
+    assert(rows("b") == ((1L, 1L, 1L)))
+    sql("DROP TABLE lake.db.ret3")
+  }
+
+  test("retractable refresh: nullable SUM without a matching COUNT falls back") {
+    sql("CREATE TABLE lake.db.ret4 (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.ret4 VALUES ('a',1),('b',2)")
+    sql("""CREATE MATERIALIZED VIEW mv_r4 AS
+          |SELECT k, sum(v) AS s, count(*) AS c
+          |FROM lake.db.ret4 GROUP BY k""".stripMargin)
+    sql("DELETE FROM lake.db.ret4 WHERE k = 'a'")
+    sql("REFRESH MATERIALIZED VIEW mv_r4 INCREMENTAL")
+    assert(refreshMode("mv_r4") == "full") // v is nullable, no count(v)
+    assert(spark.table(MvCommands.backingName("mv_r4")).count() == 1)
+    // NOT NULL input needs no guard: same shape retracts incrementally
+    sql("CREATE TABLE lake.db.ret4b (k string, v bigint NOT NULL) USING lake")
+    sql("INSERT INTO lake.db.ret4b VALUES ('a',1),('b',2)")
+    sql("""CREATE MATERIALIZED VIEW mv_r4b AS
+          |SELECT k, sum(v) AS s, count(*) AS c
+          |FROM lake.db.ret4b GROUP BY k""".stripMargin)
+    sql("DELETE FROM lake.db.ret4b WHERE k = 'a'")
+    sql("REFRESH MATERIALIZED VIEW mv_r4b INCREMENTAL")
+    assert(refreshMode("mv_r4b") == "incremental")
+    assert(spark.table(MvCommands.backingName("mv_r4b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("b" -> 2L))
+    sql("DROP TABLE lake.db.ret4"); sql("DROP TABLE lake.db.ret4b")
+  }
+
+  test("retractable refresh: MIN/MAX outputs fall back (cannot retract)") {
+    sql("CREATE TABLE lake.db.ret5 (k string, v bigint NOT NULL) USING lake")
+    sql("INSERT INTO lake.db.ret5 VALUES ('a',1),('a',9)")
+    sql("""CREATE MATERIALIZED VIEW mv_r5 AS
+          |SELECT k, max(v) AS mx, count(*) AS c
+          |FROM lake.db.ret5 GROUP BY k""".stripMargin)
+    sql("DELETE FROM lake.db.ret5 WHERE v = 9") // the max leaves
+    sql("REFRESH MATERIALIZED VIEW mv_r5 INCREMENTAL")
+    assert(refreshMode("mv_r5") == "full")
+    val r = spark.table(MvCommands.backingName("mv_r5")).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L)
+    sql("DROP TABLE lake.db.ret5")
+  }
+
+  test("retractable refresh: global aggregate empties to the canonical row") {
+    sql("CREATE TABLE lake.db.ret6 (v bigint NOT NULL) USING lake")
+    sql("INSERT INTO lake.db.ret6 VALUES (1),(2)")
+    sql("""CREATE MATERIALIZED VIEW mv_r6 AS
+          |SELECT sum(v) AS s, count(*) AS c FROM lake.db.ret6""".stripMargin)
+    sql("DELETE FROM lake.db.ret6 WHERE v >= 1")
+    sql("REFRESH MATERIALIZED VIEW mv_r6 INCREMENTAL")
+    assert(refreshMode("mv_r6") == "incremental")
+    val r = spark.table(MvCommands.backingName("mv_r6")).collect()
+    assert(r.length == 1 && r(0).isNullAt(0) && r(0).getLong(1) == 0L,
+      s"global aggregate over an emptied base must be (null, 0): ${r.toSeq}")
+    sql("DROP TABLE lake.db.ret6")
+  }
+
+  test("retractable refresh: equality-delete upserts retract exactly") {
+    sql("""CREATE TABLE lake.db.ret7 (k string NOT NULL, v bigint NOT NULL)
+          |USING lake TBLPROPERTIES ('identifier-fields'='k',
+          |  'write.upsert.enabled'='true')""".stripMargin)
+    sql("INSERT INTO lake.db.ret7 VALUES ('a',1),('b',2)")
+    sql("""CREATE MATERIALIZED VIEW mv_r7 AS
+          |SELECT k, sum(v) AS s, count(*) AS c
+          |FROM lake.db.ret7 GROUP BY k""".stripMargin)
+    // upsert replaces k='a': the changelog emits delete('a',1) +
+    // insert('a',100); with a liveness count the signed merge applies
+    // it without double-counting (contrast mv_i9, which must go full)
+    sql("INSERT INTO lake.db.ret7 VALUES ('a',100),('c',3)")
+    sql("REFRESH MATERIALIZED VIEW mv_r7 INCREMENTAL")
+    assert(refreshMode("mv_r7") == "incremental")
+    val res = spark.table(MvCommands.backingName("mv_r7")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res == Map("a" -> (100L, 1L), "b" -> (2L, 1L), "c" -> (3L, 1L)),
+      res.toString)
+    sql("DROP TABLE lake.db.ret7")
   }
 }
