@@ -39,6 +39,9 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[8]")
       .appName("fuzz-suite")
       .withExtensions(new LakeExtensions)
+      .withExtensions(new graft.mv.MvExtensions)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("fuzz_sw").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
@@ -655,6 +658,100 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     runCdcReplay(seed = 83, nOps = 12)
   }
 
+  // ---- MV-refresh consistency mode -------------------------------
+  // Random DML (inserts with NULLs, predicate delete/update, merge
+  // upsert, truncate-overwrite, compaction) interleaved with
+  // REFRESH MATERIALIZED VIEW ... INCREMENTAL. The MV carries the
+  // full retractable shape (sum + count(v) guard + count(*)
+  // liveness), so EVERY refresh must take the incremental path —
+  // append merge or signed changelog merge — and the backing table
+  // must equal a from-scratch recompute of the defining query after
+  // each one. This is the interaction hunt for MvIncremental: CoW
+  // rewrites (carry-over cancellation), MoR masks, emptied groups,
+  // all-null groups, truncates, compaction no-ops.
+  private def runMv(mode: String, seed: Long, nOps: Int): Unit = {
+    val short = s"fzmv_${mode}_$seed"
+    val tbl = s"lake.db.$short"
+    val mv = s"${short}_mv"
+    val props =
+      if (mode == "mor")
+        """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read',
+          |'write.merge.mode'='merge-on-read')""".stripMargin
+      else ""
+    sql(s"CREATE TABLE $tbl (id bigint, v bigint, k string) USING lake $props")
+    val defining = s"SELECT k, sum(v) AS s, count(v) AS cv, " +
+      s"count(*) AS c FROM $tbl GROUP BY k"
+    val rng = new scala.util.Random(seed)
+    var nextId = 0L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+    def vLit(): String =
+      if (rng.nextInt(5) == 0) "CAST(NULL AS bigint)"
+      else rng.nextInt(1000).toString
+    def kLit(): String = s"'${('a' + rng.nextInt(4)).toChar}'"
+    def rowsLit(ids: Seq[Long]): String =
+      ids.map(i => s"($i, ${vLit()}, ${kLit()})").mkString(", ")
+
+    sql(s"INSERT INTO $tbl VALUES ${rowsLit(freshIds(4))}")
+    sql(s"CREATE MATERIALIZED VIEW $mv AS $defining")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+
+    var opIdx = 0
+    while (opIdx < nOps) {
+      rng.nextInt(9) match {
+        case 0 | 1 | 2 =>
+          sql(s"INSERT INTO $tbl VALUES ${rowsLit(freshIds(1 + rng.nextInt(4)))}")
+        case 3 | 4 =>
+          val m = 2 + rng.nextInt(4)
+          sql(s"DELETE FROM $tbl WHERE id % $m = ${rng.nextInt(m)}")
+        case 5 =>
+          val m = 2 + rng.nextInt(4)
+          sql(s"UPDATE $tbl SET v = v + 1000 WHERE id % $m = ${rng.nextInt(m)}")
+        case 6 =>
+          val src = freshIds(2).map(i => s"($i, ${vLit()}, ${kLit()})") ++
+            Seq(s"(${rng.nextLong(math.max(1L, nextId))}, ${vLit()}, ${kLit()})")
+          sql(s"""MERGE INTO $tbl t
+                 |USING (SELECT * FROM (VALUES ${src.mkString(", ")})
+                 |       AS s(id, v, k)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v, k = s.k
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        case 7 =>
+          sql(s"INSERT OVERWRITE $tbl VALUES ${rowsLit(freshIds(3))}")
+        case 8 =>
+          sql(s"CALL lake.system.rewrite_data_files(table => 'db.$short')")
+      }
+      if (rng.nextInt(3) == 0 || opIdx == nOps - 1) {
+        sql(s"REFRESH MATERIALIZED VIEW $mv INCREMENTAL")
+        val meta = graft.mv.MvCatalog.get(mv).get
+        assert(meta.lastRefreshMode == "incremental",
+          s"mv $mode seed=$seed op#$opIdx: expected every refresh to " +
+            s"stay incremental, got '${meta.lastRefreshMode}'")
+        val got = canon(spark.table(graft.mv.MvCommands.backingName(mv)))
+        val want = canon(sql(defining))
+        assert(got == want,
+          s"mv $mode seed=$seed op#$opIdx: backing != recompute\n" +
+            s"got  $got\nwant $want")
+      }
+      opIdx += 1
+    }
+    sql(s"DROP MATERIALIZED VIEW $mv")
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: MV incremental refresh tracks a full recompute, both modes") {
+    runMv("cow", seed = 31, nOps = 16)
+    runMv("mor", seed = 31, nOps = 16)
+    runMv("cow", seed = 83, nOps = 10)
+    runMv("mor", seed = 83, nOps = 10)
+  }
+
   // Opt-in soak: many seeds × longer sequences across every mode.
   // Skipped in normal runs (it would triple the suite's wall time);
   // run with FUZZ_SOAK=1 after changes to the write/commit/changelog
@@ -681,6 +778,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("upsert-mor")(runUpsert("mor", s, nOps = 24))
       step("branch")(runBranch(s, nOps = 30))
       step("cdc")(runCdcReplay(s, nOps = 16))
+      step("mv-cow")(runMv("cow", s, nOps = 20))
+      step("mv-mor")(runMv("mor", s, nOps = 20))
     }
   }
 }
