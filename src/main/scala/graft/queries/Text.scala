@@ -359,6 +359,41 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Bigram PMI collocation mining — the phrase-discovery statistic
+    * (pointwise mutual information) over the corpus's own unigram and
+    * bigram frequencies. Shape: two explode → hash-aggregate passes
+    * (token- and bigram-keyed — the corpus never crosses the wire
+    * unreduced thanks to map-side partials), the two totals ride a
+    * 1-row broadcast, and the unigram side joins back twice on the
+    * token key. A min-count floor (≥ 5) keeps the result to real
+    * collocations — and at 100 TB it is also the skew valve: rare
+    * bigrams never reach the join. */
+  def tPmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= ""))
+    val uni = docs.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val len = greatest(size(col("t")) - 1, lit(0))
+    val bi = docs.select(explode(zip_with(
+        slice(col("t"), lit(1), len), slice(col("t"), lit(2), len),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+    val totals = uni.agg(sum(col("c")).as("n"))
+      .crossJoin(bi.agg(sum(col("cab")).as("m")))
+    bi.filter(col("cab") >= 5)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bg"), col("cab"),
+        round(log(
+          (col("cab").cast("double") / col("m")) /
+            ((col("ca").cast("double") / col("n")) *
+              (col("cb").cast("double") / col("n")))), 4).as("pmi"))
+      .orderBy(col("bg"))
+  }
+
   /** Repetition filter (Gopher-style quality signal): per-document
     * distinct-token and top-token fractions flag degenerate /
     * repetitive documents. One explode + two doc-keyed hash
@@ -830,6 +865,7 @@ object TextOps {
     "t_chunk" -> (tChunk _),
     "t_token_stats" -> (tTokenStats _),
     "t_token_bpe" -> (tTokenBpe _),
+    "t_pmi_bigrams" -> (tPmiBigrams _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
@@ -884,6 +920,27 @@ object TextOps {
          |FROM (SELECT doc_id, regexp_extract_all(lower(text),
          |        '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS b FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "t_pmi_bigrams" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($tokSql, x -> x <> '') AS t
+         |  FROM documents),
+         |uc AS (SELECT tok, count(*)::BIGINT AS c
+         |       FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+         |bc AS (SELECT bg, count(*)::BIGINT AS cab
+         |       FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |                      i -> t[i] || ' ' || t[i+1])) AS bg
+         |             FROM tk) GROUP BY bg),
+         |tot AS (SELECT (SELECT sum(c) FROM uc) AS n,
+         |               (SELECT sum(cab) FROM bc) AS m)
+         |SELECT b.bg, b.cab,
+         |  round(ln((b.cab::DOUBLE / t.m) /
+         |    ((ua.c::DOUBLE / t.n) * (ub.c::DOUBLE / t.n))), 4) AS pmi
+         |FROM bc b
+         |CROSS JOIN tot t
+         |JOIN uc ua ON ua.tok = split_part(b.bg, ' ', 1)
+         |JOIN uc ub ON ub.tok = split_part(b.bg, ' ', 2)
+         |WHERE b.cab >= 5
+         |ORDER BY bg""".stripMargin,
     "t_quality_score" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, lexical_div,
          |  round(0.4*stop_ratio + 0.6*lexical_div, 4) AS quality

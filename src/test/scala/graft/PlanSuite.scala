@@ -162,6 +162,15 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(p) <= 4, s"tf agg + token join + doc agg + order:\n$p")
   }
 
+  test("t_pmi_bigrams: totals broadcast, joins token-keyed, no window") {
+    assume(ready)
+    val p = fmt("t_pmi_bigrams")
+    // the 1-row (n, m) totals ride a broadcast; the unigram↔bigram
+    // joins key on token/bigram — never a window, never quadratic
+    assert(has(p, "BroadcastNestedLoopJoin") || has(p, "BroadcastExchange"), p)
+    assert(!has(p, "Window") && !has(p, "CartesianProduct"), p)
+  }
+
   test("t_dedup_keep_best: one struct-max aggregate after grouping") {
     assume(ready)
     val p = fmt("t_dedup_keep_best")
