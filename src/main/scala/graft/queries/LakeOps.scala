@@ -200,6 +200,28 @@ object LakeOps {
     s.sql(s"SELECT s_suppkey, s_name FROM lakeq.db.$t ORDER BY s_suppkey")
   }
 
+  /** Top-N pushdown: ORDER BY + LIMIT over a multi-file lake table.
+    * The four inserts commit disjoint key ranges, so the scan's
+    * dominated-file cut (SupportsPushDownTopN, partial) plans only
+    * the head range's file — the 100 TB "latest 50" shape. Values
+    * are exact regardless (Spark keeps its own Sort+Limit on top);
+    * LakeSuite proves the file cut, this gate proves the values. */
+  def lakeTopn(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "orders")
+    val t = fresh("topn")
+    s.sql(s"CREATE TABLE lakeq.db.$t (o_orderkey bigint, o_totalprice double) USING lake")
+    val maxKey = s.sql(s"SELECT max(o_orderkey) FROM $v").collect()(0).getLong(0)
+    val step = math.max(1L, maxKey / 4 + 1)
+    (0 until 4).foreach(i =>
+      s.sql(s"""INSERT INTO lakeq.db.$t
+               |SELECT o_orderkey, o_totalprice FROM $v
+               |WHERE o_orderkey >= ${i * step}
+               |  AND o_orderkey < ${(i + 1) * step}""".stripMargin))
+    s.sql(s"""SELECT o_orderkey, o_totalprice FROM lakeq.db.$t
+             |ORDER BY o_orderkey LIMIT 50""".stripMargin)
+  }
+
   /** CDC changelog over append+delete snapshots. */
   def lakeChangelog(s: SparkSession, d: String): DataFrame = {
     cat(s)
@@ -426,6 +448,7 @@ object LakeOps {
     "lake_dynamic_overwrite" -> (lakeDynamicOverwrite _),
     "lake_incremental_read" -> (lakeIncrementalRead _),
     "lake_compaction" -> (lakeCompaction _),
+    "lake_topn" -> (lakeTopn _),
     "lake_changelog" -> (lakeChangelog _),
     "lake_changes_table" -> (lakeChangesTable _),
     "lake_mv_rollup" -> (lakeMvRollup _),
@@ -502,6 +525,9 @@ object LakeOps {
         |ORDER BY n_nationkey""".stripMargin,
     "lake_compaction" ->
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "lake_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
     "lake_changelog" ->
       """SELECT 'delete' AS _change_type, count(*) AS n,
         |  sum(n_nationkey)::BIGINT AS s
