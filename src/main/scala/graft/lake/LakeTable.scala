@@ -669,6 +669,33 @@ private[lake] object LakeColumnStats {
       val mx = bound(_.maxValues, isMin = false)
       val ndv = table.meta.properties.get(s"stats.ndv.${f.name}")
         .flatMap(v => scala.util.Try(v.toLong).toOption)
+      // equi-height histogram from compute_table_stats
+      // ("height:b0,b1,...,bN"); per-bin NDV = total NDV spread over
+      // the bins (same approximation class as the HLL NDV)
+      val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+        table.meta.properties.get(s"stats.hist.${f.name}").flatMap { v =>
+          scala.util.Try {
+            val idx = v.indexOf(':')
+            val h = v.substring(0, idx).toDouble
+            val bounds = v.substring(idx + 1).split(',').map(_.toDouble)
+            require(bounds.length >= 2)
+            val perBin = math.max(1L, ndv
+              .map(n => math.ceil(n.toDouble / (bounds.length - 1)).toLong)
+              .getOrElse(1L))
+            val bs = bounds.sliding(2).map { w =>
+              new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                override def lo(): Double = w(0)
+                override def hi(): Double = w(1)
+                override def ndv(): Long = perBin
+              }
+            }.toArray
+            new org.apache.spark.sql.connector.read.colstats.Histogram {
+              override def height(): Double = h
+              override def bins(): Array[
+                org.apache.spark.sql.connector.read.colstats.HistogramBin] = bs
+            }
+          }.toOption
+        }
       if (nulls.isPresent || mn.isDefined || mx.isDefined || ndv.isDefined)
         out.put(Shims.columnRef(f.name), new ColumnStatistics {
           override def distinctCount(): OptionalLong =
@@ -680,6 +707,10 @@ private[lake] object LakeColumnStats {
             mx.map(v => Optional.of(v.asInstanceOf[Object]))
               .getOrElse(Optional.empty[Object]())
           override def nullCount(): OptionalLong = nulls
+          override def histogram(): Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            hist.map(h => Optional.of(h)).getOrElse(Optional.empty[
+              org.apache.spark.sql.connector.read.colstats.Histogram]())
         })
     }
     out

@@ -16,6 +16,9 @@ import java.util.Collections
   */
 object Procedures {
 
+  /** Equi-height histogram bin count for compute_table_stats. */
+  private val HistBins = 32
+
   def load(catalog: LakeCatalog, name: String): Option[UnboundProcedure] =
     registry.get(name).map(_(catalog))
 
@@ -871,7 +874,37 @@ object Procedures {
         val props = cols.zipWithIndex.map { case (cn, i) =>
           s"stats.ndv.$cn" -> ndv.get(i).toString
         }.toMap
-        val updated = catalog.commitMeta(m.copy(properties = m.properties ++ props))
+        // Equi-height histograms for numeric columns — the CBO input
+        // range/join estimation actually consumes (via the scan's
+        // SupportsReportStatistics column stats). One pass of
+        // percentile_approx per stats run; stored compactly as
+        // "height:b0,b1,...,bN" in properties. Per-bin NDV is derived
+        // at read time as ndv/bins (equi-height bins split distinct
+        // values roughly evenly for non-degenerate distributions) —
+        // same approximation class as the HLL NDV itself.
+        val numeric = cols.filter(cn => df.schema(cn).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        })
+        val histProps: Map[String, String] =
+          if (numeric.isEmpty) Map.empty
+          else {
+            val pcts = lit((0 to HistBins).map(_.toDouble / HistBins).toArray)
+            val hAggs = numeric.flatMap(cn => Seq(
+              percentile_approx(col(cn).cast("double"), pcts, lit(10000))
+                .as(s"p_$cn"),
+              count(col(cn)).as(s"c_$cn")))
+            val row = df.agg(hAggs.head, hAggs.tail: _*).collect().head
+            numeric.zipWithIndex.flatMap { case (cn, i) =>
+              val bounds = Option(row.getSeq[Double](i * 2)).getOrElse(Nil)
+              val nonNull = row.getLong(i * 2 + 1)
+              if (bounds.size != HistBins + 1 || nonNull == 0L) None
+              else Some(s"stats.hist.$cn" ->
+                s"${nonNull.toDouble / HistBins}:${bounds.mkString(",")}")
+            }.toMap
+          }
+        val updated = catalog.commitMeta(
+          m.copy(properties = m.properties ++ props ++ histProps))
         Seq(Row(s"${m.location}/metadata/v${updated.version}%05d.json"))
       }
     }),

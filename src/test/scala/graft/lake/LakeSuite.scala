@@ -1816,6 +1816,20 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
         s"expected min 0 / max 99, got ${idStat.min}/${idStat.max}")
       assert(idStat.distinctCount.exists(d => d >= BigInt(90) && d <= BigInt(110)),
         s"approx NDV should be ~100, got ${idStat.distinctCount}")
+      // equi-height histogram flows from compute_table_stats through
+      // the connector column stats into the catalyst ColumnStat
+      val h = idStat.histogram.getOrElse(
+        fail(s"no histogram on id: $idStat"))
+      assert(h.bins.length == 32, s"expected 32 bins, got ${h.bins.length}")
+      assert(math.abs(h.height - 100.0 / 32) < 0.01, h.height.toString)
+      assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 99.0,
+        s"bounds should span the data: ${h.bins.head.lo}..${h.bins.last.hi}")
+      // a range predicate's estimate reflects the histogram: roughly
+      // a quarter of the rows fall under id < 25
+      val est = sql("SELECT * FROM lake.db.cbo WHERE id < 25")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(r => r >= BigInt(15) && r <= BigInt(35)),
+        s"histogram-based estimate for id<25 should be ~25 rows, got $est")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
