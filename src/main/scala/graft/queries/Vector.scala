@@ -232,6 +232,38 @@ object VectorOps {
     withSims.withColumn("cell", -best.getField("ncid"))
   }
 
+  /** Multi-query IVF retrieval for the retrieval-quality spec: top
+    * `kNN` neighbors per query among each query's `nprobe` probe
+    * cells — the [[vKnnJoin]] shape with the candidate side bounded
+    * by the inverted file instead of the full corpus. With
+    * nprobe == k (probe everything) this must reproduce the exact
+    * k-NN result bit-for-bit, which the spec pins; with nprobe < k
+    * it measures the recall the IVF trade actually buys. */
+  private[graft] def ivfKnnJoin(s: SparkSession, d: String,
+      nQueries: Int, k: Int = 8, nprobe: Int = 2, kNN: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val withSims = ivfAssign(emb, k)
+    val assigned = withSims
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val qcells = withSims.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(sort_array(transform(col("sims"), s0 =>
+          struct((-s0.getField("csim")).as("negsim"),
+            s0.getField("cid").as("cid")))), 1, nprobe)).as("t"))
+      .select(col("qid"), col("qv"), col("qn"), col("t.cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    assigned.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   def vAnnIvf(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val nprobe = 2

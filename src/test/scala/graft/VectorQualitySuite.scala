@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN retrieval QUALITY guard. The oracle gates prove the
+  * implementation computes what its own algorithm specifies; nothing
+  * there fails if an IVF parameter change silently tanks what the
+  * index retrieves. This suite pins the two properties that matter:
+  *
+  *  - probing every cell (nprobe == k) must reproduce the exact k-NN
+  *    result bit-for-bit — the inverted file partitions the corpus,
+  *    so full probing IS brute force (a deterministic invariant, not
+  *    a threshold);
+  *  - probing nprobe=2 of 8 cells — the production trade the gates
+  *    ship — must keep mean recall@3 above a measured floor.
+  */
+class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("vector-quality")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ready: Boolean = new java.io.File(sfDir).isDirectory
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Set[Long]] =
+    df.select("qid", "nid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("IVF with nprobe == k reproduces exact k-NN bit-for-bit") {
+    assume(ready)
+    val exact = neighborSets(graft.queries.VectorOps
+      .vKnnJoin(spark, sfDir).withColumnRenamed("qid", "qid"))
+    val full = neighborSets(graft.queries.VectorOps
+      .ivfKnnJoin(spark, sfDir, nQueries = 20, k = 8, nprobe = 8))
+    assert(full == exact,
+      s"full-probe IVF must equal brute force:\nivf   $full\nexact $exact")
+  }
+
+  test("IVF nprobe=2/8 keeps mean recall@3 above the measured floor") {
+    assume(ready)
+    val exact = neighborSets(graft.queries.VectorOps.vKnnJoin(spark, sfDir))
+    val ivf = neighborSets(graft.queries.VectorOps
+      .ivfKnnJoin(spark, sfDir, nQueries = 20, k = 8, nprobe = 2))
+    val recalls = exact.toSeq.map { case (q, e) =>
+      e.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@3 at nprobe=2/8: $mean%.4f over ${recalls.size} queries")
+    // measured 2026-08: 0.7333 at sf0.001 — floor set well below so
+    // only a real retrieval regression trips; if a legitimate
+    // parameter change moves this, re-measure and re-pin
+    assert(mean >= 0.50,
+      f"mean recall@3 dropped to $mean%.3f (floor 0.50) — the IVF " +
+        "index stopped retrieving what brute force finds")
+  }
+}
