@@ -849,6 +849,21 @@ object TextOps {
           .as("frame_sig"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Multimodal resize/feature-extract slot: deterministic 2×
+    * downscale of the decoded "image" — out_w halves (floor, min 1)
+    * and the resized signature mixes luma with the new geometry.
+    * Pure narrow arithmetic over the decode output, no shuffle; a
+    * real resizer (SIMD/JNI) would replace the formula behind the
+    * same schema and partitioning. */
+  def mmResizeStub(s: SparkSession, d: String): DataFrame = {
+    val outW = greatest(floor(col("width") / 2), lit(1)).cast("long")
+    mmDecoded(s, d)
+      .select(col("doc_id"), outW.as("out_w"),
+        ((col("luma") * outW + col("doc_id")) % 4096).cast("long")
+          .as("resize_sig"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same tokens, same md5-derived hashes.
   // ---------------------------------------------------------------
@@ -886,6 +901,7 @@ object TextOps {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize_stub" -> (mmResizeStub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1253,5 +1269,18 @@ object TextOps {
         |SELECT doc_id, frame_idx,
         |  (doc_id*31 + frame_idx*7 + luma) % 997 AS frame_sig
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize_stub" ->
+      """WITH dec AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 2
+        |       THEN (ord(substr(text,1,1))*256 + ord(substr(text,2,1))) % 1024
+        |       ELSE 0 END AS width,
+        |  CASE WHEN length(text) > 0
+        |       THEN (list_sum(list_transform(range(1, least(length(text),64)+1),
+        |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
+        |       ELSE 0 END AS luma
+        |FROM documents)
+        |SELECT doc_id, greatest(width // 2, 1) AS out_w,
+        |  (luma * greatest(width // 2, 1) + doc_id) % 4096 AS resize_sig
+        |FROM dec ORDER BY doc_id""".stripMargin,
   )
 }
