@@ -960,10 +960,19 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
   // them are skipped before any task launches; no false negatives, so
   // skipping is sound). Disabled when key-grouped (a narrowed file
   // set would invalidate the partition count already reported).
+  // Only columns present in the scan's OUTPUT may be reported:
+  // Spark's PartitionPruning resolves every filter attribute against
+  // the relation output and throws on a miss — a projection that
+  // prunes the partition column away would crash any join-bearing
+  // query instead of just skipping DPP (found by the MV fuzz on a
+  // partitioned base). A pruned-away column could never receive
+  // runtime values anyway.
   override def filterAttributes(): Array[NamedReference] =
     if (keyed.isDefined) Array.empty
     else (table.meta.partitionSpec.map(_.sourceColumn) ++ bloomFilterCols)
-      .distinct.map(Shims.columnRef).toArray
+      .distinct
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(Shims.columnRef).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1 = predicates.flatMap(Shims.predicateToV1(_))
@@ -1102,8 +1111,12 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
   override def description(): String =
     s"LakeRowLevelScan(${table.name()}, files=${files.size})"
 
+  // same output-membership guard as LakeBatchScan.filterAttributes:
+  // delta scans project only (row-id) columns, and reporting a
+  // pruned-away partition column makes PartitionPruning throw
   override def filterAttributes(): Array[NamedReference] =
     table.meta.partitionSpec.map(_.sourceColumn).distinct
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
       .map(Shims.columnRef).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {

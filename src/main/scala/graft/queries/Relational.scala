@@ -355,20 +355,25 @@ object Relational {
       .orderBy(col("hour"))
   }
 
-  /** Exact linear-interpolation percentiles per group. Exact
-    * `percentile` buffers per-group value counts — fine for bounded
-    * group cardinality (3 flags here); the 100 TB scale path for
+  /** Exact DISCRETE percentiles per group (SQL-standard
+    * percentile_disc): both engines return an actual element of the
+    * column, read verbatim from the same parquet — bit-identical, no
+    * interpolation arithmetic. (The continuous variant is a hash-gate
+    * trap: an even-count median is the midpoint of two prices, which
+    * can land exactly on a round(,2) .005 boundary where Spark/DuckDB
+    * fp noise rounds to different sides — seen at sf0.001.) Exact
+    * percentile buffers per-group values — fine for bounded group
+    * cardinality (3 flags here); the 100 TB scale path for
     * high-cardinality groups is `approx_percentile` (KLL-style sketch,
-    * mergeable map-side), which the oracle can't hash-match, so the
-    * gate pins the exact variant DuckDB's quantile_cont mirrors. */
+    * mergeable map-side), which the oracle can't hash-match. */
   def qPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        r2(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r2(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
-        r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("p75"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"))
       .orderBy(col("l_returnflag"))
 
   /** Pivot: daily event counts, one column per event type. The value
@@ -595,10 +600,10 @@ object Relational {
         |GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25),2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5),2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75),2) AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.99),2) AS p99
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP —
     // cast, or the driver's type-sensitive compare mismatches

@@ -669,8 +669,9 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
   // each one. This is the interaction hunt for MvIncremental: CoW
   // rewrites (carry-over cancellation), MoR masks, emptied groups,
   // all-null groups, truncates, compaction no-ops.
-  private def runMv(mode: String, seed: Long, nOps: Int): Unit = {
-    val short = s"fzmv_${mode}_$seed"
+  private def runMv(mode: String, seed: Long, nOps: Int,
+      partitioned: Boolean = false): Unit = {
+    val short = s"fzmv_${mode}_${if (partitioned) "p" else ""}$seed"
     val tbl = s"lake.db.$short"
     val mv = s"${short}_mv"
     val props =
@@ -679,7 +680,11 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
           |'write.update.mode'='merge-on-read',
           |'write.merge.mode'='merge-on-read')""".stripMargin
       else ""
-    sql(s"CREATE TABLE $tbl (id bigint, v bigint, k string) USING lake $props")
+    // partitioned variant: the MV's group key IS the partition key, so
+    // fanout writes, partition-grouped row-level rewrites, and dynamic
+    // overwrite file diffs all feed the changelog the signed merge reads
+    val part = if (partitioned) "PARTITIONED BY (k)" else ""
+    sql(s"CREATE TABLE $tbl (id bigint, v bigint, k string) USING lake $part $props")
     val defining = s"SELECT k, sum(v) AS s, count(v) AS cv, " +
       s"count(*) AS c FROM $tbl GROUP BY k"
     val rng = new scala.util.Random(seed)
@@ -752,6 +757,11 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     runMv("mor", seed = 83, nOps = 10)
   }
 
+  test("fuzz: MV incremental refresh on a PARTITIONED base (group = partition key)") {
+    runMv("cow", seed = 59, nOps = 14, partitioned = true)
+    runMv("mor", seed = 59, nOps = 14, partitioned = true)
+  }
+
   // Opt-in soak: many seeds × longer sequences across every mode.
   // Skipped in normal runs (it would triple the suite's wall time);
   // run with FUZZ_SOAK=1 after changes to the write/commit/changelog
@@ -780,6 +790,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("cdc")(runCdcReplay(s, nOps = 16))
       step("mv-cow")(runMv("cow", s, nOps = 20))
       step("mv-mor")(runMv("mor", s, nOps = 20))
+      step("mv-part-cow")(runMv("cow", s, nOps = 16, partitioned = true))
+      step("mv-part-mor")(runMv("mor", s, nOps = 16, partitioned = true))
     }
   }
 }

@@ -1653,6 +1653,34 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"runtime filter should prune partition files, planned $survived of 8")
   }
 
+  test("runtime filter attributes respect the scan projection") {
+    // Spark's PartitionPruning resolves EVERY reported filter
+    // attribute against the relation output and throws on a miss, so
+    // a scan whose projection pruned the partition column away must
+    // not report it (found by the MV fuzz on a partitioned base:
+    // AnalysisException 'Unable to resolve k given [id,_file,_pos]').
+    sql("""CREATE TABLE lake.db.rfp (id bigint, k string) USING lake
+          |PARTITIONED BY (k)
+          |TBLPROPERTIES ('write.merge.mode'='merge-on-read',
+          |               'write.delete.mode'='merge-on-read')""".stripMargin)
+    sql("INSERT INTO lake.db.rfp VALUES (1,'a'),(2,'b'),(3,'a')")
+    sql("CREATE TABLE lake.db.rfpdim (id bigint, flag int) USING lake")
+    sql("INSERT INTO lake.db.rfpdim VALUES (1, 1), (2, 0)")
+    // normal read: join on a non-partition key with k pruned away
+    assert(sql("""SELECT f.id FROM lake.db.rfp f
+                |JOIN lake.db.rfpdim d ON f.id = d.id
+                |WHERE d.flag = 1""".stripMargin).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // MoR MERGE: the delta scan projects only (id, _file, _pos)
+    sql("""MERGE INTO lake.db.rfp t
+          |USING (SELECT * FROM (VALUES (2L),(3L)) AS s(id)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(sql("SELECT id FROM lake.db.rfp").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    sql("DROP TABLE lake.db.rfp"); sql("DROP TABLE lake.db.rfpdim")
+  }
+
   test("ORDER BY + LIMIT plans only undominated files (top-N pushdown)") {
     sql("CREATE TABLE lake.db.topn (id bigint, v string) USING lake")
     for (i <- 0 until 4) // four files with disjoint id ranges
