@@ -401,6 +401,37 @@ object Relational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** UNPIVOT (melt): wide per-flag measure columns to long
+    * (measure, value) rows via Spark's native `unpivot` — planned as
+    * one Expand over the already-aggregated rows (each row fans out
+    * to one row per measure), NOT a union of N re-scans of the fact
+    * table; the wide aggregate itself is a single lineitem pass. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(r2(sum(col("l_quantity"))).as("qty"),
+        r2(sum(col("l_extendedprice"))).as("price"),
+        r2(sum(col("l_discount"))).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** Dimension enrichment of the event stream — batch twin of
+    * [[graft.streaming.EventStreams.enrich]]: events pick up the
+    * customer's market segment through an explicit `broadcast` dim
+    * join (no fact-side shuffle before the aggregate), then roll up
+    * per (segment, event type). At 100 TB the fact side streams
+    * through map tasks; only the final low-cardinality aggregate
+    * exchanges. */
+  def qEventsEnrich(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -429,6 +460,8 @@ object Relational {
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_events_enrich" -> (qEventsEnrich _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -621,5 +654,24 @@ object Relational {
         |  min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
         |  max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS price,
+        |  round(sum(l_discount), 2) AS disc
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'disc', disc FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_events_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
   )
 }

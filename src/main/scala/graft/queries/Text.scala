@@ -864,6 +864,89 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-span width: 5 tokens keeps the synthetic word-soup
+    * corpus non-degenerate (2.3k of 25k windows repeat at sf0.01);
+    * production exact-substring dedup uses ~50-token windows. */
+  private val SpanW = 5
+
+  /** Duplicate-span marking — the fixed-width approximation of
+    * exact-substring dedup (the suffix-array pipeline of
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every [[SpanW]]-token window is digested, a window whose digest
+    * occurs more than once ANYWHERE in the corpus is a duplicate
+    * span, and each document reports how many of its tokens fall
+    * under such spans — the removal/annotation signal, distinct from
+    * pairwise similarity ([[tMinhashPairs]]) because it localizes
+    * WHICH spans repeat, not which documents resemble each other.
+    *
+    * Scale shape: one bounded posexplode (≤1 window per token), ONE
+    * shuffle keyed on the gram digest for the global occurrence
+    * count, then one doc-keyed window pass that merges overlapping
+    * duplicate windows exactly (sorted starts; each window covers
+    * min(W, gap-to-next) fresh tokens, the last covers W). Nothing is
+    * quadratic; at 100 TB the known hazard is hot grams (boilerplate
+    * runs) skewing the digest partition — production adds the same
+    * document-frequency cap [[MaxShingleDf]] uses, which also drops
+    * nothing relevant since a gram over the cap is certainly dup. */
+  def tDupSpan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val grams = docs
+      .filter(size(col("t")) >= SpanW)
+      .withColumn("pos",
+        explode(sequence(lit(1), size(col("t")) - (SpanW - 1))))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("t"), col("pos"), lit(SpanW)), " "))
+          .as("gram"))
+    val dup = grams
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("cnt") >= 2)
+      .withColumn("nxt", lead(col("pos"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(least(lit(SpanW), coalesce(col("nxt") - col("pos"), lit(SpanW))))
+          .cast("long").as("dup_tokens"))
+    docs.select(col("doc_id"), size(col("t")).as("n"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        greatest(col("n") - (SpanW - 1), lit(0)).cast("long").as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n"), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composite quality-filter pipeline (C4-style): per-document
+    * signals feed a deterministic first-match-wins decision chain
+    * (too_short → low_diversity → no_stopwords → keep), reported as
+    * per-(source, reason) counts — the accept/reject dashboard a
+    * training-data run is steered by. All signals are narrow column
+    * arithmetic over one corpus pass; the only shuffle is the final
+    * low-cardinality aggregate, so at 100 TB this costs exactly one
+    * scan. Thresholds are corpus-calibrated (sf0.01 yields all four
+    * outcomes); production swaps them per language/source. */
+  def tFilterPipeline(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n", size(col("t")))
+      .withColumn("dv",
+        size(array_distinct(col("t"))).cast("double") / col("n"))
+      .withColumn("n_stop", size(filter(col("t"), t => t.isin(stop: _*))))
+      .withColumn("reason",
+        when(col("n") < 20, "too_short")
+          .when(col("dv") < 0.5, "low_diversity")
+          .when(col("n_stop") === 0, "no_stopwords")
+          .otherwise("keep"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("sum_tokens"))
+      .orderBy(col("source"), col("reason"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same tokens, same md5-derived hashes.
   // ---------------------------------------------------------------
@@ -898,6 +981,8 @@ object TextOps {
     "t_sample_stratified" -> (tSampleStratified _),
     "t_shard_pack" -> (tShardPack _),
     "t_contamination" -> (tContamination _),
+    "t_dup_span" -> (tDupSpan _),
+    "t_filter_pipeline" -> (tFilterPipeline _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1240,6 +1325,42 @@ object TextOps {
          |FROM sh s JOIN bench b ON s.shingle = b.shingle
          |WHERE s.doc_id % 97 <> 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "t_dup_span" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(range(1, len(t) - 3)) AS pos, t
+         |      FROM tk WHERE len(t) >= 5),
+         |gr AS (SELECT doc_id, pos,
+         |         md5(array_to_string(t[pos : pos+4], ' ')) AS gram FROM g),
+         |ct AS (SELECT doc_id, pos,
+         |         count(*) OVER (PARTITION BY gram) AS cnt FROM gr),
+         |dp AS (SELECT doc_id, pos,
+         |         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |       FROM ct WHERE cnt >= 2),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+         |          sum(least(5, coalesce(nxt - pos, 5)))::BIGINT AS dup_tokens
+         |        FROM dp GROUP BY doc_id)
+         |SELECT tk.doc_id, len(t)::BIGINT AS n_tokens,
+         |  greatest(len(t) - 4, 0)::BIGINT AS n_grams,
+         |  coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+         |  coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  round(coalesce(dup_tokens, 0) * 1.0 / len(t), 4) AS dup_ratio
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+    "t_filter_pipeline" ->
+      s"""WITH tk AS (SELECT source, $tokSql AS t FROM documents),
+         |sg AS (SELECT source, len(t) AS n,
+         |         len(list_distinct(t)) * 1.0 / len(t) AS dv,
+         |         len(list_filter(t, x -> list_contains(
+         |           ['the','a','and','of','to','in','is','on','for','with'],
+         |           x))) AS n_stop
+         |       FROM tk)
+         |SELECT source,
+         |  CASE WHEN n < 20 THEN 'too_short'
+         |       WHEN dv < 0.5 THEN 'low_diversity'
+         |       WHEN n_stop = 0 THEN 'no_stopwords'
+         |       ELSE 'keep' END AS reason,
+         |  count(*) AS n_docs, sum(n)::BIGINT AS sum_tokens
+         |FROM sg GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,

@@ -64,6 +64,19 @@ object EventStreams {
       .select(col("user_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment join: the event stream joins a customer
+    * dimension loaded as a STATIC DataFrame. Stateless — no watermark
+    * and no join state, because the static side is simply re-planned
+    * (and with `broadcast`, re-shipped) each micro-batch, which is
+    * also what makes a slowly-changing dimension pick up updates
+    * between batches. The stream side never shuffles: the dim hashes
+    * into every task. Batch twin: `q_events_enrich`. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+        events("user_id") === customers("c_custkey"))
+      .select(events("user_id"), col("ts"), col("event_type"),
+        col("c_mktsegment"))
+
   /** Gap-based sessionization via flatMapGroupsWithState: events of a
     * user belong to one session while gaps stay under `gap`; a session
     * closes (and is emitted downstream, append mode) when the

@@ -114,6 +114,36 @@ class EventStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins the customer dim without state") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[EventStreams.Event](spark)
+    val customers = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = EventStreams.enrich(mem.toDF(), customers)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/enrich")
+      .start()
+    try {
+      mem.addData(
+        EventStreams.Event(1, ts(10), "click"),
+        EventStreams.Event(2, ts(20), "view"),
+        EventStreams.Event(7, ts(30), "click")) // no dim row: inner-drops
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+        .toSet
+      assert(rows == Set((1L, "click", "AUTOMOBILE"), (2L, "view", "BUILDING")),
+        s"stateless enrichment join: $rows")
+      // no watermark required: a second batch joins immediately (the
+      // static side re-plans per micro-batch)
+      mem.addData(EventStreams.Event(2, ts(40), "click"))
+      q.processAllAvailable()
+      assert(spark.table("enrich").count() == 3)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap and watermark") {
     val s = spark
     import s.implicits._
