@@ -71,7 +71,11 @@ object FileStats {
       val nulls = scala.collection.mutable.Map[String, Long]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
-        if (!name.contains('.') || schema.fieldNames.contains(name)) {
+        // harvest every leaf the schema can resolve — top-level
+        // columns AND struct-nested paths (a filter on `a.b` prunes
+        // files exactly like one on a top-level column); leaves under
+        // arrays/maps don't resolve and are skipped
+        if (resolvePath(schema, name).isDefined) {
           val st = c.getStatistics
           if (st != null && !st.isEmpty) {
             nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
@@ -110,9 +114,34 @@ object FileStats {
     case (x, _) => String.valueOf(x)
   }
 
+  /** Resolve a footer/filter column name to its schema type. Accepts
+    * top-level names (exact, case-insensitive — including names that
+    * happen to contain a literal dot) and dotted struct paths
+    * (`a.b.c`), the form BOTH parquet's `ColumnPath.toDotString` and
+    * Spark's nested V1-Filter attributes use — which is what lets one
+    * name space serve harvest and probe. Paths through arrays/maps
+    * resolve to None: parquet spells their leaves `arr.list.element`,
+    * and a repeated leaf's min/max cannot prune a row-level predicate
+    * anyway. (Dot-strings are ambiguous in principle — a struct field
+    * literally named "list" collides with the array spelling; Iceberg
+    * proper avoids this with field IDs. Both sides of this resolver
+    * see the same interpretation, so harvest and probe stay
+    * consistent.) */
+  private[lake] def resolvePath(schema: StructType, name: String)
+      : Option[DataType] = {
+    schema.find(_.name.equalsIgnoreCase(name)).map(_.dataType).orElse {
+      val parts = name.split('.')
+      if (parts.length < 2) None
+      else parts.foldLeft(Option(schema: DataType)) {
+        case (Some(st: StructType), p) =>
+          st.find(_.name.equalsIgnoreCase(p)).map(_.dataType)
+        case _ => None
+      }
+    }
+  }
+
   private def typeOf(schema: StructType, name: String): DataType =
-    schema.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
-      .getOrElse(StringType)
+    resolvePath(schema, name).getOrElse(StringType)
 
   /** Compare encoded stats values under a column type; false if unsure. */
   private def lt(a: String, b: String, dt: DataType): Boolean =

@@ -71,8 +71,8 @@ object TextOps {
       .withColumn("t", toks(col("text")))
       .select(
         col("doc_id"),
-        size(col("t")).as("n_tokens"),
-        size(array_distinct(col("t"))).as("n_uniq_tokens"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_uniq_tokens"),
         (floor((lit(200.0) * length(concat_ws("", col("t"))) + size(col("t"))) /
           (size(col("t")) * 2)) / 100.0).as("avg_tok_len"))
       .orderBy(col("doc_id"))

@@ -982,6 +982,35 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.vset")
   }
 
+  test("nested struct-field stats skip files at planning time") {
+    sql("""CREATE TABLE lake.db.nstats (
+          |  id bigint, meta struct<region: string, score: bigint>
+          |) USING lake""".stripMargin)
+    // two files with disjoint nested ranges; top-level id overlaps so
+    // only the struct-leaf stats can separate them
+    sql("INSERT INTO lake.db.nstats SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('region', 'east', 'score', id) FROM range(100)")
+    sql("INSERT INTO lake.db.nstats SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('region', 'west', 'score', id + 1000) FROM range(100)")
+    assert(count("SELECT count(*) FROM lake.db.nstats.files") == 2L)
+    // equality on a nested string leaf
+    assert(count(
+      "SELECT count(*) FROM lake.db.nstats WHERE meta.region = 'east'") == 100L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "meta.region = 'east' must plan only the east file")
+    // range on a nested numeric leaf
+    assert(count(
+      "SELECT count(*) FROM lake.db.nstats WHERE meta.score >= 1000") == 100L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "meta.score >= 1000 must plan only the west file")
+    // no-match point lookup prunes everything
+    assert(count(
+      "SELECT count(*) FROM lake.db.nstats WHERE meta.score = 500") == 0L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 0,
+      "an out-of-range nested point lookup must plan zero files")
+    sql("DROP TABLE lake.db.nstats")
+  }
+
   test("manifest bloom filters skip files for high-NDV point lookups") {
     // High-NDV probe column: dictionaries are disabled (so value sets
     // make no claim and parquet actually emits the bloom) and both
