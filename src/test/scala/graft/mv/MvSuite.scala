@@ -324,6 +324,37 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     intercept[Exception] { sql("REFRESH MATERIALIZED VIEW mv_missing INCREMENTAL") }
   }
 
+  test("continuous maintenance: CDC stream drives incremental refresh") {
+    sql("CREATE TABLE lake.db.cmv_base (k string, v bigint) USING lake")
+    sql("INSERT INTO lake.db.cmv_base VALUES ('a', 1), ('b', 2)")
+    sql("""CREATE MATERIALIZED VIEW cmv AS
+          |SELECT k, sum(v) AS s, count(*) AS c
+          |FROM lake.db.cmv_base GROUP BY k""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("cmv_ckpt").toString
+    val backing = MvCommands.backingName("cmv")
+    val q = MvMaintenance.continuous(spark, "cmv", "lake.db.cmv_base", ckpt)
+    try {
+      q.processAllAvailable()
+      sql("INSERT INTO lake.db.cmv_base VALUES ('a', 10), ('c', 7)")
+      q.processAllAvailable()
+      val rows = sql(s"SELECT k, s, c FROM $backing ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("a", 11L, 2L), ("b", 2L, 1L), ("c", 7L, 1L)),
+        s"append batch must merge into the MV: ${rows.toSeq}")
+      assert(MvCatalog.get("cmv").get.lastRefreshMode == "incremental",
+        "an append-only batch must refresh via the delta path")
+      // a retraction batch (CoW delete) maintains through the signed
+      // changelog replay — still driven by the same stream
+      sql("DELETE FROM lake.db.cmv_base WHERE k = 'b'")
+      q.processAllAvailable()
+      val afterDel = sql(s"SELECT k, s FROM $backing ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(afterDel.toSeq == Seq(("a", 11L), ("c", 7L)),
+        s"delete must retract the group: ${afterDel.toSeq}")
+    } finally q.stop()
+    sql("DROP TABLE lake.db.cmv_base")
+  }
+
   test("show: empty when none registered") {
     assert(sql("SHOW MATERIALIZED VIEWS").count() == 0)
   }
