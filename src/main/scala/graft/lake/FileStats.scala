@@ -526,7 +526,35 @@ object FileStats {
     }
   }
 
+  /** Planning-time file pruning. `renames` carries the per-epoch
+    * current→epoch name maps (LakeScans.statRenames): a file's footer
+    * stats were harvested under the names of ITS schema epoch, so a
+    * filter on a renamed column must probe the epoch name — and a
+    * dropped-and-re-added column maps to the absent-sentinel, whose
+    * stats lookups miss and keep the file. Probing current names
+    * directly is not just imprecise, it is UNSOUND: after a rename
+    * swap (x→tmp, y→x) the current name matches a DIFFERENT column's
+    * stats, and after drop/re-add `IS NULL` sees the dead column's
+    * zero null count — both prune files whose rows match (wrong
+    * results, caught by EvolutionPruneSuite). Callers without
+    * evolution (single-epoch tables) pass nothing and take the fast
+    * path. */
   def prune(files: Seq[DataFileMeta], filters: Seq[Filter],
-      schema: StructType): Seq[DataFileMeta] =
-    files.filter(f => filters.forall(mayMatch(f, _, schema)))
+      schema: StructType,
+      renames: Map[Int, Map[String, String]] = Map.empty)
+      : Seq[DataFileMeta] = {
+    if (renames.isEmpty)
+      files.filter(f => filters.forall(mayMatch(f, _, schema)))
+    else {
+      val byEpoch: Map[Int, (Seq[Filter], StructType)] =
+        renames.map { case (e, rn) =>
+          e -> (filters.flatMap(LakeScans.renameFilter(_, rn)),
+            LakeScans.mapNames(schema, rn))
+        }
+      files.filter { f =>
+        val (fs, sch) = byEpoch.getOrElse(f.schemaEpoch, (filters, schema))
+        fs.forall(mayMatch(f, _, sch))
+      }
+    }
+  }
 }

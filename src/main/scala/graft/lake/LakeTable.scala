@@ -368,11 +368,12 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
     // memory/latency is O(matching files) — the property that keeps a
     // selective query on a million-file snapshot plannable. Unfiltered
     // scans need every entry anyway and hydrate through the cache.
+    val statRenames = LakeScans.statRenames(fullSchema, table.meta)
     val pruned = files match {
       case l: LazyManifestFiles if !l.isForced && pushed.nonEmpty =>
         Manifests.readPruned(l.dir, pushed.toSeq, fullSchema,
-          table.catalog.hadoopConf)
-      case _ => FileStats.prune(files, pushed.toSeq, fullSchema)
+          table.catalog.hadoopConf, statRenames)
+      case _ => FileStats.prune(files, pushed.toSeq, fullSchema, statRenames)
     }
     onBuild(pruned)
     onFilters(pushed)
@@ -981,7 +982,8 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
     // time for pruning that selective joins never need
     val inValues = v1.collect { case sources.In(_, vs) => vs.length.toLong }.sum
     if (v1.nonEmpty && inValues <= 100000L) {
-      val narrowed = FileStats.prune(files, v1.toSeq, table.schema())
+      val narrowed = FileStats.prune(files, v1.toSeq, table.schema(),
+        LakeScans.statRenames(table.schema(), table.meta))
       LakeBatchScan.lastRuntimeFileCount.set(narrowed.size)
       if (narrowed.size < files.size) {
         files = narrowed
@@ -1123,7 +1125,8 @@ class LakeRowLevelScan(table: LakeTable, initial: Seq[DataFileMeta],
     val v1 = predicates.flatMap(p =>
       org.apache.spark.sql.graft.Shims.predicateToV1(p))
     if (v1.nonEmpty) {
-      files = FileStats.prune(files, v1.toSeq, table.schema())
+      files = FileStats.prune(files, v1.toSeq, table.schema(),
+        LakeScans.statRenames(table.schema(), table.meta))
       onFiles(files)
       delegate = LakeScans.build(table, files, required, Array.empty, options,
         deleted, eqDeleted, layout = leafLayout)
@@ -1327,13 +1330,32 @@ object LakeScans {
     }.toMap
   }
 
-  private def mapNames(s: StructType, rename: Map[String, String]): StructType =
+  private[lake] def mapNames(s: StructType, rename: Map[String, String]): StructType =
     StructType(s.fields.map(f =>
       rename.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
 
+  /** current→epoch name maps for EVERY schema epoch of the table —
+    * the planning-time companion of [[renamesFor]] when the file set
+    * isn't known yet (lazy manifests). Epochs that rename nothing are
+    * omitted, so an evolution-free table yields an empty map and
+    * pruning takes its fast path. */
+  private[lake] def statRenames(current: StructType, meta: TableMeta)
+      : Map[Int, Map[String, String]] =
+    meta.schemas.indices
+      .map(e => e -> renameMap(current, meta.schemaAt(e)))
+      .filter(_._2.nonEmpty).toMap
+
   private[lake] def renameFilter(f: Filter, rename: Map[String, String]): Option[Filter] = {
     if (rename.isEmpty) return Some(f)
-    def rn(a: String) = rename.getOrElse(a, a)
+    // dotted struct paths follow their top-level column's rename: the
+    // reader maps the top-level field by id, so `info.region` over an
+    // epoch that called it `meta` must probe `meta.region`
+    def rn(a: String) = rename.getOrElse(a, {
+      val i = a.indexOf('.')
+      if (i < 0) a
+      else rename.get(a.substring(0, i))
+        .map(_ + a.substring(i)).getOrElse(a)
+    })
     f match {
       case sources.EqualTo(a, v) => Some(sources.EqualTo(rn(a), v))
       case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(rn(a), v))

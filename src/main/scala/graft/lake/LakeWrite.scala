@@ -877,7 +877,11 @@ object LakeWriteUtil {
         if (isolation == "snapshot") Nil
         else FileStats.prune(
           phantomCandidates.filterNot(f => scanFilePaths(PosDeletes.norm(f.path))),
-          scanFilters.toSeq, schema).map(f => PosDeletes.norm(f.path))
+          scanFilters.toSeq, schema,
+          // phantom files may carry a NEWER epoch than this op's scan
+          // schema; probing un-mapped names could miss a real phantom
+          LakeScans.statRenames(schema, metaWithRef))
+          .map(f => PosDeletes.norm(f.path))
       val conflicts = newlyMasked ++ newlyEqMasked ++ removedRead ++ phantom
       if (conflicts.nonEmpty)
         throw new java.util.ConcurrentModificationException(

@@ -176,16 +176,31 @@ object Manifests {
   private[lake] def readPruned(dir: String,
       filters: Seq[org.apache.spark.sql.sources.Filter],
       schema: org.apache.spark.sql.types.StructType,
-      conf: Configuration): Seq[DataFileMeta] = {
+      conf: Configuration,
+      renames: Map[Int, Map[String, String]] = Map.empty)
+      : Seq[DataFileMeta] = {
     val cached = cache.get(dir)
-    if (cached != null) return FileStats.prune(cached, filters, schema)
+    if (cached != null) return FileStats.prune(cached, filters, schema, renames)
     val spark = SparkSession.active
     val df = spark.read.parquet(dir)
     val entries = withSeq(
       if (df.columns.contains("ord")) df.select("file.*")
       else df) // legacy ordinal-free spill
+    // per-epoch filter/schema views precompute on the driver and ship
+    // in the task closure (Filter/StructType are serializable) — the
+    // same epoch-name mapping FileStats.prune applies, or the
+    // distributed path would re-introduce the rename-swap unsoundness
+    val byEpoch: Map[Int, (Seq[org.apache.spark.sql.sources.Filter],
+      org.apache.spark.sql.types.StructType)] =
+      renames.map { case (e, rn) =>
+        e -> (filters.flatMap(LakeScans.renameFilter(_, rn)),
+          LakeScans.mapNames(schema, rn))
+      }
     val survivors = entries.as(Encoders.product[DataFileMeta])
-      .filter(f => filters.forall(FileStats.mayMatch(f, _, schema)))
+      .filter { f =>
+        val (fs, sch) = byEpoch.getOrElse(f.schemaEpoch, (filters, schema))
+        fs.forall(FileStats.mayMatch(f, _, sch))
+      }
       .collect().toSeq
     lastPrunedPlanCount.set(survivors.size)
     survivors

@@ -1,0 +1,105 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planning-time pruning under schema evolution: footer stats live
+  * under EPOCH names, pushed filters under CURRENT names. Probing
+  * without the per-epoch rename map is unsound two ways — a rename
+  * swap matches a different column's stats, and a dropped-and-
+  * re-added column's `IS NULL` sees the dead column's zero null
+  * count — both silently dropped matching rows before the fix
+  * (FileStats.prune renames parameter). */
+class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("evoprune_wh").toString
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("evolution-prune-suite")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+      .config("spark.sql.catalog.lake.warehouse", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sql(s: String) = spark.sql(s)
+  private def count(s: String): Long = sql(s).collect()(0).getLong(0)
+
+  test("rename swap: range filter must probe the epoch's stats names") {
+    sql("CREATE TABLE lake.db.swap (x bigint, y bigint) USING lake")
+    sql("INSERT INTO lake.db.swap SELECT /*+ REPARTITION(1) */ id, id + 1000 FROM range(10)")
+    sql("ALTER TABLE lake.db.swap RENAME COLUMN x TO tmp")
+    sql("ALTER TABLE lake.db.swap RENAME COLUMN y TO x")
+    sql("ALTER TABLE lake.db.swap RENAME COLUMN tmp TO y")
+    // current x carries old y's values (1000..1009): the old file's
+    // stats under the name "x" describe a DIFFERENT column
+    assert(count("SELECT count(*) FROM lake.db.swap WHERE x = 1005") == 1L,
+      "swap-renamed column: matching rows must not be pruned away")
+    assert(count("SELECT count(*) FROM lake.db.swap WHERE y = 5") == 1L)
+    // and pruning still fires when it is sound: no row has x = 5
+    assert(count("SELECT count(*) FROM lake.db.swap WHERE x = 5") == 0L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 0,
+      "epoch-mapped stats (old y: 1000..1009) must still prune x = 5")
+    sql("DROP TABLE lake.db.swap")
+  }
+
+  test("drop/re-add: IS NULL must not trust the dead column's stats") {
+    sql("CREATE TABLE lake.db.readd (a bigint, b bigint) USING lake")
+    sql("INSERT INTO lake.db.readd SELECT /*+ REPARTITION(1) */ id, id FROM range(5)")
+    sql("ALTER TABLE lake.db.readd DROP COLUMN b")
+    sql("ALTER TABLE lake.db.readd ADD COLUMN b bigint")
+    // old files read NULL for the re-added b (fresh field id), but
+    // their footers still carry the dead b's nullCount = 0
+    assert(count("SELECT count(*) FROM lake.db.readd WHERE b IS NULL") == 5L,
+      "re-added column reads as null; IS NULL must keep the old files")
+    assert(count("SELECT count(*) FROM lake.db.readd WHERE b = 3") == 0L)
+    sql("DROP TABLE lake.db.readd")
+  }
+
+  test("rename swap prunes correctly through spilled manifests") {
+    sql("CREATE TABLE lake.db.swapspill (x bigint, y bigint) USING lake " +
+      "TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='1')")
+    sql("INSERT INTO lake.db.swapspill SELECT /*+ REPARTITION(1) */ id, id + 1000 FROM range(10)")
+    sql("ALTER TABLE lake.db.swapspill RENAME COLUMN x TO tmp")
+    sql("ALTER TABLE lake.db.swapspill RENAME COLUMN y TO x")
+    sql("ALTER TABLE lake.db.swapspill RENAME COLUMN tmp TO y")
+    sql("INSERT INTO lake.db.swapspill SELECT /*+ REPARTITION(1) */ id + 100, id + 2000 FROM range(5)")
+    Manifests.clearCacheForTesting()
+    // distributed pruned planning must apply the same epoch mapping
+    assert(count("SELECT count(*) FROM lake.db.swapspill WHERE x = 1005") == 1L,
+      "distributed manifest pruning must map names per epoch")
+    Manifests.clearCacheForTesting()
+    assert(count("SELECT count(*) FROM lake.db.swapspill WHERE y = 103") == 1L)
+    sql("DROP TABLE lake.db.swapspill")
+  }
+
+  test("struct column rename: nested stats follow the top-level rename") {
+    sql("""CREATE TABLE lake.db.nsren (
+          |  id bigint, meta struct<region: string, score: bigint>
+          |) USING lake""".stripMargin)
+    sql("INSERT INTO lake.db.nsren SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('region', 'east', 'score', id) FROM range(100)")
+    sql("ALTER TABLE lake.db.nsren RENAME COLUMN meta TO info")
+    sql("INSERT INTO lake.db.nsren SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('region', 'west', 'score', id + 1000) FROM range(100)")
+    // correctness across the rename
+    assert(count(
+      "SELECT count(*) FROM lake.db.nsren WHERE info.region = 'east'") == 100L)
+    // precision: the dotted filter maps its first segment through the
+    // epoch rename, so the pre-rename file's nested stats still prune
+    assert(count(
+      "SELECT count(*) FROM lake.db.nsren WHERE info.score >= 1000") == 100L)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "nested stats must prune through the renamed struct column")
+    sql("DROP TABLE lake.db.nsren")
+  }
+}

@@ -201,6 +201,12 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     var nextId = 0L
     var vName = "v"        // current name of the value column
     var hasExtra = false   // a nullable add-on column comes and goes
+    // ids inserted while the CURRENT `extra` incarnation exists: only
+    // their files hold non-null extra; a drop/re-add nulls everything
+    // before it (fresh field id), which is exactly the stats-pruning
+    // trap the filtered-read invariant below guards (old footers say
+    // the dead column had zero nulls)
+    val extraNonNull = scala.collection.mutable.Set[Long]()
     def lit(rows: Seq[(Long, String)]): String =
       rows.map { case (i, v) =>
         if (hasExtra) s"($i, '$v', ${i % 7})" else s"($i, '$v')"
@@ -227,6 +233,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
           nextId += rows.size
           sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
           model ++= rows
+          if (hasExtra) extraNonNull ++= rows.map(_._1)
         case 3 | 4 =>
           val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
           sql(s"DELETE FROM $tbl WHERE id % $k = $r")
@@ -247,6 +254,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
           } else {
             sql(s"ALTER TABLE $tbl DROP COLUMN extra")
             hasExtra = false
+            extraNonNull.clear()
           }
         case 8 => sql(s"CALL lake.system.rewrite_data_files(" +
           s"table => 'db.${tbl.split('.').last}')")
@@ -267,6 +275,27 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(state() == model.toMap,
         s"evo $mode seed=$seed diverged after op #$opIdx (vName=$vName, " +
           s"extra=$hasExtra)")
+      // filtered-read invariants: pushed predicates drive stats
+      // pruning over mixed-epoch files — the path an unfiltered state
+      // dump never touches (the rename/re-add pruning bug class)
+      if (model.nonEmpty) {
+        val k = model.keys.toSeq(rng.nextInt(model.size))
+        assert(sql(s"SELECT count(*) FROM $tbl WHERE id = $k")
+          .collect()(0).getLong(0) == 1L,
+          s"evo $mode seed=$seed op #$opIdx: id = $k filtered read lost its row")
+        val v = model(k)
+        val expV = model.valuesIterator.count(_ == v).toLong
+        assert(sql(s"SELECT count(*) FROM $tbl WHERE $vName = '$v'")
+          .collect()(0).getLong(0) == expV,
+          s"evo $mode seed=$seed op #$opIdx: $vName = '$v' filtered read wrong")
+      }
+      if (hasExtra) {
+        val expNull = model.keys.count(id => !extraNonNull(id)).toLong
+        assert(sql(s"SELECT count(*) FROM $tbl WHERE extra IS NULL")
+          .collect()(0).getLong(0) == expNull,
+          s"evo $mode seed=$seed op #$opIdx: extra IS NULL must see rows " +
+            "written before the re-add (dead-column stats trap)")
+      }
       snapId().foreach(sid => hist += ((sid, model.toMap, vName)))
     }
     // sampled snapshots still show their state under their OWN schema
