@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench calls System.gc() between queries to pin ContextCleaner
+  // block frees outside the timed regions; as a concurrent G1 cycle
+  // it does that without a full STW pause (a full GC also clears
+  // soft-referenced codegen state, which re-compiles on the next
+  // query and taxed every measurement ~10%).
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

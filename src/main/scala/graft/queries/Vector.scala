@@ -298,7 +298,14 @@ object VectorOps {
     * association written identically in the DuckDB oracle so both
     * engines round the same doubles. Exact integer products (|q|≤127,
     * 64 dims ⇒ |Σ|≤1.04e6) — no float drift in the sum itself. */
-  def vAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+  def vAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqScored(s, d).orderBy(col("pq_cos").desc, col("vec_id")).limit(5)
+
+  /** The IVF+int8 coarse candidate scoring shared by [[vAnnIvfPq]]
+    * (serves top-5 directly) and [[vAnnRerank]] (top-C feeds an exact
+    * re-rank): (vec_id, cell, pq_cos) for every candidate in the
+    * query's probe cells. */
+  private def ivfPqScored(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val nprobe = 2
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
@@ -328,7 +335,32 @@ object VectorOps {
       .select(col("vec_id"), col("cell"),
         round(((col("scale") * col("qs")) * ip) /
           (col("nrm") * col("qn")), 4).as("pq_cos"))
-      .orderBy(col("pq_cos").desc, col("vec_id"))
+  }
+
+  /** Two-stage retrieval — the production ANN serving shape: the
+    * quantized coarse stage ([[ivfPqScored]]) ranks the IVF-bounded
+    * candidates over 4×-smaller int8 payloads and keeps only the top
+    * C = 20; the exact stage re-scores just those 20 at full double
+    * precision (the 20-row candidate list broadcasts onto the
+    * embedding scan — point fetches, no corpus-wide exact pass).
+    * Coarse ranking bounds memory bandwidth, exact re-ranking
+    * restores the precision the quantization gave up; both cut
+    * orders are total (score DESC, vec_id) so the result is
+    * deterministic on both engines. */
+  def vAnnRerank(s: SparkSession, d: String): DataFrame = {
+    val c = 20
+    val cand = ivfPqScored(s, d)
+      .orderBy(col("pq_cos").desc, col("vec_id")).limit(c)
+      .select(col("vec_id"))
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
   }
 
@@ -382,6 +414,7 @@ object VectorOps {
     "v_ann_lsh" -> (vAnnLsh _),
     "v_ann_ivf" -> (vAnnIvf _),
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
+    "v_ann_rerank" -> (vAnnRerank _),
     "v_knn_join" -> (vKnnJoin _),
     "v_centroid_update" -> (vCentroidUpdate _),
   )
@@ -413,6 +446,58 @@ object VectorOps {
       val w = 1 << (PlanesPerBand - 1 - j)
       s"$bit * $w"
     }.mkString("(", " + ", ")")
+
+  /** Shared WITH-prefix of the IVF+int8 oracles: everything through
+    * the coarse quantized candidate scoring CTE. */
+  private val ivfPqCoarseSql =
+    s"""WITH emb AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.nrm, c.cid,
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim
+         |  FROM emb e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, nrm, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |q8 AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(e, x -> floor(x/scale + 0.5)::BIGINT) AS q
+         |  FROM (SELECT vec_id,
+         |          CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale, e
+         |        FROM (SELECT vec_id,
+         |                list_transform(embedding, x -> x::DOUBLE) AS e,
+         |                list_max(list_transform(embedding,
+         |                  x -> abs(x::DOUBLE))) AS m
+         |              FROM embeddings))),
+         |a2 AS (
+         |  SELECT a.vec_id, a.cell, a.nrm, z.scale, z.q
+         |  FROM assigned a JOIN q8 z USING (vec_id)),
+         |qcells AS (
+         |  SELECT cell FROM (
+         |    SELECT cid AS cell,
+         |      row_number() OVER (ORDER BY csim DESC, cid) AS rk
+         |    FROM sims WHERE vec_id = 0)
+         |  WHERE rk <= 2),
+         |qv AS (SELECT q AS qq, scale AS qs FROM q8 WHERE vec_id = 0),
+         |qn AS (SELECT nrm AS qn FROM emb WHERE vec_id = 0),
+       |coarse AS (
+       |  SELECT a2.vec_id, a2.cell,
+       |    round(((a2.scale * qv.qs) *
+       |        list_sum(list_transform(range(len(a2.q)),
+       |          i -> a2.q[i+1] * qv.qq[i+1]))::DOUBLE) /
+       |      (a2.nrm * qn.qn), 4) AS pq_cos
+       |  FROM a2 JOIN qcells USING (cell) CROSS JOIN qv CROSS JOIN qn
+       |  WHERE a2.vec_id <> 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "v_quantize" ->
@@ -507,54 +592,20 @@ object VectorOps {
          |WHERE a.vec_id <> 0
          |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
     "v_ann_ivf_pq" ->
-      s"""WITH emb AS (
-         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
-         |  FROM emb WHERE vec_id < 8),
-         |sims AS (
-         |  SELECT e.vec_id, e.nrm, c.cid,
-         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
-         |                    (e.nrm * c.cn))
-         |         THEN -2.0
-         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
-         |    END AS csim
-         |  FROM emb e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, nrm, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cid) AS rk FROM sims)
-         |  WHERE rk = 1),
-         |q8 AS (
-         |  SELECT vec_id, scale,
-         |    list_transform(e, x -> floor(x/scale + 0.5)::BIGINT) AS q
-         |  FROM (SELECT vec_id,
-         |          CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale, e
-         |        FROM (SELECT vec_id,
-         |                list_transform(embedding, x -> x::DOUBLE) AS e,
-         |                list_max(list_transform(embedding,
-         |                  x -> abs(x::DOUBLE))) AS m
-         |              FROM embeddings))),
-         |a2 AS (
-         |  SELECT a.vec_id, a.cell, a.nrm, z.scale, z.q
-         |  FROM assigned a JOIN q8 z USING (vec_id)),
-         |qcells AS (
-         |  SELECT cell FROM (
-         |    SELECT cid AS cell,
-         |      row_number() OVER (ORDER BY csim DESC, cid) AS rk
-         |    FROM sims WHERE vec_id = 0)
-         |  WHERE rk <= 2),
-         |qv AS (SELECT q AS qq, scale AS qs FROM q8 WHERE vec_id = 0),
-         |qn AS (SELECT nrm AS qn FROM emb WHERE vec_id = 0)
-         |SELECT a2.vec_id, a2.cell,
-         |  round(((a2.scale * qv.qs) *
-         |      list_sum(list_transform(range(len(a2.q)),
-         |        i -> a2.q[i+1] * qv.qq[i+1]))::DOUBLE) /
-         |    (a2.nrm * qn.qn), 4) AS pq_cos
-         |FROM a2 JOIN qcells USING (cell) CROSS JOIN qv CROSS JOIN qn
-         |WHERE a2.vec_id <> 0
-         |ORDER BY pq_cos DESC, a2.vec_id LIMIT 5""".stripMargin,
+      s"""$ivfPqCoarseSql
+         |SELECT vec_id, cell, pq_cos FROM coarse
+         |ORDER BY pq_cos DESC, vec_id LIMIT 5""".stripMargin,
+    "v_ann_rerank" ->
+      s"""$ivfPqCoarseSql,
+         |topc AS (SELECT vec_id FROM coarse
+         |         ORDER BY pq_cos DESC, vec_id LIMIT 20)
+         |SELECT e.vec_id,
+         |  round(${dotSql("e.embedding", "q.qv")} / (e.nrm * q.qn), 4)
+         |    AS cos_sim
+         |FROM emb e JOIN topc USING (vec_id)
+         |CROSS JOIN (SELECT embedding AS qv, nrm AS qn FROM emb
+         |            WHERE vec_id = 0) q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin,
     "v_centroid_update" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
