@@ -259,6 +259,18 @@ case class LakeIdentifierFieldsCommand(table: Seq[String], set: Boolean,
 /** `.withExtensions(new LakeExtensions)` or
   * `spark.sql.extensions=graft.lake.LakeExtensions`. */
 class LakeExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new LakeDdlParser(delegate))
+    // SQL surface for the codegen'd dot product: `graft_dot(a, b)` —
+    // the DataFrame API reaches it via VectorFunctions.dot; pure-SQL
+    // pipelines (and spark-sql shells) get the same fused loop here
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) takes two array arguments")
+        graft.functions.DotProduct(args.head, args(1))
+      }))
+  }
 }

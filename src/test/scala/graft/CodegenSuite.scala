@@ -28,6 +28,7 @@ class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark = SparkSession.builder()
       .master("local[4]")
       .appName("codegen-suite")
+      .withExtensions(new graft.lake.LakeExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       // no interpreted safety net: compile failures must THROW
@@ -59,6 +60,20 @@ class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
       // empty at sf0.001)
       SparkEntry.queries(name)(spark, sfDir).collect()
     }
+  }
+
+  test("graft_dot is registered as a SQL function (LakeExtensions)") {
+    assume(ready)
+    // the SQL surface builds the same codegen'd expression the
+    // DataFrame API uses — verified under CODEGEN_ONLY like the rest
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_dot(array(CAST(1.5 AS FLOAT)),
+        |                 array(CAST(2.0 AS FLOAT))) AS f""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 3.0)
+    // arity is enforced at resolution
+    intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0D))") }
   }
 
   test("DotProduct codegen compiles for NON-NULLABLE inputs (r6 regression)") {
