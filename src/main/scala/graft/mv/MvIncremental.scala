@@ -13,8 +13,10 @@ import org.apache.spark.sql.graft.Shims
   * (MaterializedViewCommands.scala:144-147).
   *
   * A refresh is applied as a delta when ALL of:
-  *   - the MV reads exactly one base table, and it is a lake table
-  *     (its snapshot history makes "what changed" answerable);
+  *   - the MV reads exactly one lake base table (its snapshot history
+  *     makes "what changed" answerable) — or exactly TWO lake bases
+  *     under an inner join, which the delta-join path below
+  *     ([[attemptJoin]]) handles for append-only histories;
   *   - either the base's history since the last refresh is pure
   *     `append` snapshots (delta rows run through the defining plan
   *     and merge: SUM/COUNT as SUM of partials, MIN/MAX as
@@ -66,6 +68,7 @@ object MvIncremental {
     }
 
   private def attempt(spark: SparkSession, meta: MvMeta): Option[MvMeta] = {
+    if (meta.baseSnapshots.size == 2) return attemptJoin(spark, meta)
     if (meta.baseSnapshots.size != 1) return None
     val (baseName, startSnap) = meta.baseSnapshots.head
 
@@ -286,6 +289,170 @@ object MvIncremental {
       rowCount = rowCount,
       sizeInBytes = tbl.stats.map(_.sizeInBytes.toLong).getOrElse(0L),
       baseSnapshots = Map(baseName -> head),
+      lastRefreshMode = "incremental"))
+  }
+
+  /** Incremental refresh for TWO-base inner-join MVs (append-only
+    * histories) via the classic delta-join telescoping:
+    *
+    *   A_h ⋈ B_h = A_s ⋈ B_s  ∪  ΔA ⋈ B_h  ∪  A_s ⋈ ΔB
+    *
+    * — the backing table already holds the first term's aggregate, so
+    * the defining plan runs only over the two cross terms (ΔA against
+    * B at its CURRENT head, ΔB against A pinned at its OLD snapshot —
+    * each delta meets the other side exactly once, ΔA⋈ΔB landing in
+    * the first cross term) and their partials merge like the
+    * single-base append path. Cost: O(backing + ΔA·⋈ + ΔB·⋈) instead
+    * of re-joining two full bases — on a 100 TB fact-fact join this
+    * is the difference between a nightly full re-join and touching
+    * only the day's partitions. Any non-append history, non-inner
+    * join, self-join, schema drift, or non-mergeable output falls
+    * back to the full recompute: exactness first. */
+  private def attemptJoin(spark: SparkSession, meta: MvMeta): Option[MvMeta] = {
+    val mvPlan = spark.sessionState.analyzer.execute(
+      spark.sessionState.sqlParser.parsePlan(meta.query))
+    val shape = MvPlans.decomposeAgg(mvPlan)
+      .orElse(MvPlans.projOnly(mvPlan)).getOrElse(return None)
+    if (!shape.base.startsWith("JOIN[")) return None
+
+    // exactly the two lake leaves tracked at materialization; a
+    // self-join reuses one name for two leaves and is not splittable
+    // this way (its delta terms overlap) — bail
+    val leaves = mvPlan.collectLeaves().collect {
+      case r: DataSourceV2Relation
+        if r.table.isInstanceOf[graft.lake.LakeTable] => r
+    }
+    if (leaves.size != 2) return None
+    val names = leaves.map(_.table.name().toLowerCase)
+    if (names.distinct.size != 2 ||
+        names.toSet != meta.baseSnapshots.keySet) return None
+
+    case class Base(leaf: DataSourceV2Relation, name: String,
+        start: Long, head: Long)
+    val bases = leaves.map { lf =>
+      val name = lf.table.name().toLowerCase
+      val lake = lf.table.asInstanceOf[graft.lake.LakeTable]
+      if (lake.readSnapshotId.isEmpty && lake.meta.snapshots.nonEmpty)
+        return None // pinned/branch reads resolve elsewhere: stay exact
+      val head = lake.readSnapshotId.getOrElse(0L)
+      val start = meta.baseSnapshots(name)
+      val ancestry = lake.meta.ancestorsOf(head)
+      if (start != 0L && !ancestry.exists(_.snapshotId == start))
+        return None // rollback/rewritten history
+      if (!ancestry.filter(_.snapshotId > start).forall(_.operation == "append"))
+        return None // join deltas cannot retract
+      Base(lf, name, start, head)
+    }
+    val Seq(a, b) = bases
+    val now = System.currentTimeMillis()
+    if (a.start == a.head && b.start == b.head)
+      return Some(meta.copy(lastRefreshTs = now,
+        lastRefreshMode = "incremental"))
+
+    // same output classification as the single-base append path
+    val groupFps = shape.groupBy.map(MvPlans.fp).toSet
+    val outNames = shape.output.map(_.name.toLowerCase)
+    if (outNames.distinct.size != outNames.size) return None
+    val isAgg = shape.groupBy.nonEmpty ||
+      shape.output.exists(o => MvPlans.stripAlias(o)
+        .isInstanceOf[AggregateExpression])
+    val merges: Seq[(String, Option[Merge])] = shape.output.map { o =>
+      MvPlans.stripAlias(o) match {
+        case g if groupFps.contains(MvPlans.fp(g)) => o.name -> None
+        case AggregateExpression(_: Sum, _, false, _, _) => o.name -> Some(BySum)
+        case AggregateExpression(_: Count, _, false, _, _) => o.name -> Some(BySum)
+        case AggregateExpression(_: Min, _, false, _, _) => o.name -> Some(ByMin)
+        case AggregateExpression(_: Max, _, false, _, _) => o.name -> Some(ByMax)
+        case _ if !isAgg => o.name -> None
+        case _ => return None
+      }
+    }
+
+    def deltaOf(x: Base): LogicalPlan = spark.read
+      .option("start-snapshot-id", x.start.toString)
+      .option("end-snapshot-id", x.head.toString)
+      .table(x.name).queryExecution.analyzed
+    def pinnedAt(x: Base): LogicalPlan =
+      if (x.start == 0L) // empty at materialization: no snapshot to pin
+        Shims.ofRows(spark, x.leaf).limit(0).queryExecution.analyzed
+      else spark.read.option("snapshot-id", x.start.toString)
+        .table(x.name).queryExecution.analyzed
+
+    /** The defining plan with each listed leaf swapped for a
+      * name/type-bridged replacement (multi-leaf overRelation). */
+    def overLeaves(subs: Seq[(DataSourceV2Relation, LogicalPlan)])
+        : Option[DataFrame] = {
+      var plan = mvPlan
+      for ((lf, relPlan) <- subs) {
+        val byName = relPlan.output.map(x => x.name.toLowerCase -> x).toMap
+        val bridge = Project(lf.output.map { o =>
+          val src = byName.getOrElse(o.name.toLowerCase, return None)
+          if (src.dataType != o.dataType) return None
+          Alias(src, o.name)(exprId = o.exprId)
+        }, relPlan)
+        plan = plan.transform { case l: LogicalPlan if l eq lf => bridge }
+      }
+      Some(Shims.ofRows(spark, plan))
+    }
+
+    // ΔA ⋈ B_head (B's leaf untouched = current head) and A_old ⋈ ΔB
+    val term1 = overLeaves(Seq(a.leaf -> deltaOf(a))).getOrElse(return None)
+    val term2 = overLeaves(Seq(a.leaf -> pinnedAt(a), b.leaf -> deltaOf(b)))
+      .getOrElse(return None)
+
+    val backing = spark.table(meta.backingTable)
+    val bSchema = backing.schema
+    if (!outNames.forall(n => bSchema.fieldNames.exists(_.equalsIgnoreCase(n))))
+      return None
+    def typed(n: String) = bSchema.fields
+      .find(_.name.equalsIgnoreCase(n)).get.dataType
+    val ordered = bSchema.fieldNames.toSeq
+
+    def swapIn(merged: DataFrame): Unit = {
+      val swap = s"${meta.backingTable}_swap"
+      merged.select(ordered.map(col): _*)
+        .write.mode("overwrite").format(meta.storageFormat).saveAsTable(swap)
+      spark.sql(s"DROP TABLE IF EXISTS ${meta.backingTable}")
+      spark.sql(s"ALTER TABLE $swap RENAME TO ${meta.backingTable}")
+    }
+
+    val delta = term1.select(ordered.map(col): _*)
+      .unionByName(term2.select(ordered.map(col): _*))
+    if (isAgg) {
+      val groupCols = merges.collect { case (n, None) => n }
+      val aggCols = merges.collect { case (n, Some(m)) =>
+        val merged = m match {
+          case BySum => fsum(col(n))
+          case ByMin => fmin(col(n))
+          case ByMax => fmax(col(n))
+        }
+        merged.cast(typed(n)).as(n)
+      }
+      val union = backing.unionByName(delta)
+      val merged =
+        if (aggCols.isEmpty) union.distinct()
+        else union.groupBy(groupCols.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      swapIn(merged)
+    } else {
+      // projection-over-join MV: the cross terms' rows ARE the new
+      // backing rows
+      delta.select(ordered.map(n => col(n).cast(typed(n)).as(n)): _*)
+        .write.mode("append").format(meta.storageFormat)
+        .saveAsTable(meta.backingTable)
+    }
+
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(meta.backingTable)
+    val tbl = cat.getTableMetadata(ident)
+    val rowCount = spark.table(meta.backingTable).count()
+    Some(meta.copy(
+      lastRefreshTs = now,
+      storageLocation = tbl.location.toString,
+      rowCount = rowCount,
+      sizeInBytes = tbl.stats.map(_.sizeInBytes.toLong).getOrElse(0L),
+      baseSnapshots = Map(a.name -> a.head, b.name -> b.head),
       lastRefreshMode = "incremental"))
   }
 }

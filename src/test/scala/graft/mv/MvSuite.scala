@@ -324,6 +324,59 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     intercept[Exception] { sql("REFRESH MATERIALIZED VIEW mv_missing INCREMENTAL") }
   }
 
+  test("refresh incremental: two-base join MV merges delta joins") {
+    sql("CREATE TABLE lake.db.jfact (k string, amt bigint) USING lake")
+    sql("CREATE TABLE lake.db.jdim (k string, grp string) USING lake")
+    sql("INSERT INTO lake.db.jfact VALUES ('a', 1), ('b', 2)")
+    sql("INSERT INTO lake.db.jdim VALUES ('a', 'g1'), ('b', 'g2')")
+    sql("""CREATE MATERIALIZED VIEW mv_join AS
+          |SELECT d.grp, sum(f.amt) AS s, count(*) AS c
+          |FROM lake.db.jfact f JOIN lake.db.jdim d ON f.k = d.k
+          |GROUP BY d.grp""".stripMargin)
+    // appends on BOTH sides in one range, including a fact row whose
+    // dim key also arrives in the range — the ΔA⋈ΔB cross term must
+    // land exactly once (in ΔA ⋈ B_head, not again in A_old ⋈ ΔB)
+    sql("INSERT INTO lake.db.jfact VALUES ('a', 10), ('c', 5)")
+    sql("INSERT INTO lake.db.jdim VALUES ('c', 'g1')")
+    sql("REFRESH MATERIALIZED VIEW mv_join INCREMENTAL")
+    assert(MvCatalog.get("mv_join").get.lastRefreshMode == "incremental",
+      "append-only two-base join must refresh via delta joins")
+    val backing = MvCommands.backingName("mv_join")
+    val rows = sql(s"SELECT grp, s, c FROM $backing ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("g1", 16L, 3L), ("g2", 2L, 1L)),
+      s"delta-join merge must equal a recompute: ${rows.toSeq}")
+    // deletes cannot retract through a join delta: full fallback, and
+    // the emptied group disappears like a recompute
+    sql("DELETE FROM lake.db.jfact WHERE k = 'b'")
+    sql("REFRESH MATERIALIZED VIEW mv_join INCREMENTAL")
+    assert(MvCatalog.get("mv_join").get.lastRefreshMode == "full")
+    val rows2 = sql(s"SELECT grp, s, c FROM $backing ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows2.toSeq == Seq(("g1", 16L, 3L)), rows2.toSeq)
+    sql("DROP MATERIALIZED VIEW mv_join")
+    sql("DROP TABLE lake.db.jfact"); sql("DROP TABLE lake.db.jdim")
+  }
+
+  test("refresh incremental: projection-over-join MV appends delta rows") {
+    sql("CREATE TABLE lake.db.pjf (k string, amt bigint) USING lake")
+    sql("CREATE TABLE lake.db.pjd (k string, grp string) USING lake")
+    sql("INSERT INTO lake.db.pjf VALUES ('a', 1)")
+    sql("INSERT INTO lake.db.pjd VALUES ('a', 'g1')")
+    sql("""CREATE MATERIALIZED VIEW mv_pjoin AS
+          |SELECT f.k AS k, d.grp AS grp, f.amt AS amt
+          |FROM lake.db.pjf f JOIN lake.db.pjd d ON f.k = d.k""".stripMargin)
+    sql("INSERT INTO lake.db.pjf VALUES ('a', 7)")
+    sql("REFRESH MATERIALIZED VIEW mv_pjoin INCREMENTAL")
+    assert(MvCatalog.get("mv_pjoin").get.lastRefreshMode == "incremental")
+    val rows = sql(s"SELECT k, grp, amt FROM ${MvCommands.backingName("mv_pjoin")}" +
+        " ORDER BY amt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", "g1", 1L), ("a", "g1", 7L)), rows.toSeq)
+    sql("DROP MATERIALIZED VIEW mv_pjoin")
+    sql("DROP TABLE lake.db.pjf"); sql("DROP TABLE lake.db.pjd")
+  }
+
   test("continuous maintenance: CDC stream drives incremental refresh") {
     sql("CREATE TABLE lake.db.cmv_base (k string, v bigint) USING lake")
     sql("INSERT INTO lake.db.cmv_base VALUES ('a', 1), ('b', 2)")
@@ -663,7 +716,9 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     sql("DROP TABLE lake.db.inc4")
   }
 
-  test("incremental refresh: join MV falls back to full") {
+  test("incremental refresh: join MV with a non-lake side falls back to full") {
+    // one lake base + one parquet base: the parquet side's changes are
+    // untrackable, so even the delta-join path must refuse
     sql("CREATE TABLE lake.db.inc5 (region string, amount bigint) USING lake")
     sql("INSERT INTO lake.db.inc5 VALUES ('east',10)")
     sql("""CREATE MATERIALIZED VIEW mv_i5 AS
