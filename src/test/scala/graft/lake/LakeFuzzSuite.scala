@@ -779,6 +779,77 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql(s"DROP TABLE $tbl")
   }
 
+  /** Join-MV fuzz: a fact/dim pair under random appends — including
+    * fact rows that reference a dim key which only arrives LATER
+    * (the A_old ⋈ ΔB cross term must pick those up) — with every
+    * refresh checked against a full recompute. Occasional deletes
+    * flip the expectation to a full fallback; a later append range
+    * must then resume incremental. */
+  private def runMvJoin(seed: Long, nOps: Int): Unit = {
+    val short = s"fzmvj_$seed"
+    val fact = s"lake.db.${short}_f"
+    val dim = s"lake.db.${short}_d"
+    val mv = s"${short}_mv"
+    sql(s"CREATE TABLE $fact (k string, amt bigint) USING lake")
+    sql(s"CREATE TABLE $dim (k string, grp string) USING lake")
+    val defining = s"SELECT d.grp, sum(f.amt) AS s, count(*) AS c " +
+      s"FROM $fact f JOIN $dim d ON f.k = d.k GROUP BY d.grp"
+    val rng = new scala.util.Random(seed)
+    var dimN = 0
+    def kOf(i: Int) = s"'k$i'"
+    def grpLit() = s"'g${rng.nextInt(3)}'"
+    sql(s"INSERT INTO $dim VALUES (${kOf(0)}, ${grpLit()}), " +
+      s"(${kOf(1)}, ${grpLit()})"); dimN = 2
+    sql(s"INSERT INTO $fact VALUES (${kOf(0)}, 5), (${kOf(1)}, 7)")
+    sql(s"CREATE MATERIALIZED VIEW $mv AS $defining")
+    def snapOf(t: String): Long = {
+      val r = sql(s"SELECT max(snapshot_id) FROM $t.snapshots").collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    var retractive = false
+    var opIdx = 0
+    while (opIdx < nOps) {
+      rng.nextInt(6) match {
+        case 0 | 1 | 2 => // fact appends; index dimN = a key with no dim row YET
+          val rows = (0 until 1 + rng.nextInt(3)).map(_ =>
+            s"(${kOf(rng.nextInt(dimN + 1))}, ${rng.nextInt(100)})")
+          sql(s"INSERT INTO $fact VALUES ${rows.mkString(", ")}")
+        case 3 | 4 => // dim append: the fresh key may already have fact rows
+          sql(s"INSERT INTO $dim VALUES (${kOf(dimN)}, ${grpLit()})")
+          dimN += 1
+        case 5 => // rare retraction: joins cannot retract, expect fallback
+          val before = snapOf(fact)
+          sql(s"DELETE FROM $fact WHERE amt % 7 = ${rng.nextInt(7)}")
+          if (snapOf(fact) != before) retractive = true
+      }
+      if (rng.nextInt(3) == 0 || opIdx == nOps - 1) {
+        sql(s"REFRESH MATERIALIZED VIEW $mv INCREMENTAL")
+        val meta = graft.mv.MvCatalog.get(mv).get
+        val expected = if (retractive) "full" else "incremental"
+        assert(meta.lastRefreshMode == expected,
+          s"mvjoin seed=$seed op#$opIdx: expected $expected refresh, " +
+            s"got '${meta.lastRefreshMode}'")
+        retractive = false
+        val got = canon(spark.table(graft.mv.MvCommands.backingName(mv)))
+        val want = canon(sql(defining))
+        assert(got == want,
+          s"mvjoin seed=$seed op#$opIdx: backing != recompute\n" +
+            s"got  $got\nwant $want")
+      }
+      opIdx += 1
+    }
+    sql(s"DROP MATERIALIZED VIEW $mv")
+    sql(s"DROP TABLE $fact"); sql(s"DROP TABLE $dim")
+  }
+
+  test("fuzz: join-MV delta refresh tracks a full re-join") {
+    runMvJoin(seed = 47, nOps = 14)
+    runMvJoin(seed = 102, nOps = 10)
+  }
+
   test("fuzz: MV incremental refresh tracks a full recompute, both modes") {
     runMv("cow", seed = 31, nOps = 16)
     runMv("mor", seed = 31, nOps = 16)
@@ -821,6 +892,7 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("mv-mor")(runMv("mor", s, nOps = 20))
       step("mv-part-cow")(runMv("cow", s, nOps = 16, partitioned = true))
       step("mv-part-mor")(runMv("mor", s, nOps = 16, partitioned = true))
+      step("mv-join")(runMvJoin(s, nOps = 16))
     }
   }
 }
