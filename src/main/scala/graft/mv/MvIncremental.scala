@@ -68,7 +68,7 @@ object MvIncremental {
     }
 
   private def attempt(spark: SparkSession, meta: MvMeta): Option[MvMeta] = {
-    if (meta.baseSnapshots.size == 2) return attemptJoin(spark, meta)
+    if (meta.baseSnapshots.size >= 2) return attemptJoin(spark, meta)
     if (meta.baseSnapshots.size != 1) return None
     val (baseName, startSnap) = meta.baseSnapshots.head
 
@@ -292,22 +292,24 @@ object MvIncremental {
       lastRefreshMode = "incremental"))
   }
 
-  /** Incremental refresh for TWO-base inner-join MVs (append-only
-    * histories) via the classic delta-join telescoping:
+  /** Incremental refresh for multi-base inner-join MVs (append-only
+    * histories) via the classic delta-join telescoping. Two bases:
     *
     *   A_h ⋈ B_h = A_s ⋈ B_s  ∪  ΔA ⋈ B_h  ∪  A_s ⋈ ΔB
     *
     * — the backing table already holds the first term's aggregate, so
-    * the defining plan runs only over the two cross terms (ΔA against
-    * B at its CURRENT head, ΔB against A pinned at its OLD snapshot —
-    * each delta meets the other side exactly once, ΔA⋈ΔB landing in
-    * the first cross term) and their partials merge like the
-    * single-base append path. Cost: O(backing + ΔA·⋈ + ΔB·⋈) instead
-    * of re-joining two full bases — on a 100 TB fact-fact join this
-    * is the difference between a nightly full re-join and touching
-    * only the day's partitions. Any non-append history, non-inner
-    * join, self-join, schema drift, or non-mergeable output falls
-    * back to the full recompute: exactness first. */
+    * the defining plan runs only over the cross terms and their
+    * partials merge like the single-base append path. N bases take
+    * the general prefix-old / suffix-head form — term i substitutes
+    * bases before i at their OLD snapshots, base i with its delta,
+    * and leaves bases after i at the current head — which counts
+    * every mixed-delta product exactly once. Cost: O(backing + Σ
+    * delta joins) instead of re-joining the full bases — on a 100 TB
+    * fact-fact join this is the difference between a nightly full
+    * re-join and touching only the day's partitions. Any non-append
+    * history, non-inner join, self-join, schema drift, or
+    * non-mergeable output falls back to the full recompute:
+    * exactness first. */
   private def attemptJoin(spark: SparkSession, meta: MvMeta): Option[MvMeta] = {
     val mvPlan = spark.sessionState.analyzer.execute(
       spark.sessionState.sqlParser.parsePlan(meta.query))
@@ -315,16 +317,16 @@ object MvIncremental {
       .orElse(MvPlans.projOnly(mvPlan)).getOrElse(return None)
     if (!shape.base.startsWith("JOIN[")) return None
 
-    // exactly the two lake leaves tracked at materialization; a
-    // self-join reuses one name for two leaves and is not splittable
-    // this way (its delta terms overlap) — bail
+    // exactly the lake leaves tracked at materialization; a self-join
+    // reuses one name for two leaves and is not splittable this way
+    // (its delta terms overlap) — bail
     val leaves = mvPlan.collectLeaves().collect {
       case r: DataSourceV2Relation
         if r.table.isInstanceOf[graft.lake.LakeTable] => r
     }
-    if (leaves.size != 2) return None
+    if (leaves.size < 2) return None
     val names = leaves.map(_.table.name().toLowerCase)
-    if (names.distinct.size != 2 ||
+    if (names.distinct.size != leaves.size ||
         names.toSet != meta.baseSnapshots.keySet) return None
 
     case class Base(leaf: DataSourceV2Relation, name: String,
@@ -343,9 +345,8 @@ object MvIncremental {
         return None // join deltas cannot retract
       Base(lf, name, start, head)
     }
-    val Seq(a, b) = bases
     val now = System.currentTimeMillis()
-    if (a.start == a.head && b.start == b.head)
+    if (bases.forall(x => x.start == x.head))
       return Some(meta.copy(lastRefreshTs = now,
         lastRefreshMode = "incremental"))
 
@@ -395,10 +396,17 @@ object MvIncremental {
       Some(Shims.ofRows(spark, plan))
     }
 
-    // ΔA ⋈ B_head (B's leaf untouched = current head) and A_old ⋈ ΔB
-    val term1 = overLeaves(Seq(a.leaf -> deltaOf(a))).getOrElse(return None)
-    val term2 = overLeaves(Seq(a.leaf -> pinnedAt(a), b.leaf -> deltaOf(b)))
-      .getOrElse(return None)
+    // term i: bases before i at their OLD snapshots, base i as its
+    // delta, bases after i untouched (= current head) — each mixed
+    // product of deltas lands in exactly one term. Unchanged bases
+    // produce empty deltas and their terms are skipped outright.
+    val terms: Seq[DataFrame] = bases.zipWithIndex
+      .filter { case (x, _) => x.start != x.head }
+      .map { case (x, i) =>
+        val subs = bases.take(i).map(p => p.leaf -> pinnedAt(p)) :+
+          (x.leaf -> deltaOf(x))
+        overLeaves(subs).getOrElse(return None)
+      }
 
     val backing = spark.table(meta.backingTable)
     val bSchema = backing.schema
@@ -416,8 +424,8 @@ object MvIncremental {
       spark.sql(s"ALTER TABLE $swap RENAME TO ${meta.backingTable}")
     }
 
-    val delta = term1.select(ordered.map(col): _*)
-      .unionByName(term2.select(ordered.map(col): _*))
+    val delta = terms.map(_.select(ordered.map(col): _*))
+      .reduce(_ unionByName _)
     if (isAgg) {
       val groupCols = merges.collect { case (n, None) => n }
       val aggCols = merges.collect { case (n, Some(m)) =>
@@ -452,7 +460,7 @@ object MvIncremental {
       storageLocation = tbl.location.toString,
       rowCount = rowCount,
       sizeInBytes = tbl.stats.map(_.sizeInBytes.toLong).getOrElse(0L),
-      baseSnapshots = Map(a.name -> a.head, b.name -> b.head),
+      baseSnapshots = bases.map(x => x.name -> x.head).toMap,
       lastRefreshMode = "incremental"))
   }
 }

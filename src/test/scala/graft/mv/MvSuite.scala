@@ -358,6 +358,36 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     sql("DROP TABLE lake.db.jfact"); sql("DROP TABLE lake.db.jdim")
   }
 
+  test("refresh incremental: THREE-base join MV telescopes every term") {
+    sql("CREATE TABLE lake.db.t3f (k string, amt bigint) USING lake")
+    sql("CREATE TABLE lake.db.t3d (k string, g string) USING lake")
+    sql("CREATE TABLE lake.db.t3g (g string, region string) USING lake")
+    sql("INSERT INTO lake.db.t3f VALUES ('a', 1)")
+    sql("INSERT INTO lake.db.t3d VALUES ('a', 'g1')")
+    sql("INSERT INTO lake.db.t3g VALUES ('g1', 'east')")
+    sql("""CREATE MATERIALIZED VIEW mv_j3 AS
+          |SELECT r.region, sum(f.amt) AS s, count(*) AS c
+          |FROM lake.db.t3f f
+          |JOIN lake.db.t3d d ON f.k = d.k
+          |JOIN lake.db.t3g r ON d.g = r.g
+          |GROUP BY r.region""".stripMargin)
+    // append to ALL THREE in one range: a fresh fact key whose dim AND
+    // region mapping both arrive in-range (the triple-delta product),
+    // plus growth under the existing chain
+    sql("INSERT INTO lake.db.t3f VALUES ('a', 10), ('b', 100)")
+    sql("INSERT INTO lake.db.t3d VALUES ('b', 'g2')")
+    sql("INSERT INTO lake.db.t3g VALUES ('g2', 'west')")
+    sql("REFRESH MATERIALIZED VIEW mv_j3 INCREMENTAL")
+    assert(MvCatalog.get("mv_j3").get.lastRefreshMode == "incremental")
+    val rows = sql(s"SELECT region, s, c FROM ${MvCommands.backingName("mv_j3")}" +
+        " ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("east", 11L, 2L), ("west", 100L, 1L)),
+      s"3-base telescoping must equal a recompute: ${rows.toSeq}")
+    sql("DROP MATERIALIZED VIEW mv_j3")
+    Seq("t3f", "t3d", "t3g").foreach(t => sql(s"DROP TABLE lake.db.$t"))
+  }
+
   test("refresh incremental: projection-over-join MV appends delta rows") {
     sql("CREATE TABLE lake.db.pjf (k string, amt bigint) USING lake")
     sql("CREATE TABLE lake.db.pjd (k string, grp string) USING lake")
