@@ -329,8 +329,8 @@ object MvIncremental {
     if (names.distinct.size != leaves.size ||
         names.toSet != meta.baseSnapshots.keySet) return None
 
-    case class Base(leaf: DataSourceV2Relation, name: String,
-        start: Long, head: Long)
+    case class Base(leaf: DataSourceV2Relation, lake: graft.lake.LakeTable,
+        name: String, start: Long, head: Long, appendOnly: Boolean)
     val bases = leaves.map { lf =>
       val name = lf.table.name().toLowerCase
       val lake = lf.table.asInstanceOf[graft.lake.LakeTable]
@@ -341,10 +341,11 @@ object MvIncremental {
       val ancestry = lake.meta.ancestorsOf(head)
       if (start != 0L && !ancestry.exists(_.snapshotId == start))
         return None // rollback/rewritten history
-      if (!ancestry.filter(_.snapshotId > start).forall(_.operation == "append"))
-        return None // join deltas cannot retract
-      Base(lf, name, start, head)
+      val appendOnly =
+        ancestry.filter(_.snapshotId > start).forall(_.operation == "append")
+      Base(lf, lake, name, start, head, appendOnly)
     }
+    val allAppend = bases.forall(_.appendOnly)
     val now = System.currentTimeMillis()
     if (bases.forall(x => x.start == x.head))
       return Some(meta.copy(lastRefreshTs = now,
@@ -396,17 +397,12 @@ object MvIncremental {
       Some(Shims.ofRows(spark, plan))
     }
 
-    // term i: bases before i at their OLD snapshots, base i as its
-    // delta, bases after i untouched (= current head) — each mixed
-    // product of deltas lands in exactly one term. Unchanged bases
-    // produce empty deltas and their terms are skipped outright.
-    val terms: Seq[DataFrame] = bases.zipWithIndex
-      .filter { case (x, _) => x.start != x.head }
-      .map { case (x, i) =>
-        val subs = bases.take(i).map(p => p.leaf -> pinnedAt(p)) :+
-          (x.leaf -> deltaOf(x))
-        overLeaves(subs).getOrElse(return None)
+    val aggFns: Map[String, AggregateExpression] = shape.output.flatMap { o =>
+      MvPlans.stripAlias(o) match {
+        case ae: AggregateExpression => Some(o.name -> ae)
+        case _ => None
       }
+    }.toMap
 
     val backing = spark.table(meta.backingTable)
     val bSchema = backing.schema
@@ -424,30 +420,124 @@ object MvIncremental {
       spark.sql(s"ALTER TABLE $swap RENAME TO ${meta.backingTable}")
     }
 
-    val delta = terms.map(_.select(ordered.map(col): _*))
-      .reduce(_ unionByName _)
-    if (isAgg) {
-      val groupCols = merges.collect { case (n, None) => n }
-      val aggCols = merges.collect { case (n, Some(m)) =>
-        val merged = m match {
-          case BySum => fsum(col(n))
-          case ByMin => fmin(col(n))
-          case ByMax => fmax(col(n))
-        }
-        merged.cast(typed(n)).as(n)
+    val changed = bases.zipWithIndex.filter { case (x, _) => x.start != x.head }
+
+    if (allAppend) {
+      // term i: bases before i at their OLD snapshots, base i as its
+      // delta, bases after i untouched (= current head) — each mixed
+      // product of deltas lands in exactly one term. Unchanged bases
+      // produce empty deltas and their terms are skipped outright.
+      val terms: Seq[DataFrame] = changed.map { case (x, i) =>
+        val subs = bases.take(i).map(p => p.leaf -> pinnedAt(p)) :+
+          (x.leaf -> deltaOf(x))
+        overLeaves(subs).getOrElse(return None)
       }
-      val union = backing.unionByName(delta)
-      val merged =
-        if (aggCols.isEmpty) union.distinct()
-        else union.groupBy(groupCols.map(col): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-      swapIn(merged)
+      val delta = terms.map(_.select(ordered.map(col): _*))
+        .reduce(_ unionByName _)
+      if (isAgg) {
+        val groupCols = merges.collect { case (n, None) => n }
+        val aggCols = merges.collect { case (n, Some(m)) =>
+          val merged = m match {
+            case BySum => fsum(col(n))
+            case ByMin => fmin(col(n))
+            case ByMax => fmax(col(n))
+          }
+          merged.cast(typed(n)).as(n)
+        }
+        val union = backing.unionByName(delta)
+        val merged =
+          if (aggCols.isEmpty) union.distinct()
+          else union.groupBy(groupCols.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        swapIn(merged)
+      } else {
+        // projection-over-join MV: the cross terms' rows ARE the new
+        // backing rows
+        delta.select(ordered.map(n => col(n).cast(typed(n)).as(n)): _*)
+          .write.mode("append").format(meta.storageFormat)
+          .saveAsTable(meta.backingTable)
+      }
     } else {
-      // projection-over-join MV: the cross terms' rows ARE the new
-      // backing rows
-      delta.select(ordered.map(n => col(n).cast(typed(n)).as(n)): _*)
-        .write.mode("append").format(meta.storageFormat)
-        .saveAsTable(meta.backingTable)
+      // ---- retractable delta-join: SIGNED changelog terms ----
+      // The telescoping identity holds in the ring of signed
+      // multisets (join is bilinear), so a delta that contains
+      // retractions still lands each mixed product in exactly one
+      // term — the delete rows of Δi simply join prefix-old/
+      // suffix-head with weight −1, and SUM/COUNT partials add.
+      // The guards mirror the single-base retractable path: COUNT(*)
+      // liveness for group death, SUM-null ambiguity needs a paired
+      // COUNT, MIN/MAX cannot retract, and the changelog reads raw
+      // files name-mapped so any evolved base falls back.
+      if (!isAgg) return None // projection rows can't retract keyless
+      def isStarCount(n: String): Boolean =
+        aggFns.get(n).exists(_.aggregateFunction match {
+          case c: Count => c.children.forall(_.foldable)
+          case _ => false
+        })
+      val liveness = merges.collectFirst {
+        case (n, Some(BySum)) if isStarCount(n) => n
+      }.getOrElse(return None)
+      if (merges.exists { case (_, m) => m.exists(_ != BySum) }) return None
+      val guards: Seq[(String, String)] = merges.flatMap {
+        case (n, Some(BySum)) => aggFns(n).aggregateFunction match {
+          case su: Sum if su.child.nullable =>
+            aggFns.collectFirst {
+              case (cn, ae) if ae.aggregateFunction.isInstanceOf[Count] &&
+                ae.aggregateFunction.children.map(_.canonicalized) ==
+                  Seq(su.child.canonicalized) => cn
+            } match {
+              case Some(c) => Seq(n -> c)
+              case None => return None
+            }
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+      if (changed.exists(_._1.lake.meta.schemas.size > 1)) return None
+      def signedTerms(x: Base, i: Int): Option[(DataFrame, DataFrame)] = {
+        val ch = graft.lake.Changelog.build(spark, x.lake.meta,
+          Some(x.start), Some(x.head), Nil, computeUpdates = false,
+          netChanges = false, removeCarryovers = false)
+        def side(tpe: String): Option[DataFrame] = {
+          val rel = ch.filter(col("_change_type") === tpe)
+            .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+            .queryExecution.analyzed
+          overLeaves(bases.take(i).map(p => p.leaf -> pinnedAt(p)) :+
+            (x.leaf -> rel))
+        }
+        for (p <- side("insert"); m <- side("delete")) yield (p, m)
+      }
+      def withSign(df: DataFrame, s: Long): DataFrame =
+        df.select(ordered.map(col): _*).withColumn("_sign", lit(s))
+      val termPairs = changed.map { case (x, i) =>
+        signedTerms(x, i).getOrElse(return None)
+      }
+      val signed = termPairs.foldLeft(withSign(backing, 1L)) {
+        case (acc, (p, m)) =>
+          acc.unionByName(withSign(p, 1L)).unionByName(withSign(m, -1L))
+      }
+      val groupCols = merges.collect { case (n, None) => n }
+      val aggCols = merges.collect { case (n, Some(_)) =>
+        fsum(col(n) * col("_sign")).cast(typed(n)).as(n)
+      }
+      var merged =
+        if (groupCols.isEmpty) signed.agg(aggCols.head, aggCols.tail: _*)
+        else signed.groupBy(groupCols.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      merged =
+        if (groupCols.nonEmpty) merged.filter(col(liveness) > 0)
+        else {
+          val sums = merges.collect { case (n, Some(BySum))
+            if aggFns(n).aggregateFunction.isInstanceOf[Sum] => n }
+          sums.foldLeft(merged)((df, n) => df.withColumn(n,
+            when(col(liveness) === 0, lit(null).cast(typed(n)))
+              .otherwise(col(n))))
+        }
+      merged = guards.foldLeft(merged) { case (df, (sn, cn)) =>
+        df.withColumn(sn, when(col(cn) === 0, lit(null).cast(typed(sn)))
+          .otherwise(col(sn)))
+      }
+      swapIn(merged)
     }
 
     val cat = spark.sessionState.catalog

@@ -792,8 +792,11 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     val mv = s"${short}_mv"
     sql(s"CREATE TABLE $fact (k string, amt bigint) USING lake")
     sql(s"CREATE TABLE $dim (k string, grp string) USING lake")
-    val defining = s"SELECT d.grp, sum(f.amt) AS s, count(*) AS c " +
-      s"FROM $fact f JOIN $dim d ON f.k = d.k GROUP BY d.grp"
+    // count(f.amt) guards the nullable sum, count(*) is the liveness
+    // column — together they make the join MV fully RETRACTABLE, so
+    // deletes refresh incrementally too (signed changelog terms)
+    val defining = s"SELECT d.grp, sum(f.amt) AS s, count(f.amt) AS cv, " +
+      s"count(*) AS c FROM $fact f JOIN $dim d ON f.k = d.k GROUP BY d.grp"
     val rng = new scala.util.Random(seed)
     var dimN = 0
     def kOf(i: Int) = s"'k$i'"
@@ -802,14 +805,10 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"(${kOf(1)}, ${grpLit()})"); dimN = 2
     sql(s"INSERT INTO $fact VALUES (${kOf(0)}, 5), (${kOf(1)}, 7)")
     sql(s"CREATE MATERIALIZED VIEW $mv AS $defining")
-    def snapOf(t: String): Long = {
-      val r = sql(s"SELECT max(snapshot_id) FROM $t.snapshots").collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
     def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1).toSeq
-    var retractive = false
+      df.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
     var opIdx = 0
     while (opIdx < nOps) {
       rng.nextInt(6) match {
@@ -820,19 +819,15 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
         case 3 | 4 => // dim append: the fresh key may already have fact rows
           sql(s"INSERT INTO $dim VALUES (${kOf(dimN)}, ${grpLit()})")
           dimN += 1
-        case 5 => // rare retraction: joins cannot retract, expect fallback
-          val before = snapOf(fact)
+        case 5 => // retraction: the guarded MV must retract it in-place
           sql(s"DELETE FROM $fact WHERE amt % 7 = ${rng.nextInt(7)}")
-          if (snapOf(fact) != before) retractive = true
       }
       if (rng.nextInt(3) == 0 || opIdx == nOps - 1) {
         sql(s"REFRESH MATERIALIZED VIEW $mv INCREMENTAL")
         val meta = graft.mv.MvCatalog.get(mv).get
-        val expected = if (retractive) "full" else "incremental"
-        assert(meta.lastRefreshMode == expected,
-          s"mvjoin seed=$seed op#$opIdx: expected $expected refresh, " +
-            s"got '${meta.lastRefreshMode}'")
-        retractive = false
+        assert(meta.lastRefreshMode == "incremental",
+          s"mvjoin seed=$seed op#$opIdx: every refresh must stay " +
+            s"incremental, got '${meta.lastRefreshMode}'")
         val got = canon(spark.table(graft.mv.MvCommands.backingName(mv)))
         val want = canon(sql(defining))
         assert(got == want,

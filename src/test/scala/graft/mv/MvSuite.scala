@@ -346,8 +346,9 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq(("g1", 16L, 3L), ("g2", 2L, 1L)),
       s"delta-join merge must equal a recompute: ${rows.toSeq}")
-    // deletes cannot retract through a join delta: full fallback, and
-    // the emptied group disappears like a recompute
+    // this MV's sum(amt) has a nullable input and no paired
+    // count(amt) guard, so a delete in range cannot retract safely:
+    // full fallback, and the emptied group disappears like a recompute
     sql("DELETE FROM lake.db.jfact WHERE k = 'b'")
     sql("REFRESH MATERIALIZED VIEW mv_join INCREMENTAL")
     assert(MvCatalog.get("mv_join").get.lastRefreshMode == "full")
@@ -356,6 +357,43 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     assert(rows2.toSeq == Seq(("g1", 16L, 3L)), rows2.toSeq)
     sql("DROP MATERIALIZED VIEW mv_join")
     sql("DROP TABLE lake.db.jfact"); sql("DROP TABLE lake.db.jdim")
+  }
+
+  test("refresh incremental: join MV RETRACTS deletes via signed changelog terms") {
+    sql("CREATE TABLE lake.db.rjf (k string, amt bigint) USING lake")
+    sql("CREATE TABLE lake.db.rjd (k string, grp string) USING lake")
+    sql("INSERT INTO lake.db.rjf VALUES ('a', 1), ('b', 2), ('b', 3)")
+    sql("INSERT INTO lake.db.rjd VALUES ('a', 'g1'), ('b', 'g2')")
+    // count(amt) guards the nullable sum; count(*) is the liveness
+    sql("""CREATE MATERIALIZED VIEW mv_rjoin AS
+          |SELECT d.grp, sum(f.amt) AS s, count(f.amt) AS cv,
+          |       count(*) AS c
+          |FROM lake.db.rjf f JOIN lake.db.rjd d ON f.k = d.k
+          |GROUP BY d.grp""".stripMargin)
+    // a delete on the fact side AND an append on the dim side in one
+    // range: the signed fact delta must retract (b,2) from g2 while
+    // the dim delta contributes nothing (no fact rows for 'c' yet)
+    sql("DELETE FROM lake.db.rjf WHERE amt = 2")
+    sql("INSERT INTO lake.db.rjd VALUES ('c', 'g1')")
+    sql("REFRESH MATERIALIZED VIEW mv_rjoin INCREMENTAL")
+    assert(MvCatalog.get("mv_rjoin").get.lastRefreshMode == "incremental",
+      "guarded SUM/COUNT join MV must retract deletes incrementally")
+    val backing = MvCommands.backingName("mv_rjoin")
+    val rows = sql(s"SELECT grp, s, cv, c FROM $backing ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.toSeq == Seq(("g1", 1L, 1L, 1L), ("g2", 3L, 1L, 1L)),
+      s"signed merge must equal a recompute: ${rows.toSeq}")
+    // retract g2 entirely: net count 0 drops the group
+    sql("DELETE FROM lake.db.rjf WHERE k = 'b'")
+    sql("REFRESH MATERIALIZED VIEW mv_rjoin INCREMENTAL")
+    assert(MvCatalog.get("mv_rjoin").get.lastRefreshMode == "incremental")
+    val rows2 = sql(s"SELECT grp, s FROM $backing ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows2.toSeq == Seq(("g1", 1L)),
+      s"an emptied group must drop like a recompute: ${rows2.toSeq}")
+    sql("DROP MATERIALIZED VIEW mv_rjoin")
+    sql("DROP TABLE lake.db.rjf"); sql("DROP TABLE lake.db.rjd")
   }
 
   test("refresh incremental: THREE-base join MV telescopes every term") {
