@@ -28,6 +28,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object MvMaintenance {
 
+  // refreshes of one MV must not interleave (the swap-staging table
+  // is per-MV); concurrent signal streams serialize here
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def continuous(spark: SparkSession, mvName: String, baseTable: String,
       checkpoint: String): StreamingQuery =
     spark.readStream.table(s"$baseTable.changes")
@@ -36,8 +41,23 @@ object MvMaintenance {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // touch nothing in the batch — offsets alone carry the signal
         val _ = (batch, batchId)
-        spark.sql(s"REFRESH MATERIALIZED VIEW $mvName INCREMENTAL")
+        locks.computeIfAbsent(mvName.toLowerCase, _ => new Object)
+          .synchronized {
+            spark.sql(s"REFRESH MATERIALIZED VIEW $mvName INCREMENTAL")
+          }
         ()
       }
       .start()
+
+  /** Join-MV variant: one signal stream per base (the refresh itself
+    * reads EVERY base's history from its pinned floor, so whichever
+    * stream fires first folds in all bases' progress and the others'
+    * refreshes no-op). The per-MV lock above serializes the
+    * micro-batch threads' refreshes; idempotence makes the fan-in
+    * safe.  */
+  def continuousAll(spark: SparkSession, mvName: String,
+      baseTables: Seq[String], checkpoint: String): Seq[StreamingQuery] =
+    baseTables.zipWithIndex.map { case (t, i) =>
+      continuous(spark, mvName, t, s"$checkpoint/base$i")
+    }
 }

@@ -445,6 +445,37 @@ class MvSuite extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach
     sql("DROP TABLE lake.db.pjf"); sql("DROP TABLE lake.db.pjd")
   }
 
+  test("continuous maintenance: join MV maintained by both bases' streams") {
+    sql("CREATE TABLE lake.db.cjf (k string, amt bigint) USING lake")
+    sql("CREATE TABLE lake.db.cjd (k string, grp string) USING lake")
+    sql("INSERT INTO lake.db.cjf VALUES ('a', 1)")
+    sql("INSERT INTO lake.db.cjd VALUES ('a', 'g1')")
+    sql("""CREATE MATERIALIZED VIEW cjmv AS
+          |SELECT d.grp, sum(f.amt) AS s, count(f.amt) AS cv,
+          |       count(*) AS c
+          |FROM lake.db.cjf f JOIN lake.db.cjd d ON f.k = d.k
+          |GROUP BY d.grp""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("cjmv_ckpt").toString
+    val qs = MvMaintenance.continuousAll(spark, "cjmv",
+      Seq("lake.db.cjf", "lake.db.cjd"), ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      // a dim-side-only commit must also drive the refresh (the
+      // fact-side stream sees nothing)
+      sql("INSERT INTO lake.db.cjd VALUES ('b', 'g2')")
+      sql("INSERT INTO lake.db.cjf VALUES ('b', 10)")
+      qs.foreach(_.processAllAvailable())
+      qs.foreach(_.processAllAvailable()) // drain cross-triggered refreshes
+      val rows = sql(s"SELECT grp, s FROM ${MvCommands.backingName("cjmv")}" +
+          " ORDER BY grp")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("g1", 1L), ("g2", 10L)),
+        s"both bases' streams must maintain the join MV: ${rows.toSeq}")
+      assert(MvCatalog.get("cjmv").get.lastRefreshMode == "incremental")
+    } finally qs.foreach(_.stop())
+    sql("DROP TABLE lake.db.cjf"); sql("DROP TABLE lake.db.cjd")
+  }
+
   test("continuous maintenance: CDC stream drives incremental refresh") {
     sql("CREATE TABLE lake.db.cmv_base (k string, v bigint) USING lake")
     sql("INSERT INTO lake.db.cmv_base VALUES ('a', 1), ('b', 2)")
