@@ -46,7 +46,14 @@ class LakeStagedTable(catalog: LakeCatalog, ident: Identifier,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new LakeWrite(inner, info,
           if (isReplace) "rewrite" else "append", Array.empty,
-          operationOverride = Some(if (isReplace) "replace" else "append"))
+          // RTAS records "overwrite", NOT "replace": "replace" is the
+          // row-preserving rewrite marker (compaction, delete-format
+          // conversion) that changelog mask-handling and the streaming
+          // CDC source SKIP — an RTAS replaces every row, and naming
+          // it "replace" made a continuous CDC consumer silently drop
+          // the whole-table replacement (ChangesTable.scala
+          // skipRowPreserving)
+          operationOverride = Some(if (isReplace) "overwrite" else "append"))
     }
 
   override def commitStagedChanges(): Unit = () // write commit did it

@@ -130,13 +130,19 @@ class LakeTable(
       val range = ancestry.filter(_.snapshotId > start).sortBy(_.snapshotId)
       // upserts qualify: they only ADD files (their equality deletes
       // target older rows), so the added-files diff is exact — the
-      // incremental stream yields each key's latest values
+      // incremental stream yields each key's latest values. "replace"
+      // commits (compaction, delete-format conversion — row-preserving
+      // by construction; RTAS records "overwrite") qualify too but
+      // contribute NOTHING: their added files hold only rows that
+      // already streamed, so a compacted table stays incrementally
+      // readable across the rewrite instead of erroring forever.
       range.foreach(sn =>
-        require(sn.operation == "append" || sn.operation == "upsert",
+        require(sn.operation == "append" || sn.operation == "upsert" ||
+            sn.operation == "replace",
           s"found '${sn.operation}' snapshot ${sn.snapshotId} in the " +
             "incremental range; incremental batch reads support " +
             "append-only history"))
-      range.flatMap { sn =>
+      range.filterNot(_.operation == "replace").flatMap { sn =>
         val parentPaths = sn.parentId.flatMap(meta.snapshotById)
           .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         sn.files.filterNot(f => parentPaths(f.path))

@@ -99,7 +99,11 @@ object MvIncremental {
     if (startSnap != 0L && !ancestry.exists(_.snapshotId == startSnap))
       return None // rollback/rewritten history: floor is gone
     val range = ancestry.filter(_.snapshotId > startSnap)
-    val appendOnly = range.forall(_.operation == "append")
+    // row-preserving "replace" commits (compaction) change nothing the
+    // MV can see — the incremental read skips them, so they don't
+    // disqualify the append fast path
+    val appendOnly = range.forall(s =>
+      s.operation == "append" || s.operation == "replace")
 
     // classify MV outputs: group columns pass through, SUM/COUNT merge
     // as SUM of partials, MIN/MAX as themselves; anything else bails
@@ -341,8 +345,8 @@ object MvIncremental {
       val ancestry = lake.meta.ancestorsOf(head)
       if (start != 0L && !ancestry.exists(_.snapshotId == start))
         return None // rollback/rewritten history
-      val appendOnly =
-        ancestry.filter(_.snapshotId > start).forall(_.operation == "append")
+      val appendOnly = ancestry.filter(_.snapshotId > start).forall(s =>
+        s.operation == "append" || s.operation == "replace")
       Base(lf, lake, name, start, head, appendOnly)
     }
     val allAppend = bases.forall(_.appendOnly)

@@ -102,6 +102,43 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CDC source: RTAS is a real change, not a skipped rewrite") {
+    spark.sql("CREATE TABLE lake.db.cdcrtas (id bigint, v string) USING lake")
+    spark.sql("INSERT INTO lake.db.cdcrtas VALUES (1,'a'),(2,'b')")
+    val q = spark.readStream.table("lake.db.cdcrtas.changes")
+      .writeStream.format("memory").queryName("cdcrtas_sink")
+      .option("checkpointLocation", s"$ckpt/qcdcrtas")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdcrtas_sink").count() == 2)
+      // an RTAS replaces every row — it must flow to the consumer as
+      // deletes of the old rows + inserts of the new (before the op
+      // rename it recorded "replace" and the stream's row-preserving
+      // skip silently dropped the whole-table replacement). Values
+      // follow FIELD-ID LINEAGE under the consumer's schema, pinned
+      // at stream start: the delete events read the pre-RTAS files
+      // with full values, while the inserts — written under the
+      // replaced schema's FRESH ids (schema replaced, not merged) —
+      // surface as null-valued events. Counts and change types stay
+      // exact, so the consumer can reconcile and restart on the new
+      // schema contract.
+      spark.sql("CREATE OR REPLACE TABLE lake.db.cdcrtas USING lake AS " +
+        "SELECT * FROM VALUES (7, 'x'), (8, 'y') AS t(id, v)")
+      q.processAllAvailable()
+      val events = spark.table("cdcrtas_sink")
+        .select("id", "v", "_change_type").collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+          r.getString(1), r.getString(2))).toSeq
+      assert(events.contains((1L, "a", "delete")) &&
+          events.contains((2L, "b", "delete")),
+        s"RTAS must emit the replaced rows as delete events: $events")
+      assert(events.count(_._3 == "insert") == 4, // 2 bootstrap + 2 RTAS
+        s"RTAS must emit its new rows as insert events: $events")
+    } finally q.stop()
+  }
+
   test("streaming CDC source: admission cap drains history in bounded batches") {
     spark.sql("CREATE TABLE lake.db.cdcap (id bigint) USING lake")
     for (i <- 1 to 5) spark.sql(s"INSERT INTO lake.db.cdcap VALUES ($i)")

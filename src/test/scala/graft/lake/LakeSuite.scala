@@ -982,6 +982,24 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.vset")
   }
 
+  test("incremental read skips row-preserving replace commits") {
+    sql("CREATE TABLE lake.db.increp (id bigint) USING lake")
+    sql("INSERT INTO lake.db.increp VALUES (1), (2)")
+    val s1 = sql("SELECT max(snapshot_id) FROM lake.db.increp.snapshots")
+      .collect()(0).getLong(0)
+    sql("INSERT INTO lake.db.increp VALUES (3)")
+    // compaction rewrites rows that already streamed — it must not
+    // fail the range NOR re-emit them
+    sql("CALL lake.system.rewrite_data_files(table => 'db.increp', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    sql("INSERT INTO lake.db.increp VALUES (4)")
+    val rows = spark.read.option("start-snapshot-id", s1.toString)
+      .table("lake.db.increp").select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(3L, 4L),
+      s"incremental range across a compaction must emit only appended rows: ${rows.toSeq}")
+    sql("DROP TABLE lake.db.increp")
+  }
+
   test("nested struct-field stats skip files at planning time") {
     sql("""CREATE TABLE lake.db.nstats (
           |  id bigint, meta struct<region: string, score: bigint>
