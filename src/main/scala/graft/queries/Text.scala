@@ -952,6 +952,35 @@ object TextOps {
   // ---------------------------------------------------------------
 
   private val tokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** MinHash-LSH candidate pairs as a reusable WITH-prefix (ends in
+    * CTE `mh_cand(doc_a, doc_b, est_jaccard)`) — shared by the
+    * t_minhash_pairs oracle and the cross-modal x_semantic_dedup
+    * oracle in VectorOps, so the two can't drift. */
+  private[queries] lazy val minhashCandCte: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shSql AS sh
+       |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(16), i -> list_min(list_transform(shm,
+       |      m -> ('0x'||substr(m, i+1, 15))::BIGINT))) AS sig
+       |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm
+       |        FROM sh)),
+       |bands AS (
+       |  SELECT doc_id, sig,
+       |    unnest(list_transform(range(4), b -> md5(b || '|' ||
+       |      array_to_string(list_transform(sig[b*4+1:b*4+4],
+       |        x -> x::VARCHAR), ',')))) AS band_hash
+       |  FROM sigs),
+       |mh_cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(list_sum(list_transform(range(16),
+       |      i -> CASE WHEN a.sig[i+1] = b.sig[i+1] THEN 1 ELSE 0 END))
+       |      ::DOUBLE / 16.0, 4) AS est_jaccard
+       |  FROM bands a JOIN bands b ON a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |  WHERE est_jaccard >= 0.5)""".stripMargin
   private val shSql =
     s"""CASE WHEN len(t) < 3 THEN []
        |     ELSE list_distinct(list_transform(range(1, len(t)-1),
@@ -1074,28 +1103,8 @@ object TextOps {
          |FROM (SELECT doc_id, $tokSql AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "t_minhash_pairs" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shSql AS sh
-         |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    list_transform(range(16), i -> list_min(list_transform(shm,
-         |      m -> ('0x'||substr(m, i+1, 15))::BIGINT))) AS sig
-         |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm
-         |        FROM sh)),
-         |bands AS (
-         |  SELECT doc_id, sig,
-         |    unnest(list_transform(range(4), b -> md5(b || '|' ||
-         |      array_to_string(list_transform(sig[b*4+1:b*4+4],
-         |        x -> x::VARCHAR), ',')))) AS band_hash
-         |  FROM sigs)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(list_sum(list_transform(range(16),
-         |    i -> CASE WHEN a.sig[i+1] = b.sig[i+1] THEN 1 ELSE 0 END))
-         |    ::DOUBLE / 16.0, 4) AS est_jaccard
-         |FROM bands a JOIN bands b ON a.band_hash = b.band_hash
-         |  AND a.doc_id < b.doc_id
-         |WHERE est_jaccard >= 0.5
+      s"""$minhashCandCte
+         |SELECT doc_a, doc_b, est_jaccard FROM mh_cand
          |ORDER BY doc_a, doc_b""".stripMargin,
     "t_ngram_jaccard" ->
       s"""WITH p0 AS (

@@ -385,6 +385,34 @@ object VectorOps {
     * exploded form. Member count rides the same aggregate: every
     * member contributes exactly one element at each pos, so the
     * per-(cell,pos) count IS the member count — no second scan. */
+  /** Cross-modal semantic dedup — the pipeline composite the separate
+    * rings exist for: text-side MinHash-LSH proposes candidate pairs
+    * (sub-quadratic, [[TextOps.tMinhashPairs]]) and the embedding
+    * side VERIFIES each with an exact cosine, flagging which survive
+    * a semantic threshold. At 100 TB the shape is the decisive part:
+    * candidates ≪ corpus, so the pair list BROADCASTS onto the
+    * embedding scan twice (point fetches of the two vectors) — the
+    * expensive modality never self-joins. */
+  def xSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val cand = TextOps.tMinhashPairs(s, d) // (doc_a, doc_b, est_jaccard)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val withA = emb
+      .select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .join(broadcast(cand), Seq("doc_a"))
+    emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
+      .withColumn("confirmed",
+        when(col("cos_sim") >= 0.5, 1L).otherwise(0L))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def vCentroidUpdate(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
@@ -415,6 +443,7 @@ object VectorOps {
     "v_ann_ivf" -> (vAnnIvf _),
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_ann_rerank" -> (vAnnRerank _),
+    "x_semantic_dedup" -> (xSemanticDedup _),
     "v_knn_join" -> (vKnnJoin _),
     "v_centroid_update" -> (vCentroidUpdate _),
   )
@@ -606,6 +635,20 @@ object VectorOps {
          |CROSS JOIN (SELECT embedding AS qv, nrm AS qn FROM emb
          |            WHERE vec_id = 0) q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin,
+    "x_semantic_dedup" ->
+      s"""${TextOps.minhashCandCte},
+         |emb AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |        FROM embeddings)
+         |SELECT doc_a, doc_b, est_jaccard, cos_sim,
+         |  CASE WHEN cos_sim >= 0.5 THEN 1 ELSE 0 END::BIGINT AS confirmed
+         |FROM (
+         |  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+         |    round(${dotSql("ea.embedding", "eb.embedding")} /
+         |      (ea.nrm * eb.nrm), 4) AS cos_sim
+         |  FROM mh_cand c
+         |  JOIN emb ea ON ea.vec_id = c.doc_a
+         |  JOIN emb eb ON eb.vec_id = c.doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "v_centroid_update" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
