@@ -239,6 +239,33 @@ object LakeOps {
              |FROM $view GROUP BY _change_type ORDER BY _change_type""".stripMargin)
   }
 
+  /** RTAS: CREATE OR REPLACE TABLE AS SELECT replaces every row in
+    * one atomic commit with history retained. The gate checks BOTH
+    * sides of the contract: the replaced state, and the changelog
+    * ACROSS the RTAS boundary — its delete events count the replaced
+    * rows (values ride the dead pre-RTAS lineage: RTAS assigns fresh
+    * field ids) and its inserts count both eras. Before round 7's
+    * op-name fix the RTAS commit masqueraded as the row-preserving
+    * "replace" marker and the CDC layer dropped the whole-table
+    * replacement on the floor. */
+  def lakeRtas(s: SparkSession, d: String): DataFrame = {
+    cat(s)
+    val v = srcView(s, d, "nation")
+    val t = fresh("rtas")
+    s.sql(s"CREATE TABLE lakeq.db.$t USING lake AS " +
+      s"SELECT n_nationkey, n_name FROM $v WHERE n_nationkey < 10")
+    s.sql(s"CREATE OR REPLACE TABLE lakeq.db.$t USING lake AS " +
+      s"SELECT n_nationkey, n_name FROM $v WHERE n_nationkey >= 10")
+    val view = fresh("rtasview")
+    s.sql(s"CALL lakeq.system.create_changelog_view(table => 'db.$t', " +
+      s"changelog_view => '$view')")
+    s.sql(s"""SELECT _change_type, count(*) AS n
+             |FROM $view GROUP BY _change_type
+             |UNION ALL
+             |SELECT 'final', count(*) FROM lakeq.db.$t
+             |ORDER BY _change_type""".stripMargin)
+  }
+
   /** Raw CDC relation `tbl.changes`: merge-on-read deletes make the
     * diff position-exact, so the raw table is oracle-deterministic
     * (CoW carry-overs would depend on file layout). */
@@ -451,6 +478,7 @@ object LakeOps {
     "lake_topn" -> (lakeTopn _),
     "lake_changelog" -> (lakeChangelog _),
     "lake_changes_table" -> (lakeChangesTable _),
+    "lake_rtas" -> (lakeRtas _),
     "lake_mv_rollup" -> (lakeMvRollup _),
     "lake_mv_incremental" -> (lakeMvIncremental _),
     "lake_metadata" -> (lakeMetadata _),
@@ -459,6 +487,16 @@ object LakeOps {
   val oracles: Map[String, String] = Map(
     "lake_ctas" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "lake_rtas" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, count(*)::BIGINT AS n
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT 'insert', count(*)::BIGINT FROM nation
+        |  UNION ALL
+        |  SELECT 'final', count(*)::BIGINT FROM nation
+        |  WHERE n_nationkey >= 10)
+        |ORDER BY _change_type""".stripMargin,
     "lake_upsert" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_nationkey < 10 THEN lower(n_name) ELSE n_name END
