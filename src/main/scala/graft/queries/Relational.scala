@@ -432,6 +432,32 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("c_mktsegment"), col("event_type"))
 
+  /** Correlated scalar subquery — each order compares against ITS
+    * customer's average. Catalyst decorrelates this into one
+    * aggregate over orders + ONE equi-join back (no per-row
+    * re-execution — the naive reading would be O(rows × subquery)),
+    * which is the only shape that survives 100 TB. Expressed in SQL
+    * to exercise the subquery planner itself rather than a
+    * hand-written join. The above-average test runs in EXACT integer
+    * cents (`price·n > Σprice` instead of `price > Σprice/n`): a
+    * float average differs by an ulp between engines' summation
+    * orders, and a boundary row flipping is a hash-gate mismatch. */
+  def qCorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("q_corr_orders")
+    s.sql(
+      """SELECT o_custkey, count(*) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM q_corr_orders o
+        |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM q_corr_orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |       FROM q_corr_orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -462,6 +488,7 @@ object Relational {
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
     "q_events_enrich" -> (qEventsEnrich _),
+    "q_correlated_subquery" -> (qCorrelatedSubquery _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -673,5 +700,17 @@ object Relational {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE round(o.o_totalprice * 100)::BIGINT *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(round(o2.o_totalprice * 100)::BIGINT)::BIGINT
+        |       FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
   )
 }
