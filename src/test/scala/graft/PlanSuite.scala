@@ -48,6 +48,27 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(p) <= 1, s"expected a single aggregation shuffle:\n$p")
   }
 
+  test("q_correlated_subquery: decorrelated to one agg + one join") {
+    assume(ready)
+    val p = fmt("q_correlated_subquery")
+    // the whole point: no per-row subquery re-execution — Catalyst
+    // rewrites both correlated scalars into ONE grouped aggregate
+    // joined back on the correlation key
+    assert(!has(p, "CartesianProduct") && !has(p, "BroadcastNestedLoopJoin"), p)
+    assert("Join\\b".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("x_semantic_dedup: candidate list broadcasts, no cartesian") {
+    assume(ready)
+    val p = fmt("x_semantic_dedup")
+    // candidates ≪ corpus: both vector fetches ride broadcast joins;
+    // the embedding table never self-joins all-pairs
+    assert(!has(p, "CartesianProduct") && !has(p, "BroadcastNestedLoopJoin"), p)
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"pair list must broadcast onto the embedding scan twice:\n$p")
+  }
+
   test("q1_pricing_summary: pushdown + partial aggregation, no join") {
     assume(ready)
     val p = fmt("q1_pricing_summary")
