@@ -275,8 +275,17 @@ object TextOps {
 
   /** Unsorted n-gram-Jaccard pairs — the gate adds the presentation
     * orderBy; graph consumers ([[tDedupGroups]]) must not inherit a
-    * global sort exchange they immediately destroy. */
-  private def ngramPairsRaw(s: SparkSession, d: String): DataFrame = {
+    * global sort exchange they immediately destroy. Memoized like
+    * [[tMinhashPairs]]: the grouping stage consumes the same pairs,
+    * and the result is pair-scale — mined once, read thereafter. */
+  private def ngramPairsRaw(s: SparkSession, d: String): DataFrame =
+    ngramMemo.getOrElseUpdate(s, d)(
+      computeNgramPairs(s, d)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY))
+
+  private val ngramMemo = new ResultMemo
+
+  private def computeNgramPairs(s: SparkSession, d: String): DataFrame = {
     val wSh = Window.partitionBy(col("shingle"))
     // localCheckpoint, not persist — see tMinhashPairs: materialized
     // once, released by the ContextCleaner, DISK_ONLY so the posting
