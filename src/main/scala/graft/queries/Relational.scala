@@ -266,6 +266,19 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Batch twin of [[graft.streaming.EventStreams.slidingCounts]]:
+    * SLIDING 1-hour windows on a 15-min slide — Spark's `window()`
+    * expands each event to its 4 covering windows (a narrow 4× fan-out,
+    * no join) before one aggregation shuffle. Epoch-aligned starts
+    * match DuckDB `time_bucket` exactly (both origins are 15-min
+    * aligned). */
+  def qEventsSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
   def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -489,6 +502,7 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_events_enrich" -> (qEventsEnrich _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
+    "q_events_sliding" -> (qEventsSliding _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -712,5 +726,14 @@ object Relational {
         |       WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q_events_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '15 minutes', ts)
+        |      - to_minutes(15 * k) AS w_start
+        |  FROM events, unnest(range(4)) AS t(k))
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
   )
 }

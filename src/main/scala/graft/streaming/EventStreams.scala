@@ -64,6 +64,18 @@ object EventStreams {
       .select(col("user_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** SLIDING hourly counts: each event lands in every 1-hour window
+    * that covers it (15-min slide ⇒ 4 windows per event). Same
+    * watermark eviction as the tumbling variant; state is 4× the
+    * active-window count, still bounded. Batch twin:
+    * `q_events_sliding`. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
   /** Stream-static enrichment join: the event stream joins a customer
     * dimension loaded as a STATIC DataFrame. Stateless — no watermark
     * and no join state, because the static side is simply re-planned

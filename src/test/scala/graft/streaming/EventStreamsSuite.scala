@@ -55,6 +55,31 @@ class EventStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sliding windows: each event counts in its 4 covering windows") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckpt/sliding")
+      .start()
+    try {
+      // minute 30 lands in the 1-hour windows starting at -15,0,15,30
+      // ([start, start+60) half-open: start=-30 excludes it)
+      mem.addData(EventStreams.Event(1, ts(30), "click"))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(2, ts(300), "view")) // wm -> 240
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .collect().map(r => (m(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2))).toSet
+      assert(rows == Set((-15L, "click", 1L), (0L, "click", 1L),
+        (15L, "click", 1L), (30L, "click", 1L)),
+        s"one event must finalize into exactly 4 sliding windows: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     val s = spark
     import s.implicits._
