@@ -908,6 +908,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top term per document — the classic salience signal next
+    * to [[tBm25]]'s query-relevance scoring. Two hash aggregates
+    * (doc-term tf, corpus df) + a 1-row broadcast corpus size, then
+    * one doc-keyed window. The TOP-1 SELECTION runs on an exact
+    * integer key (df asc, tf desc, term asc — "rarest, then most
+    * frequent") rather than the float score: two near-equal tf·idf
+    * values can order differently across engines' libm `ln` ulps, and
+    * an argmax amplifies that into a row flip; the reported score
+    * itself is rounded where an ulp cannot surface. */
+  def tTfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"),
+        explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("n"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val total = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("c").desc, col("tok").asc)
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"),
+        col("c").as("tf"), col("df"),
+        round((col("c") * log(col("n_docs").cast("double") / col("df"))) /
+          col("n"), 4).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-span width: 5 tokens keeps the synthetic word-soup
     * corpus non-degenerate (2.3k of 25k windows repeat at sf0.01);
     * production exact-substring dedup uses ~50-token windows. */
@@ -1056,6 +1089,7 @@ object TextOps {
     "t_contamination" -> (tContamination _),
     "t_dup_span" -> (tDupSpan _),
     "t_filter_pipeline" -> (tFilterPipeline _),
+    "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -1399,6 +1433,23 @@ object TextOps {
          |  round(coalesce(dup_tokens, 0) * 1.0 / len(t), 4) AS dup_ratio
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+    "t_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, n, tok, count(*) AS c
+         |  FROM (SELECT doc_id, len(t) AS n, unnest(t) AS tok
+         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))
+         |  GROUP BY doc_id, n, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |total AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, tok AS top_term, c AS tf, df,
+         |  round((c * ln(n_docs::DOUBLE / df)) / n, 4) AS tfidf
+         |FROM (
+         |  SELECT tf.*, dfreq.df, total.n_docs,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY df ASC, c DESC, tok ASC) AS rk
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN total)
+         |WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
     "t_filter_pipeline" ->
       s"""WITH tk AS (SELECT source, $tokSql AS t FROM documents),
          |sg AS (SELECT source, len(t) AS n,
