@@ -65,6 +65,24 @@ class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.readd")
   }
 
+  test("time travel after a swap reads and prunes under the OLD names") {
+    sql("CREATE TABLE lake.db.ttswap (x bigint, y bigint) USING lake")
+    sql("INSERT INTO lake.db.ttswap SELECT /*+ REPARTITION(1) */ id, id + 1000 FROM range(10)")
+    val s1 = count("SELECT max(snapshot_id) FROM lake.db.ttswap.snapshots")
+    sql("ALTER TABLE lake.db.ttswap RENAME COLUMN x TO tmp")
+    sql("ALTER TABLE lake.db.ttswap RENAME COLUMN y TO x")
+    sql("ALTER TABLE lake.db.ttswap RENAME COLUMN tmp TO y")
+    // the pinned snapshot resolves ITS schema epoch: `x` is the
+    // ORIGINAL x (0..9), names align with the files' stats directly
+    assert(count(
+      s"SELECT count(*) FROM lake.db.ttswap VERSION AS OF $s1 WHERE x = 5") == 1L)
+    assert(count(
+      s"SELECT count(*) FROM lake.db.ttswap VERSION AS OF $s1 WHERE x = 1005") == 0L)
+    // while the current-schema read sees the swap
+    assert(count("SELECT count(*) FROM lake.db.ttswap WHERE x = 1005") == 1L)
+    sql("DROP TABLE lake.db.ttswap")
+  }
+
   test("rename swap prunes correctly through spilled manifests") {
     sql("CREATE TABLE lake.db.swapspill (x bigint, y bigint) USING lake " +
       "TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='1')")
