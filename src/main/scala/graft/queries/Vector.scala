@@ -385,6 +385,25 @@ object VectorOps {
     * exploded form. Member count rides the same aggregate: every
     * member contributes exactly one element at each pos, so the
     * per-(cell,pos) count IS the member count — no second scan. */
+  /** Random-projection dimensionality reduction 64-d → 16-d
+    * (Johnson–Lindenstrauss style, ±1 hyperplanes — the SAME
+    * deterministic planes the LSH buckets use, so the oracle inlines
+    * identical literals). A pure narrow projection: 16 fused dot
+    * products per row, no shuffle — the standard "shrink before you
+    * index/cluster" stage of an embedding pipeline; at 100 TB it cuts
+    * downstream candidate-scoring bandwidth 4× like int8 quantization
+    * cuts storage. Gate digests the reduced vector to scalars
+    * (sum/L1, rounded) — array outputs crash the driver comparator. */
+  def vDimReduce(s: SparkSession, d: String): DataFrame = {
+    val proj = (0 until 16).map(j =>
+      dot(col("embedding"), typedLit(planes(j))))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(proj.reduce(_ + _), 4).as("r_sum"),
+        round(proj.map(abs).reduce(_ + _), 4).as("r_l1"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cross-modal semantic dedup — the pipeline composite the separate
     * rings exist for: text-side MinHash-LSH proposes candidate pairs
     * (sub-quadratic, [[TextOps.tMinhashPairs]]) and the embedding
@@ -444,6 +463,7 @@ object VectorOps {
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_ann_rerank" -> (vAnnRerank _),
     "x_semantic_dedup" -> (xSemanticDedup _),
+    "v_dim_reduce" -> (vDimReduce _),
     "v_knn_join" -> (vKnnJoin _),
     "v_centroid_update" -> (vCentroidUpdate _),
   )
@@ -635,6 +655,13 @@ object VectorOps {
          |CROSS JOIN (SELECT embedding AS qv, nrm AS qn FROM emb
          |            WHERE vec_id = 0) q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin,
+    "v_dim_reduce" -> {
+      val ds = (0 until 16).map(j => dotSql("embedding", planeLit(planes(j))))
+      s"""SELECT vec_id,
+         |  round(${ds.mkString(" + ")}, 4) AS r_sum,
+         |  round(${ds.map(x => s"abs($x)").mkString(" + ")}, 4) AS r_l1
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "x_semantic_dedup" ->
       s"""${TextOps.minhashCandCte},
          |emb AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
