@@ -1039,18 +1039,29 @@ object LakeWriteUtil {
 
   /** Columns projecting an epoch-schema frame to the CURRENT schema
     * (field-id renames honored, types cast, dropped columns nulled). */
+  /** Project an epoch-schema frame into the CURRENT schema — by
+    * stable field id, exactly like the read path's renameMap. A
+    * current field whose id does not exist in the epoch is NULL even
+    * when a same-named column does: that name belongs to a DROPPED
+    * column's lineage, and matching it resurrects dead data (the
+    * round-7 soak caught compaction doing precisely this after a
+    * drop/re-add — the rewrite materialized the dead values into
+    * current-epoch files, corrupting the re-added column for every
+    * later read). Name matching applies only to id-less legacy
+    * fields. */
   def epochProjection(meta: TableMeta, epoch: Int,
       epochSchema: StructType): Seq[Column] = {
     val byId = epochSchema.fields.flatMap(f =>
       TableMeta.fieldId(f).map(_ -> f.name)).toMap
     meta.schema.fields.toSeq.map { f =>
-      val epochName = TableMeta.fieldId(f).flatMap(byId.get)
-      epochName match {
-        case Some(n) if epochSchema.fieldNames.contains(n) =>
-          col(n).cast(f.dataType).as(f.name)
-        case _ if epochSchema.fieldNames.contains(f.name) =>
+      TableMeta.fieldId(f) match {
+        case Some(id) => byId.get(id) match {
+          case Some(n) => col(n).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+        case None if epochSchema.fieldNames.contains(f.name) =>
           col(f.name).cast(f.dataType).as(f.name)
-        case _ => lit(null).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
       }
     }
   }

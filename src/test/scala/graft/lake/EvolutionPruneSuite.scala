@@ -100,6 +100,67 @@ class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.swapspill")
   }
 
+  test("compaction must not resurrect a dropped column's data") {
+    // the round-7 soak find: epochProjection's name fallback matched
+    // a re-added column against the DROPPED column's physical data
+    // during rewrite_data_files, materializing dead values into
+    // current-epoch files — id-based projection must null them
+    sql("CREATE TABLE lake.db.cresur (id bigint, b bigint) USING lake")
+    sql("INSERT INTO lake.db.cresur SELECT /*+ REPARTITION(1) */ id, id + 50 FROM range(5)")
+    sql("INSERT INTO lake.db.cresur SELECT /*+ REPARTITION(1) */ id + 10, id + 60 FROM range(5)")
+    sql("ALTER TABLE lake.db.cresur DROP COLUMN b")
+    sql("ALTER TABLE lake.db.cresur ADD COLUMN b bigint")
+    sql("CALL lake.system.rewrite_data_files(table => 'db.cresur', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    assert(count("SELECT count(*) FROM lake.db.cresur WHERE b IS NULL") == 10L,
+      "compacted rows must keep the re-added column NULL")
+    assert(count("SELECT count(*) FROM lake.db.cresur WHERE b = 52") == 0L,
+      "dead-column values must not resurface through the rewrite")
+    sql("DROP TABLE lake.db.cresur")
+  }
+
+  test("compaction after a rename swap keeps column identity") {
+    sql("CREATE TABLE lake.db.cswap (x bigint, y bigint) USING lake")
+    sql("INSERT INTO lake.db.cswap SELECT /*+ REPARTITION(1) */ id, id + 1000 FROM range(10)")
+    sql("ALTER TABLE lake.db.cswap RENAME COLUMN x TO tmp")
+    sql("ALTER TABLE lake.db.cswap RENAME COLUMN y TO x")
+    sql("ALTER TABLE lake.db.cswap RENAME COLUMN tmp TO y")
+    sql("CALL lake.system.rewrite_data_files(table => 'db.cswap', " +
+      "options => map('rewrite-all','true','min-input-files','1'))")
+    // current x = old y values; a name-matched rewrite would cross-wire
+    assert(count("SELECT count(*) FROM lake.db.cswap WHERE x = 1005") == 1L)
+    assert(count("SELECT count(*) FROM lake.db.cswap WHERE y = 5") == 1L)
+    assert(count("SELECT count(*) FROM lake.db.cswap WHERE x = 5") == 0L)
+    sql("DROP TABLE lake.db.cswap")
+  }
+
+  test("nested drop/re-add: name-based lineage, stats stay consistent") {
+    // Field ids are TOP-LEVEL only; nested leaves resolve by NAME.
+    // Dropping and re-adding a struct leaf therefore RESURFACES the
+    // old files' values (unlike a top-level re-add, which nulls them
+    // via the fresh-id sentinel — Iceberg's nested field ids would
+    // null here too). This pins the contract deliberately: the
+    // harvested nested stats describe exactly what the reader
+    // returns, so planning-time pruning can never contradict the
+    // scan — which is the invariant that matters for correctness.
+    sql("""CREATE TABLE lake.db.nreadd (
+          |  id bigint, meta struct<a: bigint, b: bigint>
+          |) USING lake""".stripMargin)
+    sql("INSERT INTO lake.db.nreadd SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('a', id, 'b', id + 100) FROM range(5)")
+    sql("ALTER TABLE lake.db.nreadd DROP COLUMN meta.b")
+    sql("ALTER TABLE lake.db.nreadd ADD COLUMN meta.b bigint")
+    // old values resurface under name resolution…
+    assert(count(
+      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b = 103") == 1L)
+    // …and pruning agrees with the reader (no stale-stats skip)
+    assert(count(
+      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b IS NULL") == 0L)
+    assert(count(
+      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b = 999") == 0L)
+    sql("DROP TABLE lake.db.nreadd")
+  }
+
   test("struct column rename: nested stats follow the top-level rename") {
     sql("""CREATE TABLE lake.db.nsren (
           |  id bigint, meta struct<region: string, score: bigint>

@@ -291,8 +291,9 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       }
       if (hasExtra) {
         val expNull = model.keys.count(id => !extraNonNull(id)).toLong
-        assert(sql(s"SELECT count(*) FROM $tbl WHERE extra IS NULL")
-          .collect()(0).getLong(0) == expNull,
+        val gotNull = sql(s"SELECT count(*) FROM $tbl WHERE extra IS NULL")
+          .collect()(0).getLong(0)
+        assert(gotNull == expNull,
           s"evo $mode seed=$seed op #$opIdx: extra IS NULL must see rows " +
             "written before the re-add (dead-column stats trap)")
       }
@@ -307,6 +308,11 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
           s"evo $mode seed=$seed: VERSION AS OF $sid (col $name) lost state")
       }
     sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz regression: evo-mor seed 70707 (round-7 soak find — " +
+      "compaction resurrected a dropped column's values by name)") {
+    runEvo("mor", seed = 70707, nOps = 16)
   }
 
   test("fuzz: schema evolution interleaved with DML, both modes") {
