@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Changelog {
 
+  /** Epoch-aware raw read of data files into the CURRENT schema:
+    * per-epoch parquet reads projected by stable field id
+    * (LakeWriteUtil.epochProjection), unioned. `withMeta` stamps the
+    * (__fp, __pos) row identity BEFORE the projection so mask/eq
+    * joins keep working. The previous single-schema name-based read
+    * nulled renamed columns and RESURRECTED dropped-and-re-added
+    * ones for every pre-evolution file in the range — the same
+    * lineage bug class the round-7 soak caught in compaction. */
+  private def readEpochAware(spark: SparkSession, meta: TableMeta,
+      files: Seq[DataFileMeta], withMeta: Boolean): DataFrame =
+    files.groupBy(_.schemaEpoch).toSeq.sortBy(_._1).map { case (e, fs) =>
+      val es = meta.schemaAt(e)
+      val base = spark.read.schema(es).parquet(fs.map(_.path): _*)
+      val projected = LakeWriteUtil.epochProjection(meta, e, es)
+      if (withMeta)
+        base.withColumn("__fp", regexp_replace(
+            col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .select(projected ++ Seq(col("__fp"), col("__pos")): _*)
+      else base.select(projected: _*)
+    }.reduce(_ unionByName _)
+
   def build(spark: SparkSession, meta: TableMeta, startId: Option[Long],
       endId: Option[Long], identifierCols: Seq[String],
       computeUpdates: Boolean, netChanges: Boolean = false,
@@ -53,16 +75,17 @@ object Changelog {
         .map(_.files).getOrElse(Nil)
       val parentPaths = parentFiles.map(_.path).toSet
       val curPaths = s.files.map(_.path).toSet
-      val added = s.files.filterNot(f => parentPaths(f.path)).map(_.path)
+      val addedMetas = s.files.filterNot(f => parentPaths(f.path))
       val removedMetas = parentFiles.filterNot(f => curPaths(f.path))
       val removed = removedMetas.map(_.path)
       def stamp(df: DataFrame, change: String): DataFrame = df
         .withColumn("_change_type", lit(change))
         .withColumn("_change_ordinal", lit(ordinal))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
-      def read(paths: Seq[String], change: String): Option[DataFrame] =
-        if (paths.isEmpty) None
-        else Some(stamp(spark.read.schema(schema).parquet(paths: _*), change))
+      def read(fs: Seq[DataFileMeta], change: String): Option[DataFrame] =
+        if (fs.isEmpty) None
+        else Some(stamp(
+          readEpochAware(spark, meta, fs, withMeta = false), change))
       // Removed-file rows that were ALREADY dead at the parent — via
       // its position masks or its equality deletes — are not deletes
       // of this commit (the rewrite that removed the file applied
@@ -74,11 +97,8 @@ object Changelog {
         val pDels = pSnap.map(_.deleteFiles).getOrElse(Nil)
         val pEqs = pSnap.map(_.eqDeleteFiles).getOrElse(Nil)
           .filter(e => removedMetas.exists(EqDeletes.mayApply(meta, _, e)))
-        if (pDels.isEmpty && pEqs.isEmpty) return read(removed, "delete")
-        val base = spark.read.schema(schema).parquet(removed: _*)
-          .withColumn("__fp", regexp_replace(
-            col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
-          .withColumn("__pos", col("_metadata.row_index"))
+        if (pDels.isEmpty && pEqs.isEmpty) return read(removedMetas, "delete")
+        val base = readEpochAware(spark, meta, removedMetas, withMeta = true)
         val notPosMasked =
           if (pDels.isEmpty) base
           else base.join(broadcast(spark.read
@@ -107,13 +127,10 @@ object Changelog {
           // the pair JOIN INPUT streams straight from the delete
           // parquet — nothing row-level materializes on the driver
           val maskedPaths = PosDeletes.deletedMap(newMasks, hconf).keySet
-          val dataPaths = s.files.map(_.path)
-            .filter(p => maskedPaths(PosDeletes.norm(p)))
-          if (dataPaths.isEmpty) None
-          else Some(spark.read.schema(schema).parquet(dataPaths: _*)
-            .withColumn("__fp", regexp_replace(
-              col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
-            .withColumn("__pos", col("_metadata.row_index"))
+          val dataMetas = s.files
+            .filter(f => maskedPaths(PosDeletes.norm(f.path)))
+          if (dataMetas.isEmpty) None
+          else Some(readEpochAware(spark, meta, dataMetas, withMeta = true)
             .join(broadcast(spark.read.schema(PosDeletes.DeleteSchema)
                 .parquet(newMasks.map(_.path): _*)
                 .toDF("__fp", "__pos")),
@@ -145,11 +162,7 @@ object Changelog {
           EqDeletes.groupByApplicable(meta, affected, newEqs).flatMap {
             case (_, eqsOfGroup) if eqsOfGroup.isEmpty => None
             case (fs, eqsOfGroup) =>
-              val base = spark.read.schema(schema)
-                .parquet(fs.map(_.path): _*)
-                .withColumn("__fp", regexp_replace(
-                  col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"))
-                .withColumn("__pos", col("_metadata.row_index"))
+              val base = readEpochAware(spark, meta, fs, withMeta = true)
               val notPosMasked =
                 if (parentMasks.isEmpty) base
                 else base.join(broadcast(spark.read
@@ -169,7 +182,7 @@ object Changelog {
                 .withColumn("_commit_snapshot_id", lit(s.snapshotId)))
           }
         }
-      read(added, "insert") ++ readRemoved() ++ masked ++ eqDeleted
+      read(addedMetas, "insert") ++ readRemoved() ++ masked ++ eqDeleted
     }
 
     val raw = parts.reduceOption(_.unionByName(_)).getOrElse {

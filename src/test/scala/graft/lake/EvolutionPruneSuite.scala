@@ -134,6 +134,35 @@ class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.cswap")
   }
 
+  test("changelog reads evolved files by field id, not by name") {
+    sql("CREATE TABLE lake.db.chevo (id bigint, b bigint) USING lake")
+    sql("INSERT INTO lake.db.chevo SELECT /*+ REPARTITION(1) */ id, id + 50 FROM range(3)")
+    sql("ALTER TABLE lake.db.chevo RENAME COLUMN b TO c")
+    sql("DELETE FROM lake.db.chevo WHERE id = 1")
+    spark.sql("CALL lake.system.create_changelog_view(" +
+      "table => 'db.chevo', changelog_view => 'chevo_v')")
+    val ev = sql("SELECT id, c, _change_type FROM chevo_v ORDER BY id, _change_type")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getString(2))).toSeq
+    // pre-rename file events must carry the VALUES under the current
+    // name (field-id identity) — a name-based read nulled them
+    assert(ev.contains((0L, 50L, "insert")) && ev.contains((1L, 51L, "delete")),
+      s"renamed column's history must keep its values: $ev")
+    // drop/re-add: the re-added lineage reads NULL even though the
+    // old files physically hold same-named data
+    sql("ALTER TABLE lake.db.chevo DROP COLUMN c")
+    sql("ALTER TABLE lake.db.chevo ADD COLUMN c bigint")
+    sql("DELETE FROM lake.db.chevo WHERE id = 2")
+    spark.sql("CALL lake.system.create_changelog_view(" +
+      "table => 'db.chevo', changelog_view => 'chevo_v2')")
+    val ev2 = sql("SELECT id, c, _change_type FROM chevo_v2 WHERE id = 2")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getString(2))).toSet
+    assert(ev2.contains((2L, null, "delete")),
+      s"dead-lineage values must not resurrect in change events: $ev2")
+    sql("DROP TABLE lake.db.chevo")
+  }
+
   test("nested drop/re-add: name-based lineage, stats stay consistent") {
     // Field ids are TOP-LEVEL only; nested leaves resolve by NAME.
     // Dropping and re-adding a struct leaf therefore RESURFACES the
