@@ -384,17 +384,27 @@ object TextOps {
       .agg(count(lit(1)).as("n"), votes: _*)
       .select(col("doc_id"), array(bandCols: _*).as("sig"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // candidate pairs ride the band join as (doc, band, 16-bit key)
+    // ONLY and dedup before the signatures attach — the 4-long sig
+    // arrays never cross the bucket-join shuffle or the distinct
+    // (round 7 carried sig_a/sig_b through both; hot-band skew
+    // amplifies the widest rows at scale, and locally it was the
+    // single slowest query in the suite). Same ids-only
+    // mine → distinct → fetch shape as [[tMinhashPairs]].
     val posting = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey", element_at(col("sig"), col("band") + 1))
-    posting.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("band"), col("bkey"))
-      .join(posting.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val cand = posting.toDF("doc_a", "band", "bkey")
+      .join(posting.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => bit_count(x.bitwiseXOR(y))),
@@ -411,7 +421,16 @@ object TextOps {
     * 1-row broadcast, and the unigram side joins back twice on the
     * token key. A min-count floor (≥ 5) keeps the result to real
     * collocations — and at 100 TB it is also the skew valve: rare
-    * bigrams never reach the join. */
+    * bigrams never reach the join.
+    *
+    * The gate emits the EXACT-INTEGER witnesses (cab, ca, cb, n, m —
+    * all BIGINT), from which pmi = ln((cab/m)/((ca/n)·(cb/n))) is
+    * exactly derivable, instead of a rounded float: the driver hash
+    * is float-bit sensitive, and `round(ln(x), 4)` lands on
+    * knife-edges where JVM Math.log and DuckDB's libm differ by one
+    * ULP (round 7 shipped the float and the gate hash-mismatched on
+    * value-identical results — same class as the t_tfidf ulp-safe
+    * ordering fix). Counts never disagree across engines. */
   def tPmiBigrams(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("t", filter(toks(col("text")), x => x =!= ""))
@@ -430,11 +449,8 @@ object TextOps {
       .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
       .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
       .crossJoin(broadcast(totals))
-      .select(col("bg"), col("cab"),
-        round(log(
-          (col("cab").cast("double") / col("m")) /
-            ((col("ca").cast("double") / col("n")) *
-              (col("cb").cast("double") / col("n")))), 4).as("pmi"))
+      .select(col("bg"), col("cab"), col("ca"), col("cb"),
+        col("n"), col("m"))
       .orderBy(col("bg"))
   }
 
@@ -1138,11 +1154,9 @@ object TextOps {
          |       FROM (SELECT unnest(list_transform(range(1, len(t)),
          |                      i -> t[i] || ' ' || t[i+1])) AS bg
          |             FROM tk) GROUP BY bg),
-         |tot AS (SELECT (SELECT sum(c) FROM uc) AS n,
-         |               (SELECT sum(cab) FROM bc) AS m)
-         |SELECT b.bg, b.cab,
-         |  round(ln((b.cab::DOUBLE / t.m) /
-         |    ((ua.c::DOUBLE / t.n) * (ub.c::DOUBLE / t.n))), 4) AS pmi
+         |tot AS (SELECT (SELECT sum(c) FROM uc)::BIGINT AS n,
+         |               (SELECT sum(cab) FROM bc)::BIGINT AS m)
+         |SELECT b.bg, b.cab, ua.c AS ca, ub.c AS cb, t.n, t.m
          |FROM bc b
          |CROSS JOIN tot t
          |JOIN uc ua ON ua.tok = split_part(b.bg, ' ', 1)

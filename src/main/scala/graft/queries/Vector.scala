@@ -409,21 +409,29 @@ object VectorOps {
     * (sub-quadratic, [[TextOps.tMinhashPairs]]) and the embedding
     * side VERIFIES each with an exact cosine, flagging which survive
     * a semantic threshold. At 100 TB the shape is the decisive part:
-    * candidates ≪ corpus, so the pair list BROADCASTS onto the
-    * embedding scan twice (point fetches of the two vectors) — the
-    * expensive modality never self-joins. */
+    * candidates ≪ corpus, so ONLY the candidate id pairs broadcast —
+    * once onto each embedding scan (point fetches of the two
+    * vectors); the fetched candidate-scale sides then meet in a
+    * pair-keyed shuffle join. No embedding payload ever enters a
+    * broadcast exchange (round 7 broadcast the A-side WITH its
+    * vectors — correct, but it crosses the broadcast size limit as
+    * soon as the candidate count grows), and the expensive modality
+    * never self-joins. */
   def xSemanticDedup(s: SparkSession, d: String): DataFrame = {
     val cand = TextOps.tMinhashPairs(s, d) // (doc_a, doc_b, est_jaccard)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-    val withA = emb
-      .select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      .join(broadcast(cand), Seq("doc_a"))
-    emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      .join(broadcast(withA), Seq("doc_b"))
+    val aSide = emb
+      .join(broadcast(cand), col("vec_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val bSide = emb
+      .join(broadcast(cand.select(col("doc_a"), col("doc_b"))),
+        col("vec_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    aSide.join(bSide, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))

@@ -67,6 +67,17 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!has(p, "CartesianProduct") && !has(p, "BroadcastNestedLoopJoin"), p)
     assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"pair list must broadcast onto the embedding scan twice:\n$p")
+    // ONLY id pairs may broadcast: an embedding column inside a
+    // BroadcastExchange means candidate-count growth hits the
+    // broadcast size limit (the round-7 defect). Formatted explain
+    // details are blank-line-separated blocks; every broadcast
+    // block's Input must be embedding-free.
+    val bcastBlocks = p.split("\n\\s*\n")
+      .filter(_.contains(") BroadcastExchange"))
+    assert(bcastBlocks.nonEmpty, p)
+    bcastBlocks.foreach(b =>
+      assert(!b.contains("embedding") && !"\\be[ab]#".r.findAllIn(b).hasNext,
+        s"embedding payload must never enter a broadcast exchange:\n$b"))
   }
 
   test("q1_pricing_summary: pushdown + partial aggregation, no join") {
@@ -251,5 +262,18 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     // signature computation is materialized once (localCheckpoint →
     // the join reads an RDD scan, not two copies of the md5 pipeline)
     assert(p.contains("Scan ExistingRDD"), s"signatures should be checkpointed:\n$p")
+    // ids-only candidate mining: the band-bucket self-join and the
+    // pair distinct must not carry the sig arrays (round 7 hauled
+    // sig_a/sig_b through both — widest-row shuffle under hot-band
+    // skew). The sig arrays may appear only in the post-distinct
+    // fetch joins. Locate the bucket join: the HashAggregate pair
+    // dedup must aggregate exactly (doc_a, doc_b) keys.
+    val dedupBlocks = p.split("\n\\s*\n").filter(b =>
+      b.contains(") HashAggregate") && b.contains("doc_a") &&
+        b.contains("doc_b"))
+    assert(dedupBlocks.nonEmpty, s"pair distinct missing:\n$p")
+    dedupBlocks.foreach(b =>
+      assert(!b.contains("sig"),
+        s"pair dedup must be ids-only (no sig payload):\n$b"))
   }
 }
