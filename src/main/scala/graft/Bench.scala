@@ -86,9 +86,20 @@ object Bench {
     // report a `failed` list, and exit non-zero so the harness sees
     // the regression here instead of only in the correctness gate.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): (Map[String, Double], Map[String, Long]) = {
+    def pass(): (Map[String, Double], Map[String, Long], Map[String, Long]) = {
+      // Each pass starts memo-empty: the text-mining memos
+      // (minhash/ngram pairs, dedup groups) otherwise let the warm
+      // pass read a DISK_ONLY checkpoint computed during the COLD
+      // pass, so warm timings for the mining queries would measure a
+      // checkpoint scan, not the engine. Within a pass the memo stays
+      // live — that is the pipeline shape being benchmarked
+      // (materialize the mining stage once, consumers read it) — and
+      // every query that served a memo read instead of executing is
+      // reported in `memo_reads` so timings are attributable.
+      graft.queries.TextOps.clearMemos()
       val times = scala.collection.mutable.LinkedHashMap[String, Double]()
       val falls = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val memos = scala.collection.mutable.LinkedHashMap[String, Long]()
       wanted.foreach { case (name, fn) =>
         // Drain cross-query noise BEFORE the clock starts: freed
         // checkpoint/broadcast blocks are only reclaimed when the
@@ -100,6 +111,7 @@ object Bench {
         // pins that cleanup to the gap instead.
         System.gc()
         val f0 = CodegenFallbackCounter.hits.get()
+        val m0 = graft.queries.TextOps.memoHits
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch {
@@ -111,11 +123,13 @@ object Bench {
         times(name) = (System.nanoTime() - t0) / 1e9
         val df = CodegenFallbackCounter.hits.get() - f0
         if (df > 0) falls(name) = df
+        val dm = graft.queries.TextOps.memoHits - m0
+        if (dm > 0) memos(name) = dm
       }
-      (times.toMap, falls.toMap)
+      (times.toMap, falls.toMap, memos.toMap)
     }
-    val (cold, fallsCold) = pass()
-    val (results, fallsWarm) = pass()
+    val (cold, fallsCold, memosCold) = pass()
+    val (results, fallsWarm, memosWarm) = pass()
     // Millisecond precision keeps the line inside the ~2000-char stdout
     // tail the harness captures (round 5's full-precision line was cut
     // mid-JSON and the headline lost); sub-ms digits are run noise.
@@ -180,7 +194,9 @@ object Bench {
       val detail = full.dropRight(1) +
         s""","queries_cold":${json(cold)}""" +
         s""","fallbacks":${jsonL(fallsWarm)}""" +
-        s""","fallbacks_cold":${jsonL(fallsCold)}}"""
+        s""","fallbacks_cold":${jsonL(fallsCold)}""" +
+        s""","memo_reads":${jsonL(memosWarm)}""" +
+        s""","memo_reads_cold":${jsonL(memosCold)}}"""
       java.nio.file.Files.write(out,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable =>

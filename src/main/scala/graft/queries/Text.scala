@@ -26,27 +26,93 @@ import org.apache.spark.storage.StorageLevel
   */
 object TextOps {
 
-  /** Bounded per-(session, sfDir) result memo for expensive stages
-    * that multiple gates consume (dedup grouping, minhash mining) —
-    * strong refs are fine: entries are pair/label-scale frames whose
-    * checkpoint blocks die with their session; the size cap bounds
-    * heap held for already-stopped test sessions. */
+  /** Bounded result memo for expensive stages that multiple gates
+    * consume (dedup grouping, minhash/ngram pair mining) — the
+    * pipeline-shaped "materialize the mining stage once" reuse.
+    *
+    * Keyed on (session, dir, DATA FINGERPRINT): the fingerprint is a
+    * digest of the documents table's file listing (path, length,
+    * mtime), so a rewrite of the data under the same path computes
+    * fresh results instead of returning stale ones. Computation runs
+    * OUTSIDE any global lock via a per-key FutureTask — two sessions
+    * mining different dirs never serialize on each other; concurrent
+    * callers of the SAME key run the job once and share it. Entries
+    * of stopped sessions are evicted on every access, and a small
+    * insertion-order cap bounds heap either way (entries are
+    * pair/label-scale checkpointed frames, tiny next to the corpus).
+    *
+    * [[TextOps.clearMemos]] + [[TextOps.memoHits]] exist for the
+    * benchmark harness: a timed pass must compute each memoized
+    * stage exactly once inside a timed region (not inherit a
+    * checkpoint from a previous pass), and queries that read a memo
+    * instead of executing are reported as such. */
   private final class ResultMemo {
-    private val m =
-      new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
-        8, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String), DataFrame])
-            : Boolean = size > 4
-      }
+    ResultMemo.all.add(this)
+    private type Key = (SparkSession, String, String)
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      Key, java.util.concurrent.FutureTask[DataFrame]]()
+
+    def clear(): Unit = m.clear()
+
     def getOrElseUpdate(s: SparkSession, d: String)(f: => DataFrame)
-        : DataFrame = m.synchronized {
-      m.get((s, d)) match {
-        case null => val out = f; m.put((s, d), out); out
-        case hit => hit
+        : DataFrame = {
+      m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      val key = (s, d, ResultMemo.fingerprint(d))
+      val fresh = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = f
+        })
+      val prev = m.putIfAbsent(key, fresh)
+      if (prev == null) {
+        // blunt size cap: a 5th live key drops everything else (the
+        // working set is 1-2 keys; the cap only bounds heap when many
+        // short-lived test sessions churn dirs)
+        if (m.size > 4) m.keySet.removeIf(_ != key)
+        fresh.run()
+        try fresh.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          m.remove(key, fresh) // don't cache failures
+          throw e.getCause
+        }
+      } else {
+        ResultMemo.hits.incrementAndGet()
+        try prev.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          m.remove(key, prev)
+          throw e.getCause
+        }
       }
     }
   }
+
+  private object ResultMemo {
+    val all = new java.util.concurrent.CopyOnWriteArrayList[ResultMemo]()
+    val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    /** Digest of the documents table's file listing under `d` —
+      * every memoized stage here mines the documents table, so its
+      * listing is the staleness witness. One shallow directory walk,
+      * the same metadata any scan planning reads. */
+    def fingerprint(d: String): String = {
+      val root = new java.io.File(d, "documents.parquet")
+      def ls(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().toSeq.sortBy(_.getPath).flatMap(ls)
+        else Seq(f)
+      val sig = if (!root.exists()) "absent"
+      else ls(root).map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+        .mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Drop every memoized mining/grouping result (bench harness: each
+    * timed pass must pay each memoized stage once). */
+  def clearMemos(): Unit = ResultMemo.all.forEach(_.clear())
+
+  /** Total memo reads served instead of executed (bench harness
+    * reports which timed queries consumed a materialized frame). */
+  def memoHits: Long = ResultMemo.hits.get()
 
   /** Whitespace tokens of normalized text. */
   private def toks(text: Column): Column =
@@ -593,28 +659,9 @@ object TextOps {
     * the whole propagation loop (round 6 benched that as 12.5 s of
     * the 61 s suite, two-thirds of it recomputation). */
   def tDedupGroups(s: SparkSession, d: String): DataFrame =
-    groupsCache.synchronized {
-      val key = (s, d)
-      groupsCache.get(key) match {
-        case null =>
-          val out = computeDedupGroups(s, d)
-          groupsCache.put(key, out)
-          out
-        case hit => hit
-      }
-    }
+    groupsMemo.getOrElseUpdate(s, d)(computeDedupGroups(s, d))
 
-  /** Bounded memo of grouped labels. Strong refs are fine: entries are
-    * per-doc (doc_id, group_id) label frames whose checkpoint blocks
-    * die with their session; the size cap bounds heap held for
-    * already-stopped test sessions. */
-  private val groupsCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
-      8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size > 4
-    }
+  private val groupsMemo = new ResultMemo
 
   private def computeDedupGroups(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramPairsRaw(s, d).select(col("doc_a"), col("doc_b"))
