@@ -85,6 +85,31 @@ object Bench {
     // A failing query must not silently bench as "fast": record it,
     // report a `failed` list, and exit non-zero so the harness sees
     // the regression here instead of only in the correctness gate.
+    // GC-then-settle for the inter-query gap: trigger a (concurrent)
+    // collection, then wait until the JVM's collectors report no new
+    // activity for 150 ms, capped at 1 s. Collection counts cover the
+    // concurrent cycle's remark/cleanup pauses, so "counts stable"
+    // ≈ cycle finished; the trailing stability window also gives the
+    // ContextCleaner's reference-queue thread its beat.
+    def settleGc(): Unit = {
+      System.gc()
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans
+      def total: Long = {
+        var s = 0L
+        beans.forEach(b => s += b.getCollectionCount)
+        s
+      }
+      val deadline = System.nanoTime() + 1000000000L
+      var last = total
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - stableSince < 150000000L) {
+        Thread.sleep(20)
+        val c = total
+        if (c != last) { last = c; stableSince = System.nanoTime() }
+      }
+    }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): (Map[String, Double], Map[String, Long], Map[String, Long]) = {
       // Each pass starts memo-empty: the text-mining memos
@@ -107,9 +132,18 @@ object Bench {
         // during a LATER query's timed region — which is how round 7
         // measured t_minhash_pairs at 6.1s in the full suite vs 3.7s
         // isolated (warm slower than cold). One explicit GC between
-        // queries (~100ms on the 8g heap, outside the timed region)
-        // pins that cleanup to the gap instead.
-        System.gc()
+        // queries pins that cleanup to the gap instead — BUT with
+        // -XX:+ExplicitGCInvokesConcurrent (build.sbt) System.gc()
+        // only STARTS a concurrent cycle and returns: round 7's
+        // remaining anomalies (t_simhash_pairs warm 6.5s vs cold
+        // 2.8s; lake_branch_isolation 2.3s in-suite vs 0.63s
+        // isolated) were that cycle plus the cleaner's block-file
+        // deletions running INSIDE the next query's timed region. So
+        // after triggering the GC, wait in the gap until collector
+        // activity has been quiescent for 150 ms (bounded at 1 s) —
+        // the cycle and the reference-queue drain it feeds complete
+        // off the clock.
+        settleGc()
         val f0 = CodegenFallbackCounter.hits.get()
         val m0 = graft.queries.TextOps.memoHits
         val t0 = System.nanoTime()
