@@ -264,9 +264,26 @@ object VectorOps {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
-  def vAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val k = 8
-    val nprobe = 2
+  def vAnnIvf(s: SparkSession, d: String): DataFrame =
+    annIvf(s, d, k = 8, nprobe = 2)
+
+  /** [[vAnnIvf]] at production index width: K = 256 cells, nprobe
+    * scaled to the same 1/4 probe fraction. The broadcast centroid
+    * row grows linearly in K (256 cells × 64 dims ≈ 64 KB of floats —
+    * a real 100 TB index at K = 65k cells × 1024 dims is ~256 MB,
+    * still one broadcast row next to executor memory) and the
+    * assignment stays a narrow shuffle-free projection whose per-row
+    * cost is K dots; per CANDIDATE scored, cost is flat: nprobe/K is
+    * held constant, so the probe join touches the same corpus
+    * fraction. This gate exists to prove the transform-array argmax
+    * + broadcast-centroid design past toy K — if K×dim ever outgrows
+    * a broadcast row, the assignment switches to the
+    * [[vCentroidUpdate]] join shape instead. */
+  def vAnnIvfK256(s: SparkSession, d: String): DataFrame =
+    annIvf(s, d, k = 256, nprobe = 64)
+
+  private def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int)
+      : DataFrame = {
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
     val withSims = ivfAssign(emb, k)
     val assigned = withSims
@@ -468,6 +485,7 @@ object VectorOps {
     "v_ann_bruteforce" -> (vAnnBruteforce _),
     "v_ann_lsh" -> (vAnnLsh _),
     "v_ann_ivf" -> (vAnnIvf _),
+    "v_ann_ivf_k256" -> (vAnnIvfK256 _),
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_ann_rerank" -> (vAnnRerank _),
     "x_semantic_dedup" -> (xSemanticDedup _),
@@ -503,6 +521,44 @@ object VectorOps {
       val w = 1 << (PlanesPerBand - 1 - j)
       s"$bit * $w"
     }.mkString("(", " + ", ")")
+
+  /** IVF-flat ANN oracle, parameterized over index width: shared by
+    * the toy-K gate (`v_ann_ivf`, K=8/nprobe=2) and the
+    * production-width gate (`v_ann_ivf_k256`, K=256/nprobe=64 — same
+    * 1/4 probe fraction). */
+  private def ivfFlatSql(k: Int, nprobe: Int): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+       |  FROM emb WHERE vec_id < $k),
+       |sims AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+       |                    (e.nrm * c.cn))
+       |         THEN -2.0
+       |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+       |    END AS csim -- NaN pinned below any real cosine, matching
+       |                -- the Spark side's nanvl(-2.0)
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cid) AS rk FROM sims)
+       |  WHERE rk = 1),
+       |qcells AS (
+       |  SELECT cell, qv, qn FROM (
+       |    SELECT cid AS cell, embedding AS qv, nrm AS qn,
+       |      row_number() OVER (ORDER BY csim DESC, cid) AS rk
+       |    FROM sims WHERE vec_id = 0)
+       |  WHERE rk <= $nprobe)
+       |SELECT a.vec_id, a.cell,
+       |  round(${dotSql("a.embedding", "q.qv")} / (a.nrm * q.qn), 4)
+       |    AS cos_sim
+       |FROM assigned a JOIN qcells q USING (cell)
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin
 
   /** Shared WITH-prefix of the IVF+int8 oracles: everything through
     * the coarse quantized candidate scoring CTE. */
@@ -615,39 +671,8 @@ object VectorOps {
          |    (${normSql("embedding")} * ${normSql("qv")}), 4) AS cos_sim
          |FROM e, q WHERE vec_id <> 0 AND bucket = qbucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
-    "v_ann_ivf" ->
-      s"""WITH emb AS (
-         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-         |  FROM embeddings),
-         |cents AS (
-         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
-         |  FROM emb WHERE vec_id < 8),
-         |sims AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
-         |                    (e.nrm * c.cn))
-         |         THEN -2.0
-         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
-         |    END AS csim -- NaN pinned below any real cosine, matching
-         |                -- the Spark side's nanvl(-2.0)
-         |  FROM emb e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cid) AS rk FROM sims)
-         |  WHERE rk = 1),
-         |qcells AS (
-         |  SELECT cell, qv, qn FROM (
-         |    SELECT cid AS cell, embedding AS qv, nrm AS qn,
-         |      row_number() OVER (ORDER BY csim DESC, cid) AS rk
-         |    FROM sims WHERE vec_id = 0)
-         |  WHERE rk <= 2)
-         |SELECT a.vec_id, a.cell,
-         |  round(${dotSql("a.embedding", "q.qv")} / (a.nrm * q.qn), 4)
-         |    AS cos_sim
-         |FROM assigned a JOIN qcells q USING (cell)
-         |WHERE a.vec_id <> 0
-         |ORDER BY cos_sim DESC, a.vec_id LIMIT 5""".stripMargin,
+    "v_ann_ivf" -> ivfFlatSql(k = 8, nprobe = 2),
+    "v_ann_ivf_k256" -> ivfFlatSql(k = 256, nprobe = 64),
     "v_ann_ivf_pq" ->
       s"""$ivfPqCoarseSql
          |SELECT vec_id, cell, pq_cos FROM coarse

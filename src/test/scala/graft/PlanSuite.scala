@@ -112,6 +112,20 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(has(p, "TakeOrderedAndProject"), "top-k must not globally sort")
   }
 
+  test("v_ann_ivf_k256: wide index keeps the toy-K plan shape") {
+    assume(ready)
+    // the whole point of the K=256 gate: index width must not change
+    // the plan class — assignment stays a narrow projection (no
+    // window, no n×k explode), probe stays a broadcast join, and the
+    // only shuffles are the K-row centroid aggregations
+    val p = fmt("v_ann_ivf_k256")
+    assert(!has(p, "Window"), s"cell assignment must not use a window:\n$p")
+    assert(!has(p, "SortMergeJoin"), p)
+    assert(shuffles(p) <= 2,
+      s"only the K-row centroid aggregations may shuffle:\n$p")
+    assert(has(p, "BroadcastHashJoin"), "probe join must broadcast")
+  }
+
   test("v_ann_ivf_pq: quantized scoring stays broadcast-probed, no window") {
     assume(ready)
     val p = fmt("v_ann_ivf_pq")

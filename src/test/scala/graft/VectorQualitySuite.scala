@@ -51,6 +51,34 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
       s"full-probe IVF must equal brute force:\nivf   $full\nexact $exact")
   }
 
+  test("IVF at K=256 with full probing still reproduces exact k-NN") {
+    assume(ready)
+    // production index width: the 256-slot broadcast centroid row and
+    // the transform-array argmax must stay bit-correct past toy K —
+    // full probing partitions the corpus, so it IS brute force at
+    // any K
+    val exact = neighborSets(graft.queries.VectorOps.vKnnJoin(spark, sfDir))
+    val full = neighborSets(graft.queries.VectorOps
+      .ivfKnnJoin(spark, sfDir, nQueries = 20, k = 256, nprobe = 256))
+    assert(full == exact,
+      s"full-probe K=256 IVF must equal brute force:\nivf   $full\nexact $exact")
+  }
+
+  test("IVF K=256 nprobe=64 keeps mean recall@3 above the measured floor") {
+    assume(ready)
+    val exact = neighborSets(graft.queries.VectorOps.vKnnJoin(spark, sfDir))
+    val ivf = neighborSets(graft.queries.VectorOps
+      .ivfKnnJoin(spark, sfDir, nQueries = 20, k = 256, nprobe = 64))
+    val recalls = exact.toSeq.map { case (q, e) =>
+      e.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@3 at K=256 nprobe=64: $mean%.4f over ${recalls.size} queries")
+    assert(mean >= 0.50,
+      f"mean recall@3 dropped to $mean%.3f (floor 0.50) at K=256 — " +
+        "the wide index stopped retrieving what brute force finds")
+  }
+
   test("IVF nprobe=2/8 keeps mean recall@3 above the measured floor") {
     assume(ready)
     val exact = neighborSets(graft.queries.VectorOps.vKnnJoin(spark, sfDir))
