@@ -36,7 +36,19 @@ object Changelog {
           .withColumn("__pos", col("_metadata.row_index"))
           .select(projected ++ Seq(col("__fp"), col("__pos")): _*)
       else base.select(projected: _*)
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse {
+      // empty file list → empty frame in the CURRENT schema (+ the
+      // row-identity meta columns when requested): .reduce on Nil
+      // throws, and "every call site happens to guard" is a latent
+      // trap for the next caller
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val s =
+        if (withMeta) StructType(meta.schema.fields ++
+          Seq(StructField("__fp", StringType), StructField("__pos", LongType)))
+        else meta.schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
 
   def build(spark: SparkSession, meta: TableMeta, startId: Option[Long],
       endId: Option[Long], identifierCols: Seq[String],
@@ -118,7 +130,7 @@ object Changelog {
       // delete-format conversion): any mask they add covers rows that
       // were already logically dead — not change events
       val newMasks =
-        if (s.operation == "replace") Nil
+        if (s.isRowPreservingReplace) Nil
         else s.deleteFiles.filterNot(f => parentDels(f.path))
       val masked: Option[DataFrame] =
         if (newMasks.isEmpty) None
@@ -150,7 +162,7 @@ object Changelog {
       val parentEqs = s.parentId.flatMap(meta.snapshotById)
         .map(_.eqDeleteFiles).getOrElse(Nil)
       val newEqs =
-        if (s.operation == "replace") Nil
+        if (s.isRowPreservingReplace) Nil
         else s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
       val eqDeleted: Seq[DataFrame] =
         if (newEqs.isEmpty) Nil

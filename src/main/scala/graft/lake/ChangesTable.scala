@@ -100,7 +100,7 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
     val inRange = chain
       .dropWhile(s => startId.exists(s.snapshotId <= _))
       .takeWhile(s => endId.forall(s.snapshotId <= _))
-      .filterNot(s => skipRowPreserving && s.operation == "replace")
+      .filterNot(s => skipRowPreserving && s.isRowPreservingReplace)
     inRange.zipWithIndex.flatMap { case (s, ordinal) =>
       val parentSnap = s.parentId.flatMap(meta.snapshotById)
       val parentFiles = parentSnap.map(_.files).getOrElse(Nil)
@@ -131,7 +131,7 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
       // "replace" commits are row-preserving (compaction, delete-format
       // conversion): masks they add cover already-dead rows, not changes
       val newMasks =
-        if (s.operation == "replace") Nil
+        if (s.isRowPreservingReplace) Nil
         else s.deleteFiles.filterNot(f => parentDels(f.path))
       val masked =
         if (newMasks.isEmpty) Nil
@@ -149,7 +149,7 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
       // masks, parent equality deletes) are excluded executor-side.
       val parentEqPaths = pEqs.map(_.path).toSet
       val newEqs =
-        if (s.operation == "replace") Nil
+        if (s.isRowPreservingReplace) Nil
         else s.eqDeleteFiles.filterNot(e => parentEqPaths(e.path))
       val eqDeleted =
         if (newEqs.isEmpty) Nil

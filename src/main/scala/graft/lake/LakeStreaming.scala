@@ -54,7 +54,12 @@ class LakeMicroBatchStream(table: LakeTable, readSchema: StructType,
       // never skip the very snapshots it exists for
       case "overwrite" | "replace" | "update" | "merge" if skipOverwrite => Nil
       case "delete" if skipDelete => Nil
-      case "replace" => Nil // compaction adds no new rows
+      // compaction adds no new rows — but only a PROVABLY
+      // row-preserving replace qualifies (a legacy RTAS snapshot
+      // labeled "replace" replaced every row; silently yielding Nil
+      // for it would drop the replacement from the stream, so it
+      // falls through to the loud unsupported-type error instead)
+      case "replace" if snap.isRowPreservingReplace => Nil
       case other =>
         throw new UnsupportedOperationException(
           s"cannot stream snapshot ${snap.snapshotId} of type '$other'; set " +

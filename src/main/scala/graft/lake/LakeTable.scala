@@ -137,12 +137,16 @@ class LakeTable(
       // already streamed, so a compacted table stays incrementally
       // readable across the rewrite instead of erroring forever.
       range.foreach(sn =>
+        // isRowPreservingReplace, not the op name: a pre-fix RTAS
+        // snapshot recorded its whole-table replacement as "replace"
+        // — skipping it as if it were a compaction would silently
+        // drop the replacement from the stream, so it fails here
         require(sn.operation == "append" || sn.operation == "upsert" ||
-            sn.operation == "replace",
+            sn.isRowPreservingReplace,
           s"found '${sn.operation}' snapshot ${sn.snapshotId} in the " +
             "incremental range; incremental batch reads support " +
             "append-only history"))
-      range.filterNot(_.operation == "replace").flatMap { sn =>
+      range.filterNot(_.isRowPreservingReplace).flatMap { sn =>
         val parentPaths = sn.parentId.flatMap(meta.snapshotById)
           .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
         sn.files.filterNot(f => parentPaths(f.path))
@@ -1351,7 +1355,8 @@ object LakeScans {
       .map(e => e -> renameMap(current, meta.schemaAt(e)))
       .filter(_._2.nonEmpty).toMap
 
-  private[lake] def renameFilter(f: Filter, rename: Map[String, String]): Option[Filter] = {
+  private[lake] def renameFilter(f: Filter, rename: Map[String, String],
+      pos: Boolean = true): Option[Filter] = {
     if (rename.isEmpty) return Some(f)
     // dotted struct paths follow their top-level column's rename: the
     // reader maps the top-level field by id, so `info.region` over an
@@ -1376,12 +1381,34 @@ object LakeScans {
       case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(rn(a), v))
       case sources.StringContains(a, v) => Some(sources.StringContains(rn(a), v))
       case sources.And(l, r) =>
-        for (l2 <- renameFilter(l, rename); r2 <- renameFilter(r, rename))
-          yield sources.And(l2, r2)
+        // Partial mapping keeps the mappable conjunct — but ONLY in
+        // positive polarity. Every use of a renamed filter is
+        // pruning/skipping-only (pushFilters returns all filters as
+        // residual, so Spark re-checks rows), and pruning may only
+        // ever WEAKEN a filter: positively, And(l,r) ⇒ l, so a file
+        // failing the mapped conjunct alone is safely skipped
+        // (round 7 dropped BOTH sides, discarding the mapped side's
+        // pruning power for mixed filters over evolved tables).
+        // Under a Not the implication flips — a partially-mapped And
+        // would STRENGTHEN Not(And(..)) and prune live files, so
+        // there both sides must map or the whole node is unmappable.
+        (renameFilter(l, rename, pos), renameFilter(r, rename, pos)) match {
+          case (Some(l2), Some(r2)) => Some(sources.And(l2, r2))
+          case (Some(l2), None) if pos => Some(l2)
+          case (None, Some(r2)) if pos => Some(r2)
+          case _ => None
+        }
       case sources.Or(l, r) =>
-        for (l2 <- renameFilter(l, rename); r2 <- renameFilter(r, rename))
-          yield sources.Or(l2, r2)
-      case sources.Not(c) => renameFilter(c, rename).map(sources.Not)
+        // dual of And: a disjunct may be dropped only under negation
+        // (Not(Or(l,r)) ⇒ Not(l) — weaker once wrapped), never
+        // positively (Or minus a branch is stronger)
+        (renameFilter(l, rename, pos), renameFilter(r, rename, pos)) match {
+          case (Some(l2), Some(r2)) => Some(sources.Or(l2, r2))
+          case (Some(l2), None) if !pos => Some(l2)
+          case (None, Some(r2)) if !pos => Some(r2)
+          case _ => None
+        }
+      case sources.Not(c) => renameFilter(c, rename, !pos).map(sources.Not)
       case sources.AlwaysTrue() => Some(f)
       case sources.AlwaysFalse() => Some(f)
       case _ => None // unknown shape: don't push for old epochs

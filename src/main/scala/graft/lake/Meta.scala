@@ -118,7 +118,24 @@ final case class SnapshotMeta(
     // [[EqDeletes]]): carried forward like position masks; retired by
     // commits once no live data file has a lower seq; cleared by
     // truncate and folded away by rewrite_data_files.
-    eqDeleteFiles: Seq[EqDeleteMeta] = Nil)
+    eqDeleteFiles: Seq[EqDeleteMeta] = Nil) {
+
+  /** True iff this snapshot provably holds the same logical rows as
+    * its parent (compaction / delete-format maintenance), so CDC,
+    * incremental reads, and MV append fast paths may skip it.
+    *
+    * Discriminated by summary provenance, not by the operation name
+    * alone: every maintenance procedure stamps a `rewritten-*` /
+    * `converted-*` summary key and never `added-records`, while the
+    * staged write path always stamps `added-records` — and builds
+    * BEFORE the RTAS op-name fix recorded the (whole-table,
+    * non-row-preserving) RTAS replacement as "replace" through that
+    * staged path. Such a legacy snapshot must surface as a real
+    * change (or fail an append-only check loudly), never be silently
+    * skipped as if it were a compaction. */
+  def isRowPreservingReplace: Boolean =
+    operation == "replace" && !summary.contains("added-records")
+}
 
 /** Named ref (branch|tag) with optional retention (reference:
   * docs/spark-ddl.md:478-505 `CREATE BRANCH … RETAIN d DAYS WITH

@@ -101,9 +101,11 @@ object MvIncremental {
     val range = ancestry.filter(_.snapshotId > startSnap)
     // row-preserving "replace" commits (compaction) change nothing the
     // MV can see — the incremental read skips them, so they don't
-    // disqualify the append fast path
+    // disqualify the append fast path. isRowPreservingReplace, not
+    // the op name: a legacy RTAS snapshot labeled "replace" DID
+    // change rows and must disqualify (falls back to full recompute)
     val appendOnly = range.forall(s =>
-      s.operation == "append" || s.operation == "replace")
+      s.operation == "append" || s.isRowPreservingReplace)
 
     // classify MV outputs: group columns pass through, SUM/COUNT merge
     // as SUM of partials, MIN/MAX as themselves; anything else bails
@@ -346,7 +348,7 @@ object MvIncremental {
       if (start != 0L && !ancestry.exists(_.snapshotId == start))
         return None // rollback/rewritten history
       val appendOnly = ancestry.filter(_.snapshotId > start).forall(s =>
-        s.operation == "append" || s.operation == "replace")
+        s.operation == "append" || s.isRowPreservingReplace)
       Base(lf, lake, name, start, head, appendOnly)
     }
     val allAppend = bases.forall(_.appendOnly)

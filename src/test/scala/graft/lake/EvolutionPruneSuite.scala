@@ -210,4 +210,41 @@ class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       "nested stats must prune through the renamed struct column")
     sql("DROP TABLE lake.db.nsren")
   }
+
+  test("renameFilter: partial And/Or mapping respects polarity") {
+    import org.apache.spark.sql.sources
+    // a filter shape renameFilter doesn't handle (collated compares
+    // push down in Spark 4 but carry collation semantics footer stats
+    // can't honor) — the real unmappable leaf the And/Or logic must
+    // survive
+    def Opaque() = sources.CollatedEqualTo("c", "v",
+      org.apache.spark.sql.types.StringType)
+    val rn = Map("x" -> "old_x")
+    val eq = sources.EqualTo("x", 1)
+    val mapped = sources.EqualTo("old_x", 1)
+    // positive And: the mappable conjunct survives alone (pruning may
+    // weaken a filter; And(l,r) ⇒ l)
+    assert(LakeScans.renameFilter(sources.And(eq, Opaque()), rn)
+      .contains(mapped))
+    assert(LakeScans.renameFilter(sources.And(Opaque(), eq), rn)
+      .contains(mapped))
+    // positive Or: dropping a disjunct would STRENGTHEN — must fail
+    assert(LakeScans.renameFilter(sources.Or(eq, Opaque()), rn).isEmpty)
+    // negated And: partial mapping would strengthen Not(And(..)) —
+    // must fail as a whole
+    assert(LakeScans.renameFilter(
+      sources.Not(sources.And(eq, Opaque())), rn).isEmpty)
+    // negated Or: Not(Or(l,r)) ⇒ Not(l) — the mappable disjunct
+    // survives under the Not
+    assert(LakeScans.renameFilter(
+      sources.Not(sources.Or(eq, Opaque())), rn)
+      .contains(sources.Not(mapped)))
+    // double negation restores positive polarity
+    assert(LakeScans.renameFilter(
+      sources.Not(sources.Not(sources.And(eq, Opaque()))), rn)
+      .contains(sources.Not(sources.Not(mapped))))
+    // fully-mappable trees are unchanged in shape
+    assert(LakeScans.renameFilter(sources.And(eq, sources.IsNull("y")), rn)
+      .contains(sources.And(mapped, sources.IsNull("y"))))
+  }
 }
