@@ -251,6 +251,34 @@ case class ProjectingWriterFactory(inner: DataWriterFactory,
   }
 }
 
+/** Per-commit planning/commit cost accounting — the write-path twin
+  * of [[LakeScanMetrics]]. At 100 TB the metadata latency budget is
+  * thousands of commits/day × (staged-file listing + partition-tuple
+  * job + footer-stats harvest + snapshot derivation/CAS): when an
+  * unchanged workload's commits get slower, these counters name the
+  * phase instead of leaving a bench delta unattributable (the round-7
+  * "commit-path regression" burned a round proving itself to be
+  * bench-measurement bleed — with this record one look settles it).
+  * Cumulative totals plus a last-commit snapshot; specs read both,
+  * and each commit logs one INFO line. */
+private[graft] object LakeCommitMetrics {
+  final case class CommitTiming(stagedFiles: Int, listMs: Long,
+      tuplesMs: Long, statsMs: Long, deriveMs: Long, totalMs: Long)
+  private val lastRef =
+    new java.util.concurrent.atomic.AtomicReference[CommitTiming]()
+  private val commitsCtr = new java.util.concurrent.atomic.AtomicLong
+  private val msCtr = new java.util.concurrent.atomic.AtomicLong
+  private[lake] def record(t: CommitTiming): Unit = {
+    lastRef.set(t)
+    commitsCtr.incrementAndGet()
+    msCtr.addAndGet(t.totalMs)
+  }
+  def last: Option[CommitTiming] = Option(lastRef.get())
+  def commits: Long = commitsCtr.get()
+  def totalMs: Long = msCtr.get()
+  private[lake] lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+}
+
 object LakeWriteUtil {
 
   /** Harvest staged files, build the new snapshot per mode, commit.
@@ -265,7 +293,16 @@ object LakeWriteUtil {
       sortedWith: Seq[String] = Nil): TableMeta = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
-    table.catalog.commitRetrying(table.ident) { fresh =>
+    // per-commit phase timings (LakeCommitMetrics): a CAS retry
+    // re-derives, so the phase accumulators count what THIS logical
+    // commit actually paid across attempts
+    val tStart = System.nanoTime()
+    var listNs = 0L; var tuplesNs = 0L; var statsNs = 0L
+    var stagedCount = 0
+    def timed[A](acc: Long => Unit)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body; acc(System.nanoTime() - t0); r
+    }
+    try table.catalog.commitRetrying(table.ident) { fresh =>
 
     // write-side schema evolution (mergeSchema / accept-any-schema,
     // iceberg_it.py:1640-1681): extra top-level fields are appended
@@ -286,13 +323,16 @@ object LakeWriteUtil {
     val epoch = evolved.currentSchemaEpoch
     val schema = evolved.schema
 
-    val stagedPaths = listParquet(stagingDir, conf)
-    val specTuples = partitionTuples(spark, stagedPaths, evolved)
-    val harvested = FileStats.fromFooters(stagedPaths, conf, schema, epoch,
-      p => {
-        val tuples = specTuples.getOrElse(normPath(p), Set.empty)
-        if (tuples.size == 1) tuples.head else Map.empty
-      })
+    val stagedPaths = timed(listNs += _)(listParquet(stagingDir, conf))
+    stagedCount = stagedPaths.size
+    val specTuples = timed(tuplesNs += _)(
+      partitionTuples(spark, stagedPaths, evolved))
+    val harvested = timed(statsNs += _)(
+      FileStats.fromFooters(stagedPaths, conf, schema, epoch,
+        p => {
+          val tuples = specTuples.getOrElse(normPath(p), Set.empty)
+          if (tuples.size == 1) tuples.head else Map.empty
+        }))
     // write-order provenance: rows arrived sorted tuple-major then by
     // the sort-order columns (requiredOrdering, batch plans only), so
     // a single-tuple file — or any file of an unpartitioned table —
@@ -425,6 +465,16 @@ object LakeWriteUtil {
     // publish_changes (docs/spark-procedures.md:186)
     val advance = if (wapId.isDefined) None else Some(targetRef)
     metaWithRef.withSnapshot(snap, advance)
+    } finally {
+      def ms(ns: Long) = ns / 1000000L
+      val total = ms(System.nanoTime() - tStart)
+      val t = LakeCommitMetrics.CommitTiming(stagedCount, ms(listNs),
+        ms(tuplesNs), ms(statsNs),
+        total - ms(listNs) - ms(tuplesNs) - ms(statsNs), total)
+      LakeCommitMetrics.record(t)
+      LakeCommitMetrics.log.info(s"commit ${table.name()}: staged=${t.stagedFiles} " +
+        s"list=${t.listMs}ms tuples=${t.tuplesMs}ms stats=${t.statsMs}ms " +
+        s"derive+cas=${t.deriveMs}ms total=${t.totalMs}ms")
     }
   }
 

@@ -331,6 +331,15 @@ object LakeOps {
 
   /** Rows-only check: snapshot log introspection (not SQL-expressible
     * against the source tables — driver records a weaker check). */
+  /** Metadata tables, reshaped to engine-deterministic scalars so
+    * the driver can hash-check them (rows-only was the one gate the
+    * oracle never verified). The op sequence is fixed — CTAS +
+    * INSERT + CoW DELETE over the 5-row region table, identical at
+    * every SF — so each count below is engine contract: per-op
+    * snapshot counts, live file count, history/refs rows, and the
+    * final row count. The oracle states the same expectations as
+    * literals, the way the reference's own tests assert metadata
+    * tables; a drift here IS an engine behavior change. */
   def lakeMetadata(s: SparkSession, d: String): DataFrame = {
     cat(s)
     val v = srcView(s, d, "region")
@@ -338,8 +347,14 @@ object LakeOps {
     s.sql(s"CREATE TABLE lakeq.db.$t USING lake AS SELECT r_regionkey FROM $v")
     s.sql(s"INSERT INTO lakeq.db.$t SELECT r_regionkey + 10 FROM $v")
     s.sql(s"DELETE FROM lakeq.db.$t WHERE r_regionkey = 1")
-    s.sql(s"""SELECT snapshot_id, operation FROM lakeq.db.$t.snapshots
-             |ORDER BY snapshot_id""".stripMargin)
+    s.sql(s"""SELECT concat('op_', operation) AS item, count(*) AS n
+             |FROM lakeq.db.$t.snapshots GROUP BY operation
+             |UNION ALL SELECT 'snapshots', count(*) FROM lakeq.db.$t.snapshots
+             |UNION ALL SELECT 'history', count(*) FROM lakeq.db.$t.history
+             |UNION ALL SELECT 'refs', count(*) FROM lakeq.db.$t.refs
+             |UNION ALL SELECT 'files', count(*) FROM lakeq.db.$t.files
+             |UNION ALL SELECT 'rows_final', count(*) FROM lakeq.db.$t
+             |ORDER BY item""".stripMargin)
   }
 
   /** Merge-on-read DELETE: data files stay byte-identical, matching
@@ -544,6 +559,19 @@ object LakeOps {
         |ORDER BY c_custkey""".stripMargin,
     "lake_time_travel" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    // literal expectations, the way the reference's own tests assert
+    // metadata tables: the gate's op sequence is fixed over the 5-row
+    // region table (constant at every SF), so these counts are engine
+    // contract — snapshots {CTAS, INSERT}=append ×2 + CoW DELETE ×1,
+    // 2 live files (the delete rewrote the CTAS file in place),
+    // 1 ref (main), 10 - 1 = 9 surviving rows
+    "lake_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('files', 2::BIGINT), ('history', 3::BIGINT),
+        |  ('op_append', 2::BIGINT), ('op_delete', 1::BIGINT),
+        |  ('refs', 1::BIGINT), ('rows_final', 9::BIGINT),
+        |  ('snapshots', 3::BIGINT)) AS v(item, n)
+        |ORDER BY item""".stripMargin,
     "lake_branch_isolation" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "lake_schema_evolution" ->

@@ -876,6 +876,30 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_start"))
   }
 
+  /** Chunk-granularity exact dedup — the paragraph-level pass real
+    * curation pipelines run BETWEEN document-exact and near-dup
+    * dedup: boilerplate (headers, licenses, navigation) repeats
+    * across otherwise-distinct documents and only surfaces at
+    * sub-document granularity. Chunks are [[tChunk]]'s 64-token /
+    * 48-stride windows; identity is the chunk digest, so the whole
+    * operator is one digest-keyed hash aggregate over the exploded
+    * windows (map-side combining; the standard exact-dedup shuffle
+    * shape at any corpus size). Emitted per duplicated digest:
+    * copies, distinct docs, the canonical occurrence (smallest
+    * doc_id; earliest start anywhere — exact integers, no float in
+    * the hash). */
+  def tChunkDedup(s: SparkSession, d: String): DataFrame =
+    tChunk(s, d)
+      .groupBy(col("chunk_digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        min(col("chunk_start")).cast("long").as("min_start"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_digest"), col("n_copies"), col("n_docs"),
+        col("keep_doc_id"), col("min_start"))
+      .orderBy(col("chunk_digest"))
+
   def tContamination(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -1130,6 +1154,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_exact" -> (tDedupExact _),
     "t_chunk" -> (tChunk _),
+    "t_chunk_dedup" -> (tChunkDedup _),
     "t_token_stats" -> (tTokenStats _),
     "t_token_bpe" -> (tTokenBpe _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
@@ -1174,6 +1199,19 @@ object TextOps {
          |  md5(array_to_string(t[chunk_start+1 : chunk_start+64], ' '))
          |    AS chunk_digest
          |FROM st ORDER BY doc_id, chunk_start""".stripMargin,
+    "t_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |st AS (SELECT doc_id, t,
+         |         unnest(range(0, len(t), 48)) AS chunk_start FROM tk),
+         |ch AS (SELECT doc_id, chunk_start,
+         |         md5(array_to_string(t[chunk_start+1 : chunk_start+64], ' '))
+         |           AS chunk_digest
+         |       FROM st)
+         |SELECT chunk_digest, count(*)::BIGINT AS n_copies,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  min(doc_id) AS keep_doc_id, min(chunk_start)::BIGINT AS min_start
+         |FROM ch GROUP BY chunk_digest HAVING count(*) >= 2
+         |ORDER BY chunk_digest""".stripMargin,
     "t_token_stats" ->
       s"""SELECT doc_id, len(t) AS n_tokens,
          |  len(list_distinct(t)) AS n_uniq_tokens,

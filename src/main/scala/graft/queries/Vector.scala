@@ -213,11 +213,17 @@ object VectorOps {
     * vector's NaN cosine below any real similarity so the argmax (and
     * IVF's probe-cell slice) can't flip on degenerate vectors.
     * Returns (vec_id, embedding, nrm, sims, cell). */
-  private def ivfAssign(emb: DataFrame, k: Int): DataFrame = {
+  private def ivfAssign(emb: DataFrame, k: Int): DataFrame =
     // one row: [(cid, cv, cn)] sorted by cid — K is small by design
-    val centsRow = emb.filter(col("vec_id") < k)
+    assignToCents(emb, emb.filter(col("vec_id") < k)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents")))
+
+  /** Nearest-centroid assignment against an EXPLICIT 1-row centroid
+    * frame (`[(cid, cv, cn)]` sorted by cid) — the shared kernel of
+    * [[ivfAssign]] (first-K centroids) and [[vKmeans]] (refreshed
+    * means): broadcast row, narrow transform + argmax, no shuffle. */
+  private def assignToCents(emb: DataFrame, centsRow: DataFrame): DataFrame = {
     val withSims = emb.crossJoin(broadcast(centsRow))
       .withColumn("sims", transform(col("cents"), c =>
         struct(nanvl(dot(col("embedding"), c.getField("cv")) /
@@ -457,6 +463,56 @@ object VectorOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Lloyd k-means — two full refresh iterations of the index-build
+    * loop [[vCentroidUpdate]] is one step of: assign every vector to
+    * its nearest centroid (cosine argmax over a broadcast centroid
+    * row — the [[ivfAssign]] kernel, no shuffle), recompute per-cell
+    * per-dimension means, re-broadcast, re-assign, and emit the final
+    * centroids. Each iteration's exchange is (cell, dim)-bounded
+    * (K×dim partial sums), so at 100 TB the loop cost is
+    * iterations × one corpus scan — the shape a real IVF index build
+    * pays.
+    *
+    * Cross-engine determinism contract: published centroids are
+    * QUANTIZED to 4 decimals (±0.0 canonicalized) each iteration —
+    * Spark's partial aggregation and DuckDB sum in different orders,
+    * so raw float means differ in ULPs; rounding pins both engines to
+    * identical centroid bits before the next assignment (the same
+    * contract `v_centroid_update` already ships, extended through the
+    * loop). A reproducible-refresh pipeline wants published centroids
+    * quantized anyway. */
+  def vKmeans(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val iters = 2
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    var cents = emb.filter(col("vec_id") < k)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+    var means: DataFrame = null
+    val m0 = round(avg(col("col").cast("double")), 4)
+    for (i <- 1 to iters) {
+      val assigned = assignToCents(emb, cents)
+        .select(col("cell"), posexplode(col("embedding")))
+      means = assigned
+        .groupBy(col("cell"), col("pos"))
+        .agg(when(m0 === 0.0, lit(0.0)).otherwise(m0).as("m"),
+          count(lit(1)).as("n_members"))
+      if (i < iters)
+        cents = means
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell").as("cid"),
+            transform(col("pm"), x => x.getField("m")).as("cv"))
+          .withColumn("cn", norm(col("cv")))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cv"),
+            col("cn")))).as("cents"))
+    }
+    means
+      .select(col("cell").as("cluster_id"), col("pos").cast("long").as("pos"),
+        col("m"), col("n_members"))
+      .orderBy(col("cluster_id"), col("pos"))
+  }
+
   def vCentroidUpdate(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
@@ -492,6 +548,7 @@ object VectorOps {
     "v_dim_reduce" -> (vDimReduce _),
     "v_knn_join" -> (vKnnJoin _),
     "v_centroid_update" -> (vCentroidUpdate _),
+    "v_kmeans" -> (vKmeans _),
   )
 
   // --- DuckDB oracle -------------------------------------------------
@@ -739,6 +796,63 @@ object VectorOps {
          |                                       -- matching the Spark side
          |  count(*) AS n_members
          |FROM ex GROUP BY cell, i
+         |ORDER BY cluster_id, pos""".stripMargin,
+    "v_kmeans" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |c1 AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 8),
+         |s1 AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim
+         |  FROM emb e CROSS JOIN c1 c),
+         |a1 AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM s1)
+         |  WHERE rk = 1),
+         |e1 AS (
+         |  SELECT cell, generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS x
+         |  FROM a1),
+         |m1 AS ( -- published iteration-1 centroids: 4-dp quantized,
+         |        -- ±0.0 canonicalized (the cross-engine contract)
+         |  SELECT cell, i,
+         |    CASE WHEN round(avg(x), 4) = 0 THEN 0.0
+         |         ELSE round(avg(x), 4) END AS m
+         |  FROM e1 GROUP BY cell, i),
+         |c2 AS (
+         |  SELECT cell AS cid, list(m ORDER BY i) AS cv FROM m1
+         |  GROUP BY cell),
+         |c2n AS (SELECT cid, cv, ${normSql("cv")} AS cn FROM c2),
+         |s2 AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim
+         |  FROM emb e CROSS JOIN c2n c),
+         |a2 AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM s2)
+         |  WHERE rk = 1),
+         |e2 AS (
+         |  SELECT cell, generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS x
+         |  FROM a2)
+         |SELECT cell AS cluster_id, (i - 1)::BIGINT AS pos,
+         |  CASE WHEN round(avg(x), 4) = 0 THEN 0.0
+         |       ELSE round(avg(x), 4) END AS m,
+         |  count(*) AS n_members
+         |FROM e2 GROUP BY cell, i
          |ORDER BY cluster_id, pos""".stripMargin,
     "v_knn_join" ->
       s"""SELECT qid, nid, cos_sim, rank FROM (

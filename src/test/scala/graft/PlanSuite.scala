@@ -198,6 +198,21 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("v_kmeans: two broadcast-assignment passes, k×dim-bounded shuffles") {
+    assume(ready)
+    val p = fmt("v_kmeans")
+    // each Lloyd iteration = one corpus scan with a broadcast argmax
+    // assignment; every exchange is (cell, dim)- or cell-keyed
+    // (k×dim rows, map-side partials) — a Window or n×k expansion
+    // join here means the loop stopped being a scan-shaped pass
+    assert(!has(p, "Window") && !has(p, "CartesianProduct") &&
+      !has(p, "SortMergeJoin"), p)
+    assert(shuffles(p) <= 6,
+      s"two k×dim aggs + centroid rebuild + order shuffles only:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"both assignment passes must broadcast their centroid row:\n$p")
+  }
+
   test("t_unigram_logprob: tf joins token-partitioned, total broadcasts") {
     assume(ready)
     val p = fmt("t_unigram_logprob")

@@ -1950,4 +1950,25 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(sql(s"SELECT * FROM lake.db.tune_meta VERSION AS OF $first").count() == 1)
   }
+
+  test("commit metrics record per-phase planning cost for every staged commit") {
+    sql("CREATE TABLE lake.db.cmet (id bigint, p bigint) USING lake " +
+      "PARTITIONED BY (p)")
+    val c0 = LakeCommitMetrics.commits
+    sql("INSERT INTO lake.db.cmet SELECT id, id % 2 FROM range(10)")
+    assert(LakeCommitMetrics.commits == c0 + 1,
+      "each staged commit must record exactly one timing")
+    val t = LakeCommitMetrics.last.get
+    assert(t.stagedFiles >= 2, s"two partition tuples staged: $t")
+    assert(t.listMs >= 0 && t.tuplesMs >= 0 && t.statsMs >= 0, t.toString)
+    assert(t.totalMs >= t.listMs + t.tuplesMs + t.statsMs, t.toString)
+    assert(LakeCommitMetrics.totalMs >= t.totalMs)
+    // unpartitioned write: the tuple job is skipped, phases still sum
+    sql("CREATE TABLE lake.db.cmet2 (id bigint) USING lake")
+    sql("INSERT INTO lake.db.cmet2 SELECT id FROM range(5)")
+    assert(LakeCommitMetrics.commits == c0 + 2)
+    assert(LakeCommitMetrics.last.get.stagedFiles >= 1)
+    sql("DROP TABLE lake.db.cmet")
+    sql("DROP TABLE lake.db.cmet2")
+  }
 }
