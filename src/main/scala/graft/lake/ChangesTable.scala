@@ -201,7 +201,8 @@ class ChangesScan(catalog: LakeCatalog, meta: TableMeta, tableName: String,
           case i =>
             val ef = epochRead(i)
             val ref = BoundReference(i, ef.dataType, nullable = true)
-            if (ef.dataType == f.dataType) ref else Cast(ref, f.dataType, Some(tz))
+            // nested-id-aware projection, not a positional Cast
+            LakeScans.projectRowExpr(ref, f.dataType, ef.dataType, Some(tz))
         }
       } ++ Seq(
         BoundReference(n, StringType, nullable = false),

@@ -549,7 +549,7 @@ object FileStats {
       val byEpoch: Map[Int, (Seq[Filter], StructType)] =
         renames.map { case (e, rn) =>
           e -> (filters.flatMap(LakeScans.renameFilter(_, rn)),
-            LakeScans.mapNames(schema, rn))
+            LakeScans.mapNamesDotted(schema, rn))
         }
       files.filter { f =>
         val (fs, sch) = byEpoch.getOrElse(f.schemaEpoch, (filters, schema))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
@@ -1226,9 +1226,15 @@ object LakeScans {
         val epoch = k.drop(1).toInt
         val fs = cleanByEpoch.getOrElse(epoch, Nil)
         val epochSchema = table.meta.schemaAt(epoch)
-        val rename = renameMap(currentSchema, epochSchema)
-        val dataSchema = mapNames(currentSchema, rename)
-        val readSchema = mapNames(required, rename)
+        // epoch-NAMED at every struct level (nested field ids): the
+        // parquet reader resolves renamed nested fields to the
+        // columns the file stores them under; positions stay current
+        val dataSchema = epochNamed(currentSchema, epochSchema)
+        // required may be a PRUNED schema whose reconstructed nested
+        // fields lost their id metadata — resolve ids via the full
+        // current schema by name
+        val readSchema = epochNamed(required, currentSchema, epochSchema)
+        val rename = dottedRenames(currentSchema, epochSchema)
         val filters = pushed.flatMap(renameFilter(_, rename))
         parquetScan(spark, table, fs.map(_.path), dataSchema, readSchema,
           filters, options)
@@ -1269,7 +1275,7 @@ object LakeScans {
   private[lake] def renamesFor(schema: StructType, meta: TableMeta,
       files: Seq[DataFileMeta]): Map[Int, Map[String, String]] =
     files.map(_.schemaEpoch).distinct.map(e =>
-      e -> renameMap(schema, meta.schemaAt(e))).toMap
+      e -> dottedRenames(schema, meta.schemaAt(e))).toMap
 
   /** Per-epoch parquet reader construction shared by the row-streaming
     * scans (PosDeleteScan, the changes relation). Encapsulates the
@@ -1344,6 +1350,191 @@ object LakeScans {
     StructType(s.fields.map(f =>
       rename.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
 
+  /** The CURRENT schema re-NAMED — at every struct nesting level —
+    * with the epoch's names for matching field ids: the read schema
+    * that makes a parquet reader resolve each (possibly renamed)
+    * field to the column the file actually stores it under, while
+    * positions and types stay current so the scan's positional output
+    * is the current schema. Per level: a current field whose id is
+    * absent from an ID-STAMPED epoch level but whose NAME exists
+    * there was dropped and re-added — it is renamed to a sentinel
+    * absent from the files so the reader yields nulls instead of the
+    * dead column's data; an id-LESS epoch level (legacy metadata,
+    * top-level-only ids) resolves by name, preserving that metadata's
+    * documented semantics. Types stay current (int→bigint widening is
+    * the reader's job); nested types dive recursively through
+    * structs, arrays, and maps. */
+  private[lake] def epochNamed(current: StructType, epoch: StructType): StructType =
+    epochNamed(current, current, epoch)
+
+  /** [[epochNamed]] for a schema that may have LOST its field-id
+    * metadata — Spark's nested schema pruning reconstructs pruned
+    * struct types without metadata, so a pruned read schema cannot
+    * carry its own ids. `requested`'s fields resolve (by name,
+    * case-insensitive, at every level) against `current`, whose ids
+    * then drive the epoch mapping. */
+  private[lake] def epochNamed(requested: StructType, current: StructType,
+      epoch: StructType): StructType = {
+    def level(req: StructType, cur: StructType, ep: StructType): StructType = {
+      val byId = ep.fields.flatMap(f => TableMeta.fieldId(f).map(_ -> f)).toMap
+      val epHasIds = byId.nonEmpty
+      val epByName = ep.fields.map(f => f.name.toLowerCase -> f).toMap
+      val curByName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
+      StructType(req.fields.map { f =>
+        val idSource = curByName.get(f.name.toLowerCase).getOrElse(f)
+        TableMeta.fieldId(idSource) match {
+          case Some(id) => byId.get(id) match {
+            case Some(ef) =>
+              f.copy(name = ef.name,
+                dataType = dive(f.dataType, idSource.dataType, ef.dataType))
+            case None if epHasIds && epByName.contains(f.name.toLowerCase) =>
+              f.copy(name = s"${f.name}__graft_absent_$id")
+            case None => epByName.get(f.name.toLowerCase) match {
+              case Some(ef) if !epHasIds =>
+                f.copy(dataType = dive(f.dataType, idSource.dataType, ef.dataType))
+              case _ => f // absent by name too: the reader nulls it
+            }
+          }
+          case None => epByName.get(f.name.toLowerCase) match {
+            case Some(ef) =>
+              f.copy(dataType = dive(f.dataType, idSource.dataType, ef.dataType))
+            case None => f
+          }
+        }
+      })
+    }
+    def dive(req: DataType, cur: DataType, ep: DataType): DataType =
+      (req, cur, ep) match {
+        case (rs: StructType, cs: StructType, es: StructType) =>
+          level(rs, cs, es)
+        case (ArrayType(r, n), ArrayType(c, _), ArrayType(e, _)) =>
+          ArrayType(dive(r, c, e), n)
+        case (MapType(rk, rv, n), MapType(ck, cv, _), MapType(ek, ev, _)) =>
+          MapType(dive(rk, ck, ek), dive(rv, cv, ev), n)
+        case _ => req
+      }
+    level(requested, current, epoch)
+  }
+
+  /** Epoch-row → current-type projection EXPRESSION for the
+    * row-streaming readers (PosDeleteScan, the changes relation):
+    * the catalyst twin of [[LakeWriteUtil.epochProjection]]. A bare
+    * `Cast` between struct types is positional — wrong across nested
+    * add/drop (fields shift or counts differ) — so struct internals
+    * map by NESTED field id (name fallback for id-less legacy
+    * levels, null for fresh-id re-adds), recursing through arrays of
+    * structs via a bound lambda transform. Non-struct mismatches
+    * keep the widening cast. */
+  private[lake] def projectRowExpr(
+      in: org.apache.spark.sql.catalyst.expressions.Expression,
+      cur: DataType, ep: DataType, tz: Option[String])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    (cur, ep) match {
+      case (cs: StructType, es: StructType) =>
+        if (cs == es) in
+        else {
+          val byId = es.fields.flatMap(f =>
+            TableMeta.fieldId(f).map(_ -> f)).toMap
+          val epHasIds = byId.nonEmpty
+          val entries = cs.fields.flatMap { cf =>
+            val counterpart = TableMeta.fieldId(cf) match {
+              case Some(id) => byId.get(id).orElse(
+                if (!epHasIds)
+                  es.fields.find(_.name.equalsIgnoreCase(cf.name))
+                else None)
+              case None => es.fields.find(_.name.equalsIgnoreCase(cf.name))
+            }
+            val v = counterpart match {
+              case Some(ef) =>
+                val idx = es.fields.indexOf(ef)
+                projectRowExpr(GetStructField(in, idx, Some(ef.name)),
+                  cf.dataType, ef.dataType, tz)
+              case None => Literal(null, cf.dataType)
+            }
+            Seq(Literal(cf.name), v)
+          }
+          If(IsNull(in), Literal(null, LakeWriteUtil.stripIdsPublic(cs)),
+            CreateNamedStruct(entries.toSeq))
+        }
+      case (ArrayType(cse: StructType, _), ArrayType(ese: StructType, en))
+          if cse != ese =>
+        val lv = NamedLambdaVariable("graft_pe", ese, en)
+        ArrayTransform(in,
+          LambdaFunction(projectRowExpr(lv, cse, ese, tz), Seq(lv)))
+      case _ if cur == ep => in
+      case _ => Cast(in, cur, tz)
+    }
+  }
+
+  /** Current→epoch DOTTED-path rename map covering every struct
+    * level — the filter/stats companion of [[epochNamed]]: an entry
+    * exists for every path whose epoch spelling differs (because the
+    * field itself was renamed, an ancestor was, or the field was
+    * dropped-and-re-added and maps to the absent sentinel). Keys and
+    * values are the exact dotted strings footer-stat harvests and V1
+    * nested filter attributes use; paths through arrays/maps are not
+    * emitted (row-level stats cannot prune repeated leaves). */
+  private[lake] def dottedRenames(current: StructType, epoch: StructType)
+      : Map[String, String] = {
+    val out = Map.newBuilder[(String), String]
+    def walk(cur: StructType, ep: StructType,
+        curPrefix: String, epPrefix: String): Unit = {
+      val byId = ep.fields.flatMap(f => TableMeta.fieldId(f).map(_ -> f)).toMap
+      val epHasIds = byId.nonEmpty
+      val epByName = ep.fields.map(f => f.name.toLowerCase -> f).toMap
+      cur.fields.foreach { f =>
+        val cpath = curPrefix + f.name
+        val resolved: Option[(String, Option[StructField])] =
+          TableMeta.fieldId(f) match {
+            case Some(id) => byId.get(id) match {
+              case Some(ef) => Some((epPrefix + ef.name, Some(ef)))
+              case None if epHasIds && epByName.contains(f.name.toLowerCase) =>
+                Some((epPrefix + f.name + s"__graft_absent_$id", None))
+              case None => epByName.get(f.name.toLowerCase)
+                .filter(_ => !epHasIds).map(ef => (epPrefix + f.name, Some(ef)))
+            }
+            case None =>
+              epByName.get(f.name.toLowerCase)
+                .map(ef => (epPrefix + f.name, Some(ef)))
+          }
+        resolved match {
+          case Some((epath, efOpt)) =>
+            if (epath != cpath) out += cpath -> epath
+            (f.dataType, efOpt.map(_.dataType)) match {
+              case (cs: StructType, Some(es: StructType)) =>
+                walk(cs, es, cpath + ".", epath + ".")
+              case _ => ()
+            }
+          case None => ()
+        }
+      }
+    }
+    walk(current, epoch, "", "")
+    out.result()
+  }
+
+  /** Apply a [[dottedRenames]] map to a schema — renaming fields at
+    * every struct level so [[FileStats.resolvePath]] can type a
+    * renamed filter attribute against it. Lookups use the CURRENT
+    * path (keys are current spellings); output carries the epoch
+    * names. */
+  private[lake] def mapNamesDotted(s: StructType, rn: Map[String, String])
+      : StructType = {
+    def walk(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val path = prefix + f.name
+        val newName = rn.get(path)
+          .map(p => p.substring(p.lastIndexOf('.') + 1)).getOrElse(f.name)
+        val newType = f.dataType match {
+          case cs: StructType => walk(cs, path + ".")
+          case other => other
+        }
+        f.copy(name = newName, dataType = newType)
+      })
+    walk(s, "")
+  }
+
   /** current→epoch name maps for EVERY schema epoch of the table —
     * the planning-time companion of [[renamesFor]] when the file set
     * isn't known yet (lazy manifests). Epochs that rename nothing are
@@ -1352,7 +1543,7 @@ object LakeScans {
   private[lake] def statRenames(current: StructType, meta: TableMeta)
       : Map[Int, Map[String, String]] =
     meta.schemas.indices
-      .map(e => e -> renameMap(current, meta.schemaAt(e)))
+      .map(e => e -> dottedRenames(current, meta.schemaAt(e)))
       .filter(_._2.nonEmpty).toMap
 
   private[lake] def renameFilter(f: Filter, rename: Map[String, String],
@@ -1676,8 +1867,9 @@ class PosDeleteScan(table: LakeTable, files: Seq[DataFileMeta],
             case i =>
               val ef = epochRead(i)
               val ref = BoundReference(i, ef.dataType, nullable = true)
-              if (ef.dataType == f.dataType) ref
-              else Cast(ref, f.dataType, Some(tz))
+              // nested-id-aware projection, not a positional Cast:
+              // struct internals map by field id across epochs
+              LakeScans.projectRowExpr(ref, f.dataType, ef.dataType, Some(tz))
           }
         }
       }

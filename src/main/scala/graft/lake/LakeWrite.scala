@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StructType}
 
 /** Write path (SURVEY.md §7.1 "write-path" + §4.3): every batch write
   * stages parquet via Spark's own vectorized writer into a fresh
@@ -1102,18 +1102,79 @@ object LakeWriteUtil {
   def epochProjection(meta: TableMeta, epoch: Int,
       epochSchema: StructType): Seq[Column] = {
     val byId = epochSchema.fields.flatMap(f =>
-      TableMeta.fieldId(f).map(_ -> f.name)).toMap
+      TableMeta.fieldId(f).map(_ -> f)).toMap
     meta.schema.fields.toSeq.map { f =>
       TableMeta.fieldId(f) match {
         case Some(id) => byId.get(id) match {
-          case Some(n) => col(n).cast(f.dataType).as(f.name)
+          case Some(ef) =>
+            projectValue(col(ef.name), f.dataType, ef.dataType).as(f.name)
           case None => lit(null).cast(f.dataType).as(f.name)
         }
-        case None if epochSchema.fieldNames.contains(f.name) =>
-          col(f.name).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None => epochSchema.fields.find(_.name == f.name) match {
+          case Some(ef) =>
+            projectValue(col(f.name), f.dataType, ef.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }
     }
+  }
+
+  /** Project an epoch-typed VALUE to its current type, mapping struct
+    * internals by NESTED field id (name fallback per id-less legacy
+    * level, fresh-id nulling for re-adds — the same resolution
+    * [[LakeScans.epochNamed]] gives the clean scan path). A bare
+    * positional `cast` is wrong across nested add/drop (fields shift
+    * or counts differ) and was wrong for nested renames until nested
+    * ids existed. Arrays of structs recurse through `transform`;
+    * other types keep the widening cast. */
+  private def projectValue(c: Column, cur: org.apache.spark.sql.types.DataType,
+      ep: org.apache.spark.sql.types.DataType): Column = (cur, ep) match {
+    case (cs: StructType, es: StructType) =>
+      if (cs == es) c
+      else {
+        val byId = es.fields.flatMap(f =>
+          TableMeta.fieldId(f).map(_ -> f)).toMap
+        val epHasIds = byId.nonEmpty
+        val inner = cs.fields.map { cf =>
+          val counterpart = TableMeta.fieldId(cf) match {
+            case Some(id) => byId.get(id).orElse(
+              if (!epHasIds) es.fields.find(_.name.equalsIgnoreCase(cf.name))
+              else None)
+            case None => es.fields.find(_.name.equalsIgnoreCase(cf.name))
+          }
+          counterpart match {
+            case Some(ef) =>
+              projectValue(c.getField(ef.name), cf.dataType, ef.dataType)
+                .as(cf.name)
+            case None => lit(null).cast(cf.dataType).as(cf.name)
+          }
+        }
+        // a NULL struct must stay NULL — struct(...) of nulls is a
+        // present struct with null members
+        when(c.isNull, lit(null).cast(stripIds(cs)))
+          .otherwise(struct(inner.toSeq: _*))
+      }
+    case (ArrayType(cse: StructType, n), ArrayType(ese: StructType, _))
+        if cse != ese =>
+      transform(c, x => projectValue(x, cse, ese))
+    case _ => c.cast(cur)
+  }
+
+  private[lake] def stripIdsPublic(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = stripIds(dt)
+
+  /** Field-id metadata stripped at every level — lit(null).cast to a
+    * metadata-carrying struct and struct(...) outputs must agree on
+    * type for the when/otherwise union. */
+  private def stripIds(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, stripIds(f.dataType),
+        f.nullable)))
+    case ArrayType(e, n) => ArrayType(stripIds(e), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(stripIds(k), stripIds(v), n)
+    case other => other
   }
 
   /** Does every row of `file` definitely match all `filters`?

@@ -194,7 +194,7 @@ object Manifests {
       org.apache.spark.sql.types.StructType)] =
       renames.map { case (e, rn) =>
         e -> (filters.flatMap(LakeScans.renameFilter(_, rn)),
-          LakeScans.mapNames(schema, rn))
+          LakeScans.mapNamesDotted(schema, rn))
       }
     val survivors = entries.as(Encoders.product[DataFileMeta])
       .filter { f =>

@@ -286,24 +286,58 @@ object TableMeta {
   /** Assign stable field ids (top-level) so renames keep identity.
     * `minFieldId` is the table's highest-ever id (across all schema
     * epochs) so re-added columns get FRESH ids. */
+  /** Stamp stable field ids on every UN-stamped field — at every
+    * struct nesting level (struct children, array elements, map
+    * keys/values). Nested ids are what give `point.z` an identity
+    * that survives RENAME COLUMN point.z (Iceberg's nested field
+    * ids): without them the read path resolves struct internals by
+    * name, so a nested rename silently nulls (and a nested swap
+    * silently exchanges) old files' values. Already-stamped fields
+    * keep their ids, so legacy metadata (top-level-only ids) gains
+    * nested ids on its next schema evolution while its OLD epochs
+    * stay id-less — readers detect that per struct level and fall
+    * back to the legacy name-based resolution for those epochs. */
   def withFieldIds(schema: StructType, minFieldId: Long = 0L): StructType = {
     var next = math.max(maxFieldId(schema), minFieldId)
-    val fields = schema.fields.map { f =>
-      if (f.metadata.contains(FieldIdKey)) f
-      else {
-        next += 1
-        val md = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
-        f.copy(metadata = md)
-      }
+    def stampType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map(stampField))
+      case org.apache.spark.sql.types.ArrayType(e, n) =>
+        org.apache.spark.sql.types.ArrayType(stampType(e), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(stampType(k), stampType(v), n)
+      case other => other
     }
-    StructType(fields)
+    def stampField(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField = {
+      val withId =
+        if (f.metadata.contains(FieldIdKey)) f
+        else {
+          next += 1
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
+          f.copy(metadata = md)
+        }
+      withId.copy(dataType = stampType(withId.dataType))
+    }
+    StructType(schema.fields.map(stampField))
   }
 
-  def maxFieldId(schema: StructType): Long =
-    schema.fields.collect {
-      case f if f.metadata.contains(FieldIdKey) => f.metadata.getLong(FieldIdKey)
-    }.foldLeft(0L)(math.max)
+  def maxFieldId(schema: StructType): Long = {
+    def maxType(dt: org.apache.spark.sql.types.DataType): Long = dt match {
+      case st: StructType => st.fields.map(maxField).foldLeft(0L)(math.max)
+      case org.apache.spark.sql.types.ArrayType(e, _) => maxType(e)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        math.max(maxType(k), maxType(v))
+      case _ => 0L
+    }
+    def maxField(f: org.apache.spark.sql.types.StructField): Long =
+      math.max(
+        if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey)
+        else 0L,
+        maxType(f.dataType))
+    schema.fields.map(maxField).foldLeft(0L)(math.max)
+  }
 
   def fieldId(f: org.apache.spark.sql.types.StructField): Option[Long] =
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None

@@ -163,15 +163,14 @@ class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.chevo")
   }
 
-  test("nested drop/re-add: name-based lineage, stats stay consistent") {
-    // Field ids are TOP-LEVEL only; nested leaves resolve by NAME.
-    // Dropping and re-adding a struct leaf therefore RESURFACES the
-    // old files' values (unlike a top-level re-add, which nulls them
-    // via the fresh-id sentinel — Iceberg's nested field ids would
-    // null here too). This pins the contract deliberately: the
-    // harvested nested stats describe exactly what the reader
-    // returns, so planning-time pruning can never contradict the
-    // scan — which is the invariant that matters for correctness.
+  test("nested drop/re-add: fresh nested id nulls dead data, stats consistent") {
+    // Field ids are stamped at every struct level (NestedEvolutionSuite
+    // covers the full matrix): a re-added struct leaf carries a FRESH
+    // id, so old files read NULL for it — the same semantics as a
+    // top-level re-add, and what Iceberg's nested field ids give. The
+    // prune side maps the current path to an absent sentinel so the
+    // dead column's footer stats (nullCount 0!) can never prune the
+    // files whose rows now read NULL.
     sql("""CREATE TABLE lake.db.nreadd (
           |  id bigint, meta struct<a: bigint, b: bigint>
           |) USING lake""".stripMargin)
@@ -179,12 +178,12 @@ class EvolutionPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       "named_struct('a', id, 'b', id + 100) FROM range(5)")
     sql("ALTER TABLE lake.db.nreadd DROP COLUMN meta.b")
     sql("ALTER TABLE lake.db.nreadd ADD COLUMN meta.b bigint")
-    // old values resurface under name resolution…
+    // dead values must NOT resurface…
     assert(count(
-      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b = 103") == 1L)
+      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b = 103") == 0L)
     // …and pruning agrees with the reader (no stale-stats skip)
     assert(count(
-      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b IS NULL") == 0L)
+      "SELECT count(*) FROM lake.db.nreadd WHERE meta.b IS NULL") == 5L)
     assert(count(
       "SELECT count(*) FROM lake.db.nreadd WHERE meta.b = 999") == 0L)
     sql("DROP TABLE lake.db.nreadd")
