@@ -157,6 +157,38 @@ class NestedEvolutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.ncmp")
   }
 
+  test("nested type widening composes with a nested rename") {
+    sql("CREATE TABLE lake.db.nwid (id bigint, m struct<v: int>) USING lake")
+    sql("INSERT INTO lake.db.nwid SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('v', cast(id + 7 AS int)) FROM range(3)")
+    sql("ALTER TABLE lake.db.nwid ALTER COLUMN m.v TYPE bigint")
+    sql("ALTER TABLE lake.db.nwid RENAME COLUMN m.v TO w")
+    // old int32 pages read under the current bigint type AND the old
+    // nested name resolves by id
+    val vals = sql("SELECT m.w FROM lake.db.nwid ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(7L, 8L, 9L),
+      s"widened + renamed nested field must keep values: $vals")
+    assert(count("SELECT count(*) FROM lake.db.nwid WHERE m.w = 8") == 1L)
+    sql("DROP TABLE lake.db.nwid")
+  }
+
+  test("time travel across a nested rename reads the pinned epoch's names") {
+    sql("CREATE TABLE lake.db.ntt (id bigint, p struct<a: bigint, z: bigint>) USING lake")
+    sql("INSERT INTO lake.db.ntt SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('a', id, 'z', id + 100) FROM range(3)")
+    val v1 = sql("SELECT max(snapshot_id) FROM lake.db.ntt.snapshots")
+      .collect()(0).getLong(0)
+    sql("ALTER TABLE lake.db.ntt RENAME COLUMN p.z TO depth")
+    // pinned version resolves the OLD nested name with the values
+    assert(count(s"SELECT count(*) FROM lake.db.ntt VERSION AS OF $v1 " +
+      "WHERE p.z = 101") == 1L,
+      "time travel must read the pinned epoch's nested name")
+    // and the current read serves the same values under the new name
+    assert(count("SELECT count(*) FROM lake.db.ntt WHERE p.depth = 101") == 1L)
+    sql("DROP TABLE lake.db.ntt")
+  }
+
   test("legacy id-less nested metadata keeps name-based resolution") {
     // forge pre-upgrade metadata: strip nested ids from every stored
     // schema, as a table committed by an older build would carry
