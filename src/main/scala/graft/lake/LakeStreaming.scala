@@ -195,14 +195,41 @@ class LakeMicroBatchStream(table: LakeTable, readSchema: StructType,
         else added.size
       added.slice(from, until)
     }
-    val index = new InMemoryFileIndex(spark,
-      files.map(f => new org.apache.hadoop.fs.Path(f.path)),
-      Map.empty[String, String], Some(table.schema()),
-      FileStatusCache.getOrCreate(spark), None, None)
-    val scan = ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
-      table.schema(), readSchema, StructType(Nil), Array.empty, options,
-      None, Nil, Nil, Array.empty)
-    val batch = scan.toBatch
+    // Files in the offset range may span SCHEMA EPOCHS (a backlog
+    // read across a rename, or a table whose rewrite hasn't touched
+    // every old file): one scan per epoch, each reading under the
+    // epoch-NAMED schema (field-id resolution at every struct level,
+    // LakeScans.epochNamed) — a single current-schema scan silently
+    // nulled renamed columns and resurrected dropped-and-re-added
+    // ones for pre-evolution files, the same lineage class the batch
+    // paths fixed. Multi-epoch batches route partitions to their
+    // epoch's reader through the keyed CompositeScan.
+    val current = table.schema()
+    def scanFor(fs: Seq[DataFileMeta], epochSchema: StructType)
+        : org.apache.spark.sql.connector.read.Scan = {
+      val dataSchema = LakeScans.epochNamed(current, epochSchema)
+      val read = LakeScans.epochNamed(readSchema, current, epochSchema)
+      // ONE FRESH conf per epoch scan: a parquet reader builder
+      // writes its requested schema into the conf it is given, so a
+      // shared conf makes every epoch read with the LAST epoch's
+      // schema (the EpochReaders trap, re-learned here)
+      val conf = spark.sessionState.newHadoopConf()
+      val index = new InMemoryFileIndex(spark,
+        fs.map(f => new org.apache.hadoop.fs.Path(f.path)),
+        Map.empty[String, String], Some(dataSchema),
+        FileStatusCache.getOrCreate(spark), None, None)
+      ParquetScan(spark, conf, index, dataSchema, read, StructType(Nil),
+        Array.empty, options, None, Nil, Nil, Array.empty)
+    }
+    val byEpoch = files.groupBy(_.schemaEpoch).toSeq.sortBy(_._1)
+    val batch = byEpoch match {
+      case Seq() => scanFor(Nil, current).toBatch
+      case Seq((e, fs)) => scanFor(fs, meta.schemaAt(e)).toBatch
+      case many =>
+        new CompositeScan(
+          many.map { case (e, fs) => s"e$e" -> scanFor(fs, meta.schemaAt(e)) },
+          readSchema)
+    }
     lastFactory = batch.createReaderFactory()
     batch.planInputPartitions()
   }

@@ -420,7 +420,8 @@ class LakeScanBuilder(table: LakeTable, snapshotId: Option[Long],
       // (multi-epoch) and LakeBatchScan paths already relabel; do the
       // same here when the names diverge.
       if (s.readSchema() == required) s
-      else new CompositeScan(Seq("all" -> s), required)
+      else new CompositeScan(Seq("all" -> s), required,
+        Some(cp => new LakeMicroBatchStream(table, required, options, cp)))
     }
     else {
       // limit/top-N file cuts need exact per-file row counts: any
@@ -1244,7 +1245,8 @@ object LakeScans {
     // bare fast path only without a pinned layout: a layout means this
     // scan's batches can be cross-paired, so even one leaf must wrap
     if (leaves.size == 1 && layout.isEmpty) leaves.head._2
-    else new CompositeScan(leaves, required)
+    else new CompositeScan(leaves, required,
+      Some(cp => new LakeMicroBatchStream(table, required, options, cp)))
   }
 
   private def parquetScan(spark: SparkSession, table: LakeTable,
@@ -1608,9 +1610,19 @@ object LakeScans {
 }
 
 /** Concatenates per-epoch scans; partitions route to their own
-  * delegate reader factory (columnar included). */
-class CompositeScan(keyedScans: Seq[(String, Scan)], schema: StructType)
+  * delegate reader factory (columnar included). `streamFactory` makes
+  * a multi-leaf table streamable: Scan's default toMicroBatchStream
+  * throws, so without it a readStream on any table whose live files
+  * span schema epochs (or carry masks) died at query start. */
+class CompositeScan(keyedScans: Seq[(String, Scan)], schema: StructType,
+    streamFactory: Option[String =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends Scan with Batch with SupportsReportStatistics {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_(checkpointLocation))
+      .getOrElse(super.toMicroBatchStream(checkpointLocation))
   private def scans: Seq[Scan] = keyedScans.map(_._2)
   override def readSchema(): StructType = schema
   override def description(): String =

@@ -296,4 +296,47 @@ class LakeStreamingSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
     assert(spark.table("sink_ran").count() == 300)
   }
+
+  test("streaming backlog across renames reads every epoch by field id") {
+    // the micro-batch source reads files from SNAPSHOT history, which
+    // spans schema epochs the moment a rename lands — one
+    // current-schema scan (the old implementation) silently nulled
+    // renamed columns (top-level AND nested) for pre-evolution files,
+    // and a multi-epoch batch died in Scan.toMicroBatchStream
+    spark.sql("CREATE TABLE lake.db.sevo (id bigint, v bigint, " +
+      "p struct<a: bigint, b: bigint>) USING lake")
+    spark.sql("INSERT INTO lake.db.sevo SELECT id, id + 50, " +
+      "named_struct('a', id, 'b', id + 100) FROM range(3)")
+    spark.sql("ALTER TABLE lake.db.sevo RENAME COLUMN v TO renamed_v")
+    spark.sql("ALTER TABLE lake.db.sevo RENAME COLUMN p.b TO nb")
+    spark.sql("INSERT INTO lake.db.sevo SELECT id + 10, id + 60, " +
+      "named_struct('a', id + 10, 'nb', id + 200) FROM range(2)")
+    val q = spark.readStream.table("lake.db.sevo")
+      .writeStream.format("memory").queryName("sink_sevo")
+      .option("checkpointLocation", s"$ckpt/q_sevo")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sink_sevo")
+        .selectExpr("id", "renamed_v", "p.a", "p.nb").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(rows == Seq(
+        (0L, 50L, 0L, 100L), (1L, 51L, 1L, 101L), (2L, 52L, 2L, 102L),
+        (10L, 60L, 10L, 200L), (11L, 61L, 11L, 201L)),
+        s"backlog across renames must keep values by field id: $rows")
+
+      // mid-stream evolution: new epochs arriving AFTER query start
+      // map into the query's pinned schema by id
+      spark.sql("ALTER TABLE lake.db.sevo RENAME COLUMN renamed_v TO v2")
+      spark.sql("INSERT INTO lake.db.sevo SELECT 20, 99, " +
+        "named_struct('a', 20L, 'nb', 300L)")
+      q.processAllAvailable()
+      val late = spark.table("sink_sevo").where("id = 20")
+        .selectExpr("renamed_v", "p.nb").collect()(0)
+      assert((late.getLong(0), late.getLong(1)) == (99L, 300L),
+        "post-start epochs must map into the pinned stream schema by id")
+    } finally q.stop()
+  }
 }
