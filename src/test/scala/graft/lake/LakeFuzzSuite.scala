@@ -310,9 +310,126 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql(s"DROP TABLE $tbl")
   }
 
+  /** Nested-evolution fuzz: struct-internal renames, nested add/drop,
+    * and struct-column renames interleave with DML + compaction in
+    * both write modes. The model tracks values by IDENTITY, so any
+    * path that resolves struct internals by name or position (the
+    * round-8 nested-field-id family: nulled renames, swapped values,
+    * resurrected re-adds) diverges. Filtered-read invariants push
+    * nested dotted predicates through stats pruning; IS NULL after a
+    * nested re-add probes the dead-column stats trap one level down. */
+  private def runNested(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzn_${mode}_$seed"
+    val props =
+      if (mode == "mor")
+        """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read',
+          |'write.merge.mode'='merge-on-read')""".stripMargin
+      else ""
+    sql(s"CREATE TABLE $tbl (id bigint, m struct<a: bigint, b: bigint>) " +
+      s"USING lake $props")
+    val rng = new scala.util.Random(seed)
+    // id -> (aVal, bVal, extraOpt): identity-tracked nested values
+    val model = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Option[Long])]()
+    var nextId = 0L
+    var mName = "m"   // current name of the struct column
+    var bName = "b"   // current name of the renamed-back-and-forth leaf
+    var hasExtra = false // nested add/drop leaf m.extra
+    def structLit(a: Long, b: Long, e: Option[Long]): String =
+      if (hasExtra)
+        s"named_struct('a', ${a}L, '$bName', ${b}L, 'extra', " +
+          e.map(x => s"${x}L").getOrElse("CAST(NULL AS bigint)") + ")"
+      else s"named_struct('a', ${a}L, '$bName', ${b}L)"
+    def state(): Map[Long, (Long, Long)] =
+      sql(s"SELECT id, $mName.a, $mName.$bName FROM $tbl").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until nOps).foreach { opIdx =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val rows = (nextId until nextId + 1 + rng.nextInt(4))
+            .map(i => (i, i * 10, rng.nextInt(50).toLong))
+          nextId += rows.size
+          val vals = rows.map { case (i, a, b) =>
+            val e = if (hasExtra) Some(b % 7) else None
+            s"($i, ${structLit(a, b, e)})"
+          }.mkString(", ")
+          sql(s"INSERT INTO $tbl VALUES $vals")
+          rows.foreach { case (i, a, b) =>
+            model(i) = (a, b, if (hasExtra) Some(b % 7) else None)
+          }
+        case 3 | 4 =>
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          model.filterInPlace((i, _) => i % k != r)
+        case 5 => // whole-struct rewrite of a keyed slice
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          val extraExpr =
+            if (hasExtra) s", 'extra', $mName.extra" else ""
+          sql(s"UPDATE $tbl SET $mName = named_struct(" +
+            s"'a', $mName.a, '$bName', $mName.$bName + 1000$extraExpr) " +
+            s"WHERE id % $k = $r")
+          model.mapValuesInPlace { case (i, (a, b, e)) =>
+            if (i % k == r) (a, b + 1000, e) else (a, b, e)
+          }
+        case 6 => // rename the nested leaf back and forth
+          val next = if (bName == "b") "bb" else "b"
+          sql(s"ALTER TABLE $tbl RENAME COLUMN $mName.$bName TO $next")
+          bName = next
+        case 7 => // nested add / drop of m.extra
+          if (!hasExtra) {
+            sql(s"ALTER TABLE $tbl ADD COLUMN $mName.extra bigint")
+            hasExtra = true
+            // fresh nested id: every existing row reads NULL for it
+            model.mapValuesInPlace { case (_, (a, b, _)) => (a, b, None) }
+          } else {
+            sql(s"ALTER TABLE $tbl DROP COLUMN $mName.extra")
+            hasExtra = false
+            model.mapValuesInPlace { case (_, (a, b, _)) => (a, b, None) }
+          }
+        case 8 => sql(s"CALL lake.system.rewrite_data_files(" +
+          s"table => 'db.${tbl.split('.').last}')")
+        case 9 => // rename the struct column itself
+          val next = if (mName == "m") "meta" else "m"
+          sql(s"ALTER TABLE $tbl RENAME COLUMN $mName TO $next")
+          mName = next
+      }
+      val got = state()
+      val want = model.view.mapValues(v => (v._1, v._2)).toMap
+      assert(got == want,
+        s"nested $mode seed=$seed diverged after op #$opIdx " +
+          s"(m=$mName, b=$bName, extra=$hasExtra)\n got $got\nwant $want")
+      // nested filtered reads drive dotted-path stats pruning
+      if (model.nonEmpty) {
+        val k = model.keys.toSeq(rng.nextInt(model.size))
+        val (a, b, _) = model(k)
+        assert(sql(s"SELECT count(*) FROM $tbl WHERE $mName.a = $a")
+          .collect()(0).getLong(0) ==
+          model.valuesIterator.count(_._1 == a).toLong,
+          s"nested $mode seed=$seed op #$opIdx: $mName.a = $a wrong")
+        assert(sql(s"SELECT count(*) FROM $tbl WHERE $mName.$bName = $b")
+          .collect()(0).getLong(0) ==
+          model.valuesIterator.count(_._2 == b).toLong,
+          s"nested $mode seed=$seed op #$opIdx: $mName.$bName = $b wrong")
+      }
+      if (hasExtra) {
+        val expNull = model.valuesIterator.count(_._3.isEmpty).toLong
+        assert(sql(s"SELECT count(*) FROM $tbl WHERE $mName.extra IS NULL")
+          .collect()(0).getLong(0) == expNull,
+          s"nested $mode seed=$seed op #$opIdx: $mName.extra IS NULL " +
+            "must see pre-re-add rows (nested dead-column stats trap)")
+      }
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
   test("fuzz regression: evo-mor seed 70707 (round-7 soak find — " +
       "compaction resurrected a dropped column's values by name)") {
     runEvo("mor", seed = 70707, nOps = 16)
+  }
+
+  test("fuzz: nested evolution interleaved with DML, both modes") {
+    runNested("cow", seed = 31, nOps = 16)
+    runNested("mor", seed = 31, nOps = 16)
   }
 
   test("fuzz: schema evolution interleaved with DML, both modes") {
@@ -883,6 +1000,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("mor")(run("mor", s, nOps = 30))
       step("evo-cow")(runEvo("cow", s, nOps = 24))
       step("evo-mor")(runEvo("mor", s, nOps = 24))
+      step("nested-cow")(runNested("cow", s, nOps = 20))
+      step("nested-mor")(runNested("mor", s, nOps = 20))
       step("part-cow")(runPart("cow", s, nOps = 24))
       step("part-mor")(runPart("mor", s, nOps = 24))
       step("upsert-cow")(runUpsert("cow", s, nOps = 24))
