@@ -150,7 +150,10 @@ case class LakeRefCommand(table: Seq[String], verb: String, isTag: Boolean,
 case class LakePartitionFieldCommand(table: Seq[String], add: Boolean,
     transform: String, asName: Option[String]) extends LeafRunnableCommand {
 
-  private val fnPat = """(?i)(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?([\w`]+)\s*\)""".r
+  // the column group admits dots: partition sources may be nested
+  // struct fields ("days(s.ts)"), and without the dot the transform
+  // spelling would silently mis-parse as a bare identity column
+  private val fnPat = """(?i)(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?([\w`.]+)\s*\)""".r
 
   private[lake] def parsedField: PartitionFieldMeta = parseField
 

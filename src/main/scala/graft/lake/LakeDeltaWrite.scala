@@ -89,9 +89,8 @@ class LakeDeltaWrite(table: LakeTable, info: LogicalWriteInfo, operation: String
   // whose source column is present in the write schema participate
   // (the delete writer needs only the (_file,_pos) grouping anyway).
   override def requiredOrdering(): Array[SortOrder] = {
-    val present = info.schema().fieldNames.map(_.toLowerCase).toSet
     val parts = table.meta.partitionSpec
-      .filter(f => present.contains(f.sourceColumn.toLowerCase))
+      .filter(f => Transforms.leafType(info.schema(), f.sourceColumn).isDefined)
       .map(f =>
         Expressions.sort(Transforms.toTransform(f), SortDirection.ASCENDING))
     val ids = Seq(

@@ -62,7 +62,7 @@ object LakeFanoutWrite {
     // with a truncated spec, the writer fails loudly below rather
     // than silently mis-partitioning.
     val resolvable = meta.partitionSpec.filter(f =>
-      schema.fieldNames.exists(_.equalsIgnoreCase(f.sourceColumn)))
+      Transforms.leafType(schema, f.sourceColumn).isDefined)
     val cols = resolvable.zipWithIndex.map { case (f, i) =>
       Transforms.eval(f, schema).as(s"__p$i")
     }

@@ -27,17 +27,27 @@ object SchemaEvolution {
       case c: RenameColumn =>
         schema = mapField(schema, c.fieldNames().toSeq)(f => f.copy(name = c.newName()))
         // The partition spec references its source column by CURRENT
-        // name (Iceberg tracks field ids and re-displays the new name;
-        // here the name IS the reference) — a spec left pointing at
-        // the old name would stop resolving in every later write's
-        // transform evaluation and required ordering. Field NAMES in
-        // the spec (e.g. "ts_day") are display names and stay.
-        if (c.fieldNames().length == 1) {
-          val old = c.fieldNames()(0)
-          spec = spec.map(f =>
-            if (f.sourceColumn.equalsIgnoreCase(old))
-              f.copy(sourceColumn = c.newName())
-            else f)
+        // dotted path (Iceberg tracks field ids and re-displays the new
+        // name; here the tracked name IS the reference) — a spec left
+        // pointing at a stale path would stop resolving in every later
+        // write's transform evaluation and required ordering, and if a
+        // re-added column later reclaimed the stale name the transform
+        // would silently partition on the impostor. Three cases must
+        // follow the rename: the source itself (any depth), and — for a
+        // nested source like "s.ts" — a rename of any ancestor struct
+        // ("s" -> "t" must retarget to "t.ts"). Combined with the drop
+        // guard below (a source column or its ancestors cannot be
+        // dropped while the spec references them), path tracking is
+        // equivalent to field-id tracking. Spec field NAMES (e.g.
+        // "ts_day") are display names and stay.
+        val oldPath = c.fieldNames().mkString(".")
+        val newPath = (c.fieldNames().init :+ c.newName()).mkString(".")
+        spec = spec.map { f =>
+          val src = f.sourceColumn
+          if (src.equalsIgnoreCase(oldPath)) f.copy(sourceColumn = newPath)
+          else if (src.toLowerCase.startsWith(oldPath.toLowerCase + "."))
+            f.copy(sourceColumn = newPath + src.substring(oldPath.length))
+          else f
         }
         schemaChanged = true
       case c: UpdateColumnType =>
@@ -64,9 +74,15 @@ object SchemaEvolution {
         // would leave every later write's transform evaluation
         // unresolvable (Iceberg requires dropping the partition field
         // first, same here)
-        require(!spec.exists(_.sourceColumn.equalsIgnoreCase(dropped)),
-          s"cannot drop column $dropped: it is a partition source " +
-            "column (ALTER TABLE ... DROP PARTITION FIELD first)")
+        // prefix match too: dropping a struct whose INTERNAL field
+        // sources the spec ("s" dropped while the spec is days(s.ts))
+        // would strand the spec just as surely as dropping s.ts itself
+        require(!spec.exists(f =>
+            f.sourceColumn.equalsIgnoreCase(dropped) ||
+            f.sourceColumn.toLowerCase.startsWith(dropped.toLowerCase + ".")),
+          s"cannot drop column $dropped: it is (or contains) a " +
+            "partition source column (ALTER TABLE ... DROP PARTITION " +
+            "FIELD first)")
         val idFields = props.get(EqDeletes.IdentifierKey)
           .map(_.split(",").map(_.trim.toLowerCase).toSet).getOrElse(Set.empty)
         require(!idFields.contains(dropped.toLowerCase),

@@ -43,6 +43,21 @@ object Transforms {
     }
   }
 
+  /** Leaf type of a (possibly dotted, nested) source-column path, or
+    * None when the path does not resolve in `schema`. The write paths
+    * use resolvability to distinguish a delete-only delta schema
+    * (transforms legitimately absent) from a real insert schema — a
+    * top-level-only check there misclassifies every nested partition
+    * source and bricks inserts into the table. */
+  def leafType(schema: org.apache.spark.sql.types.StructType,
+      path: String): Option[org.apache.spark.sql.types.DataType] =
+    path.split('.').foldLeft(
+        Option(schema: org.apache.spark.sql.types.DataType)) {
+      case (Some(st: org.apache.spark.sql.types.StructType), part) =>
+        st.fields.find(_.name.equalsIgnoreCase(part)).map(_.dataType)
+      case _ => None
+    }
+
   def toTransform(f: PartitionFieldMeta): Transform = f.transform match {
     case "identity" => Expressions.identity(f.sourceColumn)
     case "bucket"   => Expressions.bucket(f.param.get, f.sourceColumn)
@@ -60,11 +75,14 @@ object Transforms {
       schema: org.apache.spark.sql.types.StructType): Column = {
     import org.apache.spark.sql.types._
     val c = col(f.sourceColumn)
-    val numeric = schema.find(_.name.equalsIgnoreCase(f.sourceColumn))
-      .exists(_.dataType match {
-        case _: NumericType => true
-        case _ => false
-      })
+    // resolve the source's leaf type through dotted struct paths —
+    // a top-level-only lookup would silently give truncate() on a
+    // nested NUMERIC source string-prefix semantics instead of the
+    // numeric floor
+    val numeric = leafType(schema, f.sourceColumn).exists {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
     val v = f.transform match {
       case "identity" => c
       case "bucket"   => pmod(abs(xxhash64(c)), lit(f.param.get))

@@ -29,6 +29,7 @@ class NestedEvolutionSuite extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
       .config("spark.sql.catalog.lake.warehouse", wh)
+      .withExtensions(new LakeExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
@@ -219,5 +220,70 @@ class NestedEvolutionSuite extends AnyFunSuite with BeforeAndAfterAll {
       "legacy nested metadata must keep name-based reads working")
     assert(count("SELECT count(*) FROM lake.db.nleg WHERE m.b IS NULL") == 0L)
     sql("DROP TABLE lake.db.nleg")
+  }
+
+  private def loadMeta(name: String): TableMeta = {
+    val cat = spark.sessionState.catalogManager.catalog("lake")
+      .asInstanceOf[LakeCatalog]
+    cat.loadMeta(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), name))
+  }
+
+  test("nested partition source follows a nested rename") {
+    sql("CREATE TABLE lake.db.npart (id bigint, " +
+      "s struct<ts: timestamp, v: bigint>) USING lake " +
+      "PARTITIONED BY (days(s.ts))")
+    sql("INSERT INTO lake.db.npart SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('ts', timestamp'2024-01-01 10:00:00' + " +
+      "make_interval(0,0,0,cast(id as int)), 'v', id) FROM range(3)")
+    sql("ALTER TABLE lake.db.npart RENAME COLUMN s.ts TO at")
+    // the spec must have followed the rename — a stale "s.ts" would
+    // make this INSERT's transform evaluation throw (and, if a later
+    // ADD COLUMN reclaimed "s.ts", silently partition on the impostor)
+    assert(loadMeta("npart").partitionSpec.map(_.sourceColumn) == Seq("s.at"))
+    sql("INSERT INTO lake.db.npart SELECT id + 10, " +
+      "named_struct('at', timestamp'2024-02-01 10:00:00', 'v', id + 10) " +
+      "FROM range(2)")
+    assert(count("SELECT count(*) FROM lake.db.npart") == 5L)
+    assert(count("SELECT count(*) FROM lake.db.npart " +
+      "WHERE s.at >= timestamp'2024-02-01'") == 2L)
+    sql("DROP TABLE lake.db.npart")
+  }
+
+  test("nested partition source follows a parent-struct rename") {
+    sql("CREATE TABLE lake.db.nppar (id bigint, " +
+      "s struct<ts: timestamp, v: bigint>) USING lake " +
+      "PARTITIONED BY (days(s.ts))")
+    sql("INSERT INTO lake.db.nppar SELECT /*+ REPARTITION(1) */ id, " +
+      "named_struct('ts', timestamp'2024-03-01 00:00:00', 'v', id) " +
+      "FROM range(2)")
+    sql("ALTER TABLE lake.db.nppar RENAME COLUMN s TO meta")
+    assert(loadMeta("nppar").partitionSpec.map(_.sourceColumn) ==
+      Seq("meta.ts"))
+    sql("INSERT INTO lake.db.nppar SELECT id + 10, " +
+      "named_struct('ts', timestamp'2024-03-02 00:00:00', 'v', id + 10) " +
+      "FROM range(2)")
+    assert(count("SELECT count(*) FROM lake.db.nppar") == 4L)
+    sql("DROP TABLE lake.db.nppar")
+  }
+
+  test("dropping a struct that contains a partition source is refused") {
+    sql("CREATE TABLE lake.db.npdrop (id bigint, " +
+      "s struct<ts: timestamp, v: bigint>) USING lake " +
+      "PARTITIONED BY (days(s.ts))")
+    val e = intercept[Exception] {
+      sql("ALTER TABLE lake.db.npdrop DROP COLUMN s")
+    }
+    assert(e.getMessage.contains("partition source"),
+      s"dropping the source's parent struct must be refused: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      sql("ALTER TABLE lake.db.npdrop DROP COLUMN s.ts")
+    }
+    assert(e2.getMessage.contains("partition source"))
+    // after the partition field is dropped, the struct may go
+    sql("ALTER TABLE lake.db.npdrop DROP PARTITION FIELD days(s.ts)")
+    sql("ALTER TABLE lake.db.npdrop DROP COLUMN s")
+    assert(loadMeta("npdrop").schema.fieldNames.toSeq == Seq("id"))
+    sql("DROP TABLE lake.db.npdrop")
   }
 }
