@@ -1085,8 +1085,10 @@ private[lake] final class SkippedDataFilesMetric
 
 object LakeBatchScan {
   /** Spec observability: file count surviving the most recent runtime
-    * filter (same pattern as Manifests.lastPrunedPlanCount). */
-  private[lake] val lastRuntimeFileCount =
+    * filter (same pattern as Manifests.lastPrunedPlanCount).
+    * private[graft]: DedupIndexSuite (graft.queries) pins the stored
+    * dedup index's sig-fetch pruning through it too. */
+  private[graft] val lastRuntimeFileCount =
     new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 

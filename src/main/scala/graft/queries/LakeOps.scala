@@ -23,14 +23,14 @@ object LakeOps {
   private val wh = sys.props("java.io.tmpdir") +
     "/graft_lakeq_" + java.util.UUID.randomUUID().toString.take(8)
 
-  private def cat(s: SparkSession): String = {
+  private[queries] def cat(s: SparkSession): String = {
     s.conf.set("spark.sql.catalog.lakeq", classOf[LakeCatalog].getName)
     s.conf.set("spark.sql.catalog.lakeq.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS lakeq.db")
     "lakeq"
   }
 
-  private def fresh(prefix: String): String =
+  private[queries] def fresh(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
 
   private def srcView(s: SparkSession, d: String, table: String): String = {

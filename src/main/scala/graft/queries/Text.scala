@@ -261,25 +261,37 @@ object TextOps {
 
   private val minhashMemo = new ResultMemo
 
-  private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    // Signature via explode → 16 min() aggregates: whole-stage-codegen
-    // map side + one doc_id-partitioned shuffle. Docs with no shingles
-    // drop out here; they can never reach est_jaccard ≥ 0.5 (their
-    // null signatures compare unequal), so results are unchanged.
+  /** MinHash signatures `(doc_id, sig: array<long>[16])`.
+    * Computed via explode → 16 min() aggregates: whole-stage-codegen
+    * map side + one doc_id-partitioned shuffle. Docs with no shingles
+    * drop out here; they can never reach est_jaccard ≥ 0.5 (their
+    * null signatures compare unequal), so pair results are unchanged.
+    * Shared by the symmetric pair miner and the stored-index probe
+    * ([[tIncrementalDedupIndexed]]) so both paths score from
+    * bit-identical signatures. */
+  private[queries] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val minCols: List[Column] = (0 until 16).toList.map(i =>
       min(conv(substring(col("m"), i + 1, 15), 16, 10).cast("long"))
         .as(s"w$i"))
-    val sigs0 = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
       .withColumn("m", md5(col("shingle").cast("binary")))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
-      .withColumn("sig", array((0 until 16).map(i => col(s"w$i")): _*))
-    val bands = transform(sequence(lit(0), lit(3)),
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"w$i")): _*).as("sig"))
+  }
+
+  /** LSH band digests (4 bands × 4 rows, band index baked in) over a
+    * 16-long `sig` column — the only join key candidate mining sees. */
+  private[queries] val minhashBands: Column =
+    transform(sequence(lit(0), lit(3)),
       b => md5(concat(b.cast("string"), lit("|"),
         concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
           x => x.cast("string")))).cast("binary")))
+
+  private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
 
     // localCheckpoint, not persist: the expensive part (signature
     // computation: explode + md5 + 16 min-aggregates) must run once,
@@ -293,14 +305,15 @@ object TextOps {
     // cluster a reliable checkpoint() or an explicit caller-managed
     // persist would be preferred — localCheckpoint does not survive
     // executor loss.)
-    val sigs = sigs0.select(col("doc_id"), col("sig"))
+    val sigs = minhashSigs(s, d)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
 
     // candidate pairs ride the band join as (doc, band_hash) ONLY and
     // dedup before the signatures attach — the 16-long sig arrays
     // never cross the bucket-join shuffle (same pair-dedup-then-join
     // shape as the embedding near-dup pipeline in Vector.scala)
-    val posting = sigs.select(col("doc_id"), explode(bands).as("band_hash"))
+    val posting = sigs.select(col("doc_id"),
+      explode(minhashBands).as("band_hash"))
     val cand = posting.toDF("doc_a", "band_hash")
       .join(posting.toDF("doc_b", "band_hash"), Seq("band_hash"))
       .filter(col("doc_a") < col("doc_b"))
@@ -319,6 +332,146 @@ object TextOps {
           4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental dedup: a new BATCH of documents (odd doc ids stand in
+    * for "tonight's crawl") deduped against an existing CORPUS (even
+    * doc ids stand in for "the training set"). Emits, per batch doc
+    * that near-duplicates a corpus doc, its best corpus match (max
+    * est_jaccard, ties to the smallest corpus id) — the docs a
+    * pipeline would DROP before appending the batch.
+    *
+    * Derives from the memoized MinHash candidate ring: the asymmetric
+    * (batch, corpus) pairs are exactly the mixed-parity subset of the
+    * symmetric LSH pairs, so no second mining pass runs. At 100 TB the
+    * corpus side's band postings are a STORED index (a lake table
+    * keyed by band_hash); the nightly batch computes signatures for
+    * its own docs only and probes that index with a band-keyed shuffle
+    * join — corpus×corpus self-pairs are never generated, which is the
+    * property that keeps nightly dedup O(batch·collisions), not
+    * O(corpus²). [[tContamination]] shows the same probe shape against
+    * a benchmark set. */
+  def tIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = tMinhashPairs(s, d)
+    val asym = pairs
+      .filter((col("doc_a") % 2) =!= (col("doc_b") % 2))
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+        when(col("doc_a") % 2 === 1, col("doc_b")).otherwise(col("doc_a"))
+          .as("dup_of"),
+        col("est_jaccard"))
+    // best match per batch doc: one struct-max aggregate (no window —
+    // a row_number over a corpus-scale frame would sort per partition;
+    // the argmax shape is a map-side-combinable agg)
+    asym.groupBy(col("doc_id"))
+      .agg(max(struct(col("est_jaccard").as("j"), (-col("dup_of")).as("nd")))
+        .as("m"))
+      .select(col("doc_id"), (-col("m.nd")).cast("long").as("dup_of"),
+        col("m.j").as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[tIncrementalDedup]] served from a STORED index — the shape the
+    * in-memory gate's doc promises for 100 TB, made real on disk:
+    *
+    *  - the corpus's band postings persist as a lake table PARTITIONED
+    *    BY `bucket(8, band_hash)`; the nightly batch writes its (small)
+    *    postings with the SAME bucketing, so the probe join is
+    *    storage-partitioned — the corpus-scale posting list is joined
+    *    WITHOUT an exchange on either side (candidate mining never
+    *    shuffles the index, the property that survives a corpus 1000×
+    *    the batch);
+    *  - candidates leave the probe as `(doc_id, dup_of)` pairs ONLY
+    *    and dedup before anything wide attaches (the ids-only rule);
+    *  - corpus signatures persist range-clustered by doc_id (8 files,
+    *    footer min/max = the clustering witness), and the verify fetch
+    *    broadcasts the candidate ID PAIRS onto that scan — the runtime
+    *    filter skips every sig file whose doc_id range holds no
+    *    candidate, so verification reads ~candidates/corpus of the sig
+    *    store from DISK;
+    *  - batch signatures never touch storage (tonight's compute).
+    *
+    * Same candidates, same signature bits, same scoring as
+    * [[tIncrementalDedup]] → the gate shares its oracle: the storage
+    * round-trip must not change one row. DedupIndexSuite drives the
+    * full nightly cycle (probe → drop dups → append survivors →
+    * re-probe) and pins the no-exchange probe plan + the sig-file
+    * pruning. */
+  def tIncrementalDedupIndexed(s: SparkSession, d: String): DataFrame = {
+    LakeOps.cat(s)
+    val sigs = minhashSigs(s, d)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val post = sigs.select(col("doc_id"), explode(minhashBands).as("band_hash"))
+    val postT = LakeOps.fresh("dedupidx_post")
+    val sigT = LakeOps.fresh("dedupidx_sig")
+    val batchT = LakeOps.fresh("dedupidx_batch")
+    post.filter(col("doc_id") % 2 === 0)
+      .writeTo(s"lakeq.db.$postT").using("lake")
+      .partitionedBy(bucket(8, col("band_hash"))).create()
+    // the doc_id bloom is what lets the verify join's runtime filter
+    // reach the scan (filterAttributes reports bloomed columns);
+    // dictionary encoding is disabled for it because parquet drops
+    // the bloom for fully-dictionary-encoded columns
+    sigs.filter(col("doc_id") % 2 === 0)
+      .repartitionByRange(8, col("doc_id"))
+      .writeTo(s"lakeq.db.$sigT").using("lake")
+      .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
+        "true")
+      .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
+        "16384")
+      .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
+      .create()
+    post.filter(col("doc_id") % 2 === 1)
+      .writeTo(s"lakeq.db.$batchT").using("lake")
+      .partitionedBy(bucket(8, col("band_hash"))).create()
+
+    // probe: storage-partitioned join on the shared bucketing — the
+    // confs only need to hold while the candidate frame materializes
+    // (eager checkpoint), so they are restored before returning
+    val conf = s.conf
+    val prevB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cand =
+      try s.table(s"lakeq.db.$batchT")
+        .join(s.table(s"lakeq.db.$postT").toDF("dup_of", "band_hash"),
+          Seq("band_hash"))
+        .select(col("doc_id"), col("dup_of"))
+        .distinct()
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      finally {
+        prevB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        prevT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          v => conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      }
+
+    // verify: id-pairs-only broadcast prunes the stored sig files;
+    // the two candidate-scale sides then meet in a pair-keyed join.
+    // The id-domain filter is true by construction (doc ids are
+    // non-negative) — it is the selective predicate the runtime-filter
+    // planner requires on the build side before it hands the candidate
+    // ids to the sig scan for file skipping
+    val withB = s.table(s"lakeq.db.$sigT")
+      .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+      .join(broadcast(cand.filter(col("dup_of") >= 0)), Seq("dup_of"))
+    withB
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .select(col("doc_id"), col("dup_of"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / 16.0,
+          4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("est_jaccard").as("j"), (-col("dup_of")).as("nd")))
+        .as("m"))
+      .select(col("doc_id"), (-col("m.nd")).cast("long").as("dup_of"),
+        col("m.j").as("est_jaccard"))
+      .orderBy(col("doc_id"))
   }
 
   /** Max document frequency for a shingle to stay in the inverted
@@ -1151,6 +1304,25 @@ object TextOps {
        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END"""
       .stripMargin
 
+  /** Shared by the in-memory and stored-index incremental-dedup
+    * gates: both must emit the identical best-corpus-match rows. */
+  private lazy val incrementalDedupSql: String =
+    s"""$minhashCandCte
+       |SELECT doc_id, dup_of, est_jaccard FROM (
+       |  SELECT doc_id, dup_of, est_jaccard, row_number() OVER (
+       |      PARTITION BY doc_id
+       |      ORDER BY est_jaccard DESC, dup_of) AS rn
+       |  FROM (
+       |    SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
+       |             AS doc_id,
+       |           CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END
+       |             AS dup_of,
+       |           est_jaccard
+       |    FROM mh_cand
+       |    WHERE (doc_a % 2) <> (doc_b % 2)))
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_exact" -> (tDedupExact _),
     "t_chunk" -> (tChunk _),
@@ -1162,6 +1334,8 @@ object TextOps {
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprint _),
     "t_minhash_pairs" -> (tMinhashPairs _),
+    "t_incremental_dedup" -> (tIncrementalDedup _),
+    "t_incremental_dedup_indexed" -> (tIncrementalDedupIndexed _),
     "t_ngram_jaccard" -> (tNgramJaccard _),
     "t_simhash" -> (tSimhash _),
     "t_simhash_pairs" -> (tSimhashPairs _),
@@ -1283,6 +1457,10 @@ object TextOps {
       s"""$minhashCandCte
          |SELECT doc_a, doc_b, est_jaccard FROM mh_cand
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "t_incremental_dedup" -> incrementalDedupSql,
+    // the stored-index probe must return the identical rows: the lake
+    // round-trip changes where candidates come from, not what they are
+    "t_incremental_dedup_indexed" -> incrementalDedupSql,
     "t_ngram_jaccard" ->
       s"""WITH p0 AS (
          |  SELECT doc_id, unnest(sh) AS shingle

@@ -311,6 +311,47 @@ object VectorOps {
       .limit(5)
   }
 
+  /** IVF index STORED as a partitioned lake table — the 100 TB ANN
+    * serving shape. [[vAnnIvf]] computes assignment and probe in one
+    * job; a production vector store builds the inverted file ONCE,
+    * persists it, and serves probes from storage. Here the inverted
+    * file is a lake table partitioned by identity(cell): each cell's
+    * vectors land in their own files, so a probe's `cell IN (...)`
+    * pushes into the scan and footer min=max stats prune every
+    * non-probed cell's files before a task launches — the probe reads
+    * ~nprobe/K of the corpus from DISK, not just from a filtered
+    * in-memory frame. The probe's cell ids are a planning-time
+    * collect of nprobe scalars (bounded by design). Same (K=8,
+    * nprobe=2) parameters and result as [[vAnnIvf]], so the oracle is
+    * shared — the gate proves the storage path returns the identical
+    * top-5. */
+  def vAnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    LakeOps.cat(s)
+    val t = LakeOps.fresh("ivfidx")
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val withSims = ivfAssign(emb, 8)
+    withSims.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .writeTo(s"lakeq.db.$t").using("lake")
+      .partitionedBy(col("cell")).create()
+    // nprobe best cells for the query vector: bounded scalar collect
+    val probeCells: Array[Long] = withSims.filter(col("vec_id") === 0)
+      .select(explode(slice(sort_array(transform(col("sims"), s0 =>
+        struct((-s0.getField("csim")).as("negsim"),
+          s0.getField("cid").as("cid")))), 1, 2)).as("t"))
+      .select(col("t.cid")).collect().map(_.getLong(0))
+    val q = withSims.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    s.table(s"lakeq.db.$t")
+      .where(col("cell").isin(probeCells.map(c => c: Any): _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** IVF + int8 ANN — the two scale levers composed: the inverted
     * file bounds WHICH candidates are scored (nprobe/K of the corpus,
     * [[vAnnIvf]]) and symmetric int8 quantization ([[vQuantize]])
@@ -541,6 +582,7 @@ object VectorOps {
     "v_ann_bruteforce" -> (vAnnBruteforce _),
     "v_ann_lsh" -> (vAnnLsh _),
     "v_ann_ivf" -> (vAnnIvf _),
+    "v_ann_ivf_indexed" -> (vAnnIvfIndexed _),
     "v_ann_ivf_k256" -> (vAnnIvfK256 _),
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_ann_rerank" -> (vAnnRerank _),
@@ -729,6 +771,9 @@ object VectorOps {
          |FROM e, q WHERE vec_id <> 0 AND bucket = qbucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
     "v_ann_ivf" -> ivfFlatSql(k = 8, nprobe = 2),
+    // the stored-index gate must return the identical top-5: the lake
+    // round-trip changes the read path, not the result
+    "v_ann_ivf_indexed" -> ivfFlatSql(k = 8, nprobe = 2),
     "v_ann_ivf_k256" -> ivfFlatSql(k = 256, nprobe = 64),
     "v_ann_ivf_pq" ->
       s"""$ivfPqCoarseSql

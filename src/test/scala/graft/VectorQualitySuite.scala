@@ -96,4 +96,27 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
       f"mean recall@3 dropped to $mean%.3f (floor 0.50) — the IVF " +
         "index stopped retrieving what brute force finds")
   }
+
+  test("stored IVF index: probe plans fewer files than the full index") {
+    assume(ready)
+    // building the index runs eagerly inside the call; the returned
+    // frame is only the probe query over the lake table
+    val probe = graft.queries.VectorOps.vAnnIvfIndexed(spark, sfDir)
+    val t = spark.sql("SHOW TABLES IN lakeq.db").collect()
+      .map(_.getString(1)).filter(_.startsWith("ivfidx")).last
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    val totalRows = spark.table(s"lakeq.db.$t").collect().length
+    val total = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    assert(total >= 8, s"expected >=1 file per cell (8 cells), saw $total")
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(probe.collect().length == 5)
+    val probed = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    // 2 of 8 cells probed: identity-partition footer stats (min=max
+    // per cell file) must prune the other 6 cells' files at plan time
+    assert(probed >= 1 && probed <= total / 2,
+      s"probe planned $probed of $total files — the cell IN filter " +
+        "did not prune non-probed cells (stored-index probe would " +
+        "read the whole corpus at scale)")
+    info(s"index rows=$totalRows files=$total, probe planned $probed")
+  }
 }

@@ -318,16 +318,22 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     * resurrected re-adds) diverges. Filtered-read invariants push
     * nested dotted predicates through stats pruning; IS NULL after a
     * nested re-add probes the dead-column stats trap one level down. */
-  private def runNested(mode: String, seed: Long, nOps: Int): Unit = {
-    val tbl = s"lake.db.fzn_${mode}_$seed"
+  private def runNested(mode: String, seed: Long, nOps: Int,
+      partitioned: Boolean = false): Unit = {
+    val tbl = s"lake.db.fzn_${mode}_${if (partitioned) "p" else ""}$seed"
     val props =
       if (mode == "mor")
         """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
           |'write.update.mode'='merge-on-read',
           |'write.merge.mode'='merge-on-read')""".stripMargin
       else ""
+    // a NESTED partition source (bucket over m.a) puts the spec's
+    // dotted-path tracking under the full DML/compaction interleave:
+    // the struct-rename op retargets it ("m.a" -> "meta.a"), and
+    // every write evaluates the transform through the struct path
+    val part = if (partitioned) "PARTITIONED BY (bucket(4, m.a))" else ""
     sql(s"CREATE TABLE $tbl (id bigint, m struct<a: bigint, b: bigint>) " +
-      s"USING lake $props")
+      s"USING lake $part $props")
     val rng = new scala.util.Random(seed)
     // id -> (aVal, bVal, extraOpt): identity-tracked nested values
     val model = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Option[Long])]()
@@ -430,6 +436,11 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
   test("fuzz: nested evolution interleaved with DML, both modes") {
     runNested("cow", seed = 31, nOps = 16)
     runNested("mor", seed = 31, nOps = 16)
+  }
+
+  test("fuzz: nested evolution on a NESTED-partition-source table") {
+    runNested("cow", seed = 37, nOps = 16, partitioned = true)
+    runNested("mor", seed = 37, nOps = 16, partitioned = true)
   }
 
   test("fuzz: schema evolution interleaved with DML, both modes") {
@@ -1002,6 +1013,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("evo-mor")(runEvo("mor", s, nOps = 24))
       step("nested-cow")(runNested("cow", s, nOps = 20))
       step("nested-mor")(runNested("mor", s, nOps = 20))
+      step("nested-part-cow")(runNested("cow", s, nOps = 16, partitioned = true))
+      step("nested-part-mor")(runNested("mor", s, nOps = 16, partitioned = true))
       step("part-cow")(runPart("cow", s, nOps = 24))
       step("part-mor")(runPart("mor", s, nOps = 24))
       step("upsert-cow")(runUpsert("cow", s, nOps = 24))
