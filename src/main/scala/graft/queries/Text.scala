@@ -291,22 +291,28 @@ object TextOps {
         concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)),
           x => x.cast("string")))).cast("binary")))
 
-  private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Checkpointed [[minhashSigs]], memoized per (session, dir, data):
+    * the pair miner and the stored-index builder both consume the
+    * signature frame, and a pipeline materializes it once (it IS the
+    * index). Unlike the other memos this entry is doc-count-scale,
+    * not pair-scale — DISK_ONLY keeps it off the heap and out of
+    * executor storage memory either way.
+    *
+    * localCheckpoint, not persist: an explicit cache would pin the
+    * blocks in the CacheManager for the JVM lifetime (no
+    * post-materialization unpersist hook exists for a lazily returned
+    * result); checkpoint blocks are freed by the ContextCleaner once
+    * the result is unreferenced. (On a multi-executor cluster a
+    * reliable checkpoint() or caller-managed persist would be
+    * preferred — localCheckpoint does not survive executor loss.) */
+  private[queries] def minhashSigsCk(s: SparkSession, d: String): DataFrame =
+    sigsMemo.getOrElseUpdate(s, d)(
+      minhashSigs(s, d).localCheckpoint(true, StorageLevel.DISK_ONLY))
 
-    // localCheckpoint, not persist: the expensive part (signature
-    // computation: explode + md5 + 16 min-aggregates) must run once,
-    // but an explicit cache would pin corpus-scale blocks in the
-    // CacheManager for the JVM lifetime (no post-materialization
-    // unpersist hook exists for a lazily returned result). Checkpoint
-    // blocks are freed by the ContextCleaner once the result is
-    // unreferenced — and DISK_ONLY keeps the frame out of executor
-    // storage memory, where it would evict shuffle/execution pages
-    // for every later query in the session. (On a multi-executor
-    // cluster a reliable checkpoint() or an explicit caller-managed
-    // persist would be preferred — localCheckpoint does not survive
-    // executor loss.)
-    val sigs = minhashSigs(s, d)
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+  private val sigsMemo = new ResultMemo
+
+  private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigsCk(s, d)
 
     // candidate pairs ride the band join as (doc, band_hash) ONLY and
     // dedup before the signatures attach — the 16-long sig arrays
@@ -400,8 +406,7 @@ object TextOps {
     * pruning. */
   def tIncrementalDedupIndexed(s: SparkSession, d: String): DataFrame = {
     LakeOps.cat(s)
-    val sigs = minhashSigs(s, d)
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val sigs = minhashSigsCk(s, d)
     val post = sigs.select(col("doc_id"), explode(minhashBands).as("band_hash"))
     val postT = LakeOps.fresh("dedupidx_post")
     val sigT = LakeOps.fresh("dedupidx_sig")
@@ -568,24 +573,39 @@ object TextOps {
     * [[tMinhashPairs]]; only (doc, band, 16-bit key) crosses the
     * bucket-join shuffle. */
   def tSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    // Per-token 64-hex digest (two md5s) → 8 × 32-bit integer words
-    // (two conv() calls per band; one 64-bit conv would overflow the
-    // signed long cast), then ONE doc_id-keyed hash aggregation with
-    // 64 integer bit-vote sums — the same explode → N-aggregates
-    // shape as [[tMinhashPairs]], entirely whole-stage-codegen. (A
-    // first cut voted with per-bit higher-order aggregates over the
-    // token array: 64 interpreted substr+isin passes per document,
-    // 4× the minhash cost at sf0.1.) A hex digit's low bit is its
-    // parity, so vote bit i of word w = (w >> 4*(7-i)) & 1; signature
-    // bit = ones outnumber zeros (2·ones > n), matching the oracle's
-    // ±1 sum. Empty docs drop at the explode (their all-zero
-    // signatures would pairwise-collide without being near-dups).
-    val words = (0 until 8).map(w =>
+    // FEATURES ARE 3-WORD SHINGLES, NOT UNIGRAMS. Unigram simhash
+    // collapses on any corpus with a shared vocabulary: stopword-ish
+    // tokens vote identically in every document, so every long doc's
+    // per-bit majority converges to the corpus-majority bit and
+    // signatures cluster around one "language centroid" — measured at
+    // sf0.01, unigram votes put 5554 pairs under hamming ≤ 3 with a
+    // 2×-per-bit rising histogram (the random tail, not near-dups;
+    // idf-weighting the votes only cut it to 2592), and the shared
+    // band keys are a hot bucket that goes quadratic at corpus scale.
+    // Shingles are the minhash lesson applied here: near-unique per
+    // doc, shared only through genuinely shared content, so the
+    // histogram flattens to dup-dominated (10 pairs at sf0.01,
+    // 1/2/4/3 across hamming 0-3) and band keys stay uniform.
+    //
+    // Per-shingle: ONE md5 → 4 × 32-bit integer words; band b's 16
+    // vote bits are the low 16 bits of word b ((w >> i) & 1 — md5
+    // bits are uniform raw bits; the first cut burned TWO md5s and
+    // 8 conv()s per feature for 64 hex-digit parities). One
+    // doc_id-keyed hash aggregation with 64 integer bit-vote sums —
+    // the same explode → N-aggregates shape as [[tMinhashPairs]],
+    // entirely whole-stage-codegen; partial aggregation combines
+    // map-side, so one row per doc crosses the exchange. (Voting with
+    // per-bit higher-order aggregates instead measured 4× slower —
+    // HOF lambdas never enter whole-stage codegen.) Signature bit =
+    // ones outnumber zeros (2·ones > n). Docs too short to shingle
+    // drop at the explode (their all-zero signatures would
+    // pairwise-collide without being near-dups).
+    val words = (0 until 4).map(w =>
       conv(substring(col("h"), w * 8 + 1, 8), 16, 10).cast("long")
         .as(s"w$w"))
-    val votes = for { w <- 0 until 8; i <- 0 until 8 } yield
-      sum(shiftright(col(s"w$w"), 4 * (7 - i)).bitwiseAND(1))
-        .as(s"v${w * 8 + i}")
+    val votes = for { b <- 0 until 4; i <- 0 until 16 } yield
+      sum(shiftright(col(s"w$b"), i).bitwiseAND(1))
+        .as(s"v${b * 16 + i}")
     val bandCols = (0 until 4).map { b =>
       (0 until 16).map { i =>
         when(col(s"v${b * 16 + i}") * 2 > col("n"), 1 << (15 - i))
@@ -594,10 +614,8 @@ object TextOps {
     }
     val sig = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_remove(array_distinct(toks(col("text"))), ""))
-          .as("tok"))
-      .withColumn("h", concat(md5(col("tok").cast("binary")),
-        md5(concat(lit("~"), col("tok")).cast("binary"))))
+        explode(shingles3(toks(col("text")))).as("sh"))
+      .withColumn("h", md5(col("sh").cast("binary")))
       .select(col("doc_id") +: words: _*)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), votes: _*)
@@ -1304,6 +1322,22 @@ object TextOps {
        |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END"""
       .stripMargin
 
+  /** The 64 simhash vote sums of the oracle, generated to mirror the
+    * Spark side exactly: v{b*16+i} = Σ bit(word_b, i) over shingles. */
+  private lazy val simhashVoteSqlCols: String =
+    (for { b <- 0 until 4; i <- 0 until 16 } yield
+      s"sum((wd[${b + 1}] >> $i) & 1)::BIGINT AS v${b * 16 + i}")
+      .mkString(",\n    ")
+
+  /** The oracle's 4 band keys: bit i of band b set iff ones outnumber
+    * zeros, packed big-endian like the Spark side. */
+  private lazy val simhashBandSqlCols: String =
+    (0 until 4).map { b =>
+      "(" + (0 until 16).map(i =>
+        s"(CASE WHEN 2*v${b * 16 + i} > n THEN ${1 << (15 - i)} " +
+          "ELSE 0 END)").mkString(" + ") + ")"
+    }.mkString(", ")
+
   /** Shared by the in-memory and stored-index incremental-dedup
     * gates: both must emit the identical best-corpus-match rows. */
   private lazy val incrementalDedupSql: String =
@@ -1490,22 +1524,19 @@ object TextOps {
          |FROM (SELECT doc_id, list_distinct($tokSql) AS td FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "t_simhash_pairs" ->
-      s"""WITH td AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_filter($tokSql, x -> x <> '')) AS td
-         |  FROM documents),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(td, t -> md5(t) || md5('~' || t)) AS hs
-         |  FROM td WHERE len(td) > 0),
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shSql AS sh
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
+         |tw AS (
+         |  SELECT doc_id, list_transform(range(4), k ->
+         |    ('0x' || substr(md5(sh1), (k*8+1)::INT, 8))::BIGINT) AS wd
+         |  FROM (SELECT doc_id, unnest(sh) AS sh1 FROM sh)),
+         |vt AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n,
+         |    $simhashVoteSqlCols
+         |  FROM tw GROUP BY doc_id),
          |sig AS (
-         |  SELECT doc_id, list_transform(range(4), b ->
-         |    list_reduce([0] || list_transform(range(1,17), i ->
-         |      CASE WHEN list_sum(list_transform(hs, h ->
-         |        CASE WHEN substr(h, (b*16 + i)::INT, 1) IN
-         |          ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0
-         |        THEN 1 ELSE 0 END), (a, x) -> a*2 + x)) AS sig
-         |  FROM hs),
+         |  SELECT doc_id, [$simhashBandSqlCols] AS sig FROM vt),
          |banded AS (SELECT doc_id, sig, unnest(range(4)) AS band FROM sig),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
