@@ -1024,6 +1024,54 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixture-weighted sampling — assembling a training corpus that
+    * matches TARGET stratum shares from whatever is available (the
+    * data-mixing step of a training run, distinct from
+    * [[tSampleStratified]]'s fixed per-stratum quotas: here the rates
+    * are DERIVED from the targets and the availability). Target
+    * language shares are integer PARTS (en 10, de 3, fr 3, es 2,
+    * zh 2 of 20); the bottleneck rule picks the largest total budget
+    * T every stratum can serve (T = min over langs of cnt·20 DIV
+    * parts, exact integer division in both engines), per-lang keeps
+    * are T·parts DIV 20, and selection is a deterministic md5
+    * threshold on the doc id.
+    *
+    * Scale shape: one 5-group aggregate, a 5-row broadcast of
+    * per-lang thresholds, one narrow filter pass over the corpus —
+    * no per-stratum ranking (a row_number window PARTITIONED BY lang
+    * would drag each stratum through one task at 100 TB). The
+    * hash-threshold keeps are binomially approximate rather than
+    * exact — the price of staying narrow, negligible at corpus scale
+    * and identical in both engines either way.
+    *
+    * Cross-engine determinism: the threshold is
+    * (keep/cnt)·2^52 — one IEEE division, one power-of-two scale,
+    * bit-identical in JVM and DuckDB — compared against a 52-bit
+    * hash, which converts to double exactly. */
+  def tMixtureSample(s: SparkSession, d: String): DataFrame = {
+    val parts = when(col("lang") === "en", 10L)
+      .when(col("lang").isin("de", "fr"), 3L)
+      .when(col("lang").isin("es", "zh"), 2L)
+      .otherwise(0L)
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("parts", parts)
+      .filter(col("parts") > 0)
+    val budget = counts.agg(min(expr("cnt * 20 DIV parts")).as("t"))
+    val rates = counts.crossJoin(broadcast(budget))
+      .withColumn("keep", expr("t * parts DIV 20"))
+      .withColumn("thr", col("keep").cast("double") / col("cnt").cast("double")
+        * lit(4503599627370496.0)) // 2^52
+      .select(col("lang"), col("thr"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("h", conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 13), 16, 10).cast("long"))
+      .filter(col("h").cast("double") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget shard packing — grouping documents into
     * fixed-token-budget training shards (the sequence-packing
     * pre-step). Shard id = the document's starting token offset in its
@@ -1408,6 +1456,7 @@ object TextOps {
     "t_dedup_keep_best" -> (tDedupKeepBest _),
     "t_unigram_logprob" -> (tUnigramLogprob _),
     "t_sample_stratified" -> (tSampleStratified _),
+    "t_mixture_sample" -> (tMixtureSample _),
     "t_shard_pack" -> (tShardPack _),
     "t_contamination" -> (tContamination _),
     "t_dup_span" -> (tDupSpan _),
@@ -1728,6 +1777,25 @@ object TextOps {
         |                    WHEN lang IN ('de','fr') THEN 30
         |                    ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    "t_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS cnt,
+        |    (CASE WHEN lang = 'en' THEN 10
+        |          WHEN lang IN ('de','fr') THEN 3
+        |          WHEN lang IN ('es','zh') THEN 2
+        |          ELSE 0 END)::BIGINT AS parts
+        |  FROM documents GROUP BY lang),
+        |tt AS (SELECT min(cnt * 20 // parts)::BIGINT AS t
+        |       FROM c WHERE parts > 0),
+        |r AS (SELECT lang,
+        |        ((t * parts // 20)::DOUBLE / cnt::DOUBLE)
+        |          * 4503599627370496.0 AS thr
+        |      FROM c CROSS JOIN tt WHERE parts > 0)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 13))
+        |        ::BIGINT::DOUBLE < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "t_shard_pack" ->
       s"""SELECT doc_id, source, n_tokens,
          |  (start_tok // 4096)::BIGINT AS shard_id
