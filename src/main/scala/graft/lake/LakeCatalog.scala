@@ -214,6 +214,23 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists0(ident)) throw new NoSuchTableException(ident)
     val loc = tableLocation(ident)
     val meta = MetadataLog.load(loc, hadoopConf)
+    // metadata-layer read-only veto (see loadMetaWritable), with one
+    // exception: changes that only manage the read-only flag itself —
+    // the unlock path must exist at THIS layer, since the plan-time
+    // rule (when the readonly extension is installed) hard-locks even
+    // the unset for reference parity, and a session without the
+    // extension still deserves a frozen table to stay frozen
+    val flagOnly = changes.forall {
+      case s: TableChange.SetProperty =>
+        s.property.equalsIgnoreCase(graft.readonly.ReadOnly.Prop)
+      case r: TableChange.RemoveProperty =>
+        r.property.equalsIgnoreCase(graft.readonly.ReadOnly.Prop)
+      case _ => false
+    }
+    if (!flagOnly && meta.properties.get(graft.readonly.ReadOnly.Prop)
+        .exists(_.equalsIgnoreCase("true")))
+      graft.readonly.ReadOnly.fail(
+        (name() +: ident.namespace() :+ ident.name()).mkString("."))
     val updated = SchemaEvolution.applyChanges(meta, changes)
     val committed = MetadataLog.commit(updated, hadoopConf)
     new LakeTable(this, ident, committed, None, "main")
@@ -225,6 +242,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   // metadata file. PURGE deletes the whole table directory.
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists0(ident)) return false
+    loadMetaWritable(ident) // frozen tables refuse destruction too
     MetadataLog.fs(warehouse, hadoopConf)
       .delete(new Path(tableLocation(ident), "metadata"), true)
     true
@@ -232,6 +250,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def purgeTable(ident: Identifier): Boolean = {
     if (!tableExists0(ident)) return false
+    loadMetaWritable(ident) // frozen tables refuse destruction too
     MetadataLog.dropTableDir(tableLocation(ident), hadoopConf)
     true
   }
@@ -320,6 +339,27 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private[lake] def commitMeta(meta: TableMeta): TableMeta =
     MetadataLog.commit(meta, hadoopConf)
 
+  /** [[loadMeta]] for a path that MUTATES the table outside the
+    * standard write/DDL plan shapes — procedures (rollback, expire,
+    * rewrite_*, branch/tag, stats) and the custom branch /
+    * partition-field / write-order / identifier-fields commands
+    * commit straight through the catalog, so the plan-time read-only
+    * check rule (readonly/ReadOnly.scala) never sees them. The
+    * `hive-ext.readOnly=true` veto for those paths lives here: honor
+    * the marker at the metadata layer so maintenance can never
+    * rewrite, expire, or re-point a table the user froze. Read-only
+    * procedures (ancestors_of, changelog views, rewrite_table_path's
+    * staging copy, register/snapshot of a NEW entry) keep using
+    * [[loadMeta]]. */
+  private[lake] def loadMetaWritable(ident: Identifier): TableMeta = {
+    val m = loadMeta(ident)
+    if (m.properties.get(graft.readonly.ReadOnly.Prop)
+        .exists(_.equalsIgnoreCase("true")))
+      graft.readonly.ReadOnly.fail(
+        (name() +: ident.namespace() :+ ident.name()).mkString("."))
+    m
+  }
+
   /** Optimistic-commit auto-retry (Iceberg's semantics — the runtime
     * the reference actually ships): `attempt` maps freshly loaded
     * metadata to the candidate to commit. When the CAS loses to a
@@ -334,7 +374,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     * detected isolation violation. */
   private[lake] def commitRetrying(ident: Identifier)(
       attempt: TableMeta => TableMeta): TableMeta = {
-    var fresh = loadMeta(ident)
+    // every data commit (writes, DML, compaction rewrites) derives
+    // through here — the metadata-layer read-only backstop, so a
+    // frozen table stays frozen even in a session that never
+    // installed the plan-time check extension
+    var fresh = loadMetaWritable(ident)
     // Default is higher than Iceberg's 4: a retry here re-derives the
     // snapshot (possibly re-running a rewrite job), so contending
     // writers stay out of phase for whole job durations and need more
@@ -355,7 +399,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           // re-collides in lockstep
           Thread.sleep((25L << math.min(n, 5)) +
             scala.util.Random.nextInt(100 * math.min(n, 10)).toLong)
-          fresh = loadMeta(ident)
+          fresh = loadMetaWritable(ident)
       }
     }
     throw new IllegalStateException("unreachable")

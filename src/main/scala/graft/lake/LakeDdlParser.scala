@@ -122,7 +122,7 @@ case class LakeRefCommand(table: Seq[String], verb: String, isTag: Boolean,
     maxSnapshotAgeMs: Option[Long] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
-    val meta = cat.loadMeta(ident)
+    val meta = cat.loadMetaWritable(ident)
     verb match {
       case "DROP" =>
         if (!meta.refs.contains(refName) && !ifExists)
@@ -179,7 +179,7 @@ case class LakePartitionFieldCommand(table: Seq[String], add: Boolean,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
-    val meta = cat.loadMeta(ident)
+    val meta = cat.loadMetaWritable(ident)
     val field = parseField
     val newSpec =
       if (add) meta.partitionSpec :+ field
@@ -201,7 +201,7 @@ case class LakeReplacePartitionFieldCommand(table: Seq[String],
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
-    val meta = cat.loadMeta(ident)
+    val meta = cat.loadMetaWritable(ident)
     val newField =
       LakePartitionFieldCommand(table, add = true, newTransform, asName)
         .parsedField
@@ -219,7 +219,7 @@ case class LakeWriteOrderCommand(table: Seq[String], cols: Seq[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
-    val meta = cat.loadMeta(ident)
+    val meta = cat.loadMetaWritable(ident)
     // normalize `col [ASC|DESC] [NULLS FIRST|LAST]` items and verify
     // the columns exist — both fail loudly; an unparsed direction
     // token stored as part of a column NAME would silently corrupt
@@ -239,7 +239,7 @@ case class LakeWriteDistributionCommand(table: Seq[String])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
-    val meta = cat.loadMeta(ident)
+    val meta = cat.loadMetaWritable(ident)
     cat.commitMeta(meta.copy(properties =
       meta.properties + ("write.distribution-mode" -> "hash")))
     Nil
@@ -250,7 +250,7 @@ case class LakeIdentifierFieldsCommand(table: Seq[String], set: Boolean,
     cols: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = LakeDdl.resolve(spark, table)
-    val meta = cat.loadMeta(ident)
+    val meta = cat.loadMetaWritable(ident)
     val updated =
       if (set) meta.properties + ("identifier-fields" -> cols.mkString(","))
       else meta.properties - "identifier-fields"

@@ -88,6 +88,17 @@ object Procedures {
       val ident = catalog.parseIdent(a.str(param))
       (catalog.loadMeta(ident), ident)
     }
+
+    /** [[meta]] for procedures that MUTATE the named table — routes
+      * through the catalog's read-only veto
+      * ([[LakeCatalog.loadMetaWritable]]): CALL plans never take a
+      * write/DDL shape, so the plan-time check rule cannot protect a
+      * `hive-ext.readOnly` table from rollback/expire/rewrite/ref
+      * mutations. */
+    protected def metaW(a: Args, param: String = "table"): (TableMeta, org.apache.spark.sql.connector.catalog.Identifier) = {
+      val ident = catalog.parseIdent(a.str(param))
+      (catalog.loadMetaWritable(ident), ident)
+    }
   }
 
   private def result(fields: (String, DataType)*): StructType =
@@ -138,7 +149,7 @@ object Procedures {
       val resultSchema = result("previous_snapshot_id" -> LongType,
         "current_snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val prev = m.currentSnapshotId("main").getOrElse(-1L)
         val target = a.lng("snapshot_id")
         require(m.snapshotById(target).isDefined, s"no snapshot $target")
@@ -152,7 +163,7 @@ object Procedures {
       val resultSchema = result("previous_snapshot_id" -> LongType,
         "current_snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val prev = m.currentSnapshotId("main").getOrElse(-1L)
         val tsMs = a.lng("timestamp") / 1000L
         val snap = m.snapshotAsOfTime(tsMs).getOrElse(
@@ -168,7 +179,7 @@ object Procedures {
       val resultSchema = result("previous_snapshot_id" -> LongType,
         "current_snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val prev = m.currentSnapshotId("main").getOrElse(-1L)
         val target = a.lngOpt("snapshot_id")
           .orElse(a.strOpt("ref").map(r => m.refs(r).snapshotId))
@@ -185,7 +196,7 @@ object Procedures {
       val resultSchema = result("source_snapshot_id" -> LongType,
         "current_snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val snap = m.snapshotById(a.lng("snapshot_id")).getOrElse(
           throw new IllegalArgumentException(s"no snapshot ${a.lng("snapshot_id")}"))
         val next = cherrypick(catalog, m, snap, "main")
@@ -198,7 +209,7 @@ object Procedures {
       val resultSchema = result("source_snapshot_id" -> LongType,
         "current_snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val wap = a.str("wap_id")
         val snap = m.snapshots.find(_.summary.get("wap.id").contains(wap))
           .getOrElse(throw new IllegalArgumentException(s"no wap id $wap"))
@@ -213,7 +224,7 @@ object Procedures {
       val resultSchema = result("branch_updated" -> StringType,
         "previous_ref" -> LongType, "current_ref" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val branch = a.str("branch")
         val to = a.str("to")
         val target = m.refs(to).snapshotId
@@ -254,7 +265,7 @@ object Procedures {
         "deleted_manifest_files_count" -> LongType,
         "deleted_snapshots_count" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val explicit = a.longArr("snapshot_ids").toSet
         // default max snapshot age mirrors the reference's 5 days —
         // a bare CALL must not wipe all history (ADVICE round 1)
@@ -338,7 +349,7 @@ object Procedures {
         opt("older_than", TimestampType))
       val resultSchema = result("orphan_file_location" -> StringType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val conf = catalog.hadoopConf
         // Referenced set as a DataFrame: data files come from the
         // spilled manifests via a distributed parquet scan (never
@@ -411,7 +422,7 @@ object Procedures {
         "added_data_files_count" -> IntegerType,
         "rewritten_bytes_count" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val head = m.currentSnapshot("main")
         val files = head.map(_.files).getOrElse(Nil)
         if (files.isEmpty) return Seq(Row(0, 0, 0L))
@@ -529,7 +540,7 @@ object Procedures {
       // lazy pointer into one, so they retire via remove_orphan_files'
       // age-guarded sweep, never inline.
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val conf = catalog.hadoopConf
         val thr = Manifests.threshold(m)
         val heads = m.refs.values.map(_.snapshotId).toSet
@@ -577,7 +588,7 @@ object Procedures {
         // tasks would otherwise read dozens of masks each. Dangling
         // pairs (whose data file is gone) drop in the same pass.
         def run(spark: SparkSession, a: Args): Seq[Row] = {
-          val (m, _) = meta(a)
+          val (m, _) = metaW(a)
           val head = m.currentSnapshot("main")
           val dels = head.map(_.deleteFiles).getOrElse(Nil)
           if (dels.isEmpty) return Seq(Row(0, 0, 0L))
@@ -654,7 +665,7 @@ object Procedures {
         // tables run continuously; unlike rewrite_data_files it never
         // rewrites data bytes, so it stays O(deleted rows) at 100 TB.
         def run(spark: SparkSession, a: Args): Seq[Row] = {
-          val (m, _) = meta(a)
+          val (m, _) = metaW(a)
           val head = m.currentSnapshot("main")
           val eqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
           if (eqs.isEmpty) return Seq(Row(0, 0))
@@ -776,7 +787,7 @@ object Procedures {
       val resultSchema = result("added_files_count" -> LongType,
         "changed_partition_count" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         // `parquet`.`/path` or a bare path: zero-copy file import
         val src = a.str("source_table")
         val path = "`([^`]+)`\\s*\\.\\s*`([^`]+)`".r.findFirstMatchIn(src)
@@ -863,7 +874,7 @@ object Procedures {
         opt("columns", ArrayType(StringType)))
       val resultSchema = result("statistics_file" -> StringType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, ident) = meta(a)
+        val (m, ident) = metaW(a)
         val files = m.currentSnapshot("main").map(_.files).getOrElse(Nil)
         if (files.isEmpty) return Seq(Row(null))
         val df = spark.read.parquet(files.map(_.path): _*)
@@ -916,7 +927,7 @@ object Procedures {
       // alone (docs/spark-procedures.md:982) — no data scan; the stats
       // file lands beside the metadata log.
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val snap = a.lngOpt("snapshot_id")
           .flatMap(id => m.snapshots.find(_.snapshotId == id))
           .orElse(m.currentSnapshot("main"))
@@ -977,7 +988,7 @@ object Procedures {
         opt("snapshot_id", LongType))
       val resultSchema = result("branch" -> StringType, "snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val snap = a.lngOpt("snapshot_id")
           .orElse(m.currentSnapshotId("main")).getOrElse(
             throw new IllegalStateException("table has no snapshots yet"))
@@ -991,7 +1002,7 @@ object Procedures {
         opt("snapshot_id", LongType))
       val resultSchema = result("tag" -> StringType, "snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         val snap = a.lngOpt("snapshot_id")
           .orElse(m.currentSnapshotId("main")).getOrElse(
             throw new IllegalStateException("table has no snapshots yet"))
@@ -1004,7 +1015,7 @@ object Procedures {
       val params = Seq(in("table", StringType), in("branch", StringType))
       val resultSchema = result("dropped" -> StringType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         require(a.str("branch") != "main", "cannot drop main")
         catalog.commitMeta(m.copy(refs = m.refs - a.str("branch")))
         Seq(Row(a.str("branch")))
@@ -1015,7 +1026,7 @@ object Procedures {
       val params = Seq(in("table", StringType), in("tag", StringType))
       val resultSchema = result("dropped" -> StringType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         catalog.commitMeta(m.copy(refs = m.refs - a.str("tag")))
         Seq(Row(a.str("tag")))
       }
@@ -1026,7 +1037,7 @@ object Procedures {
         in("snapshot_id", LongType))
       val resultSchema = result("branch" -> StringType, "snapshot_id" -> LongType)
       def run(spark: SparkSession, a: Args): Seq[Row] = {
-        val (m, _) = meta(a)
+        val (m, _) = metaW(a)
         setRef(catalog, m, a.str("branch"), a.lng("snapshot_id"))
         Seq(Row(a.str("branch"), a.lng("snapshot_id")))
       }

@@ -232,6 +232,17 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!has(p, "Window") && !has(p, "CartesianProduct"), p)
   }
 
+  test("t_mixture_sample: thresholds broadcast, no per-stratum window") {
+    assume(ready)
+    val p = fmt("t_mixture_sample")
+    // the 5-row per-lang thresholds ride a broadcast onto one narrow
+    // corpus filter pass; ranking docs within a stratum would plan a
+    // Window PARTITIONED BY lang — one task per language at 100 TB
+    assert(has(p, "BroadcastExchange"), p)
+    assert(!has(p, "Window") && !has(p, "CartesianProduct") &&
+      !has(p, "SortMergeJoin"), p)
+  }
+
   test("t_dedup_keep_best: one struct-max aggregate after grouping") {
     assume(ready)
     val p = fmt("t_dedup_keep_best")

@@ -1971,4 +1971,51 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.cmet")
     sql("DROP TABLE lake.db.cmet2")
   }
+
+  test("read-only marker freezes procedures, commands, and commits " +
+      "at the metadata layer") {
+    sql("CREATE TABLE lake.db.ro (id bigint) USING lake")
+    sql("INSERT INTO lake.db.ro VALUES (1), (2)")
+    val snap = sql("SELECT snapshot_id FROM lake.db.ro.history LIMIT 1")
+      .collect()(0).getLong(0)
+    sql("ALTER TABLE lake.db.ro SET TBLPROPERTIES ('hive-ext.readOnly'='true')")
+    def blocked(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      val m = String.valueOf(e.getMessage).toLowerCase
+      assert(m.contains("read-only"),
+        s"expected the read-only veto, got: ${e.getMessage}")
+    }
+    // this suite does NOT install the readonly extension: every veto
+    // below comes from the lake METADATA layer (loadMetaWritable /
+    // alterTable / commitRetrying) — procedures and custom commands
+    // never take a plan shape the extension's check rule could see
+    blocked(sql("CALL lake.system.rollback_to_snapshot(" +
+      s"table => 'db.ro', snapshot_id => $snap)").collect())
+    blocked(sql("CALL lake.system.rewrite_data_files(table => 'db.ro')")
+      .collect())
+    blocked(sql("CALL lake.system.expire_snapshots(table => 'db.ro')")
+      .collect())
+    blocked(sql("CALL lake.system.create_branch(" +
+      "table => 'db.ro', branch => 'b1')").collect())
+    blocked(sql("CALL lake.system.compute_table_stats(table => 'db.ro')")
+      .collect())
+    blocked(sql("INSERT INTO lake.db.ro VALUES (3)"))
+    blocked(sql("DELETE FROM lake.db.ro WHERE id = 1"))
+    blocked(LakeWriteOrderCommand(Seq("lake", "db", "ro"), Seq("id"))
+      .run(spark))
+    blocked(sql("ALTER TABLE lake.db.ro ADD COLUMN extra bigint"))
+    blocked(sql("DROP TABLE lake.db.ro"))
+    blocked(sql("DROP TABLE lake.db.ro PURGE"))
+    // reads and read-only procedures stay open
+    assert(sql("SELECT count(*) FROM lake.db.ro").collect()(0).getLong(0) == 2)
+    assert(sql("CALL lake.system.ancestors_of(table => 'db.ro')")
+      .collect().nonEmpty)
+    // the flag itself stays manageable at this layer (the plan-time
+    // rule, when installed, additionally hard-locks the unset for
+    // reference parity): unlock, mutate, prove the thaw
+    sql("ALTER TABLE lake.db.ro UNSET TBLPROPERTIES ('hive-ext.readOnly')")
+    sql("INSERT INTO lake.db.ro VALUES (3)")
+    assert(sql("SELECT count(*) FROM lake.db.ro").collect()(0).getLong(0) == 3)
+    sql("DROP TABLE lake.db.ro")
+  }
 }
