@@ -448,6 +448,98 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     runEvo("mor", seed = 23, nOps = 16)
   }
 
+  /** Frozen-window fuzz: the `hive-ext.readOnly` marker flips on
+    * between random DML ops; while frozen, a randomly drawn mutation
+    * from the whole vocabulary (INSERT, full-table DELETE/UPDATE,
+    * compaction, branch, expire, ALTER ADD COLUMN, DROP TABLE) must
+    * be VETOED with the read-only error and leave both the visible
+    * state and the snapshot head untouched; thawed windows must
+    * behave exactly like plain DML. This suite never installs the
+    * readonly extension, so every veto is the lake METADATA layer's
+    * (loadMetaWritable / commitRetrying / alterTable / dropTable). */
+  private def runFrozen(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzf_${mode}_$seed"
+    val short = tbl.split('.').last
+    val props =
+      if (mode == "mor")
+        """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          |'write.update.mode'='merge-on-read',
+          |'write.merge.mode'='merge-on-read')""".stripMargin
+      else ""
+    sql(s"CREATE TABLE $tbl (id bigint, v string) USING lake $props")
+    val rng = new scala.util.Random(seed)
+    val model = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var nextId = 0L
+    def state(): Map[Long, String] =
+      sql(s"SELECT id, v FROM $tbl").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def headSnap(): Long = {
+      val r = sql(s"SELECT max(snapshot_id) FROM $tbl.snapshots").collect()(0)
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    (0 until nOps).foreach { opIdx =>
+      rng.nextInt(6) match {
+        case 0 | 1 | 2 =>
+          val rows = (nextId until nextId + 1 + rng.nextInt(4))
+            .map(i => i -> s"v${rng.nextInt(100)}")
+          nextId += rows.size
+          sql(s"INSERT INTO $tbl VALUES " +
+            rows.map { case (i, v) => s"($i, '$v')" }.mkString(", "))
+          model ++= rows
+        case 3 =>
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+          model.filterInPlace((i, _) => i % k != r)
+        case 4 =>
+          val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
+          sql(s"UPDATE $tbl SET v = concat(v, '+') WHERE id % $k = $r")
+          model.mapValuesInPlace((i, v) => if (i % k == r) v + "+" else v)
+        case 5 => sql(s"CALL lake.system.rewrite_data_files(" +
+          s"table => 'db.$short')")
+      }
+      assert(state() == model.toMap,
+        s"frozen $mode seed=$seed diverged after op #$opIdx (thawed)")
+      if (rng.nextInt(3) == 0) {
+        sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+          "('hive-ext.readOnly'='true')")
+        val snapBefore = headSnap()
+        val attempts = Seq[(String, () => Any)](
+          "insert" -> (() => sql(s"INSERT INTO $tbl VALUES (99999, 'x')")),
+          "compact" -> (() => sql(s"CALL lake.system.rewrite_data_files(" +
+            s"table => 'db.$short')").collect()),
+          "branch" -> (() => sql(s"CALL lake.system.create_branch(" +
+            s"table => 'db.$short', branch => 'bx$opIdx')").collect()),
+          "expire" -> (() => sql(s"CALL lake.system.expire_snapshots(" +
+            s"table => 'db.$short')").collect()),
+          "addcol" -> (() =>
+            sql(s"ALTER TABLE $tbl ADD COLUMN fx$opIdx bigint")),
+          "drop" -> (() => sql(s"DROP TABLE $tbl"))) ++
+          (if (model.nonEmpty) Seq[(String, () => Any)](
+            "delete" -> (() => sql(s"DELETE FROM $tbl WHERE id >= 0")),
+            "update" -> (() => sql(s"UPDATE $tbl SET v = 'x'")))
+          else Nil)
+        val (what, attempt) = attempts(rng.nextInt(attempts.size))
+        val e = intercept[Exception](attempt())
+        assert(String.valueOf(e.getMessage).toLowerCase.contains("read-only"),
+          s"frozen $mode seed=$seed op #$opIdx: '$what' should hit the " +
+            s"read-only veto, got: ${e.getMessage}")
+        assert(state() == model.toMap,
+          s"frozen $mode seed=$seed op #$opIdx: '$what' mutated a " +
+            "frozen table")
+        assert(headSnap() == snapBefore,
+          s"frozen $mode seed=$seed op #$opIdx: '$what' advanced the " +
+            "snapshot head of a frozen table")
+        sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('hive-ext.readOnly')")
+      }
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: frozen windows veto every mutation path") {
+    runFrozen("cow", seed = 41, nOps = 16)
+    runFrozen("mor", seed = 41, nOps = 16)
+  }
+
   /** Partitioned-table fuzz: identity partitioning routes every write
     * through the fanout writer, row-level operations through the
     * partition-aware scan, and INSERT OVERWRITE through DYNAMIC
@@ -1015,6 +1107,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("nested-mor")(runNested("mor", s, nOps = 20))
       step("nested-part-cow")(runNested("cow", s, nOps = 16, partitioned = true))
       step("nested-part-mor")(runNested("mor", s, nOps = 16, partitioned = true))
+      step("frozen-cow")(runFrozen("cow", s, nOps = 20))
+      step("frozen-mor")(runFrozen("mor", s, nOps = 20))
       step("part-cow")(runPart("cow", s, nOps = 24))
       step("part-mor")(runPart("mor", s, nOps = 24))
       step("upsert-cow")(runUpsert("cow", s, nOps = 24))
