@@ -146,6 +146,73 @@ class DedupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"for $nCorpus candidate corpus docs")
   }
 
+  test("streaming ingestion probes the stored index per micro-batch") {
+    assume(ready)
+    buildIndex()
+    // batch-mode truth: every batch doc's best corpus match
+    val expect = score(mineCandidates()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("est_jaccard").as("j"), (-col("dup_of")).as("nd")))
+        .as("m"))
+      .select(col("doc_id"), (-col("m.nd")).cast("long").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expect.nonEmpty)
+
+    // the nightly batch arrives as a STREAM instead: signatures land
+    // in files (2 files → 2 micro-batches), each micro-batch computes
+    // its postings and probes the SAME stored index. A doc's
+    // candidates come only from the stored corpus, never from other
+    // batch docs, so micro-batching must be invisible: the union of
+    // per-batch results is exactly the batch-mode result.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sigs")
+      .toString
+    sigs.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val got = scala.collection.mutable.Map[Long, Long]()
+    var batches = 0
+    val q = spark.readStream
+      .schema(sigs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        val post = mb.select(col("doc_id"),
+          explode(TextOps.minhashBands).as("band_hash"))
+        val cand = post
+          .join(spark.table(s"lakeq.db.$postT").toDF("dup_of", "band_hash"),
+            Seq("band_hash"))
+          .select(col("doc_id"), col("dup_of")).distinct()
+        val scored = spark.table(s"lakeq.db.$sigT")
+          .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+          .join(broadcast(cand.filter(col("dup_of") >= 0)), Seq("dup_of"))
+          .join(mb.select(col("doc_id"), col("sig").as("sig_a")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("dup_of"),
+            round(aggregate(
+              zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / 16.0,
+              4).as("est_jaccard"))
+          .filter(col("est_jaccard") >= 0.5)
+          .groupBy(col("doc_id"))
+          .agg(max(struct(col("est_jaccard").as("j"),
+            (-col("dup_of")).as("nd"))).as("m"))
+          .select(col("doc_id"), (-col("m.nd")).cast("long").as("dup_of"))
+        got ++= scored.collect().map(r => r.getLong(0) -> r.getLong(1))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+    assert(got.toMap == expect,
+      s"streamed probe diverged from batch probe:\n" +
+        s"stream=${got.toMap}\nbatch=$expect")
+    info(s"$batches micro-batches reproduced ${expect.size} matches exactly")
+  }
+
   test("nightly cycle: probe, drop dups, append survivors, re-probe") {
     assume(ready)
     buildIndex()
