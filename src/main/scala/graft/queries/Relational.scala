@@ -137,10 +137,23 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** Window: running quantity per supplier (deterministic frame). */
+  /** Window: running quantity per supplier.
+    *
+    * The frame order ends in `l_quantity` to make the ROWS frame
+    * TIE-PROOF: the synthetic lineitem contains duplicate
+    * (l_orderkey, l_linenumber) rows, including a pair tying on ALL
+    * of (suppkey, shipdate, orderkey, linenumber) with different
+    * quantities — without the quantity key the running sum at that
+    * tie depends on sort stability, and DuckDB's parallel sort
+    * actually flips it RUN TO RUN (caught by an sf0.1 oracle sweep:
+    * one row oscillating ±3). With quantity last, any remaining ties
+    * agree on every projected column AND on quantity, so swapping
+    * them permutes identical output rows — the result SET is
+    * deterministic in both engines. */
   def qWindowRunningQty(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .withColumn("running_qty", r2(sum(col("l_quantity")).over(w)))
@@ -576,7 +589,7 @@ object Relational {
     "q_window_running_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
         |    AS running_qty
         |FROM lineitem
