@@ -1354,6 +1354,98 @@ object TextOps {
       .orderBy(col("source"), col("reason"))
   }
 
+  /** Shingle novelty — the memorization/boilerplate signal a curation
+    * pipeline scores before mixing: the share of a document's distinct
+    * 3-word shingles that occur in NO other document (corpus-unique).
+    * Low novelty means the document is assembled from phrases the
+    * corpus already has (template/boilerplate); high novelty marks
+    * fresh text worth up-weighting.
+    *
+    * Scale shape: explode distinct shingles (narrow), one
+    * shingle-keyed count aggregate (map-side combining — the document
+    * frequency), join back shingle-partitioned, one doc-keyed
+    * aggregate. Same two-shuffle skeleton as [[tTfidf]]; no windows,
+    * no corpus-sized broadcast. Output is pure BIGINT (novelty in
+    * half-up basis points via exact integer arithmetic) — no float
+    * ever reaches the driver hash. */
+  def tNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(toks(col("text")))).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        floor((lit(20000L) * col("n_novel") + col("n_shingles")) /
+          (lit(2L) * col("n_shingles"))).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Length-outlier trimming — drop each language's shortest/longest
+    * tails (below P5 or above P95 of `n_chars`) before training: the
+    * truncated-and-concatenated garbage lives in exactly those tails.
+    *
+    * Percentiles are EXACT but never rank the corpus: the heavy pass
+    * is one (lang, n_chars) histogram aggregate (map-side combining;
+    * cardinality = languages × distinct lengths, thousands of rows at
+    * any corpus size), the cumulative walk + threshold selection run
+    * on that tiny frame, and the per-lang (lo, hi) cutoffs broadcast
+    * back onto a narrow filter scan. A row_number window PARTITIONED
+    * BY lang — the naive shape — would drag each language through one
+    * task at 100 TB; this never materializes a per-document rank.
+    * Thresholds are integer-compared (100·cum ≥ k·n), so the gate is
+    * hash-exact with no float anywhere. */
+  def tLengthTrim(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val wAll = Window.partitionBy(col("lang"))
+    val th = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(lit(100L) * col("cum") >= lit(5L) * col("n"),
+          col("n_chars"))).as("lo"),
+        min(when(lit(100L) * col("cum") >= lit(95L) * col("n"),
+          col("n_chars"))).as("hi"))
+    docs.join(broadcast(th), Seq("lang"))
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic epoch shuffle — the global random reorder + reshard
+    * a trainer runs per epoch, reproducible across runs and engines:
+    * the shuffle key is md5 of (epoch-salt, doc_id), the shard is a
+    * hash bucket of that key, and the in-shard position is the rank of
+    * the key within the shard. Same document, same epoch → same slot,
+    * on any engine ([[tSampleStratified]]'s coin, applied to ordering).
+    *
+    * Scale shape: one hash-partitioned exchange on `shard` plus a
+    * per-shard sort — exactly `repartition(shard).sortWithinPartitions
+    * (key)`, the shape every shard-writer already pays; shard count
+    * scales with the corpus (fixed at 32 here for the gate), so no
+    * task sees more than one shard's rows. Distinct from
+    * [[tShardPack]], which packs documents into token-budget shards in
+    * stable doc order; this op randomizes order. */
+  def tEpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val key = md5(concat(lit("epoch-7:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("key", key)
+      .withColumn("shard",
+        conv(substring(col("key"), 1, 15), 16, 10).cast("long") % 32)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same tokens, same md5-derived hashes.
   // ---------------------------------------------------------------
@@ -1461,6 +1553,9 @@ object TextOps {
     "t_contamination" -> (tContamination _),
     "t_dup_span" -> (tDupSpan _),
     "t_filter_pipeline" -> (tFilterPipeline _),
+    "t_ngram_novelty" -> (tNgramNovelty _),
+    "t_length_trim" -> (tLengthTrim _),
+    "t_epoch_shuffle" -> (tEpochShuffle _),
     "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
@@ -1868,6 +1963,43 @@ object TextOps {
          |       ELSE 'keep' END AS reason,
          |  count(*) AS n_docs, sum(n)::BIGINT AS sum_tokens
          |FROM sg GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
+    "t_ngram_novelty" ->
+      s"""WITH shx AS (
+         |  SELECT doc_id, unnest(sh) AS g
+         |  FROM (SELECT doc_id, $shSql AS sh
+         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+         |dfq AS (SELECT g, count(*) AS df FROM shx GROUP BY g)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |  ((20000 * sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
+         |    + count(*)) // (2 * count(*)))::BIGINT AS novelty_bp
+         |FROM shx s JOIN dfq f USING (g)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "t_length_trim" ->
+      """WITH h AS (SELECT lang, n_chars, count(*) AS c
+        |           FROM documents GROUP BY lang, n_chars),
+        |cum AS (SELECT lang, n_chars,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM h),
+        |th AS (SELECT lang,
+        |         min(CASE WHEN 100*cum >= 5*n THEN n_chars END) AS lo,
+        |         min(CASE WHEN 100*cum >= 95*n THEN n_chars END) AS hi
+        |       FROM cum GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN th USING (lang)
+        |WHERE d.n_chars BETWEEN th.lo AND th.hi
+        |ORDER BY d.doc_id""".stripMargin,
+    "t_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |             md5('epoch-7:' || doc_id::VARCHAR) AS key
+        |           FROM documents),
+        |s AS (SELECT doc_id, key,
+        |        ('0x' || substr(key, 1, 15))::BIGINT % 32 AS shard
+        |      FROM k)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,

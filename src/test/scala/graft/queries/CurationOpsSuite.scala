@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics guards for the round-8 curation operators — the oracle
+  * gates prove cross-engine equality; this suite pins what the numbers
+  * MEAN: novelty counts corpus-unique shingles, length-trim keeps an
+  * exact-percentile body per language, epoch-shuffle is a permutation
+  * into dense per-shard slots.
+  */
+class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("curation-ops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ready: Boolean = new java.io.File(sfDir).isDirectory
+
+  test("ngram novelty: bounds, exact rounding, and a hand-checked doc") {
+    assume(ready)
+    val rows = TextOps.tNgramNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && novel >= 0 && novel <= n, r.toString)
+      assert(bp == (20000L * novel + n) / (2L * n), s"rounding: $r")
+      assert(bp >= 0 && bp <= 10000, r.toString)
+    }
+    // cross-check one doc against a direct two-sided computation
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sh3(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => id -> sh3(t) }
+    val target = all.find(_._2.nonEmpty).get
+    val others = all.filter(_._1 != target._1).flatMap(_._2).toSet
+    val novelExp = target._2.count(!others.contains(_))
+    val row = rows.find(_.getLong(0) == target._1).get
+    assert(row.getLong(1) == target._2.size, "n_shingles")
+    assert(row.getLong(2) == novelExp, "n_novel")
+  }
+
+  test("length trim: exact per-lang P5/P95 body, tails dropped") {
+    assume(ready)
+    val kept = TextOps.tLengthTrim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // recompute the exact thresholds per lang the slow way
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val sorted = ds.map(_._3).sorted
+      val n = sorted.length.toLong
+      def cut(k: Long): Long = {
+        // min length whose cumulative count reaches k% of n
+        val need = ds.map(_._3).distinct.sorted.find { len =>
+          100L * sorted.count(_ <= len) >= k * n
+        }
+        need.get
+      }
+      val (lo, hi) = (cut(5), cut(95))
+      val keptHere = kept.filter(_._2 == lang).map(_._1).toSet
+      val expected = ds.filter(d => d._3 >= lo && d._3 <= hi)
+        .map(_._1).toSet
+      assert(keptHere == expected,
+        s"$lang: lo=$lo hi=$hi kept=${keptHere.size} expected=${expected.size}")
+      // the body must be a strict subset when tails exist
+      assert(keptHere.size <= ds.length)
+    }
+  }
+
+  test("epoch shuffle: permutation into dense 1..n slots per shard") {
+    assume(ready)
+    val rows = TextOps.tEpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs, "every doc gets a slot")
+    assert(rows.map(_._1).distinct.length == rows.length, "one slot per doc")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 32, s"shard $shard")
+      val ps = rs.map(_._3).sorted
+      assert(ps.toSeq == (1L to rs.length.toLong).toSeq,
+        s"shard $shard positions not dense: ${ps.take(5).toSeq}…")
+    }
+    // deterministic: same epoch salt → identical layout
+    val again = TextOps.tEpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+    // and the order differs from plain doc order in at least one shard
+    // (it is a shuffle, not the identity)
+    val anyShard = rows.groupBy(_._2).values.find(_.length > 2).get
+    val byPos = anyShard.sortBy(_._3).map(_._1).toSeq
+    assert(byPos != byPos.sorted, "epoch order must not be doc order")
+  }
+}
