@@ -275,5 +275,15 @@ class LakeExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Uni
         require(args.length == 2, "graft_dot(a, b) takes two array arguments")
         graft.functions.DotProduct(args.head, args(1))
       }))
+    // Unicode NFC normalization: `graft_nfc(text)` — the ingestion
+    // canonicalization stage (see functions/StringExpressions.scala)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "graft_nfc(text) takes one string argument")
+        graft.functions.NfcNormalize(args.head)
+      }))
   }
 }

@@ -484,6 +484,73 @@ object Relational {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** Ordered conversion funnel signup → view → click → purchase: a
+    * user reaches stage k when an event of type k occurs AT OR AFTER
+    * that user's first stage-(k-1) reach. Classic product-analytics
+    * operator with genuinely sequential semantics — no plain aggregate
+    * expresses "first view after first signup".
+    *
+    * Spark-first shape: ONE shuffle. Four chained running-min window
+    * columns over the same (user_id / ts, event_id) window spec —
+    * `s1` = earliest signup so far; `s2` = earliest view at a row
+    * where `s1` is already set; `s3`/`s4` likewise — so the sequential
+    * dependency rides a single partition-sort that Spark plans as one
+    * exchange + one sort with four Window operators on top (no
+    * re-sort: each reuses the child ordering). A per-user any-reach
+    * aggregate and a 4-row stack finish on the driver-side-tiny frame.
+    * At 100 TB this is exactly the sessionization cost — one
+    * user-keyed exchange — regardless of funnel depth. */
+  def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def firstAfter(tpe: String, prev: Option[String]): Column = {
+      val hit = col("event_type") === tpe &&
+        prev.fold(lit(true))(p => col(p).isNotNull)
+      min(when(hit, col("ts"))).over(w)
+    }
+    val per = Tables.events(s, d)
+      .withColumn("s1", firstAfter("signup", None))
+      .withColumn("s2", firstAfter("view", Some("s1")))
+      .withColumn("s3", firstAfter("click", Some("s2")))
+      .withColumn("s4", firstAfter("purchase", Some("s3")))
+      .groupBy(col("user_id"))
+      .agg(max(col("s1")).as("m1"), max(col("s2")).as("m2"),
+        max(col("s3")).as("m3"), max(col("s4")).as("m4"))
+    def reach(c: String): Column =
+      sum(when(col(c).isNotNull, 1L).otherwise(0L))
+    per.agg(reach("m1").as("signup"), reach("m2").as("view"),
+        reach("m3").as("click"), reach("m4").as("purchase"))
+      .selectExpr("""stack(4,
+        1L, 'signup',   signup,
+        2L, 'view',     view,
+        3L, 'click',    click,
+        4L, 'purchase', purchase) AS (step, stage, n_users)""")
+      .orderBy(col("step"))
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort day, day offset) the number of distinct cohort members
+    * active that many days later — the engagement-decay matrix.
+    *
+    * Shape: one user-keyed aggregate for cohort assignment, one
+    * user-keyed join back (AQE broadcasts the per-user frame when it
+    * fits; co-partitioned hash join otherwise — both sides share the
+    * user_id key so the join adds no third shuffle), one
+    * (cohort, offset) count-distinct. All keys are high-cardinality
+    * (users) or tiny (day pairs); nothing is per-event stateful. */
+  def qEventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -516,6 +583,8 @@ object Relational {
     "q_events_enrich" -> (qEventsEnrich _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_events_sliding" -> (qEventsSliding _),
+    "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_retention" -> (qEventsRetention _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -748,5 +817,49 @@ object Relational {
         |SELECT w_start, event_type, count(*) AS n
         |FROM w GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_events_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type, event_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) OVER win AS s1
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'view'
+        |      AND s1 IS NOT NULL THEN ts END) OVER win AS s2
+        |  FROM w1
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |      AND s2 IS NOT NULL THEN ts END) OVER win AS s3
+        |  FROM w2
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |      AND s3 IS NOT NULL THEN ts END) OVER win AS s4
+        |  FROM w3
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, max(s1) AS m1, max(s2) AS m2,
+        |        max(s3) AS m3, max(s4) AS m4
+        |      FROM w4 GROUP BY user_id),
+        |c AS (SELECT
+        |  sum(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN m2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN m3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN m4 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS purchase
+        |FROM u)
+        |SELECT 1::BIGINT AS step, 'signup' AS stage, signup AS n_users FROM c
+        |UNION ALL SELECT 2, 'view', view FROM c
+        |UNION ALL SELECT 3, 'click', click FROM c
+        |UNION ALL SELECT 4, 'purchase', purchase FROM c
+        |ORDER BY step""".stripMargin,
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day
+        |            FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day::TIMESTAMP AS cohort_day,
+        |  date_diff('day', cohort_day, day)::BIGINT AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
   )
 }

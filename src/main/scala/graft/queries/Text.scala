@@ -1446,6 +1446,58 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source document cap — keep each source's top 10 documents by
+    * length (doc_id tie-break): the anti-domination step that stops a
+    * single crawler/domain from swamping a training mixture.
+    *
+    * Scale shape: the rank-then-filter pattern is planned by Spark as
+    * WindowGroupLimit (plan-locked in PlanSuite) — every input
+    * partition keeps at most 10 rows per source BEFORE the exchange,
+    * and the post-shuffle window ranks only those survivors. The
+    * shuffle therefore carries O(sources × partitions × 10) rows, not
+    * the corpus, and no task ever ranks rows the filter will drop —
+    * the property that makes a per-source cap affordable when one hot
+    * source holds a billion documents. */
+  def tSourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unicode NFC canonicalization via the codegen'd
+    * [[graft.functions.NfcNormalize]] expression — the ingestion
+    * stage that makes byte-keyed text ops (dedup digests, shingle
+    * hashes, contamination probes) see composed and decomposed forms
+    * of the same grapheme as the same document.
+    *
+    * The gate appends a deterministic decomposed suffix (combining
+    * acute/ring/diaeresis) to every document so the normalizer has
+    * real work on this (mostly-ASCII) corpus, then checks both the
+    * codepoint-count contraction and the md5 of the normalized bytes
+    * against DuckDB's `nfc_normalize`. Pure map stage — one pass, no
+    * shuffle beyond the presentation sort; the expression stays
+    * inside whole-stage codegen (CodegenSuite locks compilation). */
+  def tNfcNormalize(s: SparkSession, d: String): DataFrame = {
+    val denorm = concat(col("text"),
+      // decomposed on purpose (e+U+0301, A+U+030A, o+U+0308): NFC
+      // composes each pair, so n_after = n_before - 3 per document
+      lit(" Cafe"), lit("e\u0301"),
+      lit(" A\u030Angstro\u0308m"))
+    Tables.documents(s, d)
+      .withColumn("denorm", denorm)
+      .withColumn("norm",
+        graft.functions.StringFunctions.nfc(col("denorm")))
+      .select(col("doc_id"),
+        length(col("denorm")).cast("long").as("n_before"),
+        length(col("norm")).cast("long").as("n_after"),
+        md5(col("norm").cast("binary")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle SQL — same tokens, same md5-derived hashes.
   // ---------------------------------------------------------------
@@ -1556,6 +1608,8 @@ object TextOps {
     "t_ngram_novelty" -> (tNgramNovelty _),
     "t_length_trim" -> (tLengthTrim _),
     "t_epoch_shuffle" -> (tEpochShuffle _),
+    "t_source_cap" -> (tSourceCap _),
+    "t_nfc_normalize" -> (tNfcNormalize _),
     "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
@@ -2000,6 +2054,22 @@ object TextOps {
         |SELECT doc_id, shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+    "t_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    "t_nfc_normalize" ->
+      """WITH x AS (SELECT doc_id,
+        |    text || ' Cafee' || chr(769) ||
+        |    ' A' || chr(778) || 'ngstro' || chr(776) || 'm' AS denorm
+        |  FROM documents),
+        |n AS (SELECT doc_id, denorm, nfc_normalize(denorm) AS norm FROM x)
+        |SELECT doc_id, length(denorm)::BIGINT AS n_before,
+        |  length(norm)::BIGINT AS n_after, md5(norm) AS digest
+        |FROM n ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,

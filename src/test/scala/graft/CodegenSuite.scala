@@ -112,4 +112,36 @@ class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.isNullAt(0), "null element must null the dot product")
     assert(row.getDouble(1) == 25.0)
   }
+
+  test("graft_nfc is registered as a SQL function and composes NFC") {
+    assume(ready)
+    // decomposed e+U+0301 composes to U+00E9 (length 2 -> 1); ASCII
+    // and null pass through; runs under CODEGEN_ONLY like the rest
+    val row = spark.sql(
+      """SELECT length(graft_nfc(concat('Cafe', 'e', '́'))) AS n,
+        |       graft_nfc('plain ascii') AS a,
+        |       graft_nfc(CAST(NULL AS STRING)) AS z""".stripMargin)
+      .collect().head
+    assert(row.getInt(0) == 5, "NFC must compose e+combining-acute")
+    assert(row.getString(1) == "plain ascii")
+    assert(row.isNullAt(2))
+    intercept[Exception] { spark.sql("SELECT graft_nfc('a', 'b')") }
+  }
+
+  test("NfcNormalize: interpreted eval matches codegen (fast paths incl.)") {
+    assume(ready)
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      "plain ascii",                     // full-ASCII fast path
+      "café composed",              // already-NFC fast path
+      "café decomposed",           // real composition work
+      "Ångström mixed")
+    for (c <- cases) {
+      val viaExpr = NfcNormalize.nfc(UTF8String.fromString(c)).toString
+      val viaJava =
+        java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFC)
+      assert(viaExpr == viaJava, s"mismatch for <$c>")
+    }
+  }
 }

@@ -316,4 +316,40 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(!b.contains("sig"),
         s"pair dedup must be ids-only (no sig payload):\n$b"))
   }
+
+  test("t_source_cap: rank filter plans as map-side WindowGroupLimit") {
+    assume(ready)
+    val p = fmt("t_source_cap")
+    // the property that makes a per-source cap affordable on a hot
+    // source: each input partition keeps ≤10 rows per source BEFORE
+    // the exchange (Partial WindowGroupLimit), so the shuffle carries
+    // O(sources × partitions × 10), never the corpus
+    assert(has(p, "WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"), s"expected a partial (map-side) pass:\n$p")
+    assert(!has(p, "Join"), p)
+  }
+
+  test("q_events_funnel: 4 chained stage windows share ONE user sort") {
+    assume(ready)
+    val p = fmt("q_events_funnel")
+    // the sequential funnel dependency must ride a single user_id
+    // exchange + sort: stage windows reuse the child ordering (no
+    // per-stage re-sort), then one partial-aggregated rollup — the
+    // final single-row stack may add its own tiny exchange
+    // 2 sorts total: the shared user_id window sort + the final 4-row
+    // presentation orderBy — one MORE would mean a stage re-sorted
+    val winSorts = "\\(\\d+\\) Sort\\b".r.findAllIn(p).size
+    assert(winSorts <= 2, s"stage windows must share one sort:\n$p")
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size == 4, p)
+    assert(!has(p, "Join"), p)
+    assert(shuffles(p) <= 3, s"user exchange + rollup only:\n$p")
+  }
+
+  test("q_events_retention: cohort join stays user-keyed, no window") {
+    assume(ready)
+    val p = fmt("q_events_retention")
+    assert(!has(p, "Window"), p)
+    assert(!has(p, "CartesianProduct") &&
+      !has(p, "BroadcastNestedLoopJoin"), p)
+  }
 }
