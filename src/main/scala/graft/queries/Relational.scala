@@ -551,6 +551,36 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Skew-salted large-large join — the explicit mitigation for a hot
+    * join key when the runtime can't fix it for you: AQE's skew-join
+    * only splits SORT-MERGE partitions inside a batch query (no help
+    * for shuffle-hash joins, storage-partitioned joins, or streaming),
+    * and a dim side too big to broadcast leaves the naive plan with
+    * one straggler task holding the hot key's entire fan-in.
+    *
+    * The salt is DETERMINISTIC (`event_id % R`), not `rand()`: same
+    * result every run and engine, so correctness is oracle-checkable —
+    * the oracle is the UNSALTED join, which must be identical by
+    * construction. Fact rows scatter across R sub-keys of
+    * (user_id, salt); the dim side replicates R ways via a literal
+    * explode (R×|dim| rows — the explicit price of bounding every
+    * task at 1/R of a hot key). `shuffle_hash` hint pins the
+    * broadcast-ineligible regime being demonstrated; the plan lock
+    * asserts the salted key reaches the exchange. */
+  def qSkewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val R = 8
+    val ev = Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % R).cast("int"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(lit((0 until R).toArray)))
+    ev.join(dim.hint("shuffle_hash"),
+        col("user_id") === col("c_custkey") && ev("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -585,6 +615,7 @@ object Relational {
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
+    "q_skew_salted_join" -> (qSkewSaltedJoin _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -861,5 +892,12 @@ object Relational {
         |  count(DISTINCT user_id) AS n_users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // the UNSALTED join: salting must be result-invariant
+    "q_skew_salted_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
   )
 }

@@ -1468,6 +1468,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split assignment (80/10/10): the
+    * bucket is a salted md5 hash of the doc id, so the same document
+    * lands in the same split on every run, every engine, and every
+    * cluster size — the property that keeps evaluation sets
+    * leak-free across re-materializations of a 100 TB corpus.
+    * `rand()`-based splits silently re-deal on retry/recompute (a
+    * task retry alone changes the draw). Pure map stage, no shuffle
+    * beyond the presentation sort ([[tSampleStratified]]'s coin,
+    * dealt into named splits). */
+  def tTrainSplit(s: SparkSession, d: String): DataFrame = {
+    val key = md5(concat(lit("split-1:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(key, 1, 15), 16, 10).cast("long") % 10)
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode NFC canonicalization via the codegen'd
     * [[graft.functions.NfcNormalize]] expression — the ingestion
     * stage that makes byte-keyed text ops (dedup digests, shingle
@@ -1610,6 +1632,7 @@ object TextOps {
     "t_epoch_shuffle" -> (tEpochShuffle _),
     "t_source_cap" -> (tSourceCap _),
     "t_nfc_normalize" -> (tNfcNormalize _),
+    "t_train_split" -> (tTrainSplit _),
     "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_stub" -> (mmDecodeStub _),
@@ -2070,6 +2093,16 @@ object TextOps {
         |SELECT doc_id, length(denorm)::BIGINT AS n_before,
         |  length(norm)::BIGINT AS n_after, md5(norm) AS digest
         |FROM n ORDER BY doc_id""".stripMargin,
+    "t_train_split" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('split-1:' || doc_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 10 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,

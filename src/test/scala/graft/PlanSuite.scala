@@ -345,6 +345,20 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(p) <= 3, s"user exchange + rollup only:\n$p")
   }
 
+  test("q_skew_salted_join: salt reaches the join key; no broadcast") {
+    assume(ready)
+    val p = fmt("q_skew_salted_join")
+    // the demonstrated regime: dim too big to broadcast, hot fact key
+    // — the join must be a shuffle-hash join whose key INCLUDES the
+    // salt, so a hot user's rows spread over R sub-partitions
+    assert(has(p, "ShuffledHashJoin"), s"expected shuffle-hash join:\n$p")
+    assert(!has(p, "BroadcastHashJoin"), p)
+    val joinBlock = p.split("\n\\s*\n")
+      .find(b => b.contains(") ShuffledHashJoin")).getOrElse("")
+    assert(joinBlock.contains("salt"),
+      s"join keys must include the salt:\n$joinBlock")
+  }
+
   test("q_events_retention: cohort join stays user-keyed, no window") {
     assume(ready)
     val p = fmt("q_events_retention")
