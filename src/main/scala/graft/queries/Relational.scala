@@ -581,6 +581,36 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Ingestion-metrics anomaly detection: flag (hour, event_type)
+    * buckets whose count deviates more than 2σ from that type's
+    * hourly mean — the data-quality tripwire a pipeline runs over its
+    * own volume metrics to catch crawler outages and floods.
+    *
+    * The z-test runs in EXACT integers: with C hours, S = Σn,
+    * Q = Σn², flagging |z| > 2 is `C·(n·C − S)² > 4·(C·Q − S²)·C`
+    * divided through — `(n·C − S)² > 4·(C·Q − S²)` — all BIGINT, so
+    * no float mean/stddev crosses an engine boundary (the
+    * q_correlated_subquery exact-cents trick applied to a variance).
+    * Shape: one (hour, type) count aggregate, one per-type rollup
+    * (≤ types rows, broadcast back), one narrow filter — metrics
+    * cardinality, never event cardinality, crosses any exchange
+    * after the first aggregate. */
+  def qEventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+    val dev = col("n") * col("c") - col("s")
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(4L) * (col("c") * col("q") - col("s") * col("s")))
+      .select(col("hour"), col("event_type"), col("n"),
+        (dev * dev).as("dev2_scaled"),
+        (col("c") * col("q") - col("s") * col("s")).as("var_scaled"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_revenue_forecast" -> (q6RevenueForecast _),
@@ -616,6 +646,7 @@ object Relational {
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
+    "q_events_anomaly" -> (qEventsAnomaly _),
   )
 
   /** DuckDB-dialect equivalents for the driver's oracle. Column names
@@ -892,6 +923,19 @@ object Relational {
         |  count(DISTINCT user_id) AS n_users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS c, sum(n)::BIGINT AS s,
+        |         sum(n*n)::BIGINT AS q
+        |       FROM h GROUP BY 1)
+        |SELECT hour, event_type, n,
+        |  (n*c - s)*(n*c - s) AS dev2_scaled,
+        |  (c*q - s*s) AS var_scaled
+        |FROM h JOIN st USING (event_type)
+        |WHERE (n*c - s)*(n*c - s) > 4*(c*q - s*s)
+        |ORDER BY hour, event_type""".stripMargin,
     // the UNSALTED join: salting must be result-invariant
     "q_skew_salted_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
