@@ -596,9 +596,16 @@ object Relational {
     * cardinality, never event cardinality, crosses any exchange
     * after the first aggregate. */
   def qEventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    // materialize the metrics frame once: both consumers (the bucket
+    // stream and the per-type rollup) would otherwise re-plan the
+    // subtree — column pruning gives the two hourly aggregates
+    // different outputs, so ReuseExchange can NOT dedupe them and the
+    // events table would be scanned twice (2× the dominant cost at
+    // 100 TB). The checkpoint is hours×types rows — metrics-sized.
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("q"))

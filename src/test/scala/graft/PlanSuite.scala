@@ -359,6 +359,21 @@ class PlanSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"join keys must include the salt:\n$joinBlock")
   }
 
+  test("q_events_anomaly: per-type stats broadcast back, no window") {
+    assume(ready)
+    val p = fmt("q_events_anomaly")
+    // the hourly metrics frame materializes ONCE (checkpoint → both
+    // consumers read an RDD scan; without it column pruning defeats
+    // ReuseExchange and the events table is scanned twice); the
+    // ≤types-row stats frame comes back as a broadcast, and only the
+    // type rollup + presentation sort exchange remain
+    assert(p.contains("Scan ExistingRDD"),
+      s"hourly frame should be checkpointed once:\n$p")
+    assert(has(p, "BroadcastHashJoin"), s"stats frame should broadcast:\n$p")
+    assert(!has(p, "Window"), p)
+    assert(shuffles(p) <= 2, s"type rollup + presentation sort only:\n$p")
+  }
+
   test("q_events_retention: cohort join stays user-keyed, no window") {
     assume(ready)
     val p = fmt("q_events_retention")
