@@ -147,16 +147,43 @@ object FileStats {
   private def lt(a: String, b: String, dt: DataType): Boolean =
     cmp(a, b, dt).exists(_ < 0)
 
+  /** Unsigned UTF-8 byte comparison — the order parquet's binary
+    * min/max statistics are computed under. */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private[lake] def cmp(a: String, b: String, dt: DataType): Option[Int] =
     try dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(java.lang.Long.compare(a.toLong, b.toLong))
       case FloatType | DoubleType =>
-        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+        val x = a.toDouble
+        val y = b.toDouble
+        // NaN: no claim. parquet-mr omits min/max entirely when a page
+        // saw NaN, but files IMPORTED via add_files/migrate come from
+        // arbitrary writers (old parquet-cpp wrote NaN into stats) —
+        // a total-order compare against such stats would prune files
+        // whose rows match. ±0.0: primitive == makes them equal, the
+        // SQL semantics; Double.compare would order them and prune a
+        // foreign file whose only value is the other zero.
+        if (x.isNaN || y.isNaN) None
+        else if (x == y) Some(0)
+        else Some(java.lang.Double.compare(x, y))
       case _: DecimalType =>
         Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
       case BooleanType => Some(a.toBoolean.compareTo(b.toBoolean))
-      case StringType | _: CharType | _: VarcharType => Some(a.compareTo(b))
+      // UNSIGNED UTF-8 BYTE order, NOT String.compareTo: parquet
+      // min/max for strings are unsigned-byte-lexicographic (= code
+      // point order), while Java compareTo is UTF-16 code-unit order.
+      // The two disagree whenever supplementary characters (emoji,
+      // rare CJK) meet U+E000..U+FFFF: surrogates sort below +
+      // in UTF-16 but supplementary code points sort ABOVE all BMP in
+      // byte order — comparing across orders pruned files whose rows
+      // matched (`c > '￿'` returned 0 rows on a file holding
+      // U+1F600; FileStatsSoundnessSuite pins the repro).
+      case StringType | _: CharType | _: VarcharType => Some(utf8Cmp(a, b))
       // Parquet stores date as epoch-day int, timestamp as long micros —
       // both footer-encoded as numeric strings, filter literals likewise
       // (see encodeLiteral), so numeric compare is exact.
@@ -189,6 +216,18 @@ object FileStats {
         Some((t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString)
       case (t: java.time.Instant, _) =>
         Some((t.getEpochSecond * 1000000L + t.getNano / 1000).toString)
+      // TimestampNTZ literals arrive as LocalDateTime; parquet stores
+      // NTZ as micros of the wall-clock value (zone-free = epoch at
+      // UTC), so encode the same way — without this case the literal
+      // fell through to toString and NTZ filters never pruned
+      case (t: java.time.LocalDateTime, _) =>
+        Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000).toString)
+      // float/double NaN: no stats claim is sound (see cmp) — parquet-mr
+      // omits min/max for NaN pages, but the literal side must decline
+      // too or `= NaN` probes prune imported files with NaN-bearing stats
+      case (f: java.lang.Float, _) if f.isNaN => None
+      case (d: java.lang.Double, _) if d.isNaN => None
       case (other, _) => Some(other.toString)
     }
 
@@ -514,11 +553,20 @@ object FileStats {
           case StringType | _: CharType | _: VarcharType => true
           case _ => false
         }
-        mn.forall(m => m.take(prefix.length) <= prefix) &&
-          mx.forall(m => m.take(prefix.length) >= prefix) &&
-          // the stat space IS the string value space only for string
-          // columns; other types' sets make no prefix claim
-          (!stringly ||
+        // prefix probes run in the SAME unsigned-byte order the
+        // footer min/max were computed under (see cmp): truncate the
+        // bound to the prefix's BYTE length and compare unsigned — a
+        // UTF-16 compareTo here has the same supplementary-character
+        // unsoundness the equality path had
+        def bytePrefixLe(m: String, geq: Boolean): Boolean = {
+          val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mb = m.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val t = java.util.Arrays.compareUnsigned(mb.take(pb.length), pb)
+          if (geq) t >= 0 else t <= 0
+        }
+        !stringly ||
+          (mn.forall(m => bytePrefixLe(m, geq = false)) &&
+            mx.forall(m => bytePrefixLe(m, geq = true)) &&
             file.valueSets.get(a).forall(_.exists(_.startsWith(prefix))))
       case And(l, r) => mayMatch(file, l, schema) && mayMatch(file, r, schema)
       case Or(l, r) => mayMatch(file, l, schema) || mayMatch(file, r, schema)

@@ -606,8 +606,20 @@ private[lake] object LakeAggPushdown {
       : Option[(DataType, Boolean, Seq[DataFileMeta] => Any)] = {
     val bounds = if (isMin) (df: DataFileMeta) => df.minValues
       else (df: DataFileMeta) => df.maxValues
+    // NaN stats decline the whole aggregate: parquet-mr never writes
+    // them (NaN pages drop min/max entirely → `ok` already fails),
+    // but files IMPORTED via add_files/migrate come from arbitrary
+    // writers, and FileStats.cmp makes no NaN claim — reducing
+    // through getOrElse(0) would pick an arbitrary bound while
+    // Spark's MIN/MAX semantics order NaN greatest.
+    def usable(v: String): Boolean = decode(v, f.dataType).isDefined &&
+      (f.dataType match {
+        case FloatType | DoubleType =>
+          scala.util.Try(v.toDouble).toOption.exists(!_.isNaN)
+        case _ => true
+      })
     val ok = files.forall(df => bounds(df).get(statName(df, f.name))
-      .exists(decode(_, f.dataType).isDefined))
+      .exists(usable))
     if (!ok) return None
     Some((f.dataType, true, (fs: Seq[DataFileMeta]) => {
       if (fs.isEmpty) null
