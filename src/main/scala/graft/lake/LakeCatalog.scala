@@ -204,7 +204,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists0(ident)) throw new TableAlreadyExistsException(ident)
     val loc = tableLocation(ident)
     val spec = partitions.toSeq.map(Transforms.fromTransform)
-    val props = properties.asScala.toMap - TableCatalog.PROP_LOCATION
+    val props = Transforms.stampZone(
+      properties.asScala.toMap - TableCatalog.PROP_LOCATION, spec)
     val meta0 = TableMeta.empty(loc, schema, spec, props)
     val meta = MetadataLog.commit(meta0, hadoopConf)
     new LakeTable(this, ident, meta, None, "main")
@@ -304,7 +305,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       replace: Boolean, orCreate: Boolean): StagedTable = {
     val loc = tableLocation(ident)
     val spec = partitions.toSeq.map(Transforms.fromTransform)
-    val props = properties.asScala.toMap - TableCatalog.PROP_LOCATION
+    val props = Transforms.stampZone(
+      properties.asScala.toMap - TableCatalog.PROP_LOCATION, spec)
     val base = if (replace && tableExists0(ident)) {
       // RTAS: schema/spec/properties replaced (not merged,
       // iceberg_it.py:481-511), snapshot history retained.

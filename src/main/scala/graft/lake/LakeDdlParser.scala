@@ -187,8 +187,11 @@ case class LakePartitionFieldCommand(table: Seq[String], add: Boolean,
         f.name == field.name ||
           (f.transform == field.transform && f.sourceColumn == field.sourceColumn))
     // old files keep their old partition values; only new writes use
-    // the evolved spec (spec-versioned layout, SURVEY.md §7.4.2)
-    cat.commitMeta(meta.copy(partitionSpec = newSpec))
+    // the evolved spec (spec-versioned layout, SURVEY.md §7.4.2).
+    // Adding the table's first TIME transform pins the transform zone
+    // (Transforms.ZoneProp) exactly like CREATE would.
+    cat.commitMeta(meta.copy(partitionSpec = newSpec,
+      properties = Transforms.stampZone(meta.properties, newSpec)))
     Nil
   }
 }
@@ -210,7 +213,9 @@ case class LakeReplacePartitionFieldCommand(table: Seq[String],
     require(dropped.size < meta.partitionSpec.size,
       s"partition field $oldName does not exist " +
         s"(have: ${meta.partitionSpec.map(_.name).mkString(", ")})")
-    cat.commitMeta(meta.copy(partitionSpec = dropped :+ newField))
+    val replacedSpec = dropped :+ newField
+    cat.commitMeta(meta.copy(partitionSpec = replacedSpec,
+      properties = Transforms.stampZone(meta.properties, replacedSpec)))
     Nil
   }
 }

@@ -64,7 +64,7 @@ object LakeFanoutWrite {
     val resolvable = meta.partitionSpec.filter(f =>
       Transforms.leafType(schema, f.sourceColumn).isDefined)
     val cols = resolvable.zipWithIndex.map { case (f, i) =>
-      Transforms.eval(f, schema).as(s"__p$i")
+      Transforms.eval(f, schema, Transforms.zoneOf(meta)).as(s"__p$i")
     }
     val analyzed = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)

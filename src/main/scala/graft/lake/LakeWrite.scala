@@ -542,7 +542,8 @@ object LakeWriteUtil {
       meta: TableMeta): Map[String, Set[Map[String, String]]] = {
     if (meta.partitionSpec.isEmpty || paths.isEmpty) return Map.empty
     val schema = meta.schema
-    val cols = meta.partitionSpec.map(f => Transforms.eval(f, schema).as(f.name))
+    val cols = meta.partitionSpec.map(f =>
+      Transforms.eval(f, schema, Transforms.zoneOf(meta)).as(f.name))
     spark.read.parquet(paths: _*)
       .select(input_file_name().as("__file") +: cols: _*)
       .distinct().collect()
@@ -768,7 +769,8 @@ object LakeWriteUtil {
         val schema = meta.schema
         val sep = "\u0001"
         val key = concat_ws(sep,
-          meta.partitionSpec.map(f => Transforms.eval(f, schema)): _*)
+          meta.partitionSpec.map(f =>
+            Transforms.eval(f, schema, Transforms.zoneOf(meta))): _*)
         val stagedKeys = stagedTuples.map(t =>
           meta.partitionSpec.map(f => t(f.name)).mkString(sep)).toSeq
         rewriteFiles(spark, meta, partials,

@@ -69,10 +69,37 @@ object Transforms {
     case "hours"    => Expressions.hours(f.sourceColumn)
   }
 
+  /** Table property pinning the zone every time transform
+    * (years/months/days/hours) on a TimestampType source evaluates
+    * under. Stamped from the creating session's timezone; without it
+    * `date_format` uses the WRITING session's zone, so two writer
+    * sessions in different zones produce DIFFERENT partition tuples
+    * for the same instant — and a dynamic overwrite staged in one
+    * zone fails to match (and therefore fails to replace) files
+    * committed from another, silently keeping rows it should have
+    * replaced. DATE and TimestampNTZ sources are zone-free either
+    * way. Legacy tables without the property keep the session-zone
+    * behavior they were written under (documented in
+    * TransformZoneSuite). */
+  val ZoneProp = "write.transform.zone"
+
+  def zoneOf(meta: TableMeta): Option[String] = meta.properties.get(ZoneProp)
+
+  /** Stamp [[ZoneProp]] into creation properties when the spec has a
+    * time transform (no-op if the user set a zone explicitly). */
+  def stampZone(props: Map[String, String], spec: Seq[PartitionFieldMeta])
+      : Map[String, String] =
+    if (props.contains(ZoneProp) ||
+        !spec.exists(f => Set("years", "months", "days", "hours")(f.transform)))
+      props
+    else props + (ZoneProp -> org.apache.spark.sql.SparkSession.active
+      .sessionState.conf.sessionLocalTimeZone)
+
   /** Transform as a Column over the source column (string-encoded so
     * partition values serialize uniformly into the manifest). */
   def eval(f: PartitionFieldMeta,
-      schema: org.apache.spark.sql.types.StructType): Column = {
+      schema: org.apache.spark.sql.types.StructType,
+      zone: Option[String] = None): Column = {
     import org.apache.spark.sql.types._
     val c = col(f.sourceColumn)
     // resolve the source's leaf type through dotted struct paths —
@@ -83,16 +110,34 @@ object Transforms {
       case _: org.apache.spark.sql.types.NumericType => true
       case _ => false
     }
+    // pinned-zone formatting applies only to TimestampType (an
+    // instant): DATE/NTZ values are wall-clock, zone-free under
+    // date_format regardless of session. Expressions carry an
+    // explicit timeZoneId, which analysis preserves (ResolveTimeZone
+    // only fills in missing ones).
+    val pinned = zone.filter(_ =>
+      leafType(schema, f.sourceColumn).contains(TimestampType))
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Literal, Year}
+    import org.apache.spark.sql.graft.Shims
+    def fmtTz(fmt: String): Column = pinned match {
+      case Some(z) => Shims.column(
+        DateFormatClass(Shims.expression(c), Literal(fmt), Some(z)))
+      case None => date_format(c, fmt)
+    }
     val v = f.transform match {
       case "identity" => c
       case "bucket"   => pmod(abs(xxhash64(c)), lit(f.param.get))
       case "truncate" if numeric =>
         c.cast("long") - pmod(c.cast("long"), lit(f.param.get.toLong))
       case "truncate" => substring(c.cast("string"), 1, f.param.get)
-      case "years"    => year(c)
-      case "months"   => date_format(c, "yyyy-MM")
-      case "days"     => date_format(c, "yyyy-MM-dd")
-      case "hours"    => date_format(c, "yyyy-MM-dd-HH")
+      case "years"    => pinned match {
+        case Some(z) => Shims.column(Year(
+          Cast(Shims.expression(c), DateType, Some(z))))
+        case None => year(c)
+      }
+      case "months"   => fmtTz("yyyy-MM")
+      case "days"     => fmtTz("yyyy-MM-dd")
+      case "hours"    => fmtTz("yyyy-MM-dd-HH")
     }
     v.cast("string")
   }
