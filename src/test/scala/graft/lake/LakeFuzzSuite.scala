@@ -637,6 +637,123 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
     runPart("mor", seed = 31, nOps = 16)
   }
 
+  /** TIME-transform partition fuzz under SESSION-ZONE churn: a
+    * days(ts)-partitioned table created in UTC (pinning
+    * `write.transform.zone` = UTC), then every op runs under a
+    * randomly flipped session timezone. Instants insert via
+    * `timestamp_micros(...)` (zone-free literals) so the model is
+    * exact; the model computes each row's day in the PINNED zone.
+    * Invariants after every op: full state equality, and a sampled
+    * `ts >= X` filtered read (timestamp stats pruning must never
+    * drop matching rows). Dynamic overwrite targets a model-computed
+    * UTC day — pre-pinning, an overwrite from a flipped zone matched
+    * nothing and the replaced rows survived. */
+  private def runTimePart(mode: String, seed: Long, nOps: Int): Unit = {
+    val tbl = s"lake.db.fzt_${mode}_$seed"
+    val zones = Seq("UTC", "America/Los_Angeles", "Asia/Tokyo",
+      "Australia/Eucla") // incl. a +08:45 oddity
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val props =
+        if (mode == "mor")
+          """TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+            |'write.update.mode'='merge-on-read')""".stripMargin
+        else ""
+      sql(s"""CREATE TABLE $tbl (id bigint, ts timestamp, v string)
+             |USING lake PARTITIONED BY (days(ts)) $props""".stripMargin)
+      val rng = new scala.util.Random(seed)
+      val dayUs = 86400L * 1000000L
+      // instants spread over 6 days around an epoch base; day
+      // boundaries in LA/Tokyo fall mid-day UTC, so zone bugs move
+      // rows across tuples
+      val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00Z
+      def randUs(): Long = baseUs + rng.nextInt(6) * dayUs +
+        rng.nextInt(86400) * 1000000L
+      def utcDay(us: Long): Long = Math.floorDiv(us, dayUs)
+      // model: id -> (micros, v)
+      val model = scala.collection.mutable.LinkedHashMap[Long, (Long, String)]()
+      var nextId = 0L
+      def lit(rows: Seq[(Long, (Long, String))]): String =
+        rows.map { case (i, (us, v)) =>
+          s"($i, timestamp_micros(${us}L), '$v')" }.mkString(", ")
+      def state(): Map[Long, (Long, String)] =
+        sql(s"SELECT id, unix_micros(ts), v FROM $tbl").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      (0 until nOps).foreach { opIdx =>
+        spark.conf.set("spark.sql.session.timeZone",
+          zones(rng.nextInt(zones.size)))
+        rng.nextInt(8) match {
+          case 0 | 1 | 2 =>
+            val rows = (nextId until nextId + 1 + rng.nextInt(4))
+              .map(i => i -> (randUs(), s"v${rng.nextInt(100)}"))
+            nextId += rows.size
+            sql(s"INSERT INTO $tbl VALUES ${lit(rows)}")
+            model ++= rows
+          case 3 =>
+            val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+            sql(s"DELETE FROM $tbl WHERE id % $k = $r")
+            model.filterInPlace((i, _) => i % k != r)
+          case 4 =>
+            val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+            sql(s"UPDATE $tbl SET v = concat(v, '+') WHERE id % $k = $r")
+            model.mapValuesInPlace((i, uv) =>
+              if (i % k == r) (uv._1, uv._2 + "+") else uv)
+          case 5 => // dynamic overwrite of one PINNED-zone day
+            val day = baseUs / dayUs + rng.nextInt(6)
+            val rows = (nextId until nextId + 2 + rng.nextInt(2)).map(i =>
+              i -> (day * dayUs + rng.nextInt(86400) * 1000000L,
+                s"o${rng.nextInt(100)}"))
+            nextId += rows.size
+            sql(s"INSERT OVERWRITE $tbl VALUES ${lit(rows)}")
+            model.filterInPlace((_, uv) => utcDay(uv._1) != day)
+            model ++= rows
+          case 6 => sql(s"CALL lake.system.rewrite_data_files(" +
+            s"table => 'db.${tbl.split('.').last}')")
+          case 7 => // filtered read: timestamp pruning must keep matches
+            val cutUs = baseUs + rng.nextInt(6 * 86400).toLong * 1000000L
+            val got = sql(s"SELECT id FROM $tbl " +
+              s"WHERE ts >= timestamp_micros(${cutUs}L)")
+              .collect().map(_.getLong(0)).toSet
+            val want = model.collect {
+              case (i, (us, _)) if us >= cutUs => i }.toSet
+            assert(got == want,
+              s"time $mode seed=$seed filtered read diverged op #$opIdx")
+        }
+        assert(state() == model.toMap,
+          s"time $mode seed=$seed diverged after op #$opIdx " +
+            s"(zone=${spark.conf.get("spark.sql.session.timeZone")})")
+      }
+      // every LIVE day appears as a pinned-zone (UTC) tuple; the
+      // metadata may list more (MoR keeps a tuple whose rows are all
+      // delete-masked), but never a tuple outside the generated days
+      // and never a zone-shifted spelling
+      val tuples = sql(s"SELECT partition FROM $tbl.partitions")
+        .collect().map(_.get(0).toString).distinct.toSet
+      def dayStr(day: Long): String = "{ts_day=%s}".format(
+        java.time.LocalDate.ofEpochDay(day).toString)
+      val wantDays = model.values.map(uv => dayStr(utcDay(uv._1))).toSet
+      val allDays = (0 until 6).map(d => dayStr(baseUs / dayUs + d)).toSet
+      assert(wantDays.subsetOf(tuples),
+        s"live pinned-zone days missing from tuples: " +
+          s"${(wantDays -- tuples).mkString(", ")}")
+      assert(tuples.subsetOf(allDays),
+        s"zone-shifted tuple spelling leaked: " +
+          s"${(tuples -- allDays).mkString(", ")}")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevZone)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+    sql(s"DROP TABLE $tbl")
+  }
+
+  test("fuzz: days(ts) partitioning under session-zone churn, both modes") {
+    runTimePart("cow", seed = 37, nOps = 16)
+    runTimePart("mor", seed = 37, nOps = 16)
+  }
+
   /** Upsert-table fuzz: `write.upsert.enabled` turns every INSERT into
     * a write-without-read upsert (data files + one equality-delete
     * file of the batch keys, Iceberg-v2 / Flink-sink semantics).
@@ -1111,6 +1228,8 @@ class LakeFuzzSuite extends AnyFunSuite with BeforeAndAfterAll {
       step("frozen-mor")(runFrozen("mor", s, nOps = 20))
       step("part-cow")(runPart("cow", s, nOps = 24))
       step("part-mor")(runPart("mor", s, nOps = 24))
+      step("time-cow")(runTimePart("cow", s, nOps = 20))
+      step("time-mor")(runTimePart("mor", s, nOps = 20))
       step("upsert-cow")(runUpsert("cow", s, nOps = 24))
       step("upsert-mor")(runUpsert("mor", s, nOps = 24))
       step("branch")(runBranch(s, nOps = 30))
