@@ -42,11 +42,14 @@ object TransformFunctions {
     override def description(): String = s"lake partition transform $unit"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1, s"$unit takes one argument")
-      // Transforms.eval formats TimestampType via date_format/year,
-      // which use the SESSION timezone — the shuffle key here must
-      // agree or one partition tuple's rows scatter across tasks.
-      // Capture the zone at bind (plan) time; DATE and NTZ values are
-      // zone-free and keep UTC.
+      // Transforms.eval pins TimestampType formatting to the TABLE's
+      // write.transform.zone; this FunctionCatalog binding has no
+      // table context, so it captures the SESSION zone at bind (plan)
+      // time. A mismatch (cross-zone writer session) only scatters a
+      // tuple's rows across shuffle tasks — the fanout writer still
+      // routes every row to its correct PINNED-zone tuple, so this is
+      // file fan-in cost, never correctness (TransformZoneSuite).
+      // DATE and NTZ values are zone-free and keep UTC.
       val sessionZone = java.time.ZoneId.of(
         org.apache.spark.sql.SparkSession.active.sessionState.conf.sessionLocalTimeZone)
       new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
