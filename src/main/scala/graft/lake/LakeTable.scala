@@ -1473,11 +1473,30 @@ object LakeScans {
           If(IsNull(in), Literal(null, LakeWriteUtil.stripIdsPublic(cs)),
             CreateNamedStruct(entries.toSeq))
         }
-      case (ArrayType(cse: StructType, _), ArrayType(ese: StructType, en))
-          if cse != ese =>
-        val lv = NamedLambdaVariable("graft_pe", ese, en)
+      case (ArrayType(ce, _), ArrayType(ee, en))
+          if LakeWriteUtil.structDiffers(ce, ee) =>
+        val lv = NamedLambdaVariable("graft_pe", ee, en)
         ArrayTransform(in,
-          LambdaFunction(projectRowExpr(lv, cse, ese, tz), Seq(lv)))
+          LambdaFunction(projectRowExpr(lv, ce, ee, tz), Seq(lv)))
+      case (MapType(ck, cv, _), MapType(ek, ev, vn))
+          if LakeWriteUtil.structDiffers(ck, ek) ||
+            LakeWriteUtil.structDiffers(cv, ev) =>
+        // a positional Cast through a map whose key/value structs
+        // differ maps dead columns into live ones — dive per entry;
+        // scalar mismatches keep their widening cast in the lambda
+        val keyed = if (ck == ek) in else {
+          val k = NamedLambdaVariable("graft_pmk", ek, nullable = false)
+          val v = NamedLambdaVariable("graft_pmv", ev, vn)
+          TransformKeys(in,
+            LambdaFunction(projectRowExpr(k, ck, ek, tz), Seq(k, v)))
+        }
+        if (cv == ev) keyed else {
+          // post-key-transform key type is `ck` either way
+          val k2 = NamedLambdaVariable("graft_pmk2", ck, nullable = false)
+          val v2 = NamedLambdaVariable("graft_pmv2", ev, vn)
+          TransformValues(keyed,
+            LambdaFunction(projectRowExpr(v2, cv, ev, tz), Seq(k2, v2)))
+        }
       case _ if cur == ep => in
       case _ => Cast(in, cur, tz)
     }

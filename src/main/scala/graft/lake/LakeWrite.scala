@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{ArrayType, StructType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Write path (SURVEY.md §7.1 "write-path" + §4.3): every batch write
   * stages parquet via Spark's own vectorized writer into a fresh
@@ -892,7 +892,13 @@ object LakeWriteUtil {
       // lineage (rollback / set_current_snapshot crossed the chain)
       // falls back to every head file absent from the scan snapshot —
       // conservative, never under-reports.
-      val rowPreserving = Set("replace", "delete")
+      // isRowPreservingReplace, not the bare op name (matching the
+      // Changelog/ChangesScan/streaming call sites): a legacy RTAS
+      // snapshot from an older-build writer is labeled "replace" but
+      // stamped added-records — it DID add rows, and skipping it here
+      // would let a MERGE duplicate its NOT MATCHED inserts.
+      def rowPreserving(s: SnapshotMeta): Boolean =
+        s.isRowPreservingReplace || s.operation == "delete"
       lazy val phantomCandidates: Seq[DataFileMeta] = {
         val added = Seq.newBuilder[DataFileMeta]
         var cur: Option[SnapshotMeta] = Some(p)
@@ -900,7 +906,7 @@ object LakeWriteUtil {
         while (cur.nonEmpty && !scanId.contains(cur.get.snapshotId) && !broken) {
           val s = cur.get
           val parentSnap = s.parentId.flatMap(metaWithRef.snapshotById)
-          if (!rowPreserving(s.operation)) {
+          if (!rowPreserving(s)) {
             val pp = parentSnap.map(_.files.map(f => PosDeletes.norm(f.path)).toSet)
               .getOrElse(Set.empty)
             added ++= s.files.filterNot(f => pp(PosDeletes.norm(f.path)))
@@ -1129,7 +1135,8 @@ object LakeWriteUtil {
     * or counts differ) and was wrong for nested renames until nested
     * ids existed. Arrays of structs recurse through `transform`;
     * other types keep the widening cast. */
-  private def projectValue(c: Column, cur: org.apache.spark.sql.types.DataType,
+  private[lake] def projectValue(c: Column,
+      cur: org.apache.spark.sql.types.DataType,
       ep: org.apache.spark.sql.types.DataType): Column = (cur, ep) match {
     case (cs: StructType, es: StructType) =>
       if (cs == es) c
@@ -1156,10 +1163,34 @@ object LakeWriteUtil {
         when(c.isNull, lit(null).cast(stripIds(cs)))
           .otherwise(struct(inner.toSeq: _*))
       }
-    case (ArrayType(cse: StructType, n), ArrayType(ese: StructType, _))
-        if cse != ese =>
-      transform(c, x => projectValue(x, cse, ese))
+    case (ArrayType(ce, _), ArrayType(ee, _))
+        if structDiffers(ce, ee) =>
+      transform(c, x => projectValue(x, ce, ee))
+    case (MapType(ck, cv, _), MapType(ek, ev, _))
+        if structDiffers(ck, ek) || structDiffers(cv, ev) =>
+      // a positional cast through a map whose key/value structs differ
+      // maps dead columns into live ones (the same lineage class the
+      // struct case fixes) — dive per entry instead; scalar key/value
+      // mismatches keep their widening cast inside the lambda
+      val keyed =
+        if (ck == ek) c
+        else transform_keys(c, (k, _) => projectValue(k, ck, ek))
+      if (cv == ev) keyed
+      else transform_values(keyed, (_, v) => projectValue(v, cv, ev))
     case _ => c.cast(cur)
+  }
+
+  /** True when a struct ANYWHERE inside the type pair differs — the
+    * signal that a positional Cast would silently misalign struct
+    * internals and the projection must recurse through the container
+    * instead. */
+  private[lake] def structDiffers(cur: org.apache.spark.sql.types.DataType,
+      ep: org.apache.spark.sql.types.DataType): Boolean = (cur, ep) match {
+    case (cs: StructType, es: StructType) => cs != es
+    case (ArrayType(ce, _), ArrayType(ee, _)) => structDiffers(ce, ee)
+    case (MapType(ck, cv, _), MapType(ek, ev, _)) =>
+      structDiffers(ck, ek) || structDiffers(cv, ev)
+    case _ => false
   }
 
   private[lake] def stripIdsPublic(dt: org.apache.spark.sql.types.DataType)

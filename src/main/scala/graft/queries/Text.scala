@@ -57,13 +57,14 @@ object TextOps {
     def getOrElseUpdate(s: SparkSession, d: String)(f: => DataFrame)
         : DataFrame = {
       m.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      val key = (s, d, ResultMemo.fingerprint(d))
+      val key = (s, d, ResultMemo.fingerprint(s, d))
       val fresh = new java.util.concurrent.FutureTask(
         new java.util.concurrent.Callable[DataFrame] {
           override def call(): DataFrame = f
         })
       val prev = m.putIfAbsent(key, fresh)
       if (prev == null) {
+        ResultMemo.computes.incrementAndGet()
         // blunt size cap: a 5th live key drops everything else (the
         // working set is 1-2 keys; the cap only bounds heap when many
         // short-lived test sessions churn dirs)
@@ -88,19 +89,29 @@ object TextOps {
   private object ResultMemo {
     val all = new java.util.concurrent.CopyOnWriteArrayList[ResultMemo]()
     val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    val computes = new java.util.concurrent.atomic.AtomicLong(0)
     /** Digest of the documents table's file listing under `d` —
       * every memoized stage here mines the documents table, so its
-      * listing is the staleness witness. One shallow directory walk,
-      * the same metadata any scan planning reads. */
-    def fingerprint(d: String): String = {
-      val root = new java.io.File(d, "documents.parquet")
-      def ls(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          f.listFiles().toSeq.sortBy(_.getPath).flatMap(ls)
-        else Seq(f)
-      val sig = if (!root.exists()) "absent"
-      else ls(root).map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
-        .mkString("\n")
+      * listing is the staleness witness. Resolved through the Hadoop
+      * FileSystem API (the same metadata any scan planning reads):
+      * a java.io.File walk sees nothing on hdfs/s3 paths, so every
+      * non-local dataset would fingerprint as the constant "absent"
+      * and silently reintroduce the stale-memo-after-rewrite hazard
+      * this digest exists to close. */
+    def fingerprint(s: SparkSession, d: String): String = {
+      val root = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val sig =
+        if (!fs.exists(root)) "absent"
+        else {
+          val b = Seq.newBuilder[String]
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val st = it.next()
+            b += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+          }
+          b.result().sorted.mkString("\n")
+        }
       java.security.MessageDigest.getInstance("MD5")
         .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -113,6 +124,11 @@ object TextOps {
   /** Total memo reads served instead of executed (bench harness
     * reports which timed queries consumed a materialized frame). */
   def memoHits: Long = ResultMemo.hits.get()
+
+  /** Total memo COMPUTATIONS (fresh entries paid for) — the bench
+    * harness distinguishes the query that paid a mining stage from
+    * the ones that read it, so a re-timed sample is attributable. */
+  def memoComputes: Long = ResultMemo.computes.get()
 
   /** Whitespace tokens of normalized text. */
   private def toks(text: Column): Column =
@@ -427,80 +443,96 @@ object TextOps {
     * round-trip must not change one row. DedupIndexSuite drives the
     * full nightly cycle (probe → drop dups → append survivors →
     * re-probe) and pins the no-exchange probe plan + the sig-file
-    * pruning. */
+    * pruning.
+    *
+    * The gate runs build (3 lake-table writes) and probe eagerly,
+    * reporting each as its own [[graft.StageTimes]] stage — the
+    * headline number is build + probe, but the SERVING claim is the
+    * probe alone, so the bench artifact carries the split. The SPJ
+    * confs the candidate join needs are set on a CLONED session
+    * (never on the caller's — a query planned concurrently on the
+    * shared session must not inherit a disabled broadcast
+    * threshold), and the scratch tables are dropped before
+    * returning. */
   def tIncrementalDedupIndexed(s: SparkSession, d: String): DataFrame = {
     LakeOps.cat(s)
-    val sigs = minhashSigsCk(s, d)
-    val post = sigs.select(col("doc_id"), explode(minhashBands).as("band_hash"))
     val postT = LakeOps.fresh("dedupidx_post")
     val sigT = LakeOps.fresh("dedupidx_sig")
     val batchT = LakeOps.fresh("dedupidx_batch")
-    post.filter(col("doc_id") % 2 === 0)
-      .writeTo(s"lakeq.db.$postT").using("lake")
-      .partitionedBy(bucket(8, col("band_hash"))).create()
-    // the doc_id bloom is what lets the verify join's runtime filter
-    // reach the scan (filterAttributes reports bloomed columns);
-    // dictionary encoding is disabled for it because parquet drops
-    // the bloom for fully-dictionary-encoded columns
-    sigs.filter(col("doc_id") % 2 === 0)
-      .repartitionByRange(8, col("doc_id"))
-      .writeTo(s"lakeq.db.$sigT").using("lake")
-      .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
-        "true")
-      .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
-        "16384")
-      .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
-      .create()
-    post.filter(col("doc_id") % 2 === 1)
-      .writeTo(s"lakeq.db.$batchT").using("lake")
-      .partitionedBy(bucket(8, col("band_hash"))).create()
+    val sigs = graft.StageTimes.timed("t_incremental_dedup_indexed.build") {
+      val sg = minhashSigsCk(s, d)
+      val post = sg.select(col("doc_id"), explode(minhashBands).as("band_hash"))
+      post.filter(col("doc_id") % 2 === 0)
+        .writeTo(s"lakeq.db.$postT").using("lake")
+        .partitionedBy(bucket(8, col("band_hash"))).create()
+      // the doc_id bloom is what lets the verify join's runtime filter
+      // reach the scan (filterAttributes reports bloomed columns);
+      // dictionary encoding is disabled for it because parquet drops
+      // the bloom for fully-dictionary-encoded columns
+      sg.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(8, col("doc_id"))
+        .writeTo(s"lakeq.db.$sigT").using("lake")
+        .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
+          "true")
+        .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
+          "16384")
+        .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
+        .create()
+      post.filter(col("doc_id") % 2 === 1)
+        .writeTo(s"lakeq.db.$batchT").using("lake")
+        .partitionedBy(bucket(8, col("band_hash"))).create()
+      sg
+    }
 
-    // probe: storage-partitioned join on the shared bucketing — the
-    // confs only need to hold while the candidate frame materializes
-    // (eager checkpoint), so they are restored before returning
-    val conf = s.conf
-    val prevB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-    val prevT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val cand =
-      try s.table(s"lakeq.db.$batchT")
-        .join(s.table(s"lakeq.db.$postT").toDF("dup_of", "band_hash"),
+    val result = graft.StageTimes.timed("t_incremental_dedup_indexed.probe") {
+      // probe: storage-partitioned join on the shared bucketing. The
+      // confs it needs (v2 bucketing on, broadcast off so the planner
+      // cannot trade the exchange-free SPJ for a broadcast) live on
+      // their own SESSION (shared SparkContext, separate SQLConf) —
+      // never on the caller's, where a concurrently planned query
+      // would inherit a disabled broadcast threshold. The catalog is
+      // disk-backed, so the new session sees the freshly created
+      // tables through its own catalog instance.
+      val sc = s.newSession()
+      LakeOps.cat(sc)
+      sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = sc.table(s"lakeq.db.$batchT")
+        .join(sc.table(s"lakeq.db.$postT").toDF("dup_of", "band_hash"),
           Seq("band_hash"))
         .select(col("doc_id"), col("dup_of"))
         .distinct()
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
-      finally {
-        prevB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
-          v => conf.set("spark.sql.sources.v2.bucketing.enabled", v))
-        prevT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-          v => conf.set("spark.sql.autoBroadcastJoinThreshold", v))
-      }
 
-    // verify: id-pairs-only broadcast prunes the stored sig files;
-    // the two candidate-scale sides then meet in a pair-keyed join.
-    // The id-domain filter is true by construction (doc ids are
-    // non-negative) — it is the selective predicate the runtime-filter
-    // planner requires on the build side before it hands the candidate
-    // ids to the sig scan for file skipping
-    val withB = s.table(s"lakeq.db.$sigT")
-      .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
-      .join(broadcast(cand.filter(col("dup_of") >= 0)), Seq("dup_of"))
-    withB
-      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
-      .select(col("doc_id"), col("dup_of"),
-        round(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / 16.0,
-          4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("est_jaccard").as("j"), (-col("dup_of")).as("nd")))
-        .as("m"))
-      .select(col("doc_id"), (-col("m.nd")).cast("long").as("dup_of"),
-        col("m.j").as("est_jaccard"))
-      .orderBy(col("doc_id"))
+      // verify: id-pairs-only broadcast prunes the stored sig files;
+      // the two candidate-scale sides then meet in a pair-keyed join.
+      // The id-domain filter is true by construction (doc ids are
+      // non-negative) — it is the selective predicate the runtime-filter
+      // planner requires on the build side before it hands the candidate
+      // ids to the sig scan for file skipping
+      val withB = s.table(s"lakeq.db.$sigT")
+        .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+        .join(broadcast(cand.filter(col("dup_of") >= 0)), Seq("dup_of"))
+      withB
+        .join(sigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+        .select(col("doc_id"), col("dup_of"),
+          round(aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / 16.0,
+            4).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("est_jaccard").as("j"), (-col("dup_of")).as("nd")))
+          .as("m"))
+        .select(col("doc_id"), (-col("m.nd")).cast("long").as("dup_of"),
+          col("m.j").as("est_jaccard"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
+    // result is materialized — the per-invocation scratch tables can go
+    Seq(postT, sigT, batchT).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+    result.orderBy(col("doc_id"))
   }
 
   /** Max document frequency for a shingle to stay in the inverted

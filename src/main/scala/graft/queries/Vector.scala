@@ -326,6 +326,31 @@ object VectorOps {
     * shared — the gate proves the storage path returns the identical
     * top-5. */
   def vAnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val (t, withSims) = graft.StageTimes.timed("v_ann_ivf_indexed.build")(
+      buildStoredIvf(s, d))
+    // the gate's probe runs EAGERLY so build and probe each report
+    // their own StageTimes figure — the serving-path claim is the
+    // probe number, the build is the amortized one-time cost
+    val result = graft.StageTimes.timed("v_ann_ivf_indexed.probe")(
+      probeStoredIvf(s, t, withSims, qVecId = 0)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY))
+    // repeat probes with OTHER query vectors against the SAME stored
+    // index: per-probe time ≈ the first probe proves index REUSE is
+    // what the serving path pays, not a rebuild per query
+    Seq(1L -> "probe2", 2L -> "probe3").foreach { case (qid, stage) =>
+      graft.StageTimes.timed(s"v_ann_ivf_indexed.$stage")(
+        probeStoredIvf(s, t, withSims, qid).count())
+    }
+    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+    result.orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** Build the stored inverted file (see [[vAnnIvfIndexed]]) and
+    * return (table name, assignment frame). The table is the caller's
+    * to drop — VectorQualitySuite keeps it to count planned files. */
+  private[graft] def buildStoredIvf(s: SparkSession, d: String)
+      : (String, DataFrame) = {
     LakeOps.cat(s)
     val t = LakeOps.fresh("ivfidx")
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
@@ -333,17 +358,24 @@ object VectorOps {
     withSims.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
       .writeTo(s"lakeq.db.$t").using("lake")
       .partitionedBy(col("cell")).create()
-    // nprobe best cells for the query vector: bounded scalar collect
-    val probeCells: Array[Long] = withSims.filter(col("vec_id") === 0)
+    (t, withSims)
+  }
+
+  /** One probe of the stored inverted file for query vector `qVecId`:
+    * nprobe best cells (bounded scalar collect), then a cell-pruned
+    * scan of the index table scored against the broadcast query row. */
+  private[graft] def probeStoredIvf(s: SparkSession, table: String,
+      withSims: DataFrame, qVecId: Long): DataFrame = {
+    val probeCells: Array[Long] = withSims.filter(col("vec_id") === qVecId)
       .select(explode(slice(sort_array(transform(col("sims"), s0 =>
         struct((-s0.getField("csim")).as("negsim"),
           s0.getField("cid").as("cid")))), 1, 2)).as("t"))
       .select(col("t.cid")).collect().map(_.getLong(0))
-    val q = withSims.filter(col("vec_id") === 0)
+    val q = withSims.filter(col("vec_id") === qVecId)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    s.table(s"lakeq.db.$t")
+    s.table(s"lakeq.db.$table")
       .where(col("cell").isin(probeCells.map(c => c: Any): _*))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= qVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
         round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 4)

@@ -99,11 +99,11 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
 
   test("stored IVF index: probe plans fewer files than the full index") {
     assume(ready)
-    // building the index runs eagerly inside the call; the returned
-    // frame is only the probe query over the lake table
-    val probe = graft.queries.VectorOps.vAnnIvfIndexed(spark, sfDir)
-    val t = spark.sql("SHOW TABLES IN lakeq.db").collect()
-      .map(_.getString(1)).filter(_.startsWith("ivfidx")).last
+    // the gate itself drops its index after its eager probe, so build
+    // through the keep variant and count planned files ourselves
+    val (t, withSims) = graft.queries.VectorOps.buildStoredIvf(spark, sfDir)
+    val probe = graft.queries.VectorOps
+      .probeStoredIvf(spark, t, withSims, qVecId = 0)
     graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
     val totalRows = spark.table(s"lakeq.db.$t").collect().length
     val total = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
@@ -118,5 +118,6 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
         "did not prune non-probed cells (stored-index probe would " +
         "read the whole corpus at scale)")
     info(s"index rows=$totalRows files=$total, probe planned $probed")
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 }

@@ -267,6 +267,84 @@ class NestedEvolutionSuite extends AnyFunSuite with BeforeAndAfterAll {
     sql("DROP TABLE lake.db.nppar")
   }
 
+  // DDL cannot (yet) evolve struct fields INSIDE map values or array
+  // elements — SchemaEvolution refuses the path loudly — but the
+  // projection layer must not depend on that invariant: any future
+  // evolution path (or legacy id-less metadata) that leaves the two
+  // epochs' container internals differing would hit the positional
+  // Cast fallback, which silently maps a dead column's data into a
+  // same-position live one. These pin the container dive directly.
+  test("projectRowExpr dives map-of-struct values by field id") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    def fid(i: Long) = new MetadataBuilder()
+      .putLong(TableMeta.FieldIdKey, i).build()
+    val epV = StructType(Seq(
+      StructField("a", LongType, true, fid(2)),
+      StructField("b", LongType, true, fid(3))))
+    // b dropped and re-added under the SAME name with a fresh id —
+    // same arity, so a positional cast would resurrect the dead data
+    val curV = StructType(Seq(
+      StructField("a", LongType, true, fid(2)),
+      StructField("b", LongType, true, fid(4))))
+    val ep = MapType(StringType, epV)
+    val cur = MapType(StringType, curV)
+    val in = Literal.create(Map("k" -> org.apache.spark.sql.Row(1L, 100L)), ep)
+    val out = LakeScans.projectRowExpr(in, cur, ep, None).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val v = out.valueArray().getStruct(0, 2)
+    assert(v.getLong(0) == 1L, "live nested field must keep its value")
+    assert(v.isNullAt(1),
+      "re-added map-value field must read NULL, not the dead column's data")
+  }
+
+  test("projectRowExpr dives arrays-of-arrays-of-struct by field id") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    def fid(i: Long) = new MetadataBuilder()
+      .putLong(TableMeta.FieldIdKey, i).build()
+    val epV = StructType(Seq(
+      StructField("a", LongType, true, fid(2)),
+      StructField("b", LongType, true, fid(3))))
+    val curV = StructType(Seq(
+      StructField("a", LongType, true, fid(2)),
+      StructField("b", LongType, true, fid(4))))
+    val ep = ArrayType(ArrayType(epV))
+    val cur = ArrayType(ArrayType(curV))
+    val in = Literal.create(
+      Seq(Seq(org.apache.spark.sql.Row(7L, 700L))), ep)
+    val out = LakeScans.projectRowExpr(in, cur, ep, None).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = out.getArray(0).getStruct(0, 2)
+    assert(v.getLong(0) == 7L)
+    assert(v.isNullAt(1),
+      "re-added field two array levels down must read NULL")
+  }
+
+  test("projectValue (write path) dives map-of-struct values by field id") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    def fid(i: Long) = new MetadataBuilder()
+      .putLong(TableMeta.FieldIdKey, i).build()
+    val epV = StructType(Seq(
+      StructField("a", LongType, true, fid(2)),
+      StructField("b", LongType, true, fid(3))))
+    val curV = StructType(Seq(
+      StructField("a", LongType, true, fid(2)),
+      StructField("b", LongType, true, fid(4))))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        Map("k" -> org.apache.spark.sql.Row(1L, 100L)))),
+      StructType(Seq(StructField("m", MapType(StringType, epV)))))
+    val out = df.select(LakeWriteUtil.projectValue(col("m"),
+        MapType(StringType, curV), MapType(StringType, epV)).as("m"))
+      .collect()(0).getMap[String, org.apache.spark.sql.Row](0)
+    val v = out("k")
+    assert(v.getLong(0) == 1L)
+    assert(v.isNullAt(1),
+      "compaction/delta rewrite must not resurrect dead map-value data")
+  }
+
   test("dropping a struct that contains a partition source is refused") {
     sql("CREATE TABLE lake.db.npdrop (id bigint, " +
       "s struct<ts: timestamp, v: bigint>) USING lake " +
