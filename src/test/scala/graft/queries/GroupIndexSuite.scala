@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored dedup-group-label index
+  * ([[TextOps.tDedupGroupsIndexed]]) — the oracle gate proves the
+  * served ROWS equal the in-memory grouping; this suite pins the
+  * refresh algebra that makes the stored labels maintainable at
+  * corpus scale:
+  *
+  *  - component merging runs in LABEL SPACE: each refresh contracts
+  *    the batch's edges to stored component labels first, so the
+  *    propagation loop's input is pair-scale, never corpus-scale;
+  *  - a merge that spans existing components relabels EVERY member of
+  *    both through one group_id-keyed MERGE, including members no new
+  *    edge touches;
+  *  - refreshes compose: labels after N batches equal the one-shot
+  *    grouping of all docs seen so far, regardless of how edges are
+  *    split across batches (transitive merges across batch
+  *    boundaries included).
+  */
+class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("group-index")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LakeOps.cat(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairs(ps: (Long, Long)*): DataFrame = {
+    val sp = spark; import sp.implicits._
+    ps.toSeq.toDF("doc_a", "doc_b")
+  }
+
+  private def docs(ids: Long*): DataFrame = {
+    val sp = spark; import sp.implicits._
+    ids.toSeq.toDF("doc_id")
+  }
+
+  private def labelsOf(t: String): Map[Long, Long] =
+    spark.table(s"lakeq.db.$t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def freshStore(initial: Map[Long, Long]): String = {
+    val sp = spark; import sp.implicits._
+    val t = LakeOps.fresh("grpidxspec")
+    initial.toSeq.toDF("doc_id", "group_id")
+      .writeTo(s"lakeq.db.$t").using("lake")
+      .partitionedBy(bucket(4, col("doc_id"))).create()
+    t
+  }
+
+  test("refresh merges batch docs into stored components") {
+    // store: {0,2} labeled 0, {4} singleton
+    val t = freshStore(Map(0L -> 0L, 2L -> 0L, 4L -> 4L))
+    // batch doc 5 duplicates doc 2 → joins component 0
+    TextOps.refreshGroupIndex(spark, t, pairs(2L -> 5L), docs(5L))
+    assert(labelsOf(t) == Map(0L -> 0L, 2L -> 0L, 4L -> 4L, 5L -> 0L))
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  test("a bridging batch doc relabels every member of both components") {
+    // two stored components {2,6} (label 2) and {4,8} (label 4); batch
+    // doc 9 is a near-dup of 6 AND 8 → everything becomes component 2,
+    // including members 4 and 8 that no new edge touches directly
+    val t = freshStore(Map(2L -> 2L, 6L -> 2L, 4L -> 4L, 8L -> 4L))
+    TextOps.refreshGroupIndex(spark, t, pairs(6L -> 9L, 8L -> 9L), docs(9L))
+    assert(labelsOf(t) ==
+      Map(2L -> 2L, 6L -> 2L, 4L -> 2L, 8L -> 2L, 9L -> 2L),
+      "merge keyed on group_id must relabel untouched members too")
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  test("a batch doc with the new minimum id becomes the component label") {
+    val t = freshStore(Map(4L -> 4L, 6L -> 4L))
+    TextOps.refreshGroupIndex(spark, t, pairs(6L -> 1L), docs(1L))
+    assert(labelsOf(t) == Map(1L -> 1L, 4L -> 1L, 6L -> 1L))
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  test("refreshes compose: transitive merges across batch boundaries") {
+    // batch 1 links 11 to {6}; batch 2 links 13 to 11 AND to {8} —
+    // the final component must union across both batches' edges
+    val t = freshStore(Map(6L -> 6L, 8L -> 8L))
+    TextOps.refreshGroupIndex(spark, t, pairs(6L -> 11L), docs(11L))
+    assert(labelsOf(t) == Map(6L -> 6L, 8L -> 8L, 11L -> 6L))
+    TextOps.refreshGroupIndex(spark, t,
+      pairs(11L -> 13L, 8L -> 13L), docs(13L))
+    assert(labelsOf(t) ==
+      Map(6L -> 6L, 8L -> 6L, 11L -> 6L, 13L -> 6L),
+      "second batch must merge through the first batch's labels")
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  test("edgeless batch docs append as singletons") {
+    val t = freshStore(Map(2L -> 2L))
+    TextOps.refreshGroupIndex(spark, t, pairs(), docs(7L, 9L))
+    assert(labelsOf(t) == Map(2L -> 2L, 7L -> 7L, 9L -> 9L))
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  test("gate: stored build+refresh equals the in-memory grouping") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val mem = TextOps.tDedupGroups(spark, sfDir).collect().toSeq
+    val idx = TextOps.tDedupGroupsIndexed(spark, sfDir).collect().toSeq
+    assert(mem.count(r => r.getLong(0) != r.getLong(1)) > 0,
+      "fixture should contain non-singleton groups")
+    assert(idx == mem,
+      "storage round-trip (even corpus + odd batch refresh) changed " +
+        s"the labels")
+  }
+}
