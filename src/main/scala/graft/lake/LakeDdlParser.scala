@@ -290,5 +290,17 @@ class LakeExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Uni
         require(args.length == 1, "graft_nfc(text) takes one string argument")
         graft.functions.NfcNormalize(args.head)
       }))
+    // Unicode NFKC compatibility folding: `graft_nfkc(text)` — the
+    // optional lossy pre-stage (fullwidth/ligature/superscript →
+    // canonical) for match keys; see functions/StringExpressions.scala
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfkc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfkcFold].getName, "graft_nfkc"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1,
+          "graft_nfkc(text) takes one string argument")
+        graft.functions.NfkcFold(args.head)
+      }))
   }
 }

@@ -1644,7 +1644,14 @@ object TextOps {
     * codepoint-count contraction and the md5 of the normalized bytes
     * against DuckDB's `nfc_normalize`. Pure map stage — one pass, no
     * shuffle beyond the presentation sort; the expression stays
-    * inside whole-stage codegen (CodegenSuite locks compilation). */
+    * inside whole-stage codegen (CodegenSuite locks compilation).
+    *
+    * For corpora with COMPATIBILITY variants (fullwidth CJK-page
+    * ASCII, ligatures, superscripts) the optional pre-stage is
+    * [[graft.functions.NfkcFold]] (`graft_nfkc`) composed before the
+    * match-key digest — lossy by design, so it feeds keys, never the
+    * stored text. DuckDB has no NFKC oracle, so that stage is
+    * spec-locked three ways in CodegenSuite instead of driver-gated. */
   def tNfcNormalize(s: SparkSession, d: String): DataFrame = {
     val denorm = concat(col("text"),
       // decomposed on purpose (e+U+0301, A+U+030A, o+U+0308): NFC

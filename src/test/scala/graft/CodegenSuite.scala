@@ -144,4 +144,67 @@ class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaExpr == viaJava, s"mismatch for <$c>")
     }
   }
+
+  test("graft_nfkc is registered as a SQL function and folds compatibility") {
+    assume(ready)
+    // fullwidth ASCII folds to ASCII (the CJK spam-mirror case), the
+    // fi ligature expands, superscript 2 folds to the digit; plain
+    // ASCII and null pass through -- all under CODEGEN_ONLY
+    val row = spark.sql(
+      "SELECT graft_nfkc('\uFF21\uFF22\uFF23\uFF11\uFF12\uFF13') AS fw," +
+        " graft_nfkc('e\uFB03cient x\u00B2') AS lig," +
+        " graft_nfkc('plain ascii') AS a," +
+        " graft_nfkc(CAST(NULL AS STRING)) AS z")
+      .collect().head
+    assert(row.getString(0) == "ABC123",
+      s"fullwidth must fold to ASCII, got <${row.getString(0)}>")
+    assert(row.getString(1) == "efficient x2")
+    assert(row.getString(2) == "plain ascii")
+    assert(row.isNullAt(3))
+    intercept[Exception] { spark.sql("SELECT graft_nfkc('a', 'b')") }
+  }
+
+  test("NfkcFold: interpreted eval matches codegen and java.text.Normalizer") {
+    assume(ready)
+    import graft.functions.NfkcFold
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      "plain ascii",                    // full-ASCII fast path
+      "caf\u00e9 composed",             // already-NFKC fast path
+      "\uFF21\uFF22\uFF23\uFF11",           // fullwidth -> ASCII
+      "\uFB01ne \u2460 \u212A",            // fi ligature, circled 1, Kelvin
+      "x\u00B2 + e\u0301")               // superscript + combining mark
+    for (c <- cases) {
+      // the static entry point IS both paths (defineCodeGen emits the
+      // same call nullSafeEval makes), so locking it against
+      // java.text.Normalizer locks all three ways
+      val viaExpr = NfkcFold.nfkc(UTF8String.fromString(c)).toString
+      val viaJava =
+        java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFKC)
+      assert(viaExpr == viaJava, s"mismatch for <$c>")
+    }
+  }
+
+  test("nfkc fold makes a fullwidth mirror collide with its ASCII twin") {
+    assume(ready)
+    // the pipeline wiring claim: folding as a PRE-stage of the NFC
+    // match key makes a fullwidth spam mirror dedup against the
+    // original, while the unfolded key keeps them distinct
+    import org.apache.spark.sql.functions._
+    import graft.functions.StringFunctions
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "free crypto now"),
+      (2L, "\uFF46\uFF52\uFF45\uFF45 \uFF43\uFF52\uFF59\uFF50\uFF54\uFF4F \uFF4E\uFF4F\uFF57"))
+      .toDF("doc_id", "text")
+    val keys = df.select(
+      md5(StringFunctions.nfc(col("text")).cast("binary")).as("nfc_key"),
+      md5(StringFunctions.nfkc(StringFunctions.nfc(col("text")))
+        .cast("binary")).as("folded_key"))
+      .collect()
+    assert(keys(0).getString(0) != keys(1).getString(0),
+      "NFC alone must NOT fold fullwidth (it is canonical-only)")
+    assert(keys(0).getString(1) == keys(1).getString(1),
+      "NFKC pre-stage must make the fullwidth mirror collide")
+  }
 }
