@@ -522,6 +522,14 @@ private[lake] object LakeAggPushdown {
     case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
     case DateType => Some(s.toLong.toInt)       // footer: epoch-day
     case TimestampType | TimestampNTZType => Some(s.toLong) // micros
+    // footer-stat space holds the UNSCALED integer (FileStats.encode)
+    // regardless of the physical backing (int32/int64/binary) — the
+    // COLUMN's scale re-attaches here. Without this case every
+    // metadata MIN/MAX and CBO bound on a decimal column silently
+    // declined to the scan path.
+    case d: DecimalType => Some(org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(s), d.scale),
+      d.precision, d.scale))
     case _ => None
   } catch { case _: Exception => None }
 

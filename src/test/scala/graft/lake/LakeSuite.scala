@@ -1677,6 +1677,92 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(mor.collect()(0).getLong(0) == 8)
   }
 
+  test("decimal stats: metadata min/max and pruning in the unscaled space") {
+    // the Decimal seam (r9 audit): footer stats carry the UNSCALED
+    // integer whatever the physical backing; every consumer must
+    // re-attach the COLUMN's scale. Metadata MIN/MAX must answer the
+    // scaled value, pruning literals must rescale into the same
+    // space, and an unrepresentable literal must decline (keep
+    // files), never round.
+    sql("CREATE TABLE lake.db.dect (id bigint, price decimal(9,2)) USING lake")
+    sql("""INSERT INTO lake.db.dect SELECT /*+ REPARTITION(1) */ id,
+          |cast(id + 0.25 AS decimal(9,2)) FROM range(8)""".stripMargin)
+    sql("""INSERT INTO lake.db.dect SELECT /*+ REPARTITION(1) */ id + 8,
+          |cast(id + 100.25 AS decimal(9,2)) FROM range(4)""".stripMargin)
+
+    val g = sql("SELECT min(price) AS mn, max(price) AS mx FROM lake.db.dect")
+    assert(g.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"decimal min/max must answer from metadata:\n${g.queryExecution.executedPlan}")
+    val r = g.collect()(0)
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.25")) == 0,
+      s"min must be the SCALED value, got ${r.getDecimal(0)}")
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("103.25")) == 0,
+      s"max must be the SCALED value, got ${r.getDecimal(1)}")
+
+    // range pruning: the literal (scale 1) rescales to the column's
+    // scale-2 unscaled space; only the second file can match
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(sql("SELECT * FROM lake.db.dect WHERE price > 50.5")
+      .collect().length == 4)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "scale-rescaled decimal literal must prune the low-range file")
+
+    // a literal the column scale cannot represent: Catalyst usually
+    // folds the predicate away before any scan plans (no rows can
+    // match), but if such a literal ever REACHES the stats layer the
+    // claim must decline (keep files), never round into the unscaled
+    // space — pinned directly on encodeLiteral
+    assert(sql("SELECT * FROM lake.db.dect WHERE price = 1.333")
+      .collect().isEmpty)
+    assert(FileStats.encodeLiteral(new java.math.BigDecimal("1.333"),
+      org.apache.spark.sql.types.DecimalType(9, 2)).isEmpty,
+      "unrepresentable decimal literal must decline, not round")
+    assert(FileStats.encodeLiteral(new java.math.BigDecimal("50.5"),
+      org.apache.spark.sql.types.DecimalType(9, 2)).contains("5050"),
+      "representable literal must rescale into the unscaled space")
+  }
+
+  test("collated string columns: stats consumers decline, results exact") {
+    // the collation seam (r9 audit): a collated column's parquet
+    // footer min/max are UNSIGNED-BYTE-ordered, but its comparison
+    // semantics are collation-defined — using byte-ordered stats to
+    // prune a collation-aware predicate would drop matching files
+    // (e.g. 'b' < 'A' under UTF8_LCASE but not in byte order). Every
+    // stats consumer must make NO CLAIM for collated types: cmp's
+    // StringType pattern matches only the binary collation, so
+    // pruning keeps all files, metadata MIN/MAX declines to the scan
+    // (collation-aware MIN differs from byte MIN), and Spark's own
+    // collation-aware evaluation answers exactly.
+    sql("""CREATE TABLE lake.db.collt
+          |(id bigint, c string COLLATE UTF8_LCASE) USING lake""".stripMargin)
+    sql("""INSERT INTO lake.db.collt SELECT /*+ REPARTITION(1) */ id,
+          |CASE WHEN id = 0 THEN 'a' ELSE 'D' END FROM range(4)""".stripMargin)
+    sql("""INSERT INTO lake.db.collt SELECT /*+ REPARTITION(1) */ id + 4,
+          |'A' FROM range(2)""".stripMargin)
+    // case-insensitive equality must see 'D' ('d' = 'D' under LCASE)
+    assert(sql("SELECT count(*) FROM lake.db.collt WHERE c = 'd'")
+      .collect()(0).getLong(0) == 3)
+    // c < 'B' matches 'a' (LCASE: 'a' < 'b') and both 'A's — but file
+    // 1's BYTE-order min is 'D' (0x44 < 0x61 = 'a'), so a byte-order
+    // stats probe "min < 'B'" would PRUNE file 1 and lose the 'a'
+    // row: all files must stay planned so the collation decides,
+    // never the byte-ordered stats
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(sql("SELECT count(*) FROM lake.db.collt WHERE c < 'B'")
+      .collect()(0).getLong(0) == 3) // 'a' (file1) + 'A','A' (file2)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 2,
+      "collated predicate must keep every file (no stats claim)")
+    // metadata MIN/MAX declines: collation-aware MIN of ('b','D','A')
+    // is 'A', which byte-ordered stats would also report here — but
+    // ('a','B') style data flips them, so the pushdown must not
+    // answer from stats at all
+    val g = sql("SELECT min(c) AS mn FROM lake.db.collt")
+    assert(!g.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "collated MIN must decline the metadata answer")
+    // 'a' and 'A' are EQUAL under UTF8_LCASE — MIN may surface either
+    assert(g.collect()(0).getString(0).equalsIgnoreCase("a"))
+  }
+
   test("dynamic file pruning: join runtime filter narrows partitioned scan") {
     sql("""CREATE TABLE lake.db.dppfact (id bigint, cat string) USING lake
         |PARTITIONED BY (cat)""".stripMargin)
