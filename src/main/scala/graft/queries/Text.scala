@@ -1146,6 +1146,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated bigram language-model scoring — the quality filter
+    * one notch above [[tUnigramLogprob]]: each document's mean log10
+    * probability of its token TRANSITIONS under a Jelinek-Mercer mix
+    * of the corpus's own bigram and unigram MLE distributions,
+    * p(w2|w1) = 0.9·c(w1 w2)/c(w1 ·) + 0.1·c(w2)/N. Word salad whose
+    * unigrams look fine but whose transitions are random scores low;
+    * no smoothing floor is needed because every scored bigram is
+    * in-model by construction, and the unigram term keeps the mix a
+    * proper conditional (c(w1 ·) is the bigram-LEFT count, so the
+    * bigram term sums to 1 over w2).
+    *
+    * Scale shape: bigrams come from slice+zip_with on the token array
+    * (narrow — no posexplode+lead window, which would sort the corpus
+    * by doc), the model is two vocab-bounded hash aggregates with the
+    * history counts derived from the bigram table (k-row aggregate,
+    * not a third corpus pass), the scoring pass joins the model back
+    * keyed on (w1,w2) and on w2, and the grand total rides a 1-row
+    * broadcast. Float contract = [[tUnigramLogprob]]'s: the published
+    * score is round(avg(log10),4); no float ever drives row
+    * selection. */
+  def tBigramLm(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bg).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cbg = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val hist = cbg.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+    val cu = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val n = cu.agg(sum(col("c2")).as("total"))
+    pairs
+      .join(cbg, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cu, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10(
+          lit(0.9) * (col("cb").cast("double") / col("c1").cast("double")) +
+            lit(0.1) * (col("c2").cast("double") / col("total").cast("double"))
+        )), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling — the "keep X% of each stratum"
     * stage of corpus curation, reproducible across runs and engines:
     * the sampling coin is a hash bucket of the doc id (first 15 md5
@@ -1771,6 +1822,7 @@ object TextOps {
     "t_dedup_groups_indexed" -> (tDedupGroupsIndexed _),
     "t_dedup_keep_best" -> (tDedupKeepBest _),
     "t_unigram_logprob" -> (tUnigramLogprob _),
+    "t_bigram_lm" -> (tBigramLm _),
     "t_sample_stratified" -> (tSampleStratified _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_shard_pack" -> (tShardPack _),
@@ -2099,6 +2151,28 @@ object TextOps {
          |  round(avg(log10(f.c::DOUBLE / n.total)), 4) AS avg_logprob
          |FROM tk t JOIN tf f USING (tok) CROSS JOIN n
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "t_bigram_lm" ->
+      s"""WITH tt AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+         |    unnest(t[2:len(t)]) AS w2
+         |  FROM tt),
+         |cbg AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs
+         |        GROUP BY w1, w2),
+         |hist AS (SELECT w1, sum(cb)::BIGINT AS c1 FROM cbg GROUP BY w1),
+         |cu AS (SELECT w2, count(*)::BIGINT AS c2 FROM
+         |         (SELECT unnest(t) AS w2 FROM tt) GROUP BY w2),
+         |n AS (SELECT sum(c2)::BIGINT AS total FROM cu)
+         |SELECT p.doc_id, count(*) AS n_bigrams,
+         |  round(avg(log10(
+         |    0.9 * (g.cb::DOUBLE / h.c1::DOUBLE) +
+         |      0.1 * (u.c2::DOUBLE / n.total::DOUBLE))), 4) AS avg_logprob
+         |FROM pairs p
+         |JOIN cbg g USING (w1, w2)
+         |JOIN hist h USING (w1)
+         |JOIN cu u USING (w2)
+         |CROSS JOIN n
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "t_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket
         |FROM (SELECT doc_id, lang, source,

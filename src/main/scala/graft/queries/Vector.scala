@@ -607,6 +607,49 @@ object VectorOps {
       .orderBy(col("cluster_id"), col("pos"))
   }
 
+  /** Cluster-prototypicality pruning — the SemDeDup/D4-style curation
+    * stage that drops each cluster's least-typical tail before
+    * training: assign every vector to its nearest of K centroids (the
+    * deterministic first-K stand-in [[ivfAssign]] uses), score each
+    * member by its cosine to the assigned centroid
+    * ("prototypicality"), and keep a member iff its 4-dp score clears
+    * the cluster's exact 25th-percentile cutoff (ties at the cutoff
+    * are kept, so the drop is at most a quarter).
+    *
+    * Scale shape mirrors `t_length_trim`'s histogram percentile:
+    * assignment is the narrow broadcast-centroid argmax (no shuffle,
+    * no n×k expansion), the heavy pass is ONE (cell, score) histogram
+    * aggregate (map-side combining; ≤ K × 20001 bins at any corpus
+    * size since scores are 4-dp quantized), the cumulative walk runs
+    * on that bounded frame, and per-cluster cutoffs broadcast back
+    * onto a narrow filter — no row_number ever ranks the corpus.
+    * Cross-engine safety: the cutoff is selected by an exact INTEGER
+    * comparison (4·cum > n) over 4-dp-rounded cosines (bit-identical
+    * across engines — the same contract every cos_sim gate ships), so
+    * no float ordering drives row selection. */
+  def vClusterPrune(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val assigned = ivfAssign(emb, 8)
+      .select(col("vec_id"), col("cell"),
+        round(array_max(transform(col("sims"), s0 => s0.getField("csim"))), 4)
+          .as("proto"))
+    val wCum = Window.partitionBy(col("cell")).orderBy(col("proto"))
+    val wAll = Window.partitionBy(col("cell"))
+    val th = assigned.groupBy(col("cell"), col("proto"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("cell"))
+      .agg(min(when(lit(4L) * col("cum") > col("n"), col("proto")))
+        .as("thr"))
+    assigned.join(broadcast(th), Seq("cell"))
+      .select(col("vec_id"), col("cell").cast("long").as("cluster_id"),
+        col("proto"),
+        when(col("proto") >= col("thr"), lit(1L)).otherwise(lit(0L))
+          .as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_neardup_pairs" -> (vNearDupPairs _),
     "v_vector_stats" -> (vVectorStats _),
@@ -623,6 +666,7 @@ object VectorOps {
     "v_knn_join" -> (vKnnJoin _),
     "v_centroid_update" -> (vCentroidUpdate _),
     "v_kmeans" -> (vKmeans _),
+    "v_cluster_prune" -> (vClusterPrune _),
   )
 
   // --- DuckDB oracle -------------------------------------------------
@@ -874,6 +918,42 @@ object VectorOps {
          |  count(*) AS n_members
          |FROM ex GROUP BY cell, i
          |ORDER BY cluster_id, pos""".stripMargin,
+    "v_cluster_prune" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, c.cid,
+         |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
+         |                    (e.nrm * c.cn))
+         |         THEN -2.0
+         |         ELSE ${dotSql("e.embedding", "c.cv")} / (e.nrm * c.cn)
+         |    END AS csim
+         |  FROM emb e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cell, round(csim, 4) AS proto FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |hist AS (
+         |  SELECT cell, proto, count(*)::BIGINT AS c FROM assigned
+         |  GROUP BY cell, proto),
+         |th AS ( -- cutoff by exact integer compare on 4-dp bins:
+         |        -- min proto whose cumulative count exceeds n/4
+         |  SELECT cell, min(CASE WHEN 4 * cum > n THEN proto END) AS thr
+         |  FROM (SELECT cell, proto,
+         |          sum(c) OVER (PARTITION BY cell ORDER BY proto)
+         |            ::BIGINT AS cum,
+         |          sum(c) OVER (PARTITION BY cell)::BIGINT AS n
+         |        FROM hist)
+         |  GROUP BY cell)
+         |SELECT a.vec_id, a.cell::BIGINT AS cluster_id, a.proto,
+         |  (CASE WHEN a.proto >= t.thr THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM assigned a JOIN th t USING (cell)
+         |ORDER BY a.vec_id""".stripMargin,
     "v_kmeans" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm

@@ -120,4 +120,53 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
     info(s"index rows=$totalRows files=$total, probe planned $probed")
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
+
+  test("cluster prune: exact per-cluster P25 cutoff, ties kept, <=25% dropped") {
+    assume(ready)
+    val rows = graft.queries.VectorOps.vClusterPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // independent slow-path recompute: nearest-of-first-8 assignment,
+    // 4-dp prototypicality, per-cluster cutoff = min score whose
+    // cumulative count exceeds n/4 (exact integer compare)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val cents = emb.filter(_._1 < 8).sortBy(_._1)
+    val assigned = emb.map { case (id, v) =>
+      val sims = cents.map { case (cid, cv) =>
+        val c = dot(v, cv) / (nrm(v) * nrm(cv))
+        (if (c.isNaN) -2.0 else c, cid)
+      }
+      val best = sims.maxBy { case (c, cid) => (c, -cid) }
+      (id, best._2, BigDecimal(best._1).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+      val n = ms.length.toLong
+      val sorted = ms.map(_._3).sorted
+      val thr = sorted.distinct.find { p =>
+        4L * sorted.count(_ <= p) > n
+      }.get
+      ms.map { case (id, _, p) =>
+        (id, cell, p, if (p >= thr) 1L else 0L)
+      }
+    }.toSet
+    assert(rows.toSet == expected,
+      s"diff: ${(rows.toSet diff expected).take(5)} vs " +
+        s"${(expected diff rows.toSet).take(5)}")
+    // per cluster: strictly-below-threshold drop is at most a quarter,
+    // and every score equal to the cluster minimum KEPT score survives
+    rows.groupBy(_._2).foreach { case (cell, ms) =>
+      val dropped = ms.count(_._4 == 0L)
+      assert(4L * dropped <= ms.length.toLong,
+        s"cluster $cell dropped $dropped of ${ms.length}")
+      val minKept = ms.filter(_._4 == 1L).map(_._3).min
+      assert(ms.filter(_._3 == minKept).forall(_._4 == 1L),
+        s"cluster $cell: tie at the cutoff was dropped")
+    }
+  }
 }

