@@ -49,7 +49,39 @@ object ScaleUp {
     tagged.repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val n = spark.read.parquet(s"$out/documents.parquet").count()
-    println(s"""{"scaled_rows":$n,"factor":$factor,"src":"$src"}""")
+
+    // Embeddings scale with the DOCUMENTS id offset, so the
+    // cross-modal join (doc_id = vec_id) stays aligned per replica:
+    //  - replica 0 is the original vectors byte-for-byte;
+    //  - replica k > 0 cyclically shifts the dimensions by k — a
+    //    permutation, so every within-replica cosine (and hence each
+    //    replica's whole neighbor graph, IVF assignment structure,
+    //    and near-dup pair set) is preserved EXACTLY, while replicas
+    //    don't mirror each other's coordinates;
+    //  - centroid convention (first K vec_ids) still lands in
+    //    replica 0, matching the gates' deterministic stand-in.
+    val embPath = new org.apache.hadoop.fs.Path(s"$src/embeddings.parquet")
+    val fs = embPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nEmb = if (fs.exists(embPath)) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val scaled = emb.crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * off).as("vec_id"),
+          {
+            val sh = (col("rep") % dim).cast("int")
+            when(col("rep") === 0, col("embedding"))
+              .otherwise(concat(
+                slice(col("embedding"), sh + 1, lit(dim) - sh),
+                slice(col("embedding"), lit(1), sh)))
+              .as("embedding")
+          },
+          col("label"))
+      scaled.repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      spark.read.parquet(s"$out/embeddings.parquet").count()
+    } else 0L
+    println(s"""{"scaled_rows":$n,"scaled_vectors":$nEmb,"factor":$factor,"src":"$src"}""")
     spark.stop()
   }
 }

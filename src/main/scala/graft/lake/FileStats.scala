@@ -190,6 +190,14 @@ object FileStats {
       case DateType => Some(java.lang.Long.compare(a.toLong, b.toLong))
       case TimestampType | TimestampNTZType =>
         Some(java.lang.Long.compare(a.toLong, b.toLong))
+      // ANSI intervals: parquet stores year-month as INT32 total
+      // months and day-time as INT64 total micros (the Spark internal
+      // encodings) — a plain total order with no NaN/±0/byte-order
+      // hazard, so numeric compare is exact. The interval seam audit
+      // (r9) found every consumer declining; this is the one claim
+      // that is sound to make.
+      case _: YearMonthIntervalType | _: DayTimeIntervalType =>
+        Some(java.lang.Long.compare(a.toLong, b.toLong))
       case _ => None
     } catch { case _: Exception => None }
 
@@ -223,6 +231,17 @@ object FileStats {
       case (t: java.time.LocalDateTime, _) =>
         Some((t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           t.getNano / 1000).toString)
+      // ANSI interval literals arrive as java.time values; encode into
+      // the same integer space the footer carries (INT32 total months /
+      // INT64 total micros). Spark's year-month Period always has
+      // days == 0; micros arithmetic is exact-checked so an extreme
+      // duration declines instead of wrapping.
+      case (p: java.time.Period, _: YearMonthIntervalType) =>
+        Some(p.toTotalMonths.toString)
+      case (dur: java.time.Duration, _: DayTimeIntervalType) =>
+        scala.util.Try(Math.addExact(
+          Math.multiplyExact(dur.getSeconds, 1000000L),
+          (dur.getNano / 1000).toLong).toString).toOption
       // float/double NaN: no stats claim is sound (see cmp) — parquet-mr
       // omits min/max for NaN pages, but the literal side must decline
       // too or `= NaN` probes prune imported files with NaN-bearing stats
@@ -266,6 +285,9 @@ object FileStats {
              ByteType | ShortType | IntegerType | LongType |
              DateType | TimestampType | TimestampNTZType |
              FloatType | DoubleType | _: DecimalType => true
+        // intervals dictionary-encode as INT32 months / INT64 micros —
+        // the same strings encodeLiteral produces for the probe
+        case _: YearMonthIntervalType | _: DayTimeIntervalType => true
         case _ => false
       })
     }

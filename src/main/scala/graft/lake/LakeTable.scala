@@ -510,6 +510,9 @@ private[lake] object LakeAggPushdown {
   private[lake] def statComparable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType |
          StringType | DateType | TimestampType | TimestampNTZType => true
+    // footer space = total months (int) / total micros (long): decodes
+    // losslessly and numeric order IS interval order
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => true
     case _ => false
   }
 
@@ -530,6 +533,10 @@ private[lake] object LakeAggPushdown {
     case d: DecimalType => Some(org.apache.spark.sql.types.Decimal(
       new java.math.BigDecimal(new java.math.BigInteger(s), d.scale),
       d.precision, d.scale))
+    // internal encodings: year-month = Int total months, day-time =
+    // Long total micros — exactly the footer-stat space
+    case _: YearMonthIntervalType => Some(s.toLong.toInt)
+    case _: DayTimeIntervalType => Some(s.toLong)
     case _ => None
   } catch { case _: Exception => None }
 

@@ -1763,6 +1763,75 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.collect()(0).getString(0).equalsIgnoreCase("a"))
   }
 
+  test("interval columns: stats claims in the total-months/micros space") {
+    // the interval seam (r9 audit): parquet stores ANSI year-month
+    // intervals as INT32 total months and day-time as INT64 total
+    // micros — a plain total order with no NaN/±0/byte-order hazard,
+    // so (unlike collations) the sound move is to CLAIM: cmp compares
+    // numerically, encodeLiteral maps java.time values into the same
+    // integer space, agg pushdown decodes months/micros back, and
+    // dictionary sets qualify. Before the fix every consumer declined
+    // and interval-partitioned tables scanned every file.
+    sql("""CREATE TABLE lake.db.ivt
+          |(id bigint, ym INTERVAL YEAR TO MONTH, dt INTERVAL DAY TO SECOND)
+          |USING lake""".stripMargin)
+    sql("""INSERT INTO lake.db.ivt SELECT /*+ REPARTITION(1) */ id,
+          |make_ym_interval(0, cast(id AS int)), make_dt_interval(0,0,0,id)
+          |FROM range(4)""".stripMargin)
+    sql("""INSERT INTO lake.db.ivt SELECT /*+ REPARTITION(1) */ id + 4,
+          |make_ym_interval(10, cast(id AS int)),
+          |make_dt_interval(cast(id+100 AS int),0,0,0) FROM range(2)""".stripMargin)
+
+    // range predicates prune to the matching file, results exact
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(count("SELECT count(*) FROM lake.db.ivt WHERE ym > INTERVAL '5' YEAR") == 2)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "year-month range predicate must prune the low-range file")
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(count("SELECT count(*) FROM lake.db.ivt WHERE dt < INTERVAL '1' DAY") == 4)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "day-time range predicate must prune the high-range file")
+
+    // metadata MIN/MAX answers without scanning data files
+    val g = sql("SELECT min(ym) AS mn, max(dt) AS mx FROM lake.db.ivt")
+    assert(g.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"interval min/max must answer from metadata:\n${g.queryExecution.executedPlan}")
+    val r = g.collect()(0)
+    assert(r.get(0) == java.time.Period.ZERO, s"min ym: ${r.get(0)}")
+    assert(r.get(1) == java.time.Duration.ofDays(101), s"max dt: ${r.get(1)}")
+
+    // identity partitioning on an interval column: tuple routing,
+    // pruning, and dynamic overwrite all agree on the encoding
+    sql("""CREATE TABLE lake.db.ivp (id bigint, ym INTERVAL YEAR TO MONTH)
+          |USING lake PARTITIONED BY (ym)""".stripMargin)
+    sql("""INSERT INTO lake.db.ivp
+          |SELECT id, make_ym_interval(cast(id % 3 AS int), 0) FROM range(9)""".stripMargin)
+    LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(count("SELECT count(*) FROM lake.db.ivp WHERE ym = INTERVAL '1' YEAR") == 3)
+    assert(LakeScanBuilder.lastPlannedFileCount.get() == 1,
+      "identity interval partition must prune to one partition's file")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      sql("""INSERT OVERWRITE lake.db.ivp
+            |SELECT id + 100, make_ym_interval(1, 0) FROM range(2)""".stripMargin)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    assert(count("SELECT count(*) FROM lake.db.ivp") == 8)
+    assert(count("SELECT count(*) FROM lake.db.ivp WHERE ym = INTERVAL '1' YEAR") == 2)
+
+    // literal encoding pinned directly: the same integer space the
+    // footer carries; an overflowing duration declines, never wraps
+    import org.apache.spark.sql.types.{YearMonthIntervalType, DayTimeIntervalType}
+    assert(FileStats.encodeLiteral(java.time.Period.ofYears(2).plusMonths(3),
+      YearMonthIntervalType()).contains("27"))
+    assert(FileStats.encodeLiteral(java.time.Duration.ofSeconds(5, 123000),
+      DayTimeIntervalType()).contains("5000123"))
+    assert(FileStats.encodeLiteral(
+      java.time.Duration.ofSeconds(Long.MaxValue / 2),
+      DayTimeIntervalType()).isEmpty,
+      "micros overflow must decline, not wrap")
+  }
+
   test("dynamic file pruning: join runtime filter narrows partitioned scan") {
     sql("""CREATE TABLE lake.db.dppfact (id bigint, cat string) USING lake
         |PARTITIONED BY (cat)""".stripMargin)
