@@ -53,11 +53,16 @@ object ScaleUp {
     // Embeddings scale with the DOCUMENTS id offset, so the
     // cross-modal join (doc_id = vec_id) stays aligned per replica:
     //  - replica 0 is the original vectors byte-for-byte;
-    //  - replica k > 0 cyclically shifts the dimensions by k — a
-    //    permutation, so every within-replica cosine (and hence each
-    //    replica's whole neighbor graph, IVF assignment structure,
-    //    and near-dup pair set) is preserved EXACTLY, while replicas
-    //    don't mirror each other's coordinates;
+    //  - replica k > 0 applies a deterministic per-replica ±1 sign
+    //    mask (md5 parity of "k_dim"). A common sign flip preserves
+    //    every within-replica cosine EXACTLY (each replica keeps its
+    //    neighbor graph, IVF structure, and near-dup pair set), while
+    //    cross-replica similarity collapses: the mask is Rademacher
+    //    noise against any shared component. (A cyclic dimension
+    //    SHIFT — the first attempt — also preserves within-replica
+    //    cosines but left replicas correlated through the corpus's
+    //    common mean direction: sf1 grew 1.2k cross-replica near-dup
+    //    pairs where an honest 10× corpus has ~70.)
     //  - centroid convention (first K vec_ids) still lands in
     //    replica 0, matching the gates' deterministic stand-in.
     val embPath = new org.apache.hadoop.fs.Path(s"$src/embeddings.parquet")
@@ -65,17 +70,19 @@ object ScaleUp {
     val nEmb = if (fs.exists(embPath)) {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      def maskFor(rep: Int): Seq[Float] = (0 until dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = md.digest(s"${rep}_$i".getBytes("UTF-8"))
+        if ((b(0) & 1) == 1) 1.0f else -1.0f
+      }
+      val masks = array((0 until factor).map(r =>
+        typedLit(if (r == 0) Seq.fill(dim)(1.0f) else maskFor(r))): _*)
       val scaled = emb.crossJoin(reps)
         .select(
           (col("vec_id") + col("rep") * off).as("vec_id"),
-          {
-            val sh = (col("rep") % dim).cast("int")
-            when(col("rep") === 0, col("embedding"))
-              .otherwise(concat(
-                slice(col("embedding"), sh + 1, lit(dim) - sh),
-                slice(col("embedding"), lit(1), sh)))
-              .as("embedding")
-          },
+          zip_with(col("embedding"),
+            element_at(masks, col("rep").cast("int") + 1),
+            (x, m) => x * m).as("embedding"),
           col("label"))
       scaled.repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -119,8 +119,136 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane sign bits of a vector in ONE fused loop,
+  * bit-packed into long words (bit g of word g/64 = 1 iff
+  * dot(v, plane_g) > 0).
+  *
+  * The LSH band miners need bands × planesPerBand sign bits per
+  * vector; as a Column composition that is one [[DotProduct]] call
+  * per plane — at the 128-plane scale configuration the projection
+  * outgrows whole-stage codegen and falls back to interpreted
+  * per-plane array walks (measured: the HASHING stage dominated the
+  * whole mining pass). One expression, one generated loop over
+  * (planes × dims) restores codegen whatever the plane count.
+  *
+  * Bit-parity contract with the composition it replaces: the inner
+  * accumulation is the same left-to-right `acc += (double) x_i * p_i`
+  * as [[DotProduct]] against the same md5-parity planes (the
+  * companion is the single source of plane truth — the Column-side
+  * generators delegate here), and a null ELEMENT yields the all-zero
+  * signature exactly as `when(dot > 0, 1).otherwise(0)` buckets a
+  * null dot. */
+case class PlaneSigns(child: Expression, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_plane_signs"
+  override def nullable: Boolean = child.nullable
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      if (nPlanes > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName needs nPlanes > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+
+  private lazy val table: Array[Array[Double]] = PlaneSigns.table(nPlanes)
+  private def nWords: Int = (nPlanes + 63) >> 6
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val planes = table
+    val sig = new Array[Long](nWords)
+    val n = math.min(x.numElements(), PlaneSigns.Dim)
+    var anyNull = false
+    var i = 0
+    while (i < n && !anyNull) { anyNull = x.isNullAt(i); i += 1 }
+    if (!anyNull) {
+      val isF = elemFloat
+      var p = 0
+      while (p < nPlanes) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val xv = if (isF) x.getFloat(j).toDouble else x.getDouble(j)
+          acc += xv * planes(p)(j)
+          j += 1
+        }
+        if (acc > 0.0) sig(p >> 6) |= 1L << (p & 63)
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xa => {
+      val planesRef = ctx.addReferenceObj("planes", table, "double[][]")
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val anyNull = ctx.freshName("anyNull")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val get = if (elemFloat) s"(double) $xa.getFloat($j)"
+                else s"$xa.getDouble($j)"
+      s"""
+         |long[] $sig = new long[$nWords];
+         |int $n = java.lang.Math.min($xa.numElements(), ${PlaneSigns.Dim});
+         |boolean $anyNull = false;
+         |for (int $j = 0; $j < $n && !$anyNull; $j++) {
+         |  $anyNull = $xa.isNullAt($j);
+         |}
+         |if (!$anyNull) {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += $get * $planesRef[$p][$j];
+         |    }
+         |    if ($acc > 0.0) $sig[$p >> 6] |= 1L << ($p & 63);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigns =
+    copy(child = newChild)
+}
+
+object PlaneSigns {
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane j — md5 first-hex-digit parity of
+    * "j_i" per dimension; the SAME values the DuckDB oracles inline
+    * (VectorOps.planeLit) and the Column-side bucket folds use. */
+  def planeAt(j: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { i =>
+      val b = md.digest(s"${j}_$i".getBytes("UTF-8"))
+      if (((b(0) >> 4) & 0x1) == 1) 1.0 else -1.0
+    }
+  }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  def table(n: Int): Array[Array[Double]] =
+    memo.computeIfAbsent(n, k => Array.tabulate(k)(planeAt))
+}
+
 object VectorFunctions {
   /** Column-level dot product backed by the codegen'd [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+
+  /** Bit-packed hyperplane sign signature ([[PlaneSigns]]). */
+  def planeSigns(v: Column, nPlanes: Int): Column =
+    Shims.column(PlaneSigns(Shims.expression(v), nPlanes))
 }

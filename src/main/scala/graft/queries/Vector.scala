@@ -32,16 +32,10 @@ object VectorOps {
   // (bands 0-3 = planes 0-3, 4-7, 8-11, 12-15).
   private val NBands = 4
   private val PlanesPerBand = 4
-  private lazy val planes: Seq[Seq[Double]] = {
-    def firstHexDigit(s: String): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val b = md.digest(s.getBytes("UTF-8"))
-      (b(0) >> 4) & 0xf
-    }
-    (0 until NBands * PlanesPerBand).map(j => (0 until Dim).map { i =>
-      if ((firstHexDigit(s"${j}_$i") & 1) == 1) 1.0 else -1.0
-    })
-  }
+  private def planeAt(j: Int): Seq[Double] =
+    graft.functions.PlaneSigns.planeAt(j).toSeq // single source of truth
+  private lazy val planes: Seq[Seq[Double]] =
+    (0 until NBands * PlanesPerBand).map(planeAt)
 
   /** Codegen'd dot product (graft.functions.DotProduct) — one fused
     * loop per pair instead of interpreted zip_with+aggregate chains. */
@@ -142,13 +136,6 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** 4-bit bucket for band j from that band's 4 private planes. */
-  private def bandBucket(v: Column, band: Int): Column =
-    planes.slice(band * PlanesPerBand, (band + 1) * PlanesPerBand)
-      .foldLeft(lit(0)) { (acc, p) =>
-        acc * 2 + when(dot(v, typedLit(p)) > 0, 1).otherwise(0)
-      }
-
   /** Embedding-cosine near-duplicate pairs — the fifth dedup mode
     * (exact / MinHash / SimHash / n-gram / embedding).
     *
@@ -160,13 +147,51 @@ object VectorOps {
     * recall comes from the 4 independent chances — the standard
     * sub-quadratic shape for 100 TB embedding stores. Candidate pairs
     * are deduplicated on (id_a, id_b) BEFORE the vectors are joined
-    * back, so each pair costs one fused dot product. */
-  def vNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    * back, so each pair costs one fused dot product.
+    *
+    * SIZING THE BANDS (r9 sf1 measurement): bucket count per band is
+    * 2^planesPerBand and does NOT grow with the corpus, so per-bucket
+    * candidates grow QUADRATICALLY in corpus size — at 10× the
+    * vectors the 4-plane gate shape mined 100× the candidates (12.2 s
+    * vs 2.2 s). planesPerBand must scale ~log2(n/occupancy); recall
+    * is then recovered with more bands (per-band collision for a
+    * cosine-θ pair is (1-θ/π)^b, union over bands). The gate pins
+    * (4, 4) for oracle parity; [[nearDupPairsCfg]] is the tunable
+    * miner — (16, 8) re-mines the sf1 corpus in ~1/6 the time with
+    * the same confirmed pairs (VectorQualitySuite). */
+  def vNearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsCfg(s, d, NBands, PlanesPerBand)
+
+  /** The banded miner, parameterized by (bands, planesPerBand) —
+    * plane j of band i is the deterministic md5-parity hyperplane
+    * index i·planesPerBand + j, so the (4, 4) configuration is
+    * bit-identical to the original gate.
+    *
+    * All bands' sign bits come from ONE [[graft.functions.PlaneSigns]]
+    * signature per vector (a single generated loop over planes × dims,
+    * bit-packed longs); band buckets are then pure bit slices. The
+    * per-plane `when(graft_dot > 0)` composition this replaces fell
+    * out of whole-stage codegen past ~64 planes and the interpreted
+    * hashing dominated the whole mining pass (measured at sf1:
+    * hashing grew linearly in plane count to 25-37 s while the
+    * candidate join SHRANK; with the fused signature the same
+    * configurations hash in milliseconds). */
+  private[graft] def nearDupPairsCfg(s: SparkSession, d: String,
+      bands: Int, planesPerBand: Int): DataFrame = {
     val raw = Tables.embeddings(s, d)
+    val sigCol = VectorFunctions.planeSigns(col("embedding"),
+      bands * planesPerBand)
+    def bkt(sig: Column, band: Int): Column =
+      (0 until planesPerBand).foldLeft(lit(0)) { (acc, j) =>
+        val g = band * planesPerBand + j
+        acc * 2 + shiftrightunsigned(element_at(sig, lit(g / 64 + 1)), g % 64)
+          .bitwiseAND(lit(1L)).cast("int")
+      }
     // (vec_id, band, bkt) postings — B rows per vector, narrow ints
-    val bandStructs = (0 until NBands).map(j =>
-      struct(lit(j).as("band"), bandBucket(col("embedding"), j).as("bkt")))
+    val bandStructs = (0 until bands).map(j =>
+      struct(lit(j).as("band"), bkt(col("sig"), j).as("bkt")))
     val postings = raw
+      .withColumn("sig", sigCol)
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
     val cand = postings.as("a")

@@ -113,6 +113,61 @@ class CodegenSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(1) == 25.0)
   }
 
+  test("PlaneSigns: packed bits match the per-plane dot composition") {
+    assume(ready)
+    import graft.functions.{PlaneSigns, VectorFunctions}
+    import org.apache.spark.sql.functions._
+    // one fused loop vs the when(graft_dot > 0) composition it
+    // replaced — bit g of word g/64 must equal the sign of the same
+    // left-to-right double accumulation, across the 64-bit word
+    // boundary (128 planes). Runs under CODEGEN_ONLY.
+    val vecs = Seq(
+      Array.tabulate(64)(i => (math.sin(i * 1.7) * 3).toFloat),
+      Array.tabulate(64)(i => if (i % 3 == 0) -1.5f else 0.25f),
+      Array.fill(64)(0.0f))
+    val df = spark.createDataFrame(
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+      .toDF("id", "v")
+    val nPlanes = 128
+    val sigRows = df.select(col("id"),
+      VectorFunctions.planeSigns(col("v"), nPlanes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val planeCols = (0 until nPlanes).map { g =>
+      when(VectorFunctions.dot(col("v"),
+        typedLit(PlaneSigns.planeAt(g).toSeq)) > 0, 1L).otherwise(0L)
+        .as(s"b$g")
+    }
+    val bitRows = df.select(col("id") +: planeCols: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until nPlanes).map(g => r.getLong(g + 1))).toMap
+    for ((id, bits) <- bitRows; g <- 0 until nPlanes) {
+      val word = sigRows(id)(g / 64)
+      assert(((word >>> (g % 64)) & 1L) == bits(g),
+        s"vector $id plane $g: packed bit != composition sign")
+    }
+    // interpreted eval (direct call) agrees with the codegen'd result
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val expr = PlaneSigns(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new GenericArrayData(vecs.head.map(_.toDouble)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false)), nPlanes)
+    val interp = expr.eval(null).asInstanceOf[ArrayData].toLongArray()
+    assert(interp.toSeq == sigRows(0L).toSeq,
+      "interpreted PlaneSigns must equal codegen output")
+    // null element => all-zero signature (when(dot > 0) over a null
+    // dot buckets to 0); null array => null
+    val edge = spark.range(1).select(
+      VectorFunctions.planeSigns(
+        array(lit(1.0f), lit(null).cast("float")), 70).as("z"),
+      VectorFunctions.planeSigns(
+        lit(null).cast("array<float>"), 70).as("n"))
+      .collect().head
+    assert(edge.getSeq[Long](0).forall(_ == 0L),
+      "null element must yield the all-zero signature")
+    assert(edge.isNullAt(1), "null array must yield null")
+  }
+
   test("graft_nfc is registered as a SQL function and composes NFC") {
     assume(ready)
     // decomposed e+U+0301 composes to U+00E9 (length 2 -> 1); ASCII

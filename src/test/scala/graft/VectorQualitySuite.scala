@@ -121,6 +121,40 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 
+  test("near-dup miner: (4,4) = gate parity; scale config sound + deterministic") {
+    assume(ready)
+    val d = "/root/testdata/sf0.001"
+    val gate = graft.queries.VectorOps.vNearDupPairs(spark, d)
+      .collect().map(_.toString).toSet
+    val cfg44 = graft.queries.VectorOps.nearDupPairsCfg(spark, d, 4, 4)
+      .collect().map(_.toString).toSet
+    assert(cfg44 == gate, "(4,4) configuration must equal the gate bit-for-bit")
+    // scale configuration (wider buckets, more bands): every returned
+    // pair must be a TRUE near-dup (mining is candidates-only; the
+    // exact-cosine verification step makes precision 1 by
+    // construction — recompute it driver-side), and the md5 planes
+    // make the result deterministic across runs
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dt(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dt(a, b) / (math.sqrt(dt(a, a)) * math.sqrt(dt(b, b)))
+    }
+    val scale1 = graft.queries.VectorOps.nearDupPairsCfg(spark, d, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    scale1.foreach { case (a, b, c) =>
+      val direct = BigDecimal(cos(emb(a), emb(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(direct == c && c >= 0.5, s"pair ($a,$b): reported $c direct $direct")
+    }
+    val scale2 = graft.queries.VectorOps.nearDupPairsCfg(spark, d, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scale1.toSeq == scale2.toSeq, "scale config must be deterministic")
+  }
+
   test("cluster prune: exact per-cluster P25 cutoff, ties kept, <=25% dropped") {
     assume(ready)
     val rows = graft.queries.VectorOps.vClusterPrune(spark, sfDir).collect()
