@@ -409,6 +409,68 @@ object VectorOps {
       .limit(5)
   }
 
+  /** Incremental maintenance of the stored IVF index — the missing
+    * lifecycle piece next to [[vAnnIvfIndexed]]'s one-shot build (the
+    * dedup ring already has it: band postings and group labels both
+    * refresh from nightly batches; the inverted file should too, or
+    * every vector batch pays a full re-index).
+    *
+    * Protocol: centroids are FIXED at index-build time (here: the
+    * first 8 even vec_ids — the "existing corpus" of the gate story,
+    * where even ids build the index and odd ids arrive as the
+    * incremental batch). A batch ingests by assigning its vectors
+    * against those stored centroids and APPENDING to the
+    * cell-partitioned lake table — partition-local file appends, no
+    * rewrite of any resident cell file (spec-pinned via the snapshots
+    * log), no corpus-scale work: O(batch × K) assignment dots plus
+    * the append commit. Probes are unchanged ([[probeStoredIvf]]
+    * shape) and keep their footer-stats cell pruning over old AND new
+    * files. Centroid drift under sustained ingestion is repaired by a
+    * [[vCentroidUpdate]]/[[vKmeans]] refresh + re-assign — a rebuild,
+    * deliberately OUT of the nightly path.
+    *
+    * The oracle is the one-shot truth: assign EVERY vector to the
+    * same fixed centroids and probe — storage round-trip, build/batch
+    * split, and append path must not change one row. */
+  def vAnnIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val (t, evens) = buildIncrementalIvf(s, d)
+    val result = graft.StageTimes.timed("v_ann_ivf_incremental.probe")(
+      probeStoredIvf(s, t, evens, qVecId = 0)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY))
+    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+    result.orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** Build the incremental inverted file (see [[vAnnIvfIncremental]]):
+    * even ids create the cell-partitioned index, odd ids append as
+    * the incremental batch under the FIXED build-time centroids.
+    * Returns (table name, even-side assignment frame — carries the
+    * probe query's sims); the table is the caller's to drop. */
+  private[graft] def buildIncrementalIvf(s: SparkSession, d: String)
+      : (String, DataFrame) = {
+    LakeOps.cat(s)
+    val t = LakeOps.fresh("ivfincr")
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    // fixed centroid row: first 8 EVEN ids (0,2,..,14)
+    val centsRow = emb
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+    val evens = assignToCents(emb.filter(col("vec_id") % 2 === 0), centsRow)
+    graft.StageTimes.timed("v_ann_ivf_incremental.build") {
+      evens.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+        .writeTo(s"lakeq.db.$t").using("lake")
+        .partitionedBy(col("cell")).create()
+    }
+    graft.StageTimes.timed("v_ann_ivf_incremental.ingest") {
+      assignToCents(emb.filter(col("vec_id") % 2 === 1), centsRow)
+        .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+        .writeTo(s"lakeq.db.$t").append()
+    }
+    (t, evens)
+  }
+
   /** IVF + int8 ANN — the two scale levers composed: the inverted
     * file bounds WHICH candidates are scored (nprobe/K of the corpus,
     * [[vAnnIvf]]) and symmetric int8 quantization ([[vQuantize]])
@@ -683,6 +745,7 @@ object VectorOps {
     "v_ann_lsh" -> (vAnnLsh _),
     "v_ann_ivf" -> (vAnnIvf _),
     "v_ann_ivf_indexed" -> (vAnnIvfIndexed _),
+    "v_ann_ivf_incremental" -> (vAnnIvfIncremental _),
     "v_ann_ivf_k256" -> (vAnnIvfK256 _),
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_ann_rerank" -> (vAnnRerank _),
@@ -722,17 +785,21 @@ object VectorOps {
       s"$bit * $w"
     }.mkString("(", " + ", ")")
 
-  /** IVF-flat ANN oracle, parameterized over index width: shared by
-    * the toy-K gate (`v_ann_ivf`, K=8/nprobe=2) and the
-    * production-width gate (`v_ann_ivf_k256`, K=256/nprobe=64 — same
-    * 1/4 probe fraction). */
-  private def ivfFlatSql(k: Int, nprobe: Int): String =
+  /** IVF-flat ANN oracle, parameterized over index width and the
+    * centroid-selection predicate: shared by the toy-K gate
+    * (`v_ann_ivf`, K=8/nprobe=2), the production-width gate
+    * (`v_ann_ivf_k256`, K=256/nprobe=64 — same 1/4 probe fraction),
+    * the stored-index gate, and the incremental gate (centroids =
+    * first 8 EVEN ids, the build-time corpus). */
+  private def ivfFlatSql(k: Int, nprobe: Int,
+      centsWhere: String = ""): String =
     s"""WITH emb AS (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
        |  FROM embeddings),
        |cents AS (
        |  SELECT vec_id AS cid, embedding AS cv, nrm AS cn
-       |  FROM emb WHERE vec_id < $k),
+       |  FROM emb WHERE ${if (centsWhere.nonEmpty) centsWhere
+                           else s"vec_id < $k"}),
        |sims AS (
        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
        |    CASE WHEN isnan(${dotSql("e.embedding", "c.cv")} /
@@ -875,6 +942,11 @@ object VectorOps {
     // the stored-index gate must return the identical top-5: the lake
     // round-trip changes the read path, not the result
     "v_ann_ivf_indexed" -> ivfFlatSql(k = 8, nprobe = 2),
+    // incremental ingestion must converge to the one-shot truth:
+    // centroids fixed at build time (first 8 even ids), every vector
+    // assigned, same probe
+    "v_ann_ivf_incremental" -> ivfFlatSql(k = 8, nprobe = 2,
+      centsWhere = "vec_id % 2 = 0 AND vec_id < 16"),
     "v_ann_ivf_k256" -> ivfFlatSql(k = 256, nprobe = 64),
     "v_ann_ivf_pq" ->
       s"""$ivfPqCoarseSql

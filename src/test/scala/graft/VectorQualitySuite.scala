@@ -121,6 +121,70 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 
+  test("incremental IVF: append-only ingest converges to the one-shot index") {
+    assume(ready)
+    val (t, evens) = graft.queries.VectorOps.buildIncrementalIvf(spark, sfDir)
+    // lifecycle: exactly build + ingest; the batch APPENDS (no resident
+    // cell file is rewritten — every build-time file survives the ingest)
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, operation FROM lakeq.db.$t.snapshots ORDER BY committed_at")
+      .collect()
+    assert(snaps.length == 2, s"expected build+ingest, got ${snaps.length}")
+    assert(snaps(1).getString(1) == "append",
+      s"ingest must be an append, was ${snaps(1).getString(1)}")
+    val v1 = snaps(0).getLong(0)
+    val before = spark.sql(
+      s"SELECT file_path FROM lakeq.db.$t.files VERSION AS OF $v1")
+      .collect().map(_.getString(0)).toSet
+    val after = spark.sql(s"SELECT file_path FROM lakeq.db.$t.files")
+      .collect().map(_.getString(0)).toSet
+    assert(before.subsetOf(after),
+      "ingest must not rewrite build-time files: " +
+        s"${(before diff after).take(3)} disappeared")
+    assert(after.size > before.size, "ingest must add files")
+    // the stored rows cover the whole corpus exactly once
+    val nAll = Tables.embeddings(spark, sfDir).count()
+    assert(spark.table(s"lakeq.db.$t").count() == nAll)
+    // probe result == a full driver-side recompute of the one-shot
+    // truth (assign EVERYONE to the fixed even-id centroids, rank the
+    // query's 2 best cells)
+    val probe = graft.queries.VectorOps.probeStoredIvf(spark, t, evens, 0L)
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planned = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    assert(planned >= 1 && planned <= after.size / 2,
+      s"probe planned $planned of ${after.size} files — cell pruning " +
+        "must hold over appended files too")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val cents = emb.filter(e => e._1 % 2 == 0 && e._1 < 16).sortBy(_._1)
+    def cellOf(v: Array[Double]): Long =
+      cents.map { case (cid, cv) =>
+        val c = dot(v, cv) / (nrm(v) * nrm(cv))
+        (if (c.isNaN) -2.0 else c, cid)
+      }.maxBy { case (c, cid) => (c, -cid) }._2
+    val q = emb.find(_._1 == 0L).get._2
+    val probeCells = cents.map { case (cid, cv) =>
+      (dot(q, cv) / (nrm(q) * nrm(cv)), cid)
+    }.sortBy { case (c, cid) => (-c, cid) }.take(2).map(_._2).toSet
+    val expected = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cellOf(v),
+        BigDecimal(dot(v, q) / (nrm(v) * nrm(q)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .filter(e => probeCells.contains(e._2))
+      .sortBy { case (id, _, c) => (-c, id) }
+      .take(5)
+    assert(got.toSeq == expected.toSeq,
+      s"probe must equal the one-shot truth:\ngot      ${got.toSeq}\n" +
+        s"expected ${expected.toSeq}")
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
+
   test("near-dup miner: (4,4) = gate parity; scale config sound + deterministic") {
     assume(ready)
     val d = "/root/testdata/sf0.001"
