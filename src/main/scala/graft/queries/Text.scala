@@ -1336,6 +1336,53 @@ object TextOps {
         col("keep_doc_id"), col("min_start"))
       .orderBy(col("chunk_digest"))
 
+  /** Per-source boilerplate stripping — the domain-scoped line-dedup
+    * pass (CCNet/RefinedWeb style) that [[tChunkDedup]]'s GLOBAL
+    * duplicate-chunk report does not give you: navigation, headers
+    * and license blocks repeat across a single domain's pages, so the
+    * frequency test must be relative to the SOURCE (a paragraph is
+    * boilerplate iff it appears in ≥ max(2, 5 %) of that source's
+    * documents), and the useful output is each document AFTER the
+    * strip (paragraph/kept-token retention stats, all exact
+    * integers — no float anywhere in the gate).
+    *
+    * Paragraphs are non-overlapping 16-token windows, so kept_tokens
+    * is exact set arithmetic. Scale shape: one (source, digest)
+    * aggregate with map-side combining (distinct-doc counts), a
+    * source-doc-count frame of |sources| rows joined in, and the
+    * verdicts join back keyed on (source, digest) — no window, no
+    * broadcast of anything corpus-sized, the exact-dedup shuffle
+    * shape throughout. The 5 % threshold is integer arithmetic:
+    * n_docs_with ≥ max(2, (src_docs + 19) div 20). */
+  def tBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val w = lit(16)
+    val par = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("p0",
+        explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), w)))
+      .select(col("doc_id"), col("source"),
+        size(slice(col("t"), col("p0") + 1, w)).as("n_tok"),
+        md5(array_join(slice(col("t"), col("p0") + 1, w), " ")).as("digest"))
+    val srcDocs = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("src_docs"))
+    val boiler = par
+      .groupBy(col("source"), col("digest"))
+      .agg(count_distinct(col("doc_id")).as("n_docs_with"))
+      .join(srcDocs, Seq("source"))
+      .filter(col("n_docs_with") >= greatest(lit(2L),
+        expr("(src_docs + 19) div 20")))
+      .select(col("source"), col("digest"), lit(1).as("is_boiler"))
+    par.join(boiler, Seq("source", "digest"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_par"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_boiler"),
+        sum(when(col("is_boiler").isNull, col("n_tok").cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def tContamination(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -1802,6 +1849,7 @@ object TextOps {
     "t_dedup_exact" -> (tDedupExact _),
     "t_chunk" -> (tChunk _),
     "t_chunk_dedup" -> (tChunkDedup _),
+    "t_boilerplate" -> (tBoilerplate _),
     "t_token_stats" -> (tTokenStats _),
     "t_token_bpe" -> (tTokenBpe _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
@@ -1901,6 +1949,33 @@ object TextOps {
          |  min(doc_id) AS keep_doc_id, min(chunk_start)::BIGINT AS min_start
          |FROM ch GROUP BY chunk_digest HAVING count(*) >= 2
          |ORDER BY chunk_digest""".stripMargin,
+    "t_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, source, $tokSql AS t FROM documents),
+         |par AS (
+         |  SELECT doc_id, source,
+         |    len(t[p0+1 : p0+16]) AS n_tok,
+         |    md5(array_to_string(t[p0+1 : p0+16], ' ')) AS digest
+         |  FROM (SELECT doc_id, source, t,
+         |          unnest(range(0, len(t), 16)) AS p0 FROM tk)),
+         |srcdocs AS (
+         |  SELECT source, count(DISTINCT doc_id)::BIGINT AS src_docs
+         |  FROM documents GROUP BY source),
+         |boiler AS (
+         |  SELECT f.source, f.digest FROM (
+         |    SELECT source, digest,
+         |      count(DISTINCT doc_id)::BIGINT AS n_docs_with
+         |    FROM par GROUP BY source, digest) f
+         |  JOIN srcdocs s USING (source)
+         |  WHERE f.n_docs_with >= greatest(2, (s.src_docs + 19) // 20))
+         |SELECT p.doc_id, p.source, count(*) AS n_par,
+         |  sum(CASE WHEN b.digest IS NOT NULL THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n_boiler,
+         |  sum(CASE WHEN b.digest IS NULL THEN p.n_tok ELSE 0 END)
+         |    ::BIGINT AS kept_tokens
+         |FROM par p
+         |LEFT JOIN boiler b ON b.source = p.source AND b.digest = p.digest
+         |GROUP BY p.doc_id, p.source
+         |ORDER BY p.doc_id""".stripMargin,
     "t_token_stats" ->
       s"""SELECT doc_id, len(t) AS n_tokens,
          |  len(list_distinct(t)) AS n_uniq_tokens,

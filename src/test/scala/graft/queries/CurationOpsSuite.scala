@@ -110,6 +110,43 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPos != byPos.sorted, "epoch order must not be doc order")
   }
 
+  test("boilerplate: per-source frequency rule matches a direct recompute") {
+    assume(ready)
+    val rows = TextOps.tBoilerplate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def pars(t: String): Seq[Seq[String]] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      (0 until w.size by 16).map(i => w.slice(i, i + 16))
+    }
+    val allPars = docs.map { case (id, src, t) => (id, src, pars(t)) }
+    val srcDocs = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // a paragraph is boilerplate in its source iff it appears in
+    // >= max(2, ceil(5% of the source's docs)) DISTINCT documents
+    val freq = allPars
+      .flatMap { case (id, src, ps) => ps.map(p => (src, p.mkString(" "), id)) }
+      .groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).distinct.length.toLong).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    allPars.foreach { case (id, src, ps) =>
+      val thr = math.max(2L, (srcDocs(src) + 19) / 20)
+      val boiler = ps.count(p => freq((src, p.mkString(" "))) >= thr)
+      val kept = ps.filter(p => freq((src, p.mkString(" "))) < thr)
+        .map(_.size.toLong).sum
+      val row = byId(id)
+      assert(row._2 == src && row._3 == ps.size.toLong, s"doc $id shape")
+      assert(row._4 == boiler.toLong, s"doc $id n_boiler ${row._4} vs $boiler")
+      assert(row._5 == kept, s"doc $id kept_tokens ${row._5} vs $kept")
+    }
+    // the strip must actually fire somewhere on this corpus (the gate
+    // would silently hash-match an all-zero column too)
+    assert(rows.exists(_._4 > 0), "no boilerplate found — dead rule?")
+  }
+
   test("bigram LM: exact transition counts, score matches a direct model") {
     assume(ready)
     val rows = TextOps.tBigramLm(spark, sfDir).collect()
