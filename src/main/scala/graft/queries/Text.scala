@@ -1197,6 +1197,94 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[tBigramLm]] served from a STORED model — the stored-index
+    * pattern (band postings, group labels, IVF cells) applied to the
+    * LM quality filter's model tables: recomputing corpus-wide
+    * unigram/bigram counts per scoring run is a full corpus pass that
+    * a nightly pipeline pays once, not per consumer. The counts are
+    * ADDITIVE, so the refresh is the simplest in the family:
+    *
+    *  - build: even docs' (w1,w2)→cb and tok→c2 aggregates persist as
+    *    lake tables `PARTITIONED BY bucket(8, w1|tok)` (the MERGE key);
+    *  - nightly refresh: the odd batch's counts MERGE in —
+    *    matched rows ADD, unmatched INSERT; copy-on-write touches only
+    *    files holding updated vocabulary buckets, and no corpus text
+    *    is re-read;
+    *  - serve: the scoring joins read the stored model (k-row sum for
+    *    the grand total) instead of re-aggregating the corpus.
+    *
+    * Additivity means build-on-evens + merge-odds IS the one-shot
+    * model bit-for-bit, so the gate shares [[tBigramLm]]'s oracle
+    * verbatim: the storage round-trip and the build/batch split must
+    * not change one row. Stage splits (build/refresh/score) land in
+    * bench.json. */
+  def tBigramLmIndexed(s: SparkSession, d: String): DataFrame = {
+    LakeOps.cat(s)
+    val uniT = LakeOps.fresh("lmidx_uni")
+    val bigT = LakeOps.fresh("lmidx_big")
+    val t = toks(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(bg).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    def uniOf(df: DataFrame): DataFrame = df
+      .select(explode(toks(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val docs = Tables.documents(s, d)
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    graft.StageTimes.timed("t_bigram_lm_indexed.build") {
+      pairsOf(evens).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+        .writeTo(s"lakeq.db.$bigT").using("lake")
+        .partitionedBy(bucket(8, col("w1"))).create()
+      uniOf(evens)
+        .writeTo(s"lakeq.db.$uniT").using("lake")
+        .partitionedBy(bucket(8, col("w2"))).create()
+    }
+    graft.StageTimes.timed("t_bigram_lm_indexed.refresh") {
+      val bigBatch = s"lm_batch_big_${bigT.split('_').last}"
+      val uniBatch = s"lm_batch_uni_${uniT.split('_').last}"
+      pairsOf(odds).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb")).createOrReplaceTempView(bigBatch)
+      uniOf(odds).createOrReplaceTempView(uniBatch)
+      s.sql(s"""MERGE INTO lakeq.db.$bigT t USING $bigBatch b
+               |ON t.w1 = b.w1 AND t.w2 = b.w2
+               |WHEN MATCHED THEN UPDATE SET t.cb = t.cb + b.cb
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"""MERGE INTO lakeq.db.$uniT t USING $uniBatch b
+               |ON t.w2 = b.w2
+               |WHEN MATCHED THEN UPDATE SET t.c2 = t.c2 + b.c2
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.catalog.dropTempView(bigBatch)
+      s.catalog.dropTempView(uniBatch)
+    }
+    val result = graft.StageTimes.timed("t_bigram_lm_indexed.score") {
+      val cbg = s.table(s"lakeq.db.$bigT")
+      val hist = cbg.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
+      val cu = s.table(s"lakeq.db.$uniT")
+      val n = cu.agg(sum(col("c2")).as("total"))
+      pairsOf(docs)
+        .join(cbg, Seq("w1", "w2"))
+        .join(hist, Seq("w1"))
+        .join(cu, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log10(
+            lit(0.9) * (col("cb").cast("double") / col("c1").cast("double")) +
+              lit(0.1) *
+                (col("c2").cast("double") / col("total").cast("double"))
+          )), 4).as("avg_logprob"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
+    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$uniT PURGE")
+    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$bigT PURGE")
+    result.orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling — the "keep X% of each stratum"
     * stage of corpus curation, reproducible across runs and engines:
     * the sampling coin is a hash bucket of the doc id (first 15 md5
@@ -1773,6 +1861,31 @@ object TextOps {
 
   private val tokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** Jelinek-Mercer bigram LM oracle — shared by the in-memory gate
+    * and the stored-model gate (additive counts → identical model). */
+  private lazy val bigramLmSql: String =
+    s"""WITH tt AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+       |    unnest(t[2:len(t)]) AS w2
+       |  FROM tt),
+       |cbg AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs
+       |        GROUP BY w1, w2),
+       |hist AS (SELECT w1, sum(cb)::BIGINT AS c1 FROM cbg GROUP BY w1),
+       |cu AS (SELECT w2, count(*)::BIGINT AS c2 FROM
+       |         (SELECT unnest(t) AS w2 FROM tt) GROUP BY w2),
+       |n AS (SELECT sum(c2)::BIGINT AS total FROM cu)
+       |SELECT p.doc_id, count(*) AS n_bigrams,
+       |  round(avg(log10(
+       |    0.9 * (g.cb::DOUBLE / h.c1::DOUBLE) +
+       |      0.1 * (u.c2::DOUBLE / n.total::DOUBLE))), 4) AS avg_logprob
+       |FROM pairs p
+       |JOIN cbg g USING (w1, w2)
+       |JOIN hist h USING (w1)
+       |JOIN cu u USING (w2)
+       |CROSS JOIN n
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   /** MinHash-LSH candidate pairs as a reusable WITH-prefix (ends in
     * CTE `mh_cand(doc_a, doc_b, est_jaccard)`) — shared by the
     * t_minhash_pairs oracle and the cross-modal x_semantic_dedup
@@ -1871,6 +1984,7 @@ object TextOps {
     "t_dedup_keep_best" -> (tDedupKeepBest _),
     "t_unigram_logprob" -> (tUnigramLogprob _),
     "t_bigram_lm" -> (tBigramLm _),
+    "t_bigram_lm_indexed" -> (tBigramLmIndexed _),
     "t_sample_stratified" -> (tSampleStratified _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_shard_pack" -> (tShardPack _),
@@ -2226,28 +2340,11 @@ object TextOps {
          |  round(avg(log10(f.c::DOUBLE / n.total)), 4) AS avg_logprob
          |FROM tk t JOIN tf f USING (tok) CROSS JOIN n
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
-    "t_bigram_lm" ->
-      s"""WITH tt AS (SELECT doc_id, $tokSql AS t FROM documents),
-         |pairs AS (
-         |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
-         |    unnest(t[2:len(t)]) AS w2
-         |  FROM tt),
-         |cbg AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs
-         |        GROUP BY w1, w2),
-         |hist AS (SELECT w1, sum(cb)::BIGINT AS c1 FROM cbg GROUP BY w1),
-         |cu AS (SELECT w2, count(*)::BIGINT AS c2 FROM
-         |         (SELECT unnest(t) AS w2 FROM tt) GROUP BY w2),
-         |n AS (SELECT sum(c2)::BIGINT AS total FROM cu)
-         |SELECT p.doc_id, count(*) AS n_bigrams,
-         |  round(avg(log10(
-         |    0.9 * (g.cb::DOUBLE / h.c1::DOUBLE) +
-         |      0.1 * (u.c2::DOUBLE / n.total::DOUBLE))), 4) AS avg_logprob
-         |FROM pairs p
-         |JOIN cbg g USING (w1, w2)
-         |JOIN hist h USING (w1)
-         |JOIN cu u USING (w2)
-         |CROSS JOIN n
-         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "t_bigram_lm" -> bigramLmSql,
+    // the stored-model gate shares the oracle verbatim: counts are
+    // additive, so build-on-evens + merged odd batch IS the one-shot
+    // model — the storage round-trip must not change one row
+    "t_bigram_lm_indexed" -> bigramLmSql,
     "t_sample_stratified" ->
       """SELECT doc_id, lang, source, bucket
         |FROM (SELECT doc_id, lang, source,

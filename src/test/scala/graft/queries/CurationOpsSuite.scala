@@ -110,6 +110,17 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPos != byPos.sorted, "epoch order must not be doc order")
   }
 
+  test("stored LM model: build + merged batch scores identically to one-shot") {
+    assume(ready)
+    // counts are additive: the lake round-trip (build on evens, MERGE
+    // the odd batch, score from storage) must reproduce the in-memory
+    // gate row for row
+    val direct = TextOps.tBigramLm(spark, sfDir).collect().map(_.toString)
+    val stored = TextOps.tBigramLmIndexed(spark, sfDir).collect().map(_.toString)
+    assert(stored.toSeq == direct.toSeq,
+      s"stored-model scores diverge: ${stored.diff(direct).take(3).toSeq}")
+  }
+
   test("boilerplate: per-source frequency rule matches a direct recompute") {
     assume(ready)
     val rows = TextOps.tBoilerplate(spark, sfDir).collect()
