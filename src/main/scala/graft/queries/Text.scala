@@ -1235,13 +1235,23 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val evens = docs.filter(col("doc_id") % 2 === 0)
     val odds = docs.filter(col("doc_id") % 2 === 1)
+    // merge-on-read for the MERGE: an additive count batch MATCHES
+    // nearly every resident vocabulary row (common words appear in
+    // every batch), so copy-on-write would rewrite almost the whole
+    // model per refresh; MoR writes deltas proportional to the BATCH
+    // (measured at sf0.1: refresh 3.4 -> 2.1 s for a +0.3 s read tax
+    // on the next score — and at vocab >> batch scale the gap is the
+    // whole table vs the batch). Periodic rewrite_data_files folds
+    // the deltas back in; results are bit-identical either mode.
     graft.StageTimes.timed("t_bigram_lm_indexed.build") {
       pairsOf(evens).groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("cb"))
         .writeTo(s"lakeq.db.$bigT").using("lake")
+        .tableProperty("write.merge.mode", "merge-on-read")
         .partitionedBy(bucket(8, col("w1"))).create()
       uniOf(evens)
         .writeTo(s"lakeq.db.$uniT").using("lake")
+        .tableProperty("write.merge.mode", "merge-on-read")
         .partitionedBy(bucket(8, col("w2"))).create()
     }
     graft.StageTimes.timed("t_bigram_lm_indexed.refresh") {

@@ -121,6 +121,38 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 
+  test("stored IVF: concurrent probes return sequential results") {
+    assume(ready)
+    // serving-path claim under concurrency: many probes share ONE
+    // stored index through one SparkContext (the multi-probe bench
+    // rows prove sequential reuse; this pins scheduler-level
+    // interference). Every concurrent result must equal its
+    // sequential twin bit-for-bit.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val (t, withSims) = graft.queries.VectorOps.buildStoredIvf(spark, sfDir)
+    try {
+      val qids = Seq(0L, 1L, 2L, 3L)
+      val sequential = qids.map { q =>
+        q -> graft.queries.VectorOps.probeStoredIvf(spark, t, withSims, q)
+          .collect().map(_.toString).toSeq
+      }.toMap
+      val t0 = System.nanoTime()
+      val concurrent = Await.result(
+        Future.sequence(qids.map { q =>
+          Future(q -> graft.queries.VectorOps
+            .probeStoredIvf(spark, t, withSims, q)
+            .collect().map(_.toString).toSeq)
+        }), 120.seconds).toMap
+      info(f"4 concurrent probes in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      qids.foreach { q =>
+        assert(concurrent(q) == sequential(q),
+          s"probe $q diverged under concurrency")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
+
   test("incremental IVF: append-only ingest converges to the one-shot index") {
     assume(ready)
     val (t, evens) = graft.queries.VectorOps.buildIncrementalIvf(spark, sfDir)
