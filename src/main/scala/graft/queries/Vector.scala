@@ -409,6 +409,49 @@ object VectorOps {
       .limit(5)
   }
 
+  /** Pick a banded-LSH configuration for a corpus size — the sizing
+    * rule the r9 sf1/sf10 measurements derived, packaged so a caller
+    * doesn't re-derive it:
+    *
+    *  - planesPerBand r = ceil(log2(n / targetOccupancy)), clamped to
+    *    [4, 20]: bucket count 2^r grows WITH the corpus so per-bucket
+    *    candidate pairs stay ~occupancy²/2 per bucket instead of
+    *    growing quadratically in n (the measured failure of a fixed
+    *    r: 46 M candidates at 20 k vectors under r=4);
+    *  - bands b = smallest b with theoretical recall
+    *    1-(1-p^r)^b ≥ minRecall at the design cosine, where
+    *    p = 1 - acos(designCos)/π is the per-plane agreement
+    *    probability (random-hyperplane LSH), clamped to ≤ 64.
+    *
+    * Measured against brute-force truth at sf0.1 (14 true pairs at
+    * cos ≥ 0.5 — most barely over the threshold, the hardest regime):
+    * (4,4) recall 0.50 / 4.5 s, (16,6) 0.79 / 2.8 s, (32,8) 0.79 /
+    * 4.5 s — observed recall tracks the formula. Note the OUTPUT
+    * itself grows quadratically when the verify threshold sits inside
+    * the corpus's random-similarity tail (64-dim at cos 0.5); the
+    * design point for production is higher cosine and dimension,
+    * where p^r decays slower and fewer bands reach the same recall. */
+  private[graft] def nearDupBandConfig(n: Long,
+      targetOccupancy: Long = 64, designCos: Double = 0.7,
+      minRecall: Double = 0.9, maxBands: Int = 64): (Int, Int) = {
+    val p = 1.0 - math.acos(designCos) / math.Pi
+    def bandsFor(r: Int): Int = {
+      val perBand = math.pow(p, r)
+      math.max(1, math.ceil(
+        math.log(1.0 - minRecall) / math.log(1.0 - perBand)).toInt)
+    }
+    // occupancy-driven width — but the RECALL contract wins: past the
+    // band budget, widen buckets back down (more candidates per
+    // bucket) rather than silently miss the recall target. At design
+    // cos 0.7 the budget caps r at 11 (2048 buckets/band, 57 bands);
+    // a higher design cosine pushes the cap out.
+    var r = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    while (r > 4 && bandsFor(r) > maxBands) r -= 1
+    (math.min(maxBands, bandsFor(r)), r)
+  }
+
   /** Incremental maintenance of the stored IVF index — the missing
     * lifecycle piece next to [[vAnnIvfIndexed]]'s one-shot build (the
     * dedup ring already has it: band postings and group labels both

@@ -251,6 +251,32 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(scale1.toSeq == scale2.toSeq, "scale config must be deterministic")
   }
 
+  test("band sizing: occupancy-driven width, recall-driven band count") {
+    // the sizing rule packaged from the r9 measurements: bucket count
+    // must grow with the corpus, band count must buy back the recall
+    def cfg(n: Long, occ: Long, c: Double, rec: Double): (Int, Int) =
+      graft.queries.VectorOps.nearDupBandConfig(n, occ, c, rec)
+    // planesPerBand grows one bit per corpus decade (log2), clamped
+    val rs = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(n => cfg(n, 64, 0.7, 0.9)._2)
+    assert(rs == rs.sorted, s"width must be monotone in n: $rs")
+    assert(rs.head >= 4 && rs.last <= 20, rs.toString)
+    // the theoretical recall target is met at the design point for
+    // every returned configuration
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val (b, r) = cfg(n, 64, 0.7, 0.9)
+      val p = 1.0 - math.acos(0.7) / math.Pi
+      val rec = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+      assert(rec >= 0.9 - 1e-9, f"n=$n (b=$b,r=$r) recall $rec%.3f < 0.9")
+      assert(b <= 64, s"band count must stay bounded, got $b")
+    }
+    // a higher design cosine needs fewer bands at the same width
+    val loose = cfg(100000L, 64, 0.9, 0.9)._1
+    val tight = cfg(100000L, 64, 0.6, 0.9)._1
+    assert(loose < tight,
+      s"cos 0.9 should need fewer bands than cos 0.6: $loose vs $tight")
+  }
+
   test("cluster prune: exact per-cluster P25 cutoff, ties kept, <=25% dropped") {
     assume(ready)
     val rows = graft.queries.VectorOps.vClusterPrune(spark, sfDir).collect()
