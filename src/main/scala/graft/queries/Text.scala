@@ -1722,6 +1722,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[tNgramNovelty]] served from a STORED shingle-DF index — the
+    * additive-count pattern ([[tBigramLmIndexed]]) applied to the
+    * dedup ring's mining substrate (r9 board: the sf10 group gate
+    * spends its 61 s floor recomputing corpus shingle statistics):
+    * document frequencies persist as a lake table bucketed by
+    * shingle, a nightly batch's per-shingle doc counts MERGE in
+    * additively (disjoint doc sets → exact), and scoring joins the
+    * stored DF. Most batch shingles are corpus-new (novel text), so
+    * the MERGE is INSERT-heavy — merge-on-read keeps the matched
+    * minority from rewriting every bucket file. Additivity means
+    * build-on-evens + merged odds IS the one-shot DF table, so the
+    * gate shares [[tNgramNovelty]]'s oracle verbatim. */
+  def tNgramNoveltyIndexed(s: SparkSession, d: String): DataFrame = {
+    LakeOps.cat(s)
+    val dfT = LakeOps.fresh("shdf")
+    def shOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(shingles3(toks(col("text")))).as("sh"))
+    val docs = Tables.documents(s, d)
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    graft.StageTimes.timed("t_ngram_novelty_indexed.build") {
+      shOf(evens).groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .writeTo(s"lakeq.db.$dfT").using("lake")
+        .tableProperty("write.merge.mode", "merge-on-read")
+        .partitionedBy(bucket(8, col("sh"))).create()
+    }
+    graft.StageTimes.timed("t_ngram_novelty_indexed.refresh") {
+      val v = s"shdf_batch_${dfT.split('_').last}"
+      shOf(odds).groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .createOrReplaceTempView(v)
+      s.sql(s"""MERGE INTO lakeq.db.$dfT t USING $v b ON t.sh = b.sh
+               |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.catalog.dropTempView(v)
+    }
+    val result = graft.StageTimes.timed("t_ngram_novelty_indexed.score") {
+      shOf(docs).join(s.table(s"lakeq.db.$dfT"), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_bp",
+          floor((lit(20000L) * col("n_novel") + col("n_shingles")) /
+            (lit(2L) * col("n_shingles"))).cast("long"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty_bp"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
+    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$dfT PURGE")
+    result.orderBy(col("doc_id"))
+  }
+
   /** Length-outlier trimming — drop each language's shortest/longest
     * tails (below P5 or above P95 of `n_chars`) before training: the
     * truncated-and-concatenated garbage lives in exactly those tails.
@@ -1871,6 +1922,21 @@ object TextOps {
 
   private val tokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** Shingle-novelty oracle — shared by the in-memory gate and the
+    * stored-DF gate (additive document frequencies). */
+  private lazy val ngramNoveltySql: String =
+    s"""WITH shx AS (
+       |  SELECT doc_id, unnest(sh) AS g
+       |  FROM (SELECT doc_id, $shSql AS sh
+       |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
+       |dfq AS (SELECT g, count(*) AS df FROM shx GROUP BY g)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |  sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  ((20000 * sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
+       |    + count(*)) // (2 * count(*)))::BIGINT AS novelty_bp
+       |FROM shx s JOIN dfq f USING (g)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   /** Jelinek-Mercer bigram LM oracle — shared by the in-memory gate
     * and the stored-model gate (additive counts → identical model). */
   private lazy val bigramLmSql: String =
@@ -2002,6 +2068,7 @@ object TextOps {
     "t_dup_span" -> (tDupSpan _),
     "t_filter_pipeline" -> (tFilterPipeline _),
     "t_ngram_novelty" -> (tNgramNovelty _),
+    "t_ngram_novelty_indexed" -> (tNgramNoveltyIndexed _),
     "t_length_trim" -> (tLengthTrim _),
     "t_epoch_shuffle" -> (tEpochShuffle _),
     "t_source_cap" -> (tSourceCap _),
@@ -2456,18 +2523,11 @@ object TextOps {
          |       ELSE 'keep' END AS reason,
          |  count(*) AS n_docs, sum(n)::BIGINT AS sum_tokens
          |FROM sg GROUP BY 1, 2 ORDER BY source, reason""".stripMargin,
-    "t_ngram_novelty" ->
-      s"""WITH shx AS (
-         |  SELECT doc_id, unnest(sh) AS g
-         |  FROM (SELECT doc_id, $shSql AS sh
-         |        FROM (SELECT doc_id, $tokSql AS t FROM documents))),
-         |dfq AS (SELECT g, count(*) AS df FROM shx GROUP BY g)
-         |SELECT s.doc_id, count(*) AS n_shingles,
-         |  sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-         |  ((20000 * sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
-         |    + count(*)) // (2 * count(*)))::BIGINT AS novelty_bp
-         |FROM shx s JOIN dfq f USING (g)
-         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "t_ngram_novelty" -> ngramNoveltySql,
+    // the stored-DF gate shares the oracle verbatim: document
+    // frequencies are additive over disjoint doc sets, so
+    // build-on-evens + merged odd batch IS the one-shot DF table
+    "t_ngram_novelty_indexed" -> ngramNoveltySql,
     "t_length_trim" ->
       """WITH h AS (SELECT lang, n_chars, count(*) AS c
         |           FROM documents GROUP BY lang, n_chars),

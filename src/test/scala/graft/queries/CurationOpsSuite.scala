@@ -110,6 +110,18 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPos != byPos.sorted, "epoch order must not be doc order")
   }
 
+  test("stored shingle-DF index: merged batch scores identically to one-shot") {
+    assume(ready)
+    // document frequencies are additive over disjoint doc sets: the
+    // lake round-trip (build on evens, MERGE the odd batch, score
+    // from storage) must reproduce the in-memory novelty row for row
+    val direct = TextOps.tNgramNovelty(spark, sfDir).collect().map(_.toString)
+    val stored = TextOps.tNgramNoveltyIndexed(spark, sfDir)
+      .collect().map(_.toString)
+    assert(stored.toSeq == direct.toSeq,
+      s"stored-DF novelty diverges: ${stored.diff(direct).take(3).toSeq}")
+  }
+
   test("stored LM model: build + merged batch scores identically to one-shot") {
     assume(ready)
     // counts are additive: the lake round-trip (build on evens, MERGE
