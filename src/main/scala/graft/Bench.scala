@@ -185,9 +185,9 @@ object Bench {
     val (cold, fallsCold, memosCold, _, _) = pass()
     dropGateTables()
     val (warmFirst, fallsWarm, memosWarm, compsWarm, stagesWarm) = pass()
-    // Re-time any query whose warm sample exceeds 1.5× its cold one by
-    // more than noise: the steady-state pass is the headline, and the
-    // round-8 driver artifact proved cross-query state (warehouse
+    // Re-time any query whose warm sample exceeds 1.2× its cold one
+    // above a 0.5 s floor: the steady-state pass is the headline, and
+    // the round-8 driver artifact proved cross-query state (warehouse
     // growth, JIT deopt, cleaner backlog invisible to GC counts) can
     // land 10× inflations inside warm timed regions that re-measure at
     // cold-level isolated. The third sample wins; the first warm value
@@ -195,26 +195,50 @@ object Bench {
     // query that PAID a memoized mining stage in the warm pass
     // (memo_computes > 0) retimes with memos cleared so the sample
     // pays the same work — otherwise it would read the warm pass's
-    // checkpoint and report a dishonest fast number.
+    // checkpoint and report a dishonest fast number. Retime ORDER
+    // matters: memo-clearing retimes run LAST, after every retime
+    // that only READ memos in the warm pass — a clear mid-sequence
+    // would make a later memo-reading retime recompute the mining
+    // stage inside its third sample, publishing a number its
+    // memo_reads attribution contradicts. Memo computes paid inside
+    // each retime sample are published (`retime_memo_computes`) so
+    // any remaining recompute is attributable from the artifact.
     dropGateTables()
     val retimedB = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val retimeComps = scala.collection.mutable.LinkedHashMap[String, Long]()
     val resultsB = scala.collection.mutable.LinkedHashMap[String, Double]() ++
       warmFirst
     val stagesB = scala.collection.mutable.LinkedHashMap[String, Double]() ++
       stagesWarm
-    wanted.foreach { case (name, fn) =>
+    val toRetime = wanted.toSeq.filter { case (name, _) =>
       val w = warmFirst.getOrElse(name, 0.0)
       val c = cold.getOrElse(name, 0.0)
-      if (!failed.contains(name) && w > 1.5 * c && w - c > 0.15) {
-        if (compsWarm.getOrElse(name, 0L) > 0L)
-          graft.queries.TextOps.clearMemos()
-        settleGc()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        retimedB(name) = w
+      !failed.contains(name) && w > 1.2 * c && w > 0.5 && w - c > 0.1
+    }
+    val (clearing, nonClearing) =
+      toRetime.partition { case (name, _) => compsWarm.getOrElse(name, 0L) > 0L }
+    (nonClearing ++ clearing).foreach { case (name, fn) =>
+      if (compsWarm.getOrElse(name, 0L) > 0L)
+        graft.queries.TextOps.clearMemos()
+      settleGc()
+      val c0 = graft.queries.TextOps.memoComputes
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        // only a COMPLETED third sample replaces the warm headline: a
+        // crash mid-retime would otherwise publish the truncated
+        // elapsed time as a valid fast number
+        retimedB(name) = warmFirst.getOrElse(name, 0.0)
         resultsB(name) = (System.nanoTime() - t0) / 1e9
+        val dc = graft.queries.TextOps.memoComputes - c0
+        if (dc > 0) retimeComps(name) = dc
         graft.StageTimes.drain().foreach { case (k, v) => stagesB(k) = v }
+      } catch {
+        case t: Throwable =>
+          failed += name
+          graft.StageTimes.drain() // discard partial stage timings
+          System.err.println(s"BENCH RETIME FAILURE $name: " +
+            s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(500)}")
       }
     }
     val results = resultsB.toMap
@@ -294,7 +318,8 @@ object Bench {
         s""","fallbacks_cold":${jsonL(fallsCold)}""" +
         s""","memo_reads":${jsonL(memosWarm)}""" +
         s""","memo_reads_cold":${jsonL(memosCold)}""" +
-        s""","memo_computes":${jsonL(compsWarm)}}"""
+        s""","memo_computes":${jsonL(compsWarm)}""" +
+        s""","retime_memo_computes":${jsonL(retimeComps.toMap)}}"""
       java.nio.file.Files.write(out,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable =>

@@ -40,8 +40,12 @@ object ScaleUp {
       .select(
         (col("doc_id") + col("rep") * off).as("doc_id"),
         when(col("rep") === 0, col("text"))
+          // trim before splitting (matching TextOps.toks): leading
+          // whitespace would yield an empty first token, giving every
+          // k>0 replica a bare "r<k>_" token replica 0 lacks — the
+          // replica's shingle multiset must be exactly the original's
           .otherwise(array_join(
-            transform(split(col("text"), "\\s+"),
+            transform(split(trim(col("text")), "\\s+"),
               t => concat(lit("r"), col("rep"), lit("_"), t)), " "))
           .as("text"),
         col("lang"), col("source"))

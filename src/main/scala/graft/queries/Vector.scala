@@ -444,12 +444,16 @@ object VectorOps {
     // band budget, widen buckets back down (more candidates per
     // bucket) rather than silently miss the recall target. At design
     // cos 0.7 the budget caps r at 11 (2048 buckets/band, 57 bands);
-    // a higher design cosine pushes the cap out.
+    // a higher design cosine pushes the cap out. If the budget still
+    // binds at the r=4 floor (extreme low-cos/high-recall inputs),
+    // the UNCAPPED band count is returned — the caller sees the true
+    // cost of its recall target instead of a silently degraded one
+    // (capping here would miss minRecall with no signal).
     var r = math.max(4, math.min(20,
       math.ceil(math.log(math.max(2.0, n.toDouble / targetOccupancy)) /
         math.log(2.0)).toInt))
     while (r > 4 && bandsFor(r) > maxBands) r -= 1
-    (math.min(maxBands, bandsFor(r)), r)
+    (bandsFor(r), r)
   }
 
   /** Incremental maintenance of the stored IVF index — the missing
