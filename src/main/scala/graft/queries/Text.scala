@@ -1000,56 +1000,280 @@ object TextOps {
     * persisted form. The component labels live as a lake table
     * PARTITIONED BY `bucket(8, doc_id)` (the serving key: "which
     * group is doc X in" and the keep-best join are both doc_id
-    * lookups), and the nightly batch REFRESHES them without re-running
-    * propagation over the corpus:
+    * lookups), and the nightly batch REFRESHES them without touching
+    * the corpus AT ALL — neither the propagation loop nor the pair
+    * MINING re-reads corpus text:
     *
-    *  - the batch's new edges are CONTRACTED to label space first
-    *    (endpoint → its stored component label, self for new docs) —
-    *    component merging then runs [[propagateMin]] on a graph whose
-    *    vertices are component LABELS, pair-scale, never corpus-scale;
-    *  - the resulting old→new label mapping applies to storage as ONE
-    *    MERGE keyed on group_id (the mapping is tiny → broadcast; the
-    *    copy-on-write rewrite touches only files holding affected
-    *    groups' rows), and the batch rows append with final labels;
+    *  - [[buildGroupIndex]] persists the corpus's full mining
+    *    substrate next to the labels: shingle postings (bucket(8, sh)),
+    *    additive shingle document frequencies (the [[tNgramNovelty]]
+    *    index pattern), and per-doc capped set sizes (range-clustered
+    *    by doc_id) — the state a probe needs to score ANY future doc
+    *    against the corpus without re-shingling it;
+    *  - [[refreshGroupIndexMined]] mines the batch's edges from the
+    *    BATCH's shingles alone: its postings land in a scratch table
+    *    sharing the index's bucket(8, sh) layout and probe the stored
+    *    posting list with a storage-partitioned join (no exchange on
+    *    the corpus-scale side), corpus set sizes fetch by broadcasting
+    *    candidate ids onto the bloom-skipped size table, and batch×
+    *    batch edges come from a batch-scale self-join — O(batch ·
+    *    collisions) end to end, the [[tIncrementalDedupIndexed]] probe
+    *    shape applied to the exact-Jaccard miner;
+    *  - the mined edges are CONTRACTED to label space
+    *    ([[refreshGroupIndex]]): component merging runs
+    *    [[propagateMin]] on a graph whose vertices are component
+    *    LABELS, the old→new mapping applies as ONE group_id-keyed
+    *    MERGE, and the batch rows append with final labels;
     *  - serving reads the labels from DISK — consumers like
     *    [[tDedupKeepBest]] join storage, not a propagation loop.
     *
     * Even doc_ids play the stored corpus, odd the nightly batch (the
-    * [[tIncrementalDedupIndexed]] convention); edges come from the
-    * same memoized n-gram pair mining as [[tDedupGroups]], so
-    * build + refresh must reproduce the full-corpus labels EXACTLY —
-    * the gate shares t_dedup_groups' oracle, and GroupIndexSuite
-    * drives multi-batch refreshes with transitive cross-batch
-    * merges. */
+    * [[tIncrementalDedupIndexed]] convention). Build + refresh must
+    * reproduce the full-corpus labels EXACTLY — the gate shares
+    * t_dedup_groups' oracle; exactness holds because the additive DF
+    * index makes the refresh's capped universe IDENTICAL to the
+    * one-shot miner's, guarded loudly when a batch pushes a shingle
+    * across the df cap (see [[refreshGroupIndexMined]]).
+    * GroupIndexSuite drives multi-batch mined refreshes with
+    * transitive cross-batch merges and pins the no-exchange probe. */
   def tDedupGroupsIndexed(s: SparkSession, d: String): DataFrame = {
     LakeOps.cat(s)
-    val t = LakeOps.fresh("grpidx")
-    val pairs = ngramPairsRaw(s, d).select(col("doc_a"), col("doc_b"))
-    graft.StageTimes.timed("t_dedup_groups_indexed.build") {
-      val corpusEdges = symmetrize(pairs
-        .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)).persist()
-      val labels = propagateMin(corpusEdges)
-      Tables.documents(s, d).select(col("doc_id"))
-        .filter(col("doc_id") % 2 === 0)
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("group_id"), col("doc_id")).as("group_id"))
-        .writeTo(s"lakeq.db.$t").using("lake")
-        .partitionedBy(bucket(8, col("doc_id"))).create()
-      corpusEdges.unpersist()
+    val docs = Tables.documents(s, d)
+    val idx = graft.StageTimes.timed("t_dedup_groups_indexed.build") {
+      buildGroupIndex(s, docs.filter(col("doc_id") % 2 === 0))
     }
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh") {
-      refreshGroupIndex(s, t,
-        pairs.filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1),
-        Tables.documents(s, d).select(col("doc_id"))
-          .filter(col("doc_id") % 2 === 1))
+      refreshGroupIndexMined(s, idx, docs.filter(col("doc_id") % 2 === 1))
     }
     val result = graft.StageTimes.timed("t_dedup_groups_indexed.serve") {
-      s.table(s"lakeq.db.$t").select(col("doc_id"), col("group_id"))
+      s.table(s"lakeq.db.${idx.labels}").select(col("doc_id"), col("group_id"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+    Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
     result.orderBy(col("doc_id"))
+  }
+
+  /** Distinct-3-word-shingle postings `(doc_id, sh)` of a documents
+    * frame — the mining substrate shared by the group-index build,
+    * its mined refresh, and GroupIndexSuite's probe-plan pin. */
+  private[queries] def shinglePostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles3(toks(col("text")))).as("sh"))
+
+  /** Handles for the stored dedup-group index's four lake tables: the
+    * corpus shingle postings (`post`, bucket(8, sh) — the probe side),
+    * the additive shingle document frequencies (`df`, bucket(8, sh),
+    * merge-on-read), the per-doc CAPPED set sizes (`size`,
+    * range-clustered by doc_id with a doc_id bloom — the Jaccard
+    * denominators), and the component labels (`labels`,
+    * bucket(8, doc_id) — the serving table). */
+  private[queries] final case class GroupIndex(
+      post: String, df: String, size: String, labels: String)
+
+  /** Build the stored dedup-group index from the corpus documents
+    * ALONE (the one corpus-scale pass, paid once at build): mine the
+    * corpus-internal near-dup pairs exactly as [[computeNgramPairs]]
+    * does (df-capped shingle universe, exact Jaccard ≥ 0.6), label
+    * them with [[propagateMin]], and persist labels PLUS the mining
+    * substrate — postings, document frequencies, capped sizes — that
+    * lets every later batch mine its edges without re-reading the
+    * corpus ([[refreshGroupIndexMined]]). */
+  private[queries] def buildGroupIndex(s: SparkSession,
+      corpusDocs: DataFrame, cap: Int = MaxShingleDf): GroupIndex = {
+    LakeOps.cat(s)
+    val idx = GroupIndex(LakeOps.fresh("grpidx_post"),
+      LakeOps.fresh("grpidx_df"), LakeOps.fresh("grpidx_size"),
+      LakeOps.fresh("grpidx_lab"))
+    val posting = shinglePostings(corpusDocs)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // postings persist UNCAPPED: cap membership is a function of the
+    // CURRENT df and shifts as batches land, so the stored posting
+    // list must keep every shingle — probes re-apply the cap from the
+    // df table at their own point in time
+    posting.writeTo(s"lakeq.db.${idx.post}").using("lake")
+      .partitionedBy(bucket(8, col("sh"))).create()
+    val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // additive counts + batch-matches-resident-vocab ⇒ merge-on-read
+    // (the [[tBigramLmIndexed]] measurement: CoW rewrites the model)
+    dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy(bucket(8, col("sh"))).create()
+    val capped = posting
+      .join(dfreq.filter(col("df") <= cap).select(col("sh")), Seq("sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // sizes range-cluster by doc_id with a doc_id bloom so candidate
+    // fetches skip files (the [[tIncrementalDedupIndexed]] sig-store
+    // layout; dictionary encoding off because parquet drops blooms
+    // for fully-dictionary-encoded columns)
+    sizes.repartitionByRange(8, col("doc_id"))
+      .writeTo(s"lakeq.db.${idx.size}").using("lake")
+      .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
+        "true")
+      .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
+        "16384")
+      .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
+      .create()
+    // corpus-internal pairs: the exact [[computeNgramPairs]] shape
+    // over the corpus's own capped universe
+    val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
+    val pairs = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = symmetrize(pairs).persist()
+    val labels = propagateMin(edges)
+    corpusDocs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .writeTo(s"lakeq.db.${idx.labels}").using("lake")
+      .partitionedBy(bucket(8, col("doc_id"))).create()
+    edges.unpersist()
+    idx
+  }
+
+  /** The mined-refresh probe join: batch postings (a scratch table
+    * sharing the index's bucket(8, sh) layout) against the stored
+    * corpus posting list — a storage-partitioned join, NO exchange on
+    * the corpus-scale side. Runs on its own cloned session so the SPJ
+    * confs never leak to concurrently planned queries
+    * ([[tIncrementalDedupIndexed]]'s probe discipline); shared with
+    * GroupIndexSuite so the no-exchange plan assert pins the real
+    * code path. */
+  private[queries] def groupProbeCandidates(s: SparkSession,
+      scratchT: String, postT: String): DataFrame = {
+    val sc = s.newSession()
+    LakeOps.cat(sc)
+    sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.table(s"lakeq.db.$scratchT")
+      .join(sc.table(s"lakeq.db.$postT").toDF("doc_b", "sh"), Seq("sh"))
+      .groupBy(col("doc_id"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** One nightly refresh of the stored group index, INPUT MINING
+    * INCLUDED: everything derives from the batch docs' own text plus
+    * the stored index tables — no corpus document is ever re-read
+    * (structurally: `batchDocs` is the only non-index input).
+    *
+    *  1. batch postings + per-shingle counts (O(batch) mining);
+    *  2. full df per batch shingle = stored df + batch df (joined
+    *     BEFORE the additive merge and checkpointed, so laziness
+    *     cannot observe the post-merge table), giving the refresh the
+    *     EXACT capped universe the one-shot miner would use;
+    *  3. batch×corpus intersections via the SPJ posting probe
+    *     ([[groupProbeCandidates]]), batch×batch via a batch-scale
+    *     self-join; corpus Jaccard denominators fetch by broadcasting
+    *     candidate ids onto the bloom-skipped size table;
+    *  4. the stored tables advance for the NEXT batch (postings and
+    *     sizes append, df MERGEs additively), and the mined edges
+    *     merge into the labels through the label-space contraction
+    *     ([[refreshGroupIndex]]).
+    *
+    * Exactness guard: a batch that pushes a shingle's df across the
+    * cap SHRINKS the capped universe — Jaccard values of already-
+    * stored pairs change retroactively, which can split components,
+    * an operation the stored MERGE-min algebra cannot express. The
+    * refresh detects exactly that set (stored df ≤ cap < stored +
+    * batch, a batch-vocab-scale check) and fails diagnosably rather
+    * than serve silently stale labels; the repair is a scoped rebuild
+    * of the affected components. The production cap exists as a skew
+    * guard 4× above the highest df any measured decade produced
+    * (25 at sf0.1; replicas share no shingles, so the margin holds at
+    * sf10), so crossing it flags genuinely new boilerplate, not
+    * routine growth. */
+  private[queries] def refreshGroupIndexMined(s: SparkSession,
+      idx: GroupIndex, batchDocs: DataFrame,
+      cap: Int = MaxShingleDf): Unit = {
+    val bPost = shinglePostings(batchDocs)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
+    val joined = bDf
+      .join(s.table(s"lakeq.db.${idx.df}"), Seq("sh"), "left")
+      .select(col("sh"), col("bdf"), coalesce(col("df"), lit(0L)).as("df0"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val straddle = joined
+      .filter(col("df0") <= cap && col("df0") + col("bdf") > cap)
+    val nStraddle = straddle.count()
+    if (nStraddle > 0) {
+      val sample = straddle.select(col("sh")).head(5).map(_.getString(0))
+      throw new IllegalStateException(
+        s"$nStraddle shingle(s) crossed the df cap $cap in this batch " +
+          s"(e.g. ${sample.mkString(", ")}): the capped Jaccard universe " +
+          "shrank, stored pair scores are retroactively stale and " +
+          "components may need to SPLIT — run a scoped rebuild of the " +
+          "affected components instead of an additive refresh")
+    }
+    val cappedSh = joined.filter(col("df0") + col("bdf") <= cap)
+      .select(col("sh"))
+    val bCapped = bPost.join(cappedSh, Seq("sh"))
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val bSizes = bCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // batch×corpus: scratch postings share the index bucketing → SPJ
+    val scratch = LakeOps.fresh("grpidx_probe")
+    bCapped.writeTo(s"lakeq.db.$scratch").using("lake")
+      .partitionedBy(bucket(8, col("sh"))).create()
+    val interMixed = groupProbeCandidates(s, scratch, idx.post)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val candIds = interMixed.select(col("doc_b")).distinct()
+    // candidate ids broadcast onto the size store; `>= 0` is the
+    // selective build-side predicate the runtime-filter planner needs
+    // before it hands the ids to the scan for bloom file skipping
+    val nbFetch = s.table(s"lakeq.db.${idx.size}").toDF("doc_b", "nb")
+      .join(broadcast(candIds.filter(col("doc_b") >= 0)), Seq("doc_b"))
+    val jac = (inter: Column, na: Column, nb: Column) =>
+      round(inter.cast("double") / (na + nb - inter), 4)
+    // joins LEAD with caller-session frames: a Dataset adopts its left
+    // operand's session, and the label refresh downstream registers a
+    // temp view the caller's session must resolve — a probe-session
+    // frame on the left would strand that view in the clone
+    val mixedPairs = bSizes.toDF("doc_id", "na")
+      .join(interMixed, Seq("doc_id"))
+      .join(nbFetch, Seq("doc_b"))
+      .filter(jac(col("inter"), col("na"), col("nb")) >= 0.6)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    // batch×batch: a self-join of tonight's capped postings
+    val interBatch = bCapped.select(col("doc_id").as("ba"), col("sh"))
+      .join(bCapped.select(col("doc_id").as("bb"), col("sh")), Seq("sh"))
+      .filter(col("ba") < col("bb"))
+      .groupBy(col("ba"), col("bb"))
+      .agg(count(lit(1)).as("inter"))
+    val batchPairs = interBatch
+      .join(bSizes.toDF("ba", "na"), Seq("ba"))
+      .join(bSizes.toDF("bb", "nb"), Seq("bb"))
+      .filter(jac(col("inter"), col("na"), col("nb")) >= 0.6)
+      .select(col("ba").as("doc_a"), col("bb").as("doc_b"))
+    val mined = mixedPairs.union(batchPairs)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$scratch PURGE")
+    // advance the index for the NEXT batch — postings append (the
+    // probe above already ran, so tonight's docs never self-pair
+    // through storage), df merges additively, sizes append
+    bPost.writeTo(s"lakeq.db.${idx.post}").append()
+    val v = s"grpidx_dfb_${idx.df.split('_').last}"
+    bDf.withColumnRenamed("bdf", "df").createOrReplaceTempView(v)
+    s.sql(s"""MERGE INTO lakeq.db.${idx.df} t USING $v b ON t.sh = b.sh
+             |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.catalog.dropTempView(v)
+    bSizes.repartitionByRange(2, col("doc_id"))
+      .writeTo(s"lakeq.db.${idx.size}").append()
+    refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
   }
 
   /** One nightly refresh of a stored group-label table: merge the

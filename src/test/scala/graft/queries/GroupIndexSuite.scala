@@ -122,4 +122,120 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
       "storage round-trip (even corpus + odd batch refresh) changed " +
         s"the labels")
   }
+
+  // -- mined refresh: the input-mining side of the nightly path -------
+
+  private def textDocs(rows: (Long, String)*): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def dropIndex(idx: TextOps.GroupIndex): Unit =
+    Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+
+  test("mined refresh touches no corpus text: batch-only input, " +
+      "exact labels") {
+    // the corpus exists ONLY as stored index tables by refresh time —
+    // both frames here are in-memory literals, so any corpus re-read
+    // would be a compile error, not a slow plan. docs 0/2 share 4 of
+    // 5 shingles (J=2/3); batch doc 1 duplicates doc 2's text exactly
+    // and doc 3 is fresh → expected components {0,2,1} and {3}.
+    val corpus = textDocs(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon eta",
+      4L -> "one two three four five six seven")
+    val idx = TextOps.buildGroupIndex(spark, corpus)
+    assert(labelsOf(idx.labels) == Map(0L -> 0L, 2L -> 0L, 4L -> 4L))
+    val batch = textDocs(
+      1L -> "alpha beta gamma delta epsilon eta",
+      3L -> "totally novel content with no shared shingles at all")
+    TextOps.refreshGroupIndexMined(spark, idx, batch)
+    assert(labelsOf(idx.labels) ==
+      Map(0L -> 0L, 2L -> 0L, 4L -> 4L, 1L -> 0L, 3L -> 3L),
+      "batch dup must join its corpus component; fresh doc stays alone")
+    dropIndex(idx)
+  }
+
+  test("mined refreshes compose across batches (index advances)") {
+    // batch 1 doc 11 bridges nothing; batch 2 doc 13 duplicates
+    // BATCH-1's doc 11 — found only if batch 1's postings/sizes
+    // advanced the stored index
+    val corpus = textDocs(
+      6L -> "red orange yellow green blue indigo",
+      8L -> "cat dog bird fish mouse horse cow")
+    val idx = TextOps.buildGroupIndex(spark, corpus)
+    TextOps.refreshGroupIndexMined(spark, idx,
+      textDocs(11L -> "completely different first batch text here now"))
+    assert(labelsOf(idx.labels) ==
+      Map(6L -> 6L, 8L -> 8L, 11L -> 11L))
+    TextOps.refreshGroupIndexMined(spark, idx,
+      textDocs(13L -> "completely different first batch text here now"))
+    assert(labelsOf(idx.labels) ==
+      Map(6L -> 6L, 8L -> 8L, 11L -> 11L, 13L -> 11L),
+      "batch-2 dup of a batch-1 doc must merge through the advanced index")
+    dropIndex(idx)
+  }
+
+  test("a batch crossing the df cap fails diagnosably (stale-universe " +
+      "guard)") {
+    // cap=2: the corpus has "a b c" in both docs (df=2, inside the
+    // cap); the batch doc repeats it → df=3 > cap. The capped universe
+    // shrinks retroactively — stored pair scores are stale and
+    // components could split, which the additive MERGE-min algebra
+    // cannot express, so the refresh must refuse loudly.
+    val corpus = textDocs(
+      0L -> "a b c d e",
+      2L -> "a b c x y")
+    val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    val e = intercept[IllegalStateException] {
+      TextOps.refreshGroupIndexMined(spark, idx,
+        textDocs(1L -> "a b c z w"), cap = 2)
+    }
+    assert(e.getMessage.contains("crossed the df cap"),
+      s"wrong failure: ${e.getMessage}")
+    dropIndex(idx)
+  }
+
+  test("mined refresh at sf0.001 split across two batches equals the " +
+      "one-shot grouping") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val idx = TextOps.buildGroupIndex(spark,
+      docs.filter(col("doc_id") % 2 === 0))
+    TextOps.refreshGroupIndexMined(spark, idx,
+      docs.filter(col("doc_id") % 4 === 1))
+    TextOps.refreshGroupIndexMined(spark, idx,
+      docs.filter(col("doc_id") % 4 === 3))
+    val got = labelsOf(idx.labels)
+    val want = TextOps.tDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "two mined batches must reproduce the one-shot labels exactly")
+    dropIndex(idx)
+  }
+
+  test("posting probe is a storage-partitioned join: no exchange on " +
+      "the corpus side") {
+    val corpus = textDocs(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven")
+    val idx = TextOps.buildGroupIndex(spark, corpus)
+    // a scratch batch-posting table in the index's bucket layout,
+    // exactly as refreshGroupIndexMined writes it
+    val scratch = LakeOps.fresh("grpidxspec_probe")
+    TextOps.shinglePostings(
+        textDocs(1L -> "alpha beta gamma delta epsilon eta"))
+      .writeTo(s"lakeq.db.$scratch").using("lake")
+      .partitionedBy(bucket(8, col("sh"))).create()
+    val cand = TextOps.groupProbeCandidates(spark, scratch, idx.post)
+    assert(cand.count() > 0, "probe found no shared shingles")
+    val plan = cand.queryExecution.executedPlan.toString
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").last
+    assert(!joinPart.contains("Exchange"),
+      s"bucket-co-partitioned probe must not shuffle the index:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$scratch PURGE")
+    dropIndex(idx)
+  }
 }
