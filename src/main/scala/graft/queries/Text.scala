@@ -1027,23 +1027,28 @@ object TextOps {
     *  - serving reads the labels from DISK — consumers like
     *    [[tDedupKeepBest]] join storage, not a propagation loop.
     *
-    * Even doc_ids play the stored corpus, odd the nightly batch (the
-    * [[tIncrementalDedupIndexed]] convention). Build + refresh must
-    * reproduce the full-corpus labels EXACTLY — the gate shares
-    * t_dedup_groups' oracle; exactness holds because the additive DF
-    * index makes the refresh's capped universe IDENTICAL to the
-    * one-shot miner's, guarded loudly when a batch pushes a shingle
-    * across the df cap (see [[refreshGroupIndexMined]]).
-    * GroupIndexSuite drives multi-batch mined refreshes with
-    * transitive cross-batch merges and pins the no-exchange probe. */
+    * The split is 90/10 (doc_id % 10 == 1 plays the nightly batch,
+    * everything else the stored corpus): a nightly batch is a
+    * FRACTION of the corpus — the even/odd convention the asymmetric
+    * probe gates use would make "tonight's crawl" half the training
+    * set and drown the O(batch) claim in batch size. The split is
+    * internal to the gate (the oracle is the one-shot full-corpus
+    * labels regardless of how build and refresh partition the docs).
+    * Build + refresh must reproduce those labels EXACTLY — exactness
+    * holds because the additive DF index makes the refresh's capped
+    * universe IDENTICAL to the one-shot miner's, guarded loudly when
+    * a batch pushes a shingle across the df cap (see
+    * [[refreshGroupIndexMined]]). GroupIndexSuite drives multi-batch
+    * mined refreshes with transitive cross-batch merges and pins the
+    * no-exchange probe. */
   def tDedupGroupsIndexed(s: SparkSession, d: String): DataFrame = {
     LakeOps.cat(s)
     val docs = Tables.documents(s, d)
     val idx = graft.StageTimes.timed("t_dedup_groups_indexed.build") {
-      buildGroupIndex(s, docs.filter(col("doc_id") % 2 === 0))
+      buildGroupIndex(s, docs.filter(col("doc_id") % 10 =!= 1))
     }
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh") {
-      refreshGroupIndexMined(s, idx, docs.filter(col("doc_id") % 2 === 1))
+      refreshGroupIndexMined(s, idx, docs.filter(col("doc_id") % 10 === 1))
     }
     val result = graft.StageTimes.timed("t_dedup_groups_indexed.serve") {
       s.table(s"lakeq.db.${idx.labels}").select(col("doc_id"), col("group_id"))
@@ -1060,10 +1065,20 @@ object TextOps {
   private[queries] def shinglePostings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles3(toks(col("text")))).as("sh"))
 
+  /** Bucket count for the group index's shingle-keyed tables. This is
+    * the PROBE-PARALLELISM knob: a storage-partitioned join runs one
+    * task per bucket, so the bucket count must match the executor
+    * parallelism the probe should use — 8 (the incremental-dedup
+    * band-posting choice, where the probe side is tiny) serialized
+    * the sf10 refresh into 8 oversized sort tasks (measured 106 s,
+    * WORSE than re-mining); 32 matches local[32], and a production
+    * deployment sizes it to cluster cores the same way. */
+  private[queries] val GroupIdxBuckets = 32
+
   /** Handles for the stored dedup-group index's four lake tables: the
-    * corpus shingle postings (`post`, bucket(8, sh) — the probe side),
-    * the additive shingle document frequencies (`df`, bucket(8, sh),
-    * merge-on-read), the per-doc CAPPED set sizes (`size`,
+    * corpus shingle postings (`post`, bucketed by sh — the probe
+    * side), the additive shingle document frequencies (`df`, bucketed
+    * by sh, merge-on-read), the per-doc CAPPED set sizes (`size`,
     * range-clustered by doc_id with a doc_id bloom — the Jaccard
     * denominators), and the component labels (`labels`,
     * bucket(8, doc_id) — the serving table). */
@@ -1091,14 +1106,14 @@ object TextOps {
     // list must keep every shingle — probes re-apply the cap from the
     // df table at their own point in time
     posting.writeTo(s"lakeq.db.${idx.post}").using("lake")
-      .partitionedBy(bucket(8, col("sh"))).create()
+      .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // additive counts + batch-matches-resident-vocab ⇒ merge-on-read
     // (the [[tBigramLmIndexed]] measurement: CoW rewrites the model)
     dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
       .tableProperty("write.merge.mode", "merge-on-read")
-      .partitionedBy(bucket(8, col("sh"))).create()
+      .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     val capped = posting
       .join(dfreq.filter(col("df") <= cap).select(col("sh")), Seq("sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
@@ -1201,10 +1216,14 @@ object TextOps {
     val bPost = shinglePostings(batchDocs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
-    val joined = bDf
-      .join(s.table(s"lakeq.db.${idx.df}"), Seq("sh"), "left")
-      .select(col("sh"), col("bdf"), coalesce(col("df"), lit(0L)).as("df0"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // batch vocab × stored df: the capping/straddle lookup — joined
+    // BEFORE the additive merge and checkpointed, so laziness cannot
+    // observe the post-merge table
+    val joined = graft.StageTimes.timed("t_dedup_groups_indexed.refresh_cap") {
+      bDf.join(s.table(s"lakeq.db.${idx.df}"), Seq("sh"), "left")
+        .select(col("sh"), col("bdf"), coalesce(col("df"), lit(0L)).as("df0"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
     val straddle = joined
       .filter(col("df0") <= cap && col("df0") + col("bdf") > cap)
     val nStraddle = straddle.count()
@@ -1219,17 +1238,26 @@ object TextOps {
     }
     val cappedSh = joined.filter(col("df0") + col("bdf") <= cap)
       .select(col("sh"))
-    val bCapped = bPost.join(cappedSh, Seq("sh"))
-      .select(col("doc_id"), col("sh"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // the capped batch postings materialize ONCE, directly as the
+    // bucket-aligned scratch table the SPJ probe needs — every other
+    // consumer (sizes, the batch self-join) reads it back from there
+    // instead of a second checkpoint of the same rows
+    val scratch = LakeOps.fresh("grpidx_probe")
+    graft.StageTimes.timed("t_dedup_groups_indexed.refresh_mine") {
+      bPost.join(cappedSh, Seq("sh"))
+        .select(col("doc_id"), col("sh"))
+        .writeTo(s"lakeq.db.$scratch").using("lake")
+        .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
+    }
+    val bCapped = s.table(s"lakeq.db.$scratch")
     val bSizes = bCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // batch×corpus: scratch postings share the index bucketing → SPJ
-    val scratch = LakeOps.fresh("grpidx_probe")
-    bCapped.writeTo(s"lakeq.db.$scratch").using("lake")
-      .partitionedBy(bucket(8, col("sh"))).create()
-    val interMixed = groupProbeCandidates(s, scratch, idx.post)
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val interMixed = graft.StageTimes.timed(
+        "t_dedup_groups_indexed.refresh_probe") {
+      groupProbeCandidates(s, scratch, idx.post)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
     val candIds = interMixed.select(col("doc_b")).distinct()
     // candidate ids broadcast onto the size store; `>= 0` is the
     // selective build-side predicate the runtime-filter planner needs
@@ -1264,16 +1292,20 @@ object TextOps {
     // advance the index for the NEXT batch — postings append (the
     // probe above already ran, so tonight's docs never self-pair
     // through storage), df merges additively, sizes append
-    bPost.writeTo(s"lakeq.db.${idx.post}").append()
-    val v = s"grpidx_dfb_${idx.df.split('_').last}"
-    bDf.withColumnRenamed("bdf", "df").createOrReplaceTempView(v)
-    s.sql(s"""MERGE INTO lakeq.db.${idx.df} t USING $v b ON t.sh = b.sh
-             |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
-             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    s.catalog.dropTempView(v)
-    bSizes.repartitionByRange(2, col("doc_id"))
-      .writeTo(s"lakeq.db.${idx.size}").append()
-    refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
+    graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
+      bPost.writeTo(s"lakeq.db.${idx.post}").append()
+      val v = s"grpidx_dfb_${idx.df.split('_').last}"
+      bDf.withColumnRenamed("bdf", "df").createOrReplaceTempView(v)
+      s.sql(s"""MERGE INTO lakeq.db.${idx.df} t USING $v b ON t.sh = b.sh
+               |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.catalog.dropTempView(v)
+      bSizes.repartitionByRange(2, col("doc_id"))
+        .writeTo(s"lakeq.db.${idx.size}").append()
+    }
+    graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
+      refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
+    }
   }
 
   /** One nightly refresh of a stored group-label table: merge the
@@ -1354,7 +1386,15 @@ object TextOps {
     * frequencies (vocab-sized, checkpointed so the total and the join
     * don't recompute it), one joins them back token-partitioned. The
     * grand total derives from the materialized tf — a k-row sum, not a
-    * third corpus pass — and rides a 1-row broadcast. */
+    * third corpus pass — and rides a 1-row broadcast.
+    *
+    * Float contract (the t_pmi_bigrams lesson): `avg_logprob` is for
+    * LIBRARY consumers; the cross-engine GATE drops it and hashes the
+    * exact-integer witnesses only (n_tokens, sum_tf, max_tf — the
+    * tf-join fidelity, all BIGINT, so the hash CANNOT ULP-flip: no
+    * transcendental-derived float ever reaches it). The float's
+    * semantics are pinned in-JVM by CurationOpsSuite against an
+    * independent driver-side model. */
   def tUnigramLogprob(s: SparkSession, d: String): DataFrame = {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
@@ -1366,7 +1406,9 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log10(col("c").cast("double") / col("total"))), 4)
-          .as("avg_logprob"))
+          .as("avg_logprob"),
+        sum(col("c")).as("sum_tf"),
+        max(col("c")).as("max_tf"))
       .orderBy(col("doc_id"))
   }
 
@@ -1387,9 +1429,13 @@ object TextOps {
     * history counts derived from the bigram table (k-row aggregate,
     * not a third corpus pass), the scoring pass joins the model back
     * keyed on (w1,w2) and on w2, and the grand total rides a 1-row
-    * broadcast. Float contract = [[tUnigramLogprob]]'s: the published
-    * score is round(avg(log10),4); no float ever drives row
-    * selection. */
+    * broadcast. Float contract = [[tUnigramLogprob]]'s: the GATE
+    * hashes only the exact-integer witnesses (n_bigrams, sum_cb,
+    * sum_c1, sum_c2 — every model lookup pinned, all BIGINT, so the
+    * hash CANNOT ULP-flip), `avg_logprob` stays a library column
+    * dropped before hashing, and its arithmetic is pinned in-JVM by
+    * CurationOpsSuite's independent model recompute; no float ever
+    * drives row selection. */
   def tBigramLm(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     val n1 = greatest(size(t) - 1, lit(0))
@@ -1417,7 +1463,10 @@ object TextOps {
         round(avg(log10(
           lit(0.9) * (col("cb").cast("double") / col("c1").cast("double")) +
             lit(0.1) * (col("c2").cast("double") / col("total").cast("double"))
-        )), 4).as("avg_logprob"))
+        )), 4).as("avg_logprob"),
+        sum(col("cb")).as("sum_cb"),
+        sum(col("c1")).as("sum_c1"),
+        sum(col("c2")).as("sum_c2"))
       .orderBy(col("doc_id"))
   }
 
@@ -1442,6 +1491,23 @@ object TextOps {
     * verbatim: the storage round-trip and the build/batch split must
     * not change one row. Stage splits (build/refresh/score) land in
     * bench.json. */
+  /** Fold a stored model table's merge-on-read deltas back into its
+    * data files — the maintenance step the MoR adoption note promised
+    * ("periodic rewrite_data_files folds the deltas back in"), now run
+    * INSIDE the gate lifecycles so the claim stays measured: position
+    * masks apply and retire (rewrite_position_delete_files — the read
+    * path returns to plain vectorized mask-free scans), then the
+    * refresh's small delta files binpack (rewrite_data_files). Both
+    * are row-preserving commits, so scores after the fold-in are
+    * bit-identical to before — CurationOpsSuite pins that and
+    * measures the read-tax recovery. */
+  private[queries] def foldInModelTable(s: SparkSession,
+      table: String): Unit = {
+    s.sql(s"CALL lakeq.system.rewrite_position_delete_files(" +
+      s"table => 'db.$table')")
+    s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
+  }
+
   def tBigramLmIndexed(s: SparkSession, d: String): DataFrame = {
     LakeOps.cat(s)
     val uniT = LakeOps.fresh("lmidx_uni")
@@ -1495,6 +1561,10 @@ object TextOps {
       s.catalog.dropTempView(bigBatch)
       s.catalog.dropTempView(uniBatch)
     }
+    graft.StageTimes.timed("t_bigram_lm_indexed.compact") {
+      foldInModelTable(s, bigT)
+      foldInModelTable(s, uniT)
+    }
     val result = graft.StageTimes.timed("t_bigram_lm_indexed.score") {
       val cbg = s.table(s"lakeq.db.$bigT")
       val hist = cbg.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
@@ -1511,7 +1581,10 @@ object TextOps {
             lit(0.9) * (col("cb").cast("double") / col("c1").cast("double")) +
               lit(0.1) *
                 (col("c2").cast("double") / col("total").cast("double"))
-          )), 4).as("avg_logprob"))
+          )), 4).as("avg_logprob"),
+          sum(col("cb")).as("sum_cb"),
+          sum(col("c1")).as("sum_c1"),
+          sum(col("c2")).as("sum_c2"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
     s.sql(s"DROP TABLE IF EXISTS lakeq.db.$uniT PURGE")
@@ -1981,6 +2054,9 @@ object TextOps {
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       s.catalog.dropTempView(v)
     }
+    graft.StageTimes.timed("t_ngram_novelty_indexed.compact") {
+      foldInModelTable(s, dfT)
+    }
     val result = graft.StageTimes.timed("t_ngram_novelty_indexed.score") {
       shOf(docs).join(s.table(s"lakeq.db.$dfT"), Seq("sh"))
         .groupBy(col("doc_id"))
@@ -2173,17 +2249,14 @@ object TextOps {
        |        GROUP BY w1, w2),
        |hist AS (SELECT w1, sum(cb)::BIGINT AS c1 FROM cbg GROUP BY w1),
        |cu AS (SELECT w2, count(*)::BIGINT AS c2 FROM
-       |         (SELECT unnest(t) AS w2 FROM tt) GROUP BY w2),
-       |n AS (SELECT sum(c2)::BIGINT AS total FROM cu)
+       |         (SELECT unnest(t) AS w2 FROM tt) GROUP BY w2)
        |SELECT p.doc_id, count(*) AS n_bigrams,
-       |  round(avg(log10(
-       |    0.9 * (g.cb::DOUBLE / h.c1::DOUBLE) +
-       |      0.1 * (u.c2::DOUBLE / n.total::DOUBLE))), 4) AS avg_logprob
+       |  sum(g.cb)::BIGINT AS sum_cb, sum(h.c1)::BIGINT AS sum_c1,
+       |  sum(u.c2)::BIGINT AS sum_c2
        |FROM pairs p
        |JOIN cbg g USING (w1, w2)
        |JOIN hist h USING (w1)
        |JOIN cu u USING (w2)
-       |CROSS JOIN n
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
   /** MinHash-LSH candidate pairs as a reusable WITH-prefix (ends in
@@ -2282,9 +2355,19 @@ object TextOps {
     "t_dedup_groups" -> (tDedupGroups _),
     "t_dedup_groups_indexed" -> (tDedupGroupsIndexed _),
     "t_dedup_keep_best" -> (tDedupKeepBest _),
-    "t_unigram_logprob" -> (tUnigramLogprob _),
-    "t_bigram_lm" -> (tBigramLm _),
-    "t_bigram_lm_indexed" -> (tBigramLmIndexed _),
+    // the LM gates hash exact-integer witnesses only: the library
+    // score column (round(avg(log10),4), a transcendental-derived
+    // double) drops before the driver hash so no 1-ULP JVM-vs-libm
+    // divergence can ever flip it (the t_pmi_bigrams r7 incident);
+    // the score's arithmetic is pinned in-JVM by CurationOpsSuite
+    "t_unigram_logprob" ->
+      ((s: SparkSession, d: String) =>
+        tUnigramLogprob(s, d).drop("avg_logprob")),
+    "t_bigram_lm" ->
+      ((s: SparkSession, d: String) => tBigramLm(s, d).drop("avg_logprob")),
+    "t_bigram_lm_indexed" ->
+      ((s: SparkSession, d: String) =>
+        tBigramLmIndexed(s, d).drop("avg_logprob")),
     "t_sample_stratified" -> (tSampleStratified _),
     "t_mixture_sample" -> (tMixtureSample _),
     "t_shard_pack" -> (tShardPack _),
@@ -2631,15 +2714,16 @@ object TextOps {
          |      FROM grp g JOIN q USING (doc_id))
          |SELECT group_id, doc_id AS kept_doc_id, quality, n_members
          |FROM r WHERE rk = 1 ORDER BY group_id""".stripMargin,
+    // integer witnesses only (sum/max must ::BIGINT-cast — DuckDB
+    // sums BIGINT into HUGEINT, which hash-mismatches Spark's int64)
     "t_unigram_logprob" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(t) AS tok
          |  FROM (SELECT doc_id, $tokSql AS t FROM documents)),
-         |tf AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-         |n AS (SELECT sum(c) AS total FROM tf)
+         |tf AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok)
          |SELECT t.doc_id, count(*) AS n_tokens,
-         |  round(avg(log10(f.c::DOUBLE / n.total)), 4) AS avg_logprob
-         |FROM tk t JOIN tf f USING (tok) CROSS JOIN n
+         |  sum(f.c)::BIGINT AS sum_tf, max(f.c)::BIGINT AS max_tf
+         |FROM tk t JOIN tf f USING (tok)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "t_bigram_lm" -> bigramLmSql,
     // the stored-model gate shares the oracle verbatim: counts are

@@ -248,7 +248,7 @@ object VectorOps {
     * frame (`[(cid, cv, cn)]` sorted by cid) — the shared kernel of
     * [[ivfAssign]] (first-K centroids) and [[vKmeans]] (refreshed
     * means): broadcast row, narrow transform + argmax, no shuffle. */
-  private def assignToCents(emb: DataFrame, centsRow: DataFrame): DataFrame = {
+  private[graft] def assignToCents(emb: DataFrame, centsRow: DataFrame): DataFrame = {
     val withSims = emb.crossJoin(broadcast(centsRow))
       .withColumn("sims", transform(col("cents"), c =>
         struct(nanvl(dot(col("embedding"), c.getField("cv")) /
@@ -407,6 +407,80 @@ object VectorOps {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
+  }
+
+  /** Drift-lifecycle harness for VectorQualitySuite: build the stored
+    * inverted file from `corpus` (fixed centroids = its 8 smallest
+    * vec_ids, the [[vAnnIvfIncremental]] convention), then ingest
+    * `batch` under those FIXED centroids — the state a sustained
+    * drifted ingestion leaves behind. Returns (table, the combined
+    * assignment frame probes take). */
+  private[graft] def buildDriftedIvf(s: SparkSession, corpus: DataFrame,
+      batch: DataFrame): (String, DataFrame) = {
+    LakeOps.cat(s)
+    val t = LakeOps.fresh("ivfdrift")
+    val c = corpus.withColumn("nrm", norm(col("embedding")))
+    val b = batch.withColumn("nrm", norm(col("embedding")))
+    val centsRow = c.orderBy(col("vec_id")).limit(8)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+    val corpusAssigned = assignToCents(c, centsRow)
+    corpusAssigned
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .writeTo(s"lakeq.db.$t").using("lake")
+      .partitionedBy(col("cell")).create()
+    val batchAssigned = assignToCents(b, centsRow)
+    batchAssigned
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .writeTo(s"lakeq.db.$t").append()
+    (t, corpusAssigned.unionByName(batchAssigned))
+  }
+
+  /** Centroid-drift REPAIR for a stored inverted file — the rebuild
+    * leg of the index lifecycle that [[vAnnIvfIncremental]]
+    * deliberately defers out of the nightly path (ingestion assigns
+    * against FIXED build-time centroids; sustained drifted ingestion
+    * degrades cell locality until a rebuild): re-derive the K
+    * centroids from the CURRENT resident vectors with Lloyd
+    * iterations seeded by the existing assignment's own per-cell
+    * means (the [[vKmeans]] kernel — per-iteration exchange is
+    * (cell, dim)-bounded partial sums, centroids quantized to 4 dp
+    * for reproducibility), re-assign every vector, and REPLACE the
+    * cell-partitioned table. Cost = iterations × one corpus scan plus
+    * one partitioned rewrite. Returns the new assignment frame (the
+    * `withSims` shape [[probeStoredIvf]] takes), so probes continue
+    * against the repaired index unchanged. VectorQualitySuite drives
+    * build → drifted ingest → repair and measures the recall
+    * recovery. */
+  private[graft] def repairStoredIvf(s: SparkSession, table: String,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val resident = s.table(s"lakeq.db.$table")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val m0 = round(avg(col("col").cast("double")), 4)
+    def centsOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(when(m0 === 0.0, lit(0.0)).otherwise(m0).as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cid"),
+        transform(col("pm"), x => x.getField("m")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"),
+        col("cn")))).as("cents"))
+    var cents = centsOf(resident)
+    var assigned = resident
+    for (_ <- 1 to iters) {
+      assigned = assignToCents(
+        resident.select(col("vec_id"), col("embedding"), col("nrm")), cents)
+      cents = centsOf(assigned)
+    }
+    assigned.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .writeTo(s"lakeq.db.$table").using("lake")
+      .partitionedBy(col("cell")).createOrReplace()
+    assigned
   }
 
   /** Pick a banded-LSH configuration for a corpus size — the sizing

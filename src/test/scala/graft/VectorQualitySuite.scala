@@ -251,6 +251,59 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(scale1.toSeq == scale2.toSeq, "scale config must be deterministic")
   }
 
+  test("IVF lifecycle: kmeans repair recovers recall on a drifted batch") {
+    assume(ready)
+    import org.apache.spark.sql.functions._
+    val VO = graft.queries.VectorOps
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // deterministic Rademacher sign mask (the ScaleUp replication
+    // trick): pairwise cosines WITHIN the masked batch are exactly
+    // preserved while correlation with the build-time centroids
+    // collapses — a clean, reproducible stand-in for distribution
+    // drift under sustained ingestion
+    val mask: Seq[Float] = (0 until dim).map { i =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift_$i".getBytes("UTF-8"))
+      if ((b(0) & 1) == 1) 1.0f else -1.0f
+    }
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val drifted = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), typedLit(mask), (x, m) => x * m)
+          .as("embedding"))
+    val (t, withSims) = VO.buildDriftedIvf(spark, corpus, drifted)
+    // exact ground truth over the CURRENT residents, driver-side,
+    // with the probe's own rounding and tie order
+    val all = corpus.unionByName(drifted).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dt(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dt(a, b) / (math.sqrt(dt(a, a)) * math.sqrt(dt(b, b)))
+    }
+    def truth(q: Long): Set[Long] = all.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, BigDecimal(cos(all(q), v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val queries = all.keys.filter(_ % 2 == 1).toSeq.sorted.take(10)
+    def recall(ws: org.apache.spark.sql.DataFrame): Double =
+      queries.map { q =>
+        val got = VO.probeStoredIvf(spark, t, ws, q).collect()
+          .map(_.getLong(0)).toSet
+        (got intersect truth(q)).size / 5.0
+      }.sum / queries.length
+    val before = recall(withSims)
+    val repaired = VO.repairStoredIvf(spark, t)
+    val after = recall(repaired)
+    info(f"drift repair recall@5 (nprobe 2/8): $before%.2f -> $after%.2f")
+    assert(after >= before,
+      f"kmeans repair must not lose recall: $before%.2f -> $after%.2f")
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
   test("band sizing: occupancy-driven width, recall-driven band count") {
     // the sizing rule packaged from the r9 measurements: bucket count
     // must grow with the corpus, band count must buy back the recall

@@ -170,6 +170,194 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4 > 0), "no boilerplate found — dead rule?")
   }
 
+  test("MoR fold-in: bit-identical rows, masks retired, read tax " +
+      "recovered") {
+    assume(ready)
+    import org.apache.spark.sql.functions._
+    LakeOps.cat(spark)
+    // a stored shingle-DF model mid-lifecycle: built on evens, one
+    // additive merge-on-read MERGE of the odd batch — the exact state
+    // the gates compact
+    val t = LakeOps.fresh("shdfcmp")
+    val docs = graft.Tables.documents(spark, sfDir)
+    def dfOf(d: org.apache.spark.sql.DataFrame) =
+      TextOps.shinglePostings(d).groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+    dfOf(docs.filter(col("doc_id") % 2 === 0))
+      .writeTo(s"lakeq.db.$t").using("lake")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy(bucket(8, col("sh"))).create()
+    dfOf(docs.filter(col("doc_id") % 2 === 1))
+      .createOrReplaceTempView("shdfcmp_batch")
+    spark.sql(s"""MERGE INTO lakeq.db.$t t USING shdfcmp_batch b
+                 |ON t.sh = b.sh
+                 |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.catalog.dropTempView("shdfcmp_batch")
+    def masks(): Long = spark.sql(
+      s"SELECT count(*) FROM lakeq.db.$t.delete_files")
+      .collect()(0).getLong(0)
+    def files(): Long = spark.sql(
+      s"SELECT count(*) FROM lakeq.db.$t.data_files")
+      .collect()(0).getLong(0)
+    def readAll(): (Seq[(String, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val rows = spark.table(s"lakeq.db.$t").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    assert(masks() > 0,
+      "the additive MoR MERGE should leave position masks to fold in")
+    val filesBefore = files()
+    readAll() // warm the read path so both timings are steady-state
+    val (before, tMasked) = readAll()
+    TextOps.foldInModelTable(spark, t)
+    assert(masks() == 0, "fold-in must retire every position mask")
+    assert(files() < filesBefore,
+      s"binpack should shrink the file count ($filesBefore -> ${files()})")
+    readAll()
+    val (after, tClean) = readAll()
+    assert(after == before,
+      "fold-in is row-preserving: scores must be bit-identical")
+    info(f"fold-in: $filesBefore -> ${files()} files, masked read " +
+      f"$tMasked%.3f s -> mask-free $tClean%.3f s")
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  test("concurrent refresh-vs-refresh: racing additive MERGEs both " +
+      "land; probes read consistent snapshots") {
+    assume(ready)
+    import org.apache.spark.sql.functions._
+    LakeOps.cat(spark)
+    // the composition the lake-layer ConcurrencySuite doesn't cover:
+    // two nightly batches MERGE-refresh the SAME stored model table
+    // concurrently, under merge-on-read, while a reader probes it.
+    // Overlapping vocabulary makes a genuine write-skew possible (both
+    // batches mask the same resident rows), so the race is run the way
+    // a nightly scheduler runs it: commit CAS retries inside the
+    // engine, a bounded OPERATION-level retry when validation rejects
+    // a batch whose read snapshot a sibling invalidated — additive
+    // algebra makes the re-run safe (the batch view recomputes against
+    // the new head).
+    val t = LakeOps.fresh("shdfrace")
+    val docs = graft.Tables.documents(spark, sfDir)
+    def dfOf(d: org.apache.spark.sql.DataFrame) =
+      TextOps.shinglePostings(d).groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+    dfOf(docs.filter(col("doc_id") % 2 === 0))
+      .writeTo(s"lakeq.db.$t").using("lake")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy(bucket(8, col("sh"))).create()
+    // the four consistent states a probe may observe: before, after
+    // either single batch, after both — (sum(df), count(*)) witnesses
+    def stateOf(sets: Seq[org.apache.spark.sql.DataFrame]): (Long, Long) = {
+      val all = sets.reduce(_ union _).groupBy(col("sh"))
+        .agg(sum(col("df")).as("df"))
+      val r = all.agg(sum(col("df")), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val b1 = dfOf(docs.filter(col("doc_id") % 4 === 1))
+      .localCheckpoint(true)
+    val b2 = dfOf(docs.filter(col("doc_id") % 4 === 3))
+      .localCheckpoint(true)
+    val s0 = dfOf(docs.filter(col("doc_id") % 2 === 0))
+      .localCheckpoint(true)
+    val allowed = Set(stateOf(Seq(s0)), stateOf(Seq(s0, b1)),
+      stateOf(Seq(s0, b2)), stateOf(Seq(s0, b1, b2)))
+    def isCme(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.util.ConcurrentModificationException])
+    val opRetries = new java.util.concurrent.atomic.AtomicLong(0)
+    def mergeBatch(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.createOrReplaceTempView(name)
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        try {
+          spark.sql(s"""MERGE INTO lakeq.db.$t t USING $name b
+                       |ON t.sh = b.sh
+                       |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
+                       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          done = true
+        } catch {
+          case e: Throwable if isCme(e) && attempts < 8 =>
+            opRetries.incrementAndGet()
+        }
+      }
+      spark.catalog.dropTempView(name)
+    }
+    val violations =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var racing = true
+    val prober = new Thread(() => try {
+      while (racing) {
+        val r = spark.table(s"lakeq.db.$t")
+          .agg(sum(col("df")), count(lit(1))).collect()(0)
+        val st = (r.getLong(0), r.getLong(1))
+        if (!allowed.contains(st)) violations.add(st)
+      }
+    } catch { case e: Throwable => errors.add(e) })
+    val writers = Seq("shdfrace_b1" -> b1, "shdfrace_b2" -> b2).map {
+      case (n, b) => new Thread(() =>
+        try mergeBatch(n, b) catch { case e: Throwable => errors.add(e) })
+    }
+    prober.start(); writers.foreach(_.start()); writers.foreach(_.join())
+    racing = false; prober.join()
+    if (!errors.isEmpty) throw errors.peek()
+    assert(violations.isEmpty,
+      s"probe observed torn states: ${violations.toArray.toSeq} " +
+        s"allowed=$allowed")
+    // final state = the sequential sum, bit-for-bit
+    val finalRows = spark.table(s"lakeq.db.$t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val wantRows = stateRows(Seq(s0, b1, b2))
+    assert(finalRows == wantRows,
+      "racing batches must land the same model a serial schedule does")
+    info(s"both batches landed; ${opRetries.get()} operation-level " +
+      s"retries (validation rejected a stale read set)")
+    spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+  }
+
+  private def stateRows(sets: Seq[org.apache.spark.sql.DataFrame])
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    sets.reduce(_ union _).groupBy(col("sh"))
+      .agg(sum(col("df")).as("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+  }
+
+  test("unigram logprob: score matches a direct model; witnesses exact") {
+    assume(ready)
+    // the cross-engine gate hashes only the integer witnesses; the
+    // float score's semantics live HERE, against an independent
+    // driver-side model (same division of labor as the bigram LM)
+    val rows = TextOps.tUnigramLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val allToks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val tf = allToks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = tf.values.sum.toDouble
+    val byId = rows.map(r => r._1 -> r).toMap
+    allToks.foreach { case (id, ts) =>
+      val (_, n, score, sumTf, maxTf) = byId(id)
+      assert(n == ts.size, s"doc $id n_tokens")
+      assert(sumTf == ts.map(tf).sum, s"doc $id sum_tf")
+      assert(maxTf == ts.map(tf).max, s"doc $id max_tf")
+      val exp = ts.map(t => math.log10(tf(t) / total)).sum / ts.size
+      assert(math.abs(score - exp) <= 2e-4,
+        s"doc $id score $score vs direct $exp")
+    }
+  }
+
   test("bigram LM: exact transition counts, score matches a direct model") {
     assume(ready)
     val rows = TextOps.tBigramLm(spark, sfDir).collect()

@@ -228,7 +228,7 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     TextOps.shinglePostings(
         textDocs(1L -> "alpha beta gamma delta epsilon eta"))
       .writeTo(s"lakeq.db.$scratch").using("lake")
-      .partitionedBy(bucket(8, col("sh"))).create()
+      .partitionedBy(bucket(TextOps.GroupIdxBuckets, col("sh"))).create()
     val cand = TextOps.groupProbeCandidates(spark, scratch, idx.post)
     assert(cand.count() > 0, "probe found no shared shingles")
     val plan = cand.queryExecution.executedPlan.toString
