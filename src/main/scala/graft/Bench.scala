@@ -271,16 +271,21 @@ object Bench {
     // past the capture limit, and the cold headline survives as
     // total_cold).
     val fallbackTotal = CodegenFallbackCounter.hits.get()
-    // `stages` = build/probe split for the stored-index gates (the
-    // headline gate number is build + probe; the serving claim is the
-    // probe figure alone). `retimed` = queries whose first warm sample
-    // exceeded 1.5× cold and was replaced by a third sample — the map
-    // holds the REJECTED first value so the inflation stays visible.
+    // `stages` = build/refresh/probe splits for the stored-index gates
+    // (the headline gate number is the stage sum; the serving claim is
+    // the probe figure alone). The PRINTED line carries only the 12
+    // slowest stages — the stage inventory grew past the point where
+    // it crowded per-query entries out of the ~1900-char capture tail;
+    // bench.json carries the full map as `stages_full`. `retimed` =
+    // queries whose first warm sample exceeded 1.2× cold and was
+    // replaced by a third sample — the map holds the REJECTED first
+    // value so the inflation stays visible.
+    val stagesShown = stages.toSeq.sortBy(-_._2).take(12).toMap
     def mkLine(qs: Map[String, Double]) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""queries":${json(qs)},"total_cold":${r3(coldTotal)},""" +
         s""""codegen_fallbacks":$fallbackTotal,""" +
-        s""""stages":${json(stages)},"retimed":${json(retimed)},""" +
+        s""""stages":${json(stagesShown)},"retimed":${json(retimed)},""" +
         s""""failed":${failed.map("\"" + esc(_) + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"${esc(sfDir)}"}"""
     // The harness captures only a ~2000-char stdout tail; as the query
@@ -319,7 +324,8 @@ object Bench {
         s""","memo_reads":${jsonL(memosWarm)}""" +
         s""","memo_reads_cold":${jsonL(memosCold)}""" +
         s""","memo_computes":${jsonL(compsWarm)}""" +
-        s""","retime_memo_computes":${jsonL(retimeComps.toMap)}}"""
+        s""","retime_memo_computes":${jsonL(retimeComps.toMap)}""" +
+        s""","stages_full":${json(stages)}}"""
       java.nio.file.Files.write(out,
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case t: Throwable =>

@@ -1502,10 +1502,16 @@ object TextOps {
     * bit-identical to before — CurationOpsSuite pins that and
     * measures the read-tax recovery. */
   private[queries] def foldInModelTable(s: SparkSession,
-      table: String): Unit = {
-    s.sql(s"CALL lakeq.system.rewrite_position_delete_files(" +
-      s"table => 'db.$table')")
-    s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
+      table: String, stage: String = null): Unit = {
+    def timed[T](suffix: String)(f: => T): T =
+      if (stage == null) f else graft.StageTimes.timed(s"$stage.$suffix")(f)
+    timed("masks") {
+      s.sql(s"CALL lakeq.system.rewrite_position_delete_files(" +
+        s"table => 'db.$table')")
+    }
+    timed("binpack") {
+      s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
+    }
   }
 
   def tBigramLmIndexed(s: SparkSession, d: String): DataFrame = {
@@ -1562,8 +1568,8 @@ object TextOps {
       s.catalog.dropTempView(uniBatch)
     }
     graft.StageTimes.timed("t_bigram_lm_indexed.compact") {
-      foldInModelTable(s, bigT)
-      foldInModelTable(s, uniT)
+      foldInModelTable(s, bigT, "t_bigram_lm_indexed.compact_big")
+      foldInModelTable(s, uniT, "t_bigram_lm_indexed.compact_uni")
     }
     val result = graft.StageTimes.timed("t_bigram_lm_indexed.score") {
       val cbg = s.table(s"lakeq.db.$bigT")
@@ -2055,7 +2061,7 @@ object TextOps {
       s.catalog.dropTempView(v)
     }
     graft.StageTimes.timed("t_ngram_novelty_indexed.compact") {
-      foldInModelTable(s, dfT)
+      foldInModelTable(s, dfT, "t_ngram_novelty_indexed.compact")
     }
     val result = graft.StageTimes.timed("t_ngram_novelty_indexed.score") {
       shOf(docs).join(s.table(s"lakeq.db.$dfT"), Seq("sh"))
