@@ -1109,10 +1109,20 @@ object TextOps {
       .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    // additive counts + batch-matches-resident-vocab ⇒ merge-on-read
-    // (the [[tBigramLmIndexed]] measurement: CoW rewrites the model)
+    // the df table is APPEND-ONLY DELTAS (df(sh) = sum of its rows),
+    // not a MERGE-maintained materialization: its only reader is the
+    // refresh's cap lookup (batch-vocab keyed), so the LSM trade is
+    // free here — a nightly refresh appends its counts WITHOUT
+    // reading or rewriting a single resident row (the MoR MERGE this
+    // replaces had to scan the whole resident vocab to split
+    // matched/unmatched — see COVERAGE round-10 for the measured
+    // advance-stage delta), and the read side pays one
+    // bucket-colocated sum per lookup. The LM/novelty model tables
+    // keep MoR MERGE + in-gate compaction instead — THEIR read path
+    // scores every document, so un-folded deltas would tax every
+    // consumer; [[foldDeltaCounts]] is this table's periodic fold,
+    // pinned in GroupIndexSuite.
     dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
-      .tableProperty("write.merge.mode", "merge-on-read")
       .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     val capped = posting
       .join(dfreq.filter(col("df") <= cap).select(col("sh")), Seq("sh"))
@@ -1158,6 +1168,25 @@ object TextOps {
     edges.unpersist()
     idx
   }
+
+  /** Periodic fold for an append-only delta-count table (the group
+    * index's df table): aggregate each key's deltas to one row and
+    * REPLACE the table contents, preserving the bucket layout. One
+    * index-scale groupBy + partitioned rewrite, scheduled like the
+    * model-table compaction — it bounds delta accumulation without
+    * ever entering the nightly path. Readers are agnostic (they sum
+    * per key either way), so a fold changes no result — pinned in
+    * GroupIndexSuite across a fold sandwiched between refreshes. */
+  private[queries] def foldDeltaCounts(s: SparkSession, table: String): Unit =
+    // materialize the fold BEFORE the replace: the source is the very
+    // table being replaced, and a lazy self-referential RTAS would
+    // read mid-swap state
+    s.table(s"lakeq.db.$table").toDF("sh", "df")
+      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .writeTo(s"lakeq.db.$table").using("lake")
+      .partitionedBy(bucket(GroupIdxBuckets, col("sh")))
+      .createOrReplace()
 
   /** The mined-refresh probe join: batch postings (a scratch table
     * sharing the index's bucket(8, sh) layout) against the stored
@@ -1216,12 +1245,18 @@ object TextOps {
     val bPost = shinglePostings(batchDocs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
-    // batch vocab × stored df: the capping/straddle lookup — joined
-    // BEFORE the additive merge and checkpointed, so laziness cannot
-    // observe the post-merge table
+    // batch vocab × stored df: the capping/straddle lookup. The df
+    // table holds append-only DELTAS, so the stored count is the SUM
+    // of a shingle's rows — the left join keeps batch-only shingles
+    // (sum of no rows → 0), and the aggregate runs over the joined
+    // (batch-vocab-scale) frame, never the whole vocab. Checkpointed
+    // BEFORE tonight's delta appends, so laziness cannot observe the
+    // post-append table.
     val joined = graft.StageTimes.timed("t_dedup_groups_indexed.refresh_cap") {
-      bDf.join(s.table(s"lakeq.db.${idx.df}"), Seq("sh"), "left")
-        .select(col("sh"), col("bdf"), coalesce(col("df"), lit(0L)).as("df0"))
+      bDf.join(s.table(s"lakeq.db.${idx.df}").toDF("sh", "dfd"),
+          Seq("sh"), "left")
+        .groupBy(col("sh"), col("bdf"))
+        .agg(coalesce(sum(col("dfd")), lit(0L)).as("df0"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
     val straddle = joined
@@ -1294,12 +1329,10 @@ object TextOps {
     // through storage), df merges additively, sizes append
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
       bPost.writeTo(s"lakeq.db.${idx.post}").append()
-      val v = s"grpidx_dfb_${idx.df.split('_').last}"
-      bDf.withColumnRenamed("bdf", "df").createOrReplaceTempView(v)
-      s.sql(s"""MERGE INTO lakeq.db.${idx.df} t USING $v b ON t.sh = b.sh
-               |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
-               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      s.catalog.dropTempView(v)
+      // df advance = ONE partition-aligned delta append: no resident
+      // row is read or rewritten (the LSM trade — see buildGroupIndex)
+      bDf.withColumnRenamed("bdf", "df")
+        .writeTo(s"lakeq.db.${idx.df}").append()
       bSizes.repartitionByRange(2, col("doc_id"))
         .writeTo(s"lakeq.db.${idx.size}").append()
     }

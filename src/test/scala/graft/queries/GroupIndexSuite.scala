@@ -216,6 +216,33 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     dropIndex(idx)
   }
 
+  test("delta-count fold between refreshes changes nothing (LSM df " +
+      "table)") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val idx = TextOps.buildGroupIndex(spark,
+      docs.filter(col("doc_id") % 2 === 0))
+    TextOps.refreshGroupIndexMined(spark, idx,
+      docs.filter(col("doc_id") % 4 === 1))
+    // fold the accumulated deltas (base + batch 1) to one row per
+    // shingle, then keep refreshing — counts, straddle math, and the
+    // final labels must be identical to the unfolded run
+    val rowsBefore = spark.table(s"lakeq.db.${idx.df}").count()
+    TextOps.foldDeltaCounts(spark, idx.df)
+    val rowsAfter = spark.table(s"lakeq.db.${idx.df}").count()
+    assert(rowsAfter <= rowsBefore,
+      s"fold must consolidate deltas ($rowsBefore -> $rowsAfter)")
+    TextOps.refreshGroupIndexMined(spark, idx,
+      docs.filter(col("doc_id") % 4 === 3))
+    val got = labelsOf(idx.labels)
+    val want = TextOps.tDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "a fold between batches must not change the mined labels")
+    dropIndex(idx)
+  }
+
   test("posting probe is a storage-partitioned join: no exchange on " +
       "the corpus side") {
     val corpus = textDocs(
