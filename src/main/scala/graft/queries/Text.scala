@@ -1346,7 +1346,21 @@ object TextOps {
     * contracted graph, then append the batch docs with final labels.
     * Cost is O(batch edges + affected component labels) — the corpus
     * label table is read through the endpoint join and rewritten only
-    * where a group's label actually changes. */
+    * where a group's label actually changes.
+    *
+    * The refresh is TWO logical changes (relabel MERGE + batch
+    * append) but ONE atomic publish: both commits land on a staging
+    * branch and `main` advances with a single fast-forward ref move
+    * (write-audit-publish, parser-extension-free via the branch
+    * procedures). Without that, a reader between the commits would
+    * see bridged components WITHOUT the bridging batch docs — labels
+    * that are not a correct grouping of any document set that ever
+    * existed; GroupIndexSuite races a prober against the refresh and
+    * pins that every observation is the complete old state or the
+    * complete new one (verified to FAIL against the unstaged
+    * two-commit variant). The posting/df/size side-tables need no
+    * such staging: they are additive refresh INPUTS read only by the
+    * next refresh, not serving state. */
   private[queries] def refreshGroupIndex(s: SparkSession, table: String,
       batchPairs: DataFrame, batchDocs: DataFrame): Unit = {
     val stored = s.table(s"lakeq.db.$table")
@@ -1366,20 +1380,31 @@ object TextOps {
       .select(col("doc_id").as("old_label"), col("group_id").as("new_label"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     cEdges.unpersist()
-    // relabel every member of a merged component in ONE merge keyed on
-    // the component label — no per-doc edge ever touches storage
-    val mv = LakeOps.fresh("grpidx_map")
-    mapping.createOrReplaceTempView(mv)
-    s.sql(s"""MERGE INTO lakeq.db.$table t USING $mv m
-             |ON t.group_id = m.old_label
-             |WHEN MATCHED THEN UPDATE SET t.group_id = m.new_label"""
-      .stripMargin)
-    s.catalog.dropTempView(mv)
-    batchDocs
-      .join(mapping.toDF("doc_id", "new_label"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_label"), col("doc_id")).as("group_id"))
-      .writeTo(s"lakeq.db.$table").append()
+    val br = s"nightly_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CALL lakeq.system.create_branch(table => 'db.$table', " +
+      s"branch => '$br')")
+    try {
+      // relabel every member of a merged component in ONE merge keyed
+      // on the component label — no per-doc edge ever touches storage
+      val mv = LakeOps.fresh("grpidx_map")
+      mapping.createOrReplaceTempView(mv)
+      s.sql(s"""MERGE INTO lakeq.db.$table.branch_$br t USING $mv m
+               |ON t.group_id = m.old_label
+               |WHEN MATCHED THEN UPDATE SET t.group_id = m.new_label"""
+        .stripMargin)
+      s.catalog.dropTempView(mv)
+      batchDocs
+        .join(mapping.toDF("doc_id", "new_label"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("doc_id")).as("group_id"))
+        .writeTo(s"lakeq.db.$table.branch_$br").append()
+      // atomic publish: one ref move, both changes or neither
+      s.sql(s"CALL lakeq.system.fast_forward(table => 'db.$table', " +
+        s"branch => 'main', to => '$br')")
+    } finally {
+      s.sql(s"CALL lakeq.system.drop_branch(table => 'db.$table', " +
+        s"branch => '$br')")
+    }
   }
 
   /** Canonical-document selection — the step a dedup pipeline runs

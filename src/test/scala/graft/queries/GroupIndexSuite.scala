@@ -111,6 +111,42 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
   }
 
+  test("refresh publishes atomically: a racing reader never sees a " +
+      "torn nightly state") {
+    // the refresh is two logical changes (relabel MERGE + batch
+    // append) staged on a branch and published with one fast-forward
+    // ref move. The torn state — components {2,6} and {4,8} bridged
+    // WITHOUT the bridging doc 9 — is a grouping of no document set
+    // that ever existed; a reader must only ever see the complete old
+    // state or the complete new one.
+    val old = Map(2L -> 2L, 6L -> 2L, 4L -> 4L, 8L -> 4L)
+    val fresh = Map(2L -> 2L, 6L -> 2L, 4L -> 2L, 8L -> 2L, 9L -> 2L)
+    (1 to 3).foreach { round =>
+      val t = freshStore(old)
+      val violations =
+        new java.util.concurrent.ConcurrentLinkedQueue[Map[Long, Long]]()
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var racing = true
+      val prober = new Thread(() => try {
+        while (racing) {
+          val seen = labelsOf(t)
+          if (seen != old && seen != fresh) violations.add(seen)
+        }
+      } catch { case e: Throwable => errors.add(e) })
+      prober.start()
+      try TextOps.refreshGroupIndex(spark, t,
+        pairs(6L -> 9L, 8L -> 9L), docs(9L))
+      finally { racing = false; prober.join() }
+      if (!errors.isEmpty) throw errors.peek()
+      assert(violations.isEmpty,
+        s"round $round: reader saw torn states: " +
+          s"${violations.toArray.toSeq.take(3)}")
+      assert(labelsOf(t) == fresh)
+      spark.sql(s"DROP TABLE lakeq.db.$t PURGE")
+    }
+  }
+
   test("gate: stored build+refresh equals the in-memory grouping") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)
