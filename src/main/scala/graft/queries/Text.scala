@@ -1082,7 +1082,7 @@ object TextOps {
     * range-clustered by doc_id with a doc_id bloom — the Jaccard
     * denominators), and the component labels (`labels`,
     * bucket(8, doc_id) — the serving table). */
-  private[queries] final case class GroupIndex(
+  private[graft] final case class GroupIndex(
       post: String, df: String, size: String, labels: String)
 
   /** Build the stored dedup-group index from the corpus documents
@@ -1093,7 +1093,7 @@ object TextOps {
     * substrate — postings, document frequencies, capped sizes — that
     * lets every later batch mine its edges without re-reading the
     * corpus ([[refreshGroupIndexMined]]). */
-  private[queries] def buildGroupIndex(s: SparkSession,
+  private[graft] def buildGroupIndex(s: SparkSession,
       corpusDocs: DataFrame, cap: Int = MaxShingleDf): GroupIndex = {
     LakeOps.cat(s)
     val idx = GroupIndex(LakeOps.fresh("grpidx_post"),
@@ -1239,7 +1239,7 @@ object TextOps {
     * (25 at sf0.1; replicas share no shingles, so the margin holds at
     * sf10), so crossing it flags genuinely new boilerplate, not
     * routine growth. */
-  private[queries] def refreshGroupIndexMined(s: SparkSession,
+  private[graft] def refreshGroupIndexMined(s: SparkSession,
       idx: GroupIndex, batchDocs: DataFrame,
       cap: Int = MaxShingleDf): Unit = {
     val bPost = shinglePostings(batchDocs)
