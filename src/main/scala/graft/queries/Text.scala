@@ -1259,8 +1259,17 @@ object TextOps {
         .agg(coalesce(sum(col("dfd")), lit(0L)).as("df0"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
-    val straddle = joined
-      .filter(col("df0") <= cap && col("df0") + col("bdf") > cap)
+    // a TRUE straddle needs stored state to invalidate: the shingle
+    // must be KNOWN to the store (df0 > 0) and inside the cap there
+    // (df0 <= cap — stored sizes and corpus edges counted it), with
+    // tonight's batch pushing it out. A batch-ONLY hot shingle
+    // (df0 = 0, bdf > cap — boilerplate arriving in one crawl) is NOT
+    // a straddle: nothing stored references it, and excluding it from
+    // tonight's capped universe is exactly what the one-shot miner
+    // does — flagging it would hard-fail a refresh that is provably
+    // exact (spec-pinned both ways in GroupIndexSuite).
+    val straddle = joined.filter(col("df0") > 0 &&
+      col("df0") <= cap && col("df0") + col("bdf") > cap)
     val nStraddle = straddle.count()
     if (nStraddle > 0) {
       val sample = straddle.select(col("sh")).head(5).map(_.getString(0))

@@ -233,6 +233,29 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     dropIndex(idx)
   }
 
+  test("a batch-ONLY hot shingle is excluded, not a straddle failure") {
+    // cap=2: the batch doc carries a shingle unseen by the corpus —
+    // batch df alone exceeds the cap (df0 = 0, bdf = 3 > 2). Nothing
+    // stored references it, so the refresh must EXCLUDE it from the
+    // capped universe (one-shot semantics) and proceed — hard-failing
+    // here would reject a provably exact refresh. The repeated hot
+    // shingle is also the only content docs 1 and 3 share, so with it
+    // capped out they must NOT pair.
+    val corpus = textDocs(
+      0L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five")
+    val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    // three batch docs all containing the hot shingle "x y z" (df=3)
+    TextOps.refreshGroupIndexMined(spark, idx, textDocs(
+      1L -> "x y z aaa bbb ccc",
+      3L -> "x y z ddd eee fff",
+      5L -> "x y z ggg hhh iii"), cap = 2)
+    assert(labelsOf(idx.labels) ==
+      Map(0L -> 0L, 2L -> 2L, 1L -> 1L, 3L -> 3L, 5L -> 5L),
+      "hot batch-only shingle must cap out: no pairs, no failure")
+    dropIndex(idx)
+  }
+
   test("mined refresh at sf0.001 split across two batches equals the " +
       "one-shot grouping") {
     val sfDir = "/root/testdata/sf0.001"
