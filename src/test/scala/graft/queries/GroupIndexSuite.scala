@@ -302,6 +302,39 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     dropIndex(idx)
   }
 
+  test("size fetch prunes range-clustered files via runtime filter") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    // the mined refresh fetches corpus Jaccard denominators by
+    // broadcasting candidate ids onto the size table — the claim is
+    // that the doc_id bloom + range clustering SKIPS files holding no
+    // candidate (the DedupIndexSuite sig-fetch property, asserted
+    // here on the group index's own size table and join shape)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val idx = TextOps.buildGroupIndex(spark,
+      docs.filter(col("doc_id") % 2 === 0))
+    val total = spark.sql(
+      s"SELECT count(*) FROM lakeq.db.${idx.size}.files")
+      .collect()(0).getLong(0)
+    assert(total == 8, s"size store should be 8 range-clustered files, " +
+      s"saw $total")
+    val sp = spark; import sp.implicits._
+    val cand = Seq(10L, 12L).toDF("doc_b")
+      .localCheckpoint(true)
+    graft.lake.LakeBatchScan.lastRuntimeFileCount.set(-1)
+    val fetched = spark.table(s"lakeq.db.${idx.size}").toDF("doc_b", "nb")
+      .join(broadcast(cand.filter(col("doc_b") >= 0)), Seq("doc_b"))
+      .collect()
+    assert(fetched.nonEmpty, "fixture docs 10/12 should have sizes")
+    val survived = graft.lake.LakeBatchScan.lastRuntimeFileCount.get()
+    assert(survived >= 1, "runtime filter never reached the size scan")
+    assert(survived < total,
+      s"2 candidate ids must plan fewer than all $total size files, " +
+        s"planned $survived")
+    info(s"size fetch planned $survived of $total files for 2 candidates")
+    dropIndex(idx)
+  }
+
   test("posting probe is a storage-partitioned join: no exchange on " +
       "the corpus side") {
     val corpus = textDocs(
