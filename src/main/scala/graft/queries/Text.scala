@@ -1335,7 +1335,7 @@ object TextOps {
     s.sql(s"DROP TABLE IF EXISTS lakeq.db.$scratch PURGE")
     // advance the index for the NEXT batch — postings append (the
     // probe above already ran, so tonight's docs never self-pair
-    // through storage), df merges additively, sizes append
+    // through storage), df deltas append, sizes append
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
       bPost.writeTo(s"lakeq.db.${idx.post}").append()
       // df advance = ONE partition-aligned delta append: no resident
