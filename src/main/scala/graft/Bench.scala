@@ -206,6 +206,13 @@ object Bench {
     dropGateTables()
     val retimedB = scala.collection.mutable.LinkedHashMap[String, Double]()
     val retimeComps = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // a retime crash is ITS OWN category: the query already produced a
+    // valid (if inflated) warm sample, so routing it into `failed`
+    // would publish a query as simultaneously failed and validly
+    // timed — `failed` stays reserved for queries with no trustworthy
+    // sample at all, and retime crashes land here (headline keeps the
+    // warm value, exit code stays 0)
+    val retimeFailed = scala.collection.mutable.LinkedHashSet[String]()
     val resultsB = scala.collection.mutable.LinkedHashMap[String, Double]() ++
       warmFirst
     val stagesB = scala.collection.mutable.LinkedHashMap[String, Double]() ++
@@ -235,7 +242,7 @@ object Bench {
         graft.StageTimes.drain().foreach { case (k, v) => stagesB(k) = v }
       } catch {
         case t: Throwable =>
-          failed += name
+          retimeFailed += name
           graft.StageTimes.drain() // discard partial stage timings
           System.err.println(s"BENCH RETIME FAILURE $name: " +
             s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(500)}")
@@ -287,6 +294,8 @@ object Bench {
         s""""codegen_fallbacks":$fallbackTotal,""" +
         s""""stages":${json(stagesShown)},"retimed":${json(retimed)},""" +
         s""""failed":${failed.map("\"" + esc(_) + "\"").mkString("[", ",", "]")},""" +
+        s""""retime_failed":${retimeFailed.map("\"" + esc(_) + "\"")
+          .mkString("[", ",", "]")},""" +
         s""""sf":"${esc(sfDir)}"}"""
     // The harness captures only a ~2000-char stdout tail; as the query
     // count grows the full per-query map will eventually outgrow it

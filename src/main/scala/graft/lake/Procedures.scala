@@ -118,8 +118,9 @@ object Procedures {
     if (groups.lengthCompare(1) <= 0) return groups.flatMap(f)
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(8, groups.size))
+    var futures: Seq[java.util.concurrent.Future[Seq[B]]] = Nil
     try {
-      val futures = groups.map(g =>
+      futures = groups.map(g =>
         pool.submit(new java.util.concurrent.Callable[Seq[B]] {
           override def call(): Seq[B] = f(g)
         }))
@@ -128,6 +129,18 @@ object Procedures {
         catch { case e: java.util.concurrent.ExecutionException =>
           throw e.getCause }
       }
+    } catch {
+      case t: Throwable =>
+        // a failed group aborts the whole procedure — cancel the
+        // siblings so in-flight rewrite jobs stop writing UUID-dir
+        // files the commit will never reference (they were harmless
+        // orphans, but a caller's immediate retry could overlap with
+        // the stragglers' compute), and wait for the pool to drain
+        // before rethrowing so no task outlives the call
+        futures.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw t
     } finally pool.shutdown()
   }
 

@@ -1005,14 +1005,15 @@ object TextOps {
     * MINING re-reads corpus text:
     *
     *  - [[buildGroupIndex]] persists the corpus's full mining
-    *    substrate next to the labels: shingle postings (bucket(8, sh)),
-    *    additive shingle document frequencies (the [[tNgramNovelty]]
+    *    substrate next to the labels: shingle postings
+    *    (bucket([[GroupIdxBuckets]], sh)), delta-appended shingle
+    *    document frequencies (the [[tNgramNovelty]]
     *    index pattern), and per-doc capped set sizes (range-clustered
     *    by doc_id) — the state a probe needs to score ANY future doc
     *    against the corpus without re-shingling it;
     *  - [[refreshGroupIndexMined]] mines the batch's edges from the
     *    BATCH's shingles alone: its postings land in a scratch table
-    *    sharing the index's bucket(8, sh) layout and probe the stored
+    *    sharing the index's bucket layout and probe the stored
     *    posting list with a storage-partitioned join (no exchange on
     *    the corpus-scale side), corpus set sizes fetch by broadcasting
     *    candidate ids onto the bloom-skipped size table, and batch×
@@ -1077,8 +1078,9 @@ object TextOps {
 
   /** Handles for the stored dedup-group index's four lake tables: the
     * corpus shingle postings (`post`, bucketed by sh — the probe
-    * side), the additive shingle document frequencies (`df`, bucketed
-    * by sh, merge-on-read), the per-doc CAPPED set sizes (`size`,
+    * side), the shingle document frequencies (`df`, bucketed by sh,
+    * append-only deltas folded periodically by [[foldDeltaCounts]] —
+    * df(sh) = the sum of its rows), the per-doc CAPPED set sizes (`size`,
     * range-clustered by doc_id with a doc_id bloom — the Jaccard
     * denominators), and the component labels (`labels`,
     * bucket(8, doc_id) — the serving table). */
@@ -1222,8 +1224,8 @@ object TextOps {
     *     ([[groupProbeCandidates]]), batch×batch via a batch-scale
     *     self-join; corpus Jaccard denominators fetch by broadcasting
     *     candidate ids onto the bloom-skipped size table;
-    *  4. the stored tables advance for the NEXT batch (postings and
-    *     sizes append, df MERGEs additively), and the mined edges
+    *  4. the stored tables advance for the NEXT batch (postings,
+    *     sizes, and df deltas all APPEND), and the mined edges
     *     merge into the labels through the label-space contraction
     *     ([[refreshGroupIndex]]).
     *

@@ -176,9 +176,55 @@ object VectorOps {
     * hashing grew linearly in plane count to 25-37 s while the
     * candidate join SHRANK; with the fused signature the same
     * configurations hash in milliseconds). */
+  /** Ceiling on the banded miner's expected candidate pairs PER
+    * BUCKET — the quantity that kills an executor. Bucket count per
+    * band is 2^r and does not grow with the corpus, so per-bucket
+    * occupancy n/2^r grows linearly in n and the pairs a SINGLE join
+    * key emits grow quadratically: at sf10 (500 k vectors) the gate's
+    * (4, 4) fixture put ~31 k vectors behind each of 16 buckets —
+    * ~4.9·10⁸ pairs from one key, ~4.6 B total — and OOM'd an
+    * executor, taking the JVM (COVERAGE round 10). The largest
+    * measured-SOUND run ((4, 4) at 20 k vectors, sf1) emitted
+    * ~7.8·10⁵ pairs per bucket. 2^24 sits between them with ~20×
+    * margin on each side. [[nearDupBandConfig]]-sized configurations
+    * hold per-bucket occupancy roughly at targetOccupancy, orders of
+    * magnitude below this ceiling at any n. */
+  private[graft] val MaxExpectedBucketPairs: Double = (1L << 24).toDouble
+
+  /** Expected candidate pairs per band-bucket at corpus size n, under
+    * the uniform-bucket approximation: each band hashes n vectors
+    * into 2^r buckets → occupancy n/2^r → ~occ²/2 pairs per bucket.
+    * Real corpora skew worse (correlated vectors pile into shared
+    * buckets), so this is a LOWER estimate — conservative in the safe
+    * direction. */
+  private[graft] def expectedBucketPairs(n: Long,
+      planesPerBand: Int): Double = {
+    val occ = n.toDouble / math.pow(2.0, planesPerBand)
+    occ * occ / 2.0
+  }
+
+  private[graft] def requireSubquadraticBands(n: Long, bands: Int,
+      planesPerBand: Int): Unit = {
+    val perBucket = expectedBucketPairs(n, planesPerBand)
+    require(perBucket <= MaxExpectedBucketPairs,
+      f"banded near-dup config (bands=$bands, planesPerBand=" +
+        f"$planesPerBand) expects ~$perBucket%.2e candidate pairs " +
+        f"PER BUCKET at corpus size $n — a single join key emitting " +
+        "quadratic pairs OOMs the executor sorting it (measured: " +
+        "(4,4) at 500k vectors = ~4.9e8 pairs/bucket took the JVM); " +
+        "size the config with nearDupBandConfig(n), which grows " +
+        "planesPerBand ~log2(n/occupancy) so per-bucket work stays " +
+        "bounded")
+  }
+
   private[graft] def nearDupPairsCfg(s: SparkSession, d: String,
       bands: Int, planesPerBand: Int): DataFrame = {
     val raw = Tables.embeddings(s, d)
+    // the corpus-size guard pays one metadata-only count before any
+    // mining: a config that is sound at gate scale is an executor
+    // OOM at 250× the vectors, and nothing else in this path would
+    // stop it before the candidate join materializes
+    requireSubquadraticBands(raw.count(), bands, planesPerBand)
     val sigCol = VectorFunctions.planeSigns(col("embedding"),
       bands * planesPerBand)
     def bkt(sig: Column, band: Int): Column =
@@ -507,7 +553,7 @@ object VectorOps {
     * where p^r decays slower and fewer bands reach the same recall. */
   private[graft] def nearDupBandConfig(n: Long,
       targetOccupancy: Long = 64, designCos: Double = 0.7,
-      minRecall: Double = 0.9, maxBands: Int = 64): (Int, Int) = {
+      minRecall: Double = 0.9, bandBudget: Int = 64): (Int, Int) = {
     val p = 1.0 - math.acos(designCos) / math.Pi
     def bandsFor(r: Int): Int = {
       val perBand = math.pow(p, r)
@@ -515,18 +561,20 @@ object VectorOps {
         math.log(1.0 - minRecall) / math.log(1.0 - perBand)).toInt)
     }
     // occupancy-driven width — but the RECALL contract wins: past the
-    // band budget, widen buckets back down (more candidates per
-    // bucket) rather than silently miss the recall target. At design
-    // cos 0.7 the budget caps r at 11 (2048 buckets/band, 57 bands);
-    // a higher design cosine pushes the cap out. If the budget still
-    // binds at the r=4 floor (extreme low-cos/high-recall inputs),
-    // the UNCAPPED band count is returned — the caller sees the true
-    // cost of its recall target instead of a silently degraded one
-    // (capping here would miss minRecall with no signal).
+    // band BUDGET (a soft target, not a hard cap — hence the name),
+    // widen buckets back down (more candidates per bucket) rather
+    // than silently miss the recall target. At design cos 0.7 the
+    // budget caps r at 11 (2048 buckets/band, 57 bands); a higher
+    // design cosine pushes the cap out. If the budget still binds at
+    // the r=4 floor (extreme low-cos/high-recall inputs), the
+    // UNCAPPED band count is returned — possibly ABOVE bandBudget —
+    // so the caller sees the true cost of its recall target instead
+    // of a silently degraded one (capping here would miss minRecall
+    // with no signal).
     var r = math.max(4, math.min(20,
       math.ceil(math.log(math.max(2.0, n.toDouble / targetOccupancy)) /
         math.log(2.0)).toInt))
-    while (r > 4 && bandsFor(r) > maxBands) r -= 1
+    while (r > 4 && bandsFor(r) > bandBudget) r -= 1
     (bandsFor(r), r)
   }
 

@@ -330,6 +330,44 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
       s"cos 0.9 should need fewer bands than cos 0.6: $loose vs $tight")
   }
 
+  test("banded miner refuses a super-linear config before mining " +
+      "(the sf10 (4,4) OOM guard)") {
+    val VO = graft.queries.VectorOps
+    // the measured datum: (4,4) at 500k vectors puts ~4.9e8 candidate
+    // pairs behind each single join key and OOM'd an executor at
+    // sf10 — the guard must trip well before that regime
+    val e = intercept[IllegalArgumentException] {
+      VO.requireSubquadraticBands(500000L, 4, 4)
+    }
+    assert(e.getMessage.contains("nearDupBandConfig"),
+      s"guard must point at the sizing rule: ${e.getMessage}")
+    // the guard is WIRED into the miner: against a synthetic
+    // 500k-vector corpus the (4,4) fixture config must throw AT CALL
+    // TIME — before any plane hashing, posting explode, or join (the
+    // only work the call is allowed is the metadata count; actually
+    // mining this corpus under (4,4) is the measured JVM killer)
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("guard-sf10").toString
+    try {
+      spark.range(500000L).select(col("id").as("vec_id"),
+          array(lit(0.1f), lit(0.2f)).as("embedding"))
+        .write.parquet(s"$tmp/embeddings.parquet")
+      intercept[IllegalArgumentException] {
+        VO.nearDupPairsCfg(spark, tmp, 4, 4)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
+    }
+    // sound regimes stay open: the gate fixture at gate scale (sf0.1
+    // is 2000 vectors), the measured-sound sf1 run (20k), and
+    // nearDupBandConfig's own output at the OOM scale
+    VO.requireSubquadraticBands(2000L, 4, 4)
+    VO.requireSubquadraticBands(20000L, 4, 4)
+    val (b, r) = VO.nearDupBandConfig(500000L)
+    VO.requireSubquadraticBands(500000L, b, r)
+  }
+
   test("cluster prune: exact per-cluster P25 cutoff, ties kept, <=25% dropped") {
     assume(ready)
     val rows = graft.queries.VectorOps.vClusterPrune(spark, sfDir).collect()
