@@ -1051,6 +1051,9 @@ object TextOps {
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh") {
       refreshGroupIndexMined(s, idx, docs.filter(col("doc_id") % 10 === 1))
     }
+    graft.StageTimes.timed("t_dedup_groups_indexed.maintain") {
+      maintainGroupIndex(s, idx, "t_dedup_groups_indexed.maintain")
+    }
     val result = graft.StageTimes.timed("t_dedup_groups_indexed.serve") {
       s.table(s"lakeq.db.${idx.labels}").select(col("doc_id"), col("group_id"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
@@ -1190,6 +1193,43 @@ object TextOps {
       .partitionedBy(bucket(GroupIdxBuckets, col("sh")))
       .createOrReplace()
 
+  /** Periodic maintenance for the group index's three append-forever
+    * side tables — the cadence that bounds a year of nightlies to a
+    * constant file count instead of 30+ small files per night
+    * degrading probe planning:
+    *
+    *  - the df delta table FOLDS to one row per shingle
+    *    ([[foldDeltaCounts]] — readers sum per key either way);
+    *  - the posting table BINPACKS per bucket group
+    *    (rewrite_data_files; bucket(sh) partitioning is preserved by
+    *    the per-group rewrite, so the SPJ probe plan is unchanged);
+    *  - the size table rewrites under `strategy => sort, sort_order
+    *    => doc_id`, which RESTORES the range clustering the nightly
+    *    appends interleave (each night adds its own doc_id range, so
+    *    plain binpack would merge overlapping ranges and erode
+    *    min/max skipping; the doc_id blooms ride along via table
+    *    properties).
+    *
+    * All three are row-preserving commits: labels, straddle math, and
+    * probe candidates are bit-identical across a maintenance pass
+    * (GroupIndexSuite pins it), so the cadence is pure scheduling —
+    * run it weekly, after N nightlies, or when file counts cross a
+    * threshold. Scheduled INSIDE the gate lifecycle so bench.json
+    * carries its measured cost like the model-table fold-ins. */
+  private[queries] def maintainGroupIndex(s: SparkSession,
+      idx: GroupIndex, stage: String = null): Unit = {
+    def timed[T](suffix: String)(f: => T): T =
+      if (stage == null) f else graft.StageTimes.timed(s"$stage.$suffix")(f)
+    timed("fold_df") { foldDeltaCounts(s, idx.df) }
+    timed("binpack_post") {
+      s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.post}')")
+    }
+    timed("sort_size") {
+      s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.size}'" +
+        s", strategy => 'sort', sort_order => 'doc_id')")
+    }
+  }
+
   /** The mined-refresh probe join: batch postings (a scratch table
     * sharing the index's bucket(8, sh) layout) against the stored
     * corpus posting list — a storage-partitioned join, NO exchange on
@@ -1243,7 +1283,7 @@ object TextOps {
     * routine growth. */
   private[graft] def refreshGroupIndexMined(s: SparkSession,
       idx: GroupIndex, batchDocs: DataFrame,
-      cap: Int = MaxShingleDf): Unit = {
+      cap: Int = MaxShingleDf, repairStraddle: Boolean = true): Unit = {
     val bPost = shinglePostings(batchDocs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
@@ -1274,13 +1314,19 @@ object TextOps {
       col("df0") <= cap && col("df0") + col("bdf") > cap)
     val nStraddle = straddle.count()
     if (nStraddle > 0) {
-      val sample = straddle.select(col("sh")).head(5).map(_.getString(0))
-      throw new IllegalStateException(
-        s"$nStraddle shingle(s) crossed the df cap $cap in this batch " +
-          s"(e.g. ${sample.mkString(", ")}): the capped Jaccard universe " +
-          "shrank, stored pair scores are retroactively stale and " +
-          "components may need to SPLIT — run a scoped rebuild of the " +
-          "affected components instead of an additive refresh")
+      if (!repairStraddle) {
+        val sample = straddle.select(col("sh")).head(5).map(_.getString(0))
+        throw new IllegalStateException(
+          s"$nStraddle shingle(s) crossed the df cap $cap in this batch " +
+            s"(e.g. ${sample.mkString(", ")}): the capped Jaccard universe " +
+            "shrank, stored pair scores are retroactively stale and " +
+            "components may need to SPLIT — run a scoped rebuild of the " +
+            "affected components instead of an additive refresh " +
+            "(refreshGroupIndexMined(repairStraddle = true) runs it " +
+            "automatically)")
+      }
+      rebuildAffectedComponents(s, idx, cap, batchDocs, bPost, bDf, straddle)
+      return
     }
     val cappedSh = joined.filter(col("df0") + col("bdf") <= cap)
       .select(col("sh"))
@@ -1349,6 +1395,193 @@ object TextOps {
     }
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
       refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
+    }
+  }
+
+  /** The SCOPED REBUILD the straddle guard prescribes — run
+    * automatically by [[refreshGroupIndexMined]] when a batch pushes
+    * stored shingles across the df cap, instead of leaving the
+    * nightly down behind a manual instruction. The cap crossing
+    * shrinks the capped Jaccard universe retroactively: pairs
+    * touching a straddling shingle can lose their edge (components
+    * SPLIT) and pairs touching an affected DOC can gain one (a
+    * smaller denominator raises Jaccard — components MERGE), neither
+    * of which the additive MERGE-min label algebra can express. But
+    * the blast radius is provably bounded: a pair's Jaccard changes
+    * only if an endpoint contains a straddling shingle, so
+    *
+    *  - affected docs A = resident docs holding any straddling
+    *    shingle (posting lookup; |A| ≤ cap × straddle count — the cap
+    *    itself bounds the radius);
+    *  - rebuild set M = every member of every component containing an
+    *    A doc (splits need the component's FULL edge set re-mined —
+    *    labels don't store which edges held it together);
+    *  - edges wholly outside M are untouched: both endpoints keep
+    *    their shingle sets, so their Jaccard — and the outside
+    *    component structure — is unchanged by construction.
+    *
+    * The rebuild re-mines, over the post-batch capped universe,
+    * exactly (M ∪ batch) × (M ∪ batch) via a scoped self-join plus
+    * (M ∪ batch) × outside via a posting probe, contracts outside
+    * endpoints to their stored component labels, and relabels through
+    * one [[propagateMin]] pass whose vertices are rebuild docs and
+    * outside labels. Every read happens BEFORE any table advances
+    * (checkpointed), the size rows of rebuild docs re-derive from the
+    * new universe (a straddled-out shingle shrinks them — rows
+    * reaching zero DELETE, matching the one-shot miner's "no row"),
+    * and the label commit is the same staged-branch single-ref-move
+    * publish the normal nightly uses. Exactness is spec-pinned both
+    * ways in GroupIndexSuite: a split and a probe-path merge each
+    * reproduce the one-shot labels bit-for-bit, and later normal
+    * refreshes compose on top of a repair.
+    *
+    * Cost: index-scale scans (postings, labels) + component-scoped
+    * joins — no corpus text is ever re-read (structurally: batch
+    * frames are the only non-index inputs). That is the exceptional-
+    * path trade: the cap is a skew guard sitting 4× above the highest
+    * measured df, so a straddle signals genuinely new boilerplate; at
+    * 100 TB the repair costs one posting-table pass more than a
+    * nightly, not a corpus rebuild. */
+  private[graft] def rebuildAffectedComponents(s: SparkSession,
+      idx: GroupIndex, cap: Int, batchDocs: DataFrame,
+      bPost: DataFrame, bDf: DataFrame, straddle: DataFrame): Unit = {
+    val sSh = straddle.select(col("sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val postT = s.table(s"lakeq.db.${idx.post}")
+    val labelsT = s.table(s"lakeq.db.${idx.labels}")
+      .select(col("doc_id"), col("group_id"))
+    // affected docs: straddling shingles are ≤ cap in the store, so
+    // each posting list here is cap-bounded — broadcast-sized
+    val affected = postT.join(broadcast(sSh), Seq("sh"))
+      .select(col("doc_id")).distinct()
+    val affComps = labelsT.join(affected, Seq("doc_id"))
+      .select(col("group_id")).distinct()
+    val mDocs = labelsT.join(broadcast(affComps), Seq("group_id"))
+      .select(col("doc_id"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // rebuild-set postings (resident members + tonight's batch), then
+    // the post-batch capped universe over exactly the shingles the
+    // rebuild can see — stored df is delta rows, summed per shingle
+    val mPost = postT.join(mDocs.hint("broadcast"), Seq("doc_id"))
+    val rawPost = mPost.unionByName(bPost)
+    val dfT = s.table(s"lakeq.db.${idx.df}").toDF("sh", "dfd")
+    val totals = rawPost.select(col("sh")).distinct()
+      .join(dfT, Seq("sh"), "left")
+      .groupBy(col("sh")).agg(coalesce(sum(col("dfd")), lit(0L)).as("df0"))
+      .join(bDf, Seq("sh"), "left")
+      .select(col("sh"),
+        (col("df0") + coalesce(col("bdf"), lit(0L))).as("dft"))
+    val rebuildPost = rawPost
+      .join(totals.filter(col("dft") <= cap).select(col("sh")), Seq("sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val rSizes = rebuildPost.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val jac = (inter: Column, na: Column, nb: Column) =>
+      round(inter.cast("double") / (na + nb - inter), 4)
+    // (M ∪ batch) × (M ∪ batch): scoped self-join, recomputed sizes
+    val selfPairs = rebuildPost.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(rebuildPost.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(rSizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(rSizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .filter(jac(col("inter"), col("na"), col("nb")) >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    // (M ∪ batch) × outside: probe the outside posting lists on the
+    // rebuild's capped shingles; outside sizes are still exact (no
+    // outside doc holds a straddling shingle — it would be in A), so
+    // the stored size table serves the denominators as usual
+    val outPost = postT.join(mDocs.hint("broadcast"), Seq("doc_id"),
+      "left_anti")
+    val probeInter = rebuildPost
+      .join(outPost.toDF("doc_b", "sh"), Seq("sh"))
+      .groupBy(col("doc_id"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val candIds = probeInter.select(col("doc_b")).distinct()
+    val nbFetch = s.table(s"lakeq.db.${idx.size}").toDF("doc_b", "nb")
+      .join(broadcast(candIds.filter(col("doc_b") >= 0)), Seq("doc_b"))
+    val outPairs = probeInter
+      .join(rSizes.toDF("doc_id", "na"), Seq("doc_id"))
+      .join(nbFetch, Seq("doc_b"))
+      .filter(jac(col("inter"), col("na"), col("nb")) >= 0.6)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    // contract outside endpoints to their component labels: vertices
+    // of the relabeling graph are rebuild DOCS and outside LABELS
+    // (both are doc_ids — a label is the min doc_id of its members,
+    // and rebuild docs are disjoint from outside components, so
+    // propagateMin's min-combining yields the true component minimum)
+    val outLabeled = outPairs
+      .join(labelsT.toDF("doc_b", "lb"), Seq("doc_b"))
+      .select(col("doc_a"), col("lb").as("doc_b"))
+    val edges = symmetrize(
+      selfPairs.unionByName(outLabeled)
+        .filter(col("doc_a") =!= col("doc_b")).distinct()).persist()
+    val lab = propagateMin(edges)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    edges.unpersist()
+    val rDocs = mDocs.unionByName(batchDocs.select(col("doc_id"))).distinct()
+    val rFinal = rDocs.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // relabel map for outside components that merged INTO the rebuild:
+    // the non-rebuild vertices of the propagation are outside labels
+    val outMap = lab.join(rDocs, Seq("doc_id"), "left_anti")
+      .filter(col("group_id") =!= col("doc_id"))
+      .select(col("doc_id").as("old_label"), col("group_id").as("new_label"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // sizes of rebuild docs re-derive from the new universe: shrunk
+    // rows UPDATE, rows reaching zero DELETE (the one-shot miner
+    // writes no row for a doc with no capped shingle), new batch docs
+    // INSERT — one MERGE, same one-shot semantics either path
+    val rAll = rDocs.join(rSizes, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_sh"), lit(0L)).as("n_sh"))
+    val sv = LakeOps.fresh("grpidx_repair_sizes")
+    rAll.createOrReplaceTempView(sv)
+    s.sql(s"""MERGE INTO lakeq.db.${idx.size} t USING $sv m
+             |ON t.doc_id = m.doc_id
+             |WHEN MATCHED AND m.n_sh = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET t.n_sh = m.n_sh
+             |WHEN NOT MATCHED AND m.n_sh > 0 THEN INSERT (doc_id, n_sh)
+             |VALUES (m.doc_id, m.n_sh)""".stripMargin)
+    s.catalog.dropTempView(sv)
+    // advance postings + df deltas exactly as a normal nightly would
+    // (postings stay UNCAPPED by design; the straddling shingles'
+    // batch counts append too — df rows are true counts, cap
+    // membership is derived per refresh)
+    bPost.writeTo(s"lakeq.db.${idx.post}").append()
+    bDf.withColumnRenamed("bdf", "df").writeTo(s"lakeq.db.${idx.df}").append()
+    // labels: same staged-branch atomic publish as the normal nightly
+    // — rebuild members' rows are replaced wholesale (delete + append
+    // with final labels), merged outside components relabel through
+    // the group_id-keyed MERGE, one fast-forward publishes all three
+    val br = s"repair_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CALL lakeq.system.create_branch(table => 'db.${idx.labels}', " +
+      s"branch => '$br')")
+    try {
+      val dv = LakeOps.fresh("grpidx_repair_docs")
+      mDocs.createOrReplaceTempView(dv)
+      s.sql(s"""MERGE INTO lakeq.db.${idx.labels}.branch_$br t USING $dv m
+               |ON t.doc_id = m.doc_id
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+      s.catalog.dropTempView(dv)
+      val mv = LakeOps.fresh("grpidx_repair_map")
+      outMap.createOrReplaceTempView(mv)
+      s.sql(s"""MERGE INTO lakeq.db.${idx.labels}.branch_$br t USING $mv m
+               |ON t.group_id = m.old_label
+               |WHEN MATCHED THEN UPDATE SET t.group_id = m.new_label"""
+        .stripMargin)
+      s.catalog.dropTempView(mv)
+      rFinal.writeTo(s"lakeq.db.${idx.labels}.branch_$br").append()
+      s.sql(s"CALL lakeq.system.fast_forward(table => 'db.${idx.labels}', " +
+        s"branch => 'main', to => '$br')")
+    } finally {
+      s.sql(s"CALL lakeq.system.drop_branch(table => 'db.${idx.labels}', " +
+        s"branch => '$br')")
     }
   }
 

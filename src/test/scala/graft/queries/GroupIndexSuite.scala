@@ -213,23 +213,98 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     dropIndex(idx)
   }
 
-  test("a batch crossing the df cap fails diagnosably (stale-universe " +
-      "guard)") {
+  test("a batch crossing the df cap fails diagnosably when auto-repair " +
+      "is off (stale-universe guard)") {
     // cap=2: the corpus has "a b c" in both docs (df=2, inside the
     // cap); the batch doc repeats it → df=3 > cap. The capped universe
     // shrinks retroactively — stored pair scores are stale and
     // components could split, which the additive MERGE-min algebra
-    // cannot express, so the refresh must refuse loudly.
+    // cannot express, so with repairStraddle=false the refresh must
+    // refuse loudly (the diagnosable path stays available).
     val corpus = textDocs(
       0L -> "a b c d e",
       2L -> "a b c x y")
     val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
     val e = intercept[IllegalStateException] {
       TextOps.refreshGroupIndexMined(spark, idx,
-        textDocs(1L -> "a b c z w"), cap = 2)
+        textDocs(1L -> "a b c z w"), cap = 2, repairStraddle = false)
     }
     assert(e.getMessage.contains("crossed the df cap"),
       s"wrong failure: ${e.getMessage}")
+    dropIndex(idx)
+  }
+
+  test("a cap-crossing batch self-repairs: a stale edge SPLITS and " +
+      "final labels equal the one-shot grouping") {
+    // cap=2. Corpus docs 0/2 are 6-token texts sharing 3 of their 4
+    // shingles — J = 3/5 = 0.6, an edge that holds ONLY while the
+    // shared shingle "p q r" (df=2, at the cap) stays in the
+    // universe. The batch doc also contains "p q r" → df=3 > cap: the
+    // shingle straddles out, doc 0/2 drop to 3-shingle sets with
+    // inter=2 → J = 2/4 = 0.5 < 0.6, so the stored component {0,2}
+    // must SPLIT — the operation the additive algebra cannot express
+    // and the scoped rebuild exists for.
+    val corpus = textDocs(
+      0L -> "p q r s t u",
+      2L -> "p q r s t v",
+      4L -> "one two three four five six seven")
+    val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    assert(labelsOf(idx.labels) == Map(0L -> 0L, 2L -> 0L, 4L -> 4L),
+      "fixture: docs 0/2 must pair at build time")
+    TextOps.refreshGroupIndexMined(spark, idx,
+      textDocs(1L -> "p q r aa bb"), cap = 2)
+    assert(labelsOf(idx.labels) ==
+      Map(0L -> 0L, 2L -> 2L, 4L -> 4L, 1L -> 1L),
+      "repair must split {0,2}: their edge existed only through the " +
+        "straddled-out shingle")
+    // bit-for-bit against the one-shot miner over the full doc set
+    val oneShot = TextOps.buildGroupIndex(spark,
+      corpus.unionByName(textDocs(1L -> "p q r aa bb")), cap = 2)
+    assert(labelsOf(idx.labels) == labelsOf(oneShot.labels),
+      "repaired labels must equal the one-shot grouping bit-for-bit")
+    dropIndex(oneShot)
+    // repairs COMPOSE: a later normal refresh lands on the repaired
+    // index and still reproduces the one-shot labels (doc 3 dups the
+    // batch doc 1)
+    TextOps.refreshGroupIndexMined(spark, idx,
+      textDocs(3L -> "p q r aa bb"), cap = 2)
+    val oneShot2 = TextOps.buildGroupIndex(spark,
+      corpus.unionByName(textDocs(1L -> "p q r aa bb",
+        3L -> "p q r aa bb")), cap = 2)
+    assert(labelsOf(idx.labels) == labelsOf(oneShot2.labels),
+      "a normal refresh after a repair must stay exact")
+    dropIndex(oneShot2)
+    dropIndex(idx)
+  }
+
+  test("a cap-crossing batch self-repairs: a shrunk denominator MERGES " +
+      "an affected doc with an untouched outside doc") {
+    // cap=2. Build: doc 0 = {abc, bcd}, doc 4 = {abc}, doc 6 = {bcd}.
+    // df(abc)=2, df(bcd)=2 — all in-universe; J(0,4) = 1/2 = 0.5 and
+    // J(0,6) = 1/2 = 0.5 → three singletons. The batch doc repeats
+    // "b c d" → df(bcd)=3 straddles out: doc 0 shrinks to {abc} and
+    // J(0,4) becomes 1/1 = 1.0 → a NEW edge between an affected doc
+    // and doc 4, which holds no straddling shingle and sits OUTSIDE
+    // the rebuild set — the probe + label-contraction path must find
+    // it and relabel doc 4 through the group-keyed MERGE.
+    val corpus = textDocs(
+      0L -> "a b c d",
+      4L -> "a b c",
+      6L -> "b c d")
+    val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    assert(labelsOf(idx.labels) == Map(0L -> 0L, 4L -> 4L, 6L -> 6L),
+      "fixture: all singletons at build time")
+    TextOps.refreshGroupIndexMined(spark, idx,
+      textDocs(1L -> "b c d"), cap = 2)
+    assert(labelsOf(idx.labels) ==
+      Map(0L -> 0L, 4L -> 0L, 6L -> 6L, 1L -> 1L),
+      "repair must create the NEW edge (0,4) the shrunk denominator " +
+        "implies, relabeling outside doc 4 into component 0")
+    val oneShot = TextOps.buildGroupIndex(spark,
+      corpus.unionByName(textDocs(1L -> "b c d")), cap = 2)
+    assert(labelsOf(idx.labels) == labelsOf(oneShot.labels),
+      "repaired labels must equal the one-shot grouping bit-for-bit")
+    dropIndex(oneShot)
     dropIndex(idx)
   }
 
@@ -299,6 +374,52 @@ class GroupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want,
       "a fold between batches must not change the mined labels")
+    dropIndex(idx)
+  }
+
+  test("posting/size/df maintenance consolidates files and changes " +
+      "no result") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val idx = TextOps.buildGroupIndex(spark,
+      docs.filter(col("doc_id") % 2 === 0))
+    TextOps.refreshGroupIndexMined(spark, idx,
+      docs.filter(col("doc_id") % 4 === 1))
+    def files(t: String): Long = spark.sql(
+      s"SELECT count(*) FROM lakeq.db.$t.files").collect()(0).getLong(0)
+    // a probe against the maintained tables must return the exact
+    // same candidates: same scratch batch, probed before and after
+    val scratch = LakeOps.fresh("grpidxspec_maint")
+    TextOps.shinglePostings(docs.filter(col("doc_id") % 4 === 3))
+      .writeTo(s"lakeq.db.$scratch").using("lake")
+      .partitionedBy(bucket(TextOps.GroupIdxBuckets, col("sh"))).create()
+    def probe(): Set[(Long, Long, Long)] =
+      TextOps.groupProbeCandidates(spark, scratch, idx.post).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val labelsBefore = labelsOf(idx.labels)
+    val probeBefore = probe()
+    val (postB, sizeB, dfB) = (files(idx.post), files(idx.size), files(idx.df))
+    TextOps.maintainGroupIndex(spark, idx)
+    val (postA, sizeA, dfA) = (files(idx.post), files(idx.size), files(idx.df))
+    assert(postA < postB,
+      s"posting binpack must consolidate files ($postB -> $postA)")
+    assert(sizeA < sizeB,
+      s"size sort-rewrite must consolidate files ($sizeB -> $sizeA)")
+    assert(dfA <= dfB, s"df fold must not grow files ($dfB -> $dfA)")
+    assert(probe() == probeBefore,
+      "maintenance must not change probe candidates")
+    assert(labelsOf(idx.labels) == labelsBefore,
+      "maintenance must not touch the labels")
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$scratch PURGE")
+    // the NEXT nightly must still be exact against the maintained
+    // index: final labels equal the one-shot grouping bit-for-bit
+    TextOps.refreshGroupIndexMined(spark, idx,
+      docs.filter(col("doc_id") % 4 === 3))
+    val want = TextOps.tDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(idx.labels) == want,
+      "a refresh after maintenance must reproduce the one-shot labels")
     dropIndex(idx)
   }
 
