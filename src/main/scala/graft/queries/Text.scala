@@ -2114,71 +2114,198 @@ object TextOps {
         sha2(col("blob"), 256).as("digest"))
       .orderBy(col("doc_id"))
 
-  /** Multimodal decode plumbing: the real image/audio decoder slots in
-    * as this exact mapPartitions (batch-per-partition, the Scala
-    * analog of mapInPandas) — here the decode step is a STUB: a
-    * deterministic arithmetic "decoder" over the leading bytes, so the
-    * Spark-side shape (schema, partitioning, per-partition batching)
-    * is real and oracle-checked while the codec is fake (container has
-    * no codec libs). */
-  private def mmDecoded(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        // one "decoder" per partition, amortized over its batch —
-        // exactly where a JNI/codec handle would live
-        it.map { case (id, text) =>
-          // CODEPOINTS, not UTF-16 code units: the oracle's
-          // ord/substr/length count codepoints, and charAt would see
-          // surrogate halves for any non-BMP character
-          val cps = text.codePoints().toArray
-          val width =
-            if (cps.length >= 2) (cps(0) * 256 + cps(1)) % 1024
-            else 0
-          val frames = text.getBytes("UTF-8").length % 30 + 1
-          val luma =
-            if (cps.nonEmpty) cps.take(64).map(_.toLong).sum % 256
-            else 0L
-          (id, width, frames, luma)
-        }
-      }
-      .toDF("doc_id", "width", "n_frames", "luma")
+  /** Deterministic synthetic pixel: every image/frame pixel is an
+    * exact-integer function of (doc_id, frame, x, y), so the
+    * cross-engine oracle can compute the decoded content WITHOUT a
+    * codec — PNG and TIFF are lossless, so the bytes the executor
+    * decodes carry exactly these values, and a digest over the
+    * DECODED raster hash-matches a digest DuckDB derives from the
+    * formula. Any codec bug, channel swap, or rounding drift in the
+    * decode/resize kernels breaks the match. */
+  private def mmPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val r = ((id * 7 + f * 19 + x * 13 + y * 17) % 256).toInt
+    val g = ((id * 11 + f * 23 + x * 5 + y * 3) % 256).toInt
+    val b = ((id * 13 + f * 29 + x * 3 + y * 31) % 256).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  def mmDecodeStub(s: SparkSession, d: String): DataFrame =
-    mmDecoded(s, d).orderBy(col("doc_id"))
+  /** Exact-integer digest of a pixel grid: position-weighted RGB sum
+    * (weights make it sensitive to pixel TRANSPOSITION, not just
+    * value multisets). Bounded: ≤ 2^24 · (1+15·31+12·7) · 208 pixels
+    * ≈ 2·10¹² — no overflow, no modulus needed. */
+  private def mmDigest(px: (Int, Int) => Int, w: Int, h: Int): Long = {
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s += (px(x, y) & 0xFFFFFF).toLong * (1 + x * 31 + y * 7)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
 
-  /** Multimodal frame sampling: every 5th frame index of each decoded
-    * "video", stamped with a deterministic per-frame signature (the
-    * slot where a real frame feature-extractor — resize, embed —
-    * would run). The fan-out is a narrow explode bounded by n_frames:
-    * no shuffle until the final presentation sort, so at 100 TB the
-    * frame rows stream straight into the next stage without a
-    * repartition. */
-  def mmFrameSample(s: SparkSession, d: String): DataFrame =
-    mmDecoded(s, d)
-      .withColumn("fi", explode(sequence(lit(0), col("n_frames") - 1, lit(5))))
-      .withColumn("frame_idx", col("fi").cast("long"))
-      .select(col("doc_id"), col("frame_idx"),
-        ((col("doc_id") * 31 + col("frame_idx") * 7 + col("luma")) % 997)
-          .as("frame_sig"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+  /** REAL image bytes per document: a doc_id-shaped RGB image (4–16 ×
+    * 3–13, pixels from [[mmPixel]]) encoded as PNG with the JDK's own
+    * `javax.imageio` — the multimodal ring's binary payloads are real
+    * compressed image files, not arithmetic stand-ins. At 100 TB this
+    * stage is the ingest boundary (bytes arrive from storage); here
+    * the encoder doubles as the deterministic corpus generator. */
+  private def mmImageBytes(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, mmPixel(id, 0, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+  }
 
-  /** Multimodal resize/feature-extract slot: deterministic 2×
-    * downscale of the decoded "image" — out_w halves (floor, min 1)
-    * and the resized signature mixes luma with the new geometry.
-    * Pure narrow arithmetic over the decode output, no shuffle; a
-    * real resizer (SIMD/JNI) would replace the formula behind the
-    * same schema and partitioning. */
-  def mmResizeStub(s: SparkSession, d: String): DataFrame = {
-    val outW = greatest(floor(col("width") / 2), lit(1)).cast("long")
-    mmDecoded(s, d)
-      .select(col("doc_id"), outW.as("out_w"),
-        ((col("luma") * outW + col("doc_id")) % 4096).cast("long")
-          .as("resize_sig"))
+  /** Multimodal image decode — a REAL codec kernel (JDK `ImageIO`
+    * PNG): each binary payload decodes to its raster and reports
+    * exact-integer witnesses — dimensions, channel count, and a
+    * position-weighted pixel digest computed from the DECODED pixels
+    * only. Runs as one mapPartitions over the binary column
+    * (batch-per-partition — the decoder-handle-per-partition shape a
+    * JNI codec would use); the narrow plan has no shuffle before the
+    * presentation sort. The oracle derives the same witnesses from
+    * the pixel formula: PNG is lossless, so they match iff the
+    * decode is bit-correct. */
+  def mmDecodeImage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mmImageBytes(s, d)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val channels = img.getRaster.getNumBands
+          (id, w.toLong, h.toLong, channels.toLong,
+            mmDigest((x, y) => img.getRGB(x, y), w, h))
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "pix_digest")
       .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal resize — decode (real PNG) then a REAL nearest-
+    * neighbor downscale kernel over the decoded raster: output dims
+    * halve (floor, min 1) and out(x, y) samples in((x·w)/out_w,
+    * (y·h)/out_h) with integer division — an exactly-reproducible
+    * resampling, so the resized digest is oracle-checkable where an
+    * interpolating resize's float arithmetic would not be. Same
+    * narrow one-pass shape as the decode. */
+  def mmResizeImage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mmImageBytes(s, d)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val ow = math.max(w / 2, 1)
+          val oh = math.max(h / 2, 1)
+          val digest = mmDigest(
+            (x, y) => img.getRGB(x * w / ow, y * h / oh), ow, oh)
+          (id, ow.toLong, oh.toLong, digest)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "resize_digest")
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL multi-frame payloads: a 5×4 RGB "video" of 2–6 frames per
+    * document, encoded as a multi-page TIFF (the one multi-frame
+    * format the JDK reads AND writes losslessly with zero external
+    * codecs). */
+  private def mmVideoBytes(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // one encoder handle per partition, reset per record — the
+        // amortization point a JNI codec would use
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("tiff").next()
+        val out = it.map { id =>
+          val n = (2 + id % 5).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(5, 4,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < 4) {
+              var x = 0
+              while (x < 5) { img.setRGB(x, y, mmPixel(id, f, x, y)); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          (id, bos.toByteArray)
+        }
+        out
+      }
+  }
+
+  /** Multimodal frame sampling — REAL multi-frame decode (JDK TIFF
+    * reader): the frame COUNT comes from the decoder's own page scan
+    * (`getNumImages`), every 2nd frame is sampled, and each sampled
+    * frame reports the position-weighted digest of its decoded
+    * pixels. The per-doc fan-out is the iterator flatMap itself —
+    * frame rows stream straight out of the decode partition with no
+    * shuffle before the presentation sort, the 100 TB shape for
+    * frame-level feature extraction. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mmVideoBytes(s, d)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("tiff").next()
+        it.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by 2).map { f =>
+            val img = reader.read(f)
+            (id, f.toLong, n.toLong,
+              mmDigest((x, y) => img.getRGB(x, y),
+                img.getWidth, img.getHeight))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "frame_digest")
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** TF-IDF top term per document — the classic salience signal next
@@ -2691,9 +2818,9 @@ object TextOps {
     "t_train_split" -> (tTrainSplit _),
     "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_decode_image" -> (mmDecodeImage _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_resize_stub" -> (mmResizeStub _),
+    "mm_resize_image" -> (mmResizeImage _),
   )
 
   /** Connected-components labels over the n-gram-Jaccard pair graph
@@ -3200,42 +3327,57 @@ object TextOps {
         |  lower(hex(substr(text,1,4)::BLOB)) AS magic,
         |  sha256(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_decode_stub" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(text) >= 2
-        |       THEN (ord(substr(text,1,1))*256 + ord(substr(text,2,1))) % 1024
-        |       ELSE 0 END AS width,
-        |  octet_length(text::BLOB) % 30 + 1 AS n_frames,
-        |  CASE WHEN length(text) > 0
-        |       THEN (list_sum(list_transform(range(1, least(length(text),64)+1),
-        |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
-        |       ELSE 0 END AS luma
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the multimodal oracles derive the DECODED content from the pixel
+    // formula (PNG/TIFF are lossless): same dims, channel count, and
+    // position-weighted digest the executor computes from the raster
+    // the real ImageIO kernels decode — a codec bug or channel swap
+    // breaks the hash
+    "mm_decode_image" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM dims, range(0, 16) xs(x), range(0, 13) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id, w AS width, h AS height, 3::BIGINT AS channels,
+        |  SUM(((doc_id*7 + x*13 + y*17) % 256 * 65536 +
+        |       (doc_id*11 + x*5 + y*3) % 256 * 256 +
+        |       (doc_id*13 + x*3 + y*31) % 256) *
+        |      (1 + x*31 + y*7))::BIGINT AS pix_digest
+        |FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      """WITH dec AS (SELECT doc_id,
-        |  octet_length(text::BLOB) % 30 + 1 AS n_frames,
-        |  CASE WHEN length(text) > 0
-        |       THEN (list_sum(list_transform(range(1, least(length(text),64)+1),
-        |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
-        |       ELSE 0 END AS luma
-        |FROM documents),
-        |fr AS (SELECT doc_id, luma,
-        |         unnest(range(0, n_frames, 5)) AS frame_idx FROM dec)
-        |SELECT doc_id, frame_idx,
-        |  (doc_id*31 + frame_idx*7 + luma) % 997 AS frame_sig
-        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
-    "mm_resize_stub" ->
-      """WITH dec AS (SELECT doc_id,
-        |  CASE WHEN length(text) >= 2
-        |       THEN (ord(substr(text,1,1))*256 + ord(substr(text,2,1))) % 1024
-        |       ELSE 0 END AS width,
-        |  CASE WHEN length(text) > 0
-        |       THEN (list_sum(list_transform(range(1, least(length(text),64)+1),
-        |         i -> ord(substr(text, i::INT, 1)))) % 256)::BIGINT
-        |       ELSE 0 END AS luma
-        |FROM documents)
-        |SELECT doc_id, greatest(width // 2, 1) AS out_w,
-        |  (luma * greatest(width // 2, 1) + doc_id) % 4096 AS resize_sig
-        |FROM dec ORDER BY doc_id""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),
+        |frames AS (
+        |  SELECT doc_id, n, fs.f
+        |  FROM dims, range(0, 6) fs(f) WHERE fs.f < n AND fs.f % 2 = 0),
+        |cells AS (
+        |  SELECT doc_id, n, f, xs.x, ys.y
+        |  FROM frames, range(0, 5) xs(x), range(0, 4) ys(y))
+        |SELECT doc_id, f AS frame_idx, n AS n_frames,
+        |  SUM(((doc_id*7 + f*19 + x*13 + y*17) % 256 * 65536 +
+        |       (doc_id*11 + f*23 + x*5 + y*3) % 256 * 256 +
+        |       (doc_id*13 + f*29 + x*3 + y*31) % 256) *
+        |      (1 + x*31 + y*7))::BIGINT AS frame_digest
+        |FROM cells GROUP BY doc_id, f, n
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize_image" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+        |    greatest((4 + doc_id % 13) // 2, 1) AS ow,
+        |    greatest((3 + doc_id % 11) // 2, 1) AS oh
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, ow, oh,
+        |    xs.x, ys.y, (xs.x * w) // ow AS sx, (ys.y * h) // oh AS sy
+        |  FROM dims, range(0, 8) xs(x), range(0, 6) ys(y)
+        |  WHERE xs.x < ow AND ys.y < oh)
+        |SELECT doc_id, ow AS out_w, oh AS out_h,
+        |  SUM(((doc_id*7 + sx*13 + sy*17) % 256 * 65536 +
+        |       (doc_id*11 + sx*5 + sy*3) % 256 * 256 +
+        |       (doc_id*13 + sx*3 + sy*31) % 256) *
+        |      (1 + x*31 + y*7))::BIGINT AS resize_digest
+        |FROM cells GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin,
   )
 }
