@@ -1164,11 +1164,20 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"))
     val edges = symmetrize(pairs).persist()
     val labels = propagateMin(edges)
+    // labels write MERGE-ON-READ: the nightly relabel MERGE keys on
+    // group_id while the table buckets by doc_id, so a merged
+    // component's members scatter across every bucket file — measured
+    // (COVERAGE r11) a copy-on-write MERGE rewrote 8/8 label files
+    // per nightly at every decade even when only a handful of rows
+    // changed. MoR writes masks + rows proportional to the MATCHED
+    // rows instead; the serving read pays a mask until
+    // [[maintainGroupIndex]]'s periodic fold applies them back in.
     corpusDocs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"))
       .writeTo(s"lakeq.db.${idx.labels}").using("lake")
+      .tableProperty("write.merge.mode", "merge-on-read")
       .partitionedBy(bucket(8, col("doc_id"))).create()
     edges.unpersist()
     idx
@@ -1228,6 +1237,11 @@ object TextOps {
       s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.size}'" +
         s", strategy => 'sort', sort_order => 'doc_id')")
     }
+    // the labels table is MoR for the nightly relabel MERGE (see
+    // buildGroupIndex) — the fold applies accumulated masks and
+    // binpacks the per-night delta files, returning serving reads to
+    // plain mask-free scans (the model-table fold-in pattern)
+    timed("fold_labels") { foldInModelTable(s, idx.labels) }
   }
 
   /** The mined-refresh probe join: batch postings (a scratch table
