@@ -1110,8 +1110,6 @@ object TextOps {
     // CURRENT df and shifts as batches land, so the stored posting
     // list must keep every shingle — probes re-apply the cap from the
     // df table at their own point in time
-    posting.writeTo(s"lakeq.db.${idx.post}").using("lake")
-      .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     val dfreq = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // the df table is APPEND-ONLY DELTAS (df(sh) = sum of its rows),
@@ -1127,59 +1125,72 @@ object TextOps {
     // scores every document, so un-folded deltas would tax every
     // consumer; [[foldDeltaCounts]] is this table's periodic fold,
     // pinned in GroupIndexSuite.
-    dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
-      .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     val capped = posting
       .join(dfreq.filter(col("df") <= cap).select(col("sh")), Seq("sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    // sizes range-cluster by doc_id with a doc_id bloom so candidate
-    // fetches skip files (the [[tIncrementalDedupIndexed]] sig-store
-    // layout; dictionary encoding off because parquet drops blooms
-    // for fully-dictionary-encoded columns)
-    sizes.repartitionByRange(8, col("doc_id"))
-      .writeTo(s"lakeq.db.${idx.size}").using("lake")
-      .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
-        "true")
-      .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
-        "16384")
-      .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
-      .create()
-    // corpus-internal pairs: the exact [[computeNgramPairs]] shape
-    // over the corpus's own capped universe
-    val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
-    val pairs = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
-        Seq("doc_b"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = symmetrize(pairs).persist()
-    val labels = propagateMin(edges)
-    // labels write MERGE-ON-READ: the nightly relabel MERGE keys on
-    // group_id while the table buckets by doc_id, so a merged
-    // component's members scatter across every bucket file — measured
-    // (COVERAGE r11) a copy-on-write MERGE rewrote 8/8 label files
-    // per nightly at every decade even when only a handful of rows
-    // changed. MoR writes masks + rows proportional to the MATCHED
-    // rows instead; the serving read pays a mask until
-    // [[maintainGroupIndex]]'s periodic fold applies them back in.
-    corpusDocs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("group_id"), col("doc_id")).as("group_id"))
-      .writeTo(s"lakeq.db.${idx.labels}").using("lake")
-      .tableProperty("write.merge.mode", "merge-on-read")
-      .partitionedBy(bucket(8, col("doc_id"))).create()
-    edges.unpersist()
+    // every substrate input is checkpointed above, so the four table
+    // creates are independent single-table commits — they run as
+    // parallel driver steps ([[parSteps]]), with the heavyweight
+    // branch (pair mining + label propagation + labels create)
+    // overlapping the three substrate creates' plan/shuffle/commit
+    // latency instead of paying it serially after them
+    parSteps(
+      () => posting.writeTo(s"lakeq.db.${idx.post}").using("lake")
+        .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
+      () => dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
+        .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
+      // sizes range-cluster by doc_id with a doc_id bloom so candidate
+      // fetches skip files (the [[tIncrementalDedupIndexed]] sig-store
+      // layout; dictionary encoding off because parquet drops blooms
+      // for fully-dictionary-encoded columns)
+      () => sizes.repartitionByRange(8, col("doc_id"))
+        .writeTo(s"lakeq.db.${idx.size}").using("lake")
+        .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
+          "true")
+        .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
+          "16384")
+        .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
+        .create(),
+      () => {
+        // corpus-internal pairs: the exact [[computeNgramPairs]] shape
+        // over the corpus's own capped universe
+        val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
+        val pairs = a.join(b, Seq("sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+            Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+            Seq("doc_b"))
+          .withColumn("jaccard", round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 4))
+          .filter(col("jaccard") >= 0.6)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = symmetrize(pairs).persist()
+        try {
+          val labels = propagateMin(edges)
+          // labels write MERGE-ON-READ: the nightly relabel MERGE keys
+          // on group_id while the table buckets by doc_id, so a merged
+          // component's members scatter across every bucket file —
+          // measured (COVERAGE r11) a copy-on-write MERGE rewrote 8/8
+          // label files per nightly at every decade even when only a
+          // handful of rows changed. MoR writes masks + rows
+          // proportional to the MATCHED rows instead; the serving read
+          // pays a mask until [[maintainGroupIndex]]'s periodic fold
+          // applies them back in.
+          corpusDocs.select(col("doc_id"))
+            .join(labels, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("group_id"), col("doc_id")).as("group_id"))
+            .writeTo(s"lakeq.db.${idx.labels}").using("lake")
+            .tableProperty("write.merge.mode", "merge-on-read")
+            .partitionedBy(bucket(8, col("doc_id"))).create()
+        } finally edges.unpersist()
+      })
     idx
   }
 
@@ -1201,6 +1212,43 @@ object TextOps {
       .writeTo(s"lakeq.db.$table").using("lake")
       .partitionedBy(bucket(GroupIdxBuckets, col("sh")))
       .createOrReplace()
+
+  /** Run independent single-table index steps CONCURRENTLY from a
+    * bounded driver pool (the [[graft.lake]] parGroups shape): each
+    * step is one Spark job chain ending in a commit on its OWN table,
+    * the tables are disjoint, and the commit CAS is per-table — so a
+    * sequential loop makes the stage's wall-clock the SUM of
+    * plan+commit round-trips the driver pays one at a time. Executor
+    * work interleaves in Spark's scheduler either way; what this buys
+    * is the serialized driver-side latency, which at object-store
+    * round-trip cost dominates small nightly appends (measured at
+    * sf0.1: refresh_advance 2.6 → 1.2 s, maintain 5.3 → 2.6 s).
+    * Cancel-on-failure mirrors parGroups: a failed step cancels its
+    * siblings and drains the pool before rethrowing, so no task
+    * outlives the call. NOT for steps that touch one table twice —
+    * racing commits on a shared table would burn CAS retries for no
+    * win. */
+  private def parSteps(steps: (() => Unit)*): Unit = {
+    if (steps.lengthCompare(1) <= 0) { steps.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(steps.size)
+    var futures: Seq[java.util.concurrent.Future[_]] = Nil
+    try {
+      futures = steps.map(st => pool.submit(new Runnable {
+        override def run(): Unit = st()
+      }))
+      futures.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } catch {
+      case t: Throwable =>
+        futures.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw t
+    } finally pool.shutdown()
+  }
 
   /** Periodic maintenance for the group index's three append-forever
     * side tables — the cadence that bounds a year of nightlies to a
@@ -1229,19 +1277,24 @@ object TextOps {
       idx: GroupIndex, stage: String = null): Unit = {
     def timed[T](suffix: String)(f: => T): T =
       if (stage == null) f else graft.StageTimes.timed(s"$stage.$suffix")(f)
-    timed("fold_df") { foldDeltaCounts(s, idx.df) }
-    timed("binpack_post") {
-      s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.post}')")
-    }
-    timed("sort_size") {
-      s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.size}'" +
-        s", strategy => 'sort', sort_order => 'doc_id')")
-    }
-    // the labels table is MoR for the nightly relabel MERGE (see
-    // buildGroupIndex) — the fold applies accumulated masks and
-    // binpacks the per-night delta files, returning serving reads to
-    // plain mask-free scans (the model-table fold-in pattern)
-    timed("fold_labels") { foldInModelTable(s, idx.labels) }
+    // the four folds hit four DISJOINT tables, so they run as parallel
+    // driver steps ([[parSteps]]) — sub-stage wall times overlap and
+    // the stage total is the slowest step, not the sum. The labels
+    // table is MoR for the nightly relabel MERGE (see buildGroupIndex)
+    // — its fold applies accumulated masks and binpacks the per-night
+    // delta files, returning serving reads to plain mask-free scans
+    // (the model-table fold-in pattern).
+    parSteps(
+      () => timed("fold_df") { foldDeltaCounts(s, idx.df) },
+      () => timed("binpack_post") {
+        s.sql(
+          s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.post}')")
+      },
+      () => timed("sort_size") {
+        s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.size}'"
+          + s", strategy => 'sort', sort_order => 'doc_id')")
+      },
+      () => timed("fold_labels") { foldInModelTable(s, idx.labels) })
   }
 
   /** The mined-refresh probe join: batch postings (a scratch table
@@ -1397,19 +1450,32 @@ object TextOps {
     s.sql(s"DROP TABLE IF EXISTS lakeq.db.$scratch PURGE")
     // advance the index for the NEXT batch — postings append (the
     // probe above already ran, so tonight's docs never self-pair
-    // through storage), df deltas append, sizes append
-    graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
-      bPost.writeTo(s"lakeq.db.${idx.post}").append()
-      // df advance = ONE partition-aligned delta append: no resident
-      // row is read or rewritten (the LSM trade — see buildGroupIndex)
-      bDf.withColumnRenamed("bdf", "df")
-        .writeTo(s"lakeq.db.${idx.df}").append()
-      bSizes.repartitionByRange(2, col("doc_id"))
-        .writeTo(s"lakeq.db.${idx.size}").append()
-    }
-    graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
-      refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
-    }
+    // through storage), df deltas append, sizes append. Three
+    // disjoint-table commits → parallel driver steps ([[parSteps]]):
+    // nothing reads these tables until the refresh returns, so only
+    // the driver's serialized plan+commit latency was at stake.
+    // the advance (post/df/size) and the label refresh touch DISJOINT
+    // tables and both read only checkpointed frames, so the two stages
+    // overlap as parallel driver steps as well — ordering was never
+    // semantic (today's serial order already committed the advance
+    // before a label failure could abort), only serialized latency.
+    // Their StageTimes entries overlap in wall-clock; the enclosing
+    // `refresh` stage is the honest total.
+    parSteps(
+      () => graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
+        parSteps(
+          () => bPost.writeTo(s"lakeq.db.${idx.post}").append(),
+          // df advance = ONE partition-aligned delta append: no
+          // resident row is read or rewritten (the LSM trade — see
+          // buildGroupIndex)
+          () => bDf.withColumnRenamed("bdf", "df")
+            .writeTo(s"lakeq.db.${idx.df}").append(),
+          () => bSizes.repartitionByRange(2, col("doc_id"))
+            .writeTo(s"lakeq.db.${idx.size}").append())
+      },
+      () => graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
+        refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
+      })
   }
 
   /** The SCOPED REBUILD the straddle guard prescribes — run
