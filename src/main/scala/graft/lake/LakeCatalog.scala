@@ -389,7 +389,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       .map(_.toInt).getOrElse(10)
     var n = 0
     while (true) {
-      val candidate = attempt(fresh)
+      val candidate = stampCommitTag(fresh, attempt(fresh))
       try return commitMeta(candidate)
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -406,6 +406,28 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     }
     throw new IllegalStateException("unreachable")
   }
+  /** Opt-in commit tags: while a session holds
+    * `spark.graft.commit.tag`, every snapshot a commit APPENDS is
+    * stamped with `graft.commit.tag` in its summary — an idempotence
+    * marker readable back through the `.snapshots` metadata table
+    * (Iceberg exposes the same capability as commit-time snapshot
+    * summary properties). The streaming ingest twin
+    * (graft.queries.TextOps epoch guard) replays micro-batches
+    * against it for per-table exactly-once; with the conf unset,
+    * summaries are byte-identical to before. Stamped inside the
+    * retry loop so a CAS retry re-stamps against the reloaded head. */
+  private def stampCommitTag(prev: TableMeta, cand: TableMeta): TableMeta = {
+    val tag =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.commit.tag", "")
+      catch { case _: Throwable => "" }
+    if (tag.isEmpty) cand
+    else cand.copy(snapshots = cand.snapshots.map(sn =>
+      if (sn.snapshotId > prev.lastSnapshotId)
+        sn.copy(summary = sn.summary + ("graft.commit.tag" -> tag))
+      else sn))
+  }
+
   private[lake] def parseIdent(table: String): Identifier = {
     val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
     val p = if (parts.headOption.contains(catalogName)) parts.tail else parts

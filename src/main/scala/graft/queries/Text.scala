@@ -200,6 +200,95 @@ object TextOps {
         size(array_distinct(col("b"))).cast("long").as("n_uniq"))
       .orderBy(col("doc_id"))
 
+  /** Greedy left-to-right merge of adjacent (l, r) symbol pairs — the
+    * reference BPE rewrite (a merged token never re-merges with the
+    * NEXT symbol in the same pass unless it itself equals l). A
+    * higher-order `aggregate` fold: no UDF, no serialization. */
+  private def mergeAdjacent(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, typedLit(Seq.empty[String]),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE merge-table training (the public byte-pair-
+    * encoding algorithm of Sennrich/Haddow/Birch 2016): learn up to
+    * `nMerges` merges from the corpus and return them as
+    * (rank, left, right, pair_count) — exact integers and strings, so
+    * the result is bit-deterministic across runs and partitionings.
+    *
+    * Spark shape: ONE corpus-scale pass (word extraction + frequency
+    * aggregation — the only stage that grows with corpus bytes), then
+    * `nMerges` VOCAB-scale iterations over the (syms, freq) word
+    * list: adjacent-pair counts via a map-side-combined groupBy, a
+    * deterministic argmax (count desc, then (left, right)
+    * lexicographic — a 1-row planning collect), and the
+    * [[mergeAdjacent]] rewrite applied ONLY to words containing both
+    * winning symbols (everything else passes through the projection
+    * untouched). Each iteration checkpoints, so plan analysis stays
+    * O(1) per step instead of nesting k folds.
+    *
+    * 100 TB design: the vocabulary (distinct words) is Zipf-bounded
+    * orders of magnitude below corpus bytes, so every post-pass
+    * iteration is a small job and the corpus is read exactly once.
+    * For production merge counts (k ≈ 32 000) the full per-iteration
+    * recount should become pair-count DELTAS mined from the rewritten
+    * words alone (the df-table LSM pattern — only words containing
+    * the winning pair change any count); at gate scale the exact
+    * recount keeps the loop literally equal to the reference
+    * algorithm. Training stops early when no pair repeats
+    * (pair_count < 2 learns nothing). */
+  private[graft] def trainBpeMerges(s: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val words = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // word -> character symbols + terminal marker (split("") keeps a
+    // trailing empty string under Java regex semantics — drop it)
+    var vocab = words.select(col("freq"),
+        concat(filter(split(col("w"), ""), x => x =!= ""),
+          array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val adj = zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      val best = vocab.select(col("freq"), explode(adj).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .head(1)
+      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rank += 1
+        merges += ((rank, l, r, cnt))
+        vocab = vocab.select(col("freq"),
+            when(array_contains(col("syms"), l) &&
+                array_contains(col("syms"), r),
+              mergeAdjacent(col("syms"), lit(l), lit(r)))
+              .otherwise(col("syms")).as("syms"))
+          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Gate: learn 16 BPE merges from the corpus. No DuckDB oracle —
+    * the greedy adjacent-merge rewrite is not SQL-expressible (string
+    * replace can't reproduce greedy fold semantics on symbol runs),
+    * so the driver records the weaker rows-only check; correctness is
+    * pinned in BpeSuite against an independent in-JVM reference
+    * implementation plus the hand-computed classic fixture. */
+  def tBpeTrain(s: SparkSession, d: String): DataFrame =
+    trainBpeMerges(s, Tables.documents(s, d), 16).orderBy(col("rank"))
+
   /** Quality scoring: stopword ratio + lexical diversity. */
   def tQualityScore(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -1250,6 +1339,45 @@ object TextOps {
     } finally pool.shutdown()
   }
 
+  /** True iff a snapshot stamped with commit tag `tag` is an ancestor
+    * of `table`'s MAIN head — the replay guard for epoch-tagged
+    * ingest ([[refreshGroupIndexMined]]'s `epochTag`). Commits stamp
+    * the tag atomically with their data (the catalog's
+    * `spark.graft.commit.tag` hook), so "tagged on main" is exactly
+    * "this epoch's write to this table is published"; snapshots a
+    * crashed run left staged on an unpublished branch do NOT count.
+    * Metadata-scale: one ancestors walk joined to the `.snapshots`
+    * metadata table. */
+  private def taggedOnMain(s: SparkSession, table: String,
+      tag: String): Boolean = {
+    val anc = s.sql(s"CALL lakeq.system.ancestors_of(table => 'db.$table')")
+      .select(col("snapshot_id"))
+    !s.table(s"lakeq.db.$table.snapshots")
+      .join(anc, Seq("snapshot_id"))
+      .filter(element_at(col("summary"), lit("graft.commit.tag")) === tag)
+      .isEmpty
+  }
+
+  /** Run `f` with the session's commit-tag conf set (and restored
+    * after): every lake commit inside is stamped with `tag` in its
+    * snapshot summary. Session-scoped by nature — fine for the
+    * single-flight micro-batch loop this serves; concurrent unrelated
+    * writers on the SAME session would be tagged too (use a cloned
+    * session to isolate them). */
+  private def withCommitTag[T](s: SparkSession, tag: Option[String])
+      (f: => T): T = tag match {
+    case None => f
+    case Some(t) =>
+      val key = "spark.graft.commit.tag"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, t)
+      try f
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+  }
+
   /** Periodic maintenance for the group index's three append-forever
     * side tables — the cadence that bounds a year of nightlies to a
     * constant file count instead of 30+ small files per night
@@ -1350,7 +1478,28 @@ object TextOps {
     * routine growth. */
   private[graft] def refreshGroupIndexMined(s: SparkSession,
       idx: GroupIndex, batchDocs: DataFrame,
-      cap: Int = MaxShingleDf, repairStraddle: Boolean = true): Unit = {
+      cap: Int = MaxShingleDf, repairStraddle: Boolean = true,
+      epochTag: Option[String] = None): Unit = {
+    // Epoch-tagged mode (the streaming ingest twin): every commit this
+    // refresh makes is stamped with `epochTag` in its snapshot summary
+    // — atomically with the data — and each table's write is SKIPPED
+    // when a tagged snapshot is already on its main history. A
+    // replayed micro-batch (foreachBatch is at-least-once) therefore
+    // lands exactly once PER TABLE, whatever the crash point:
+    //  - epoch fully applied → the labels check below short-circuits
+    //    (tagged mode publishes labels LAST, serially, so labels-
+    //    tagged ⟹ every substrate advance landed);
+    //  - crash mid-advance → landed appends skip, missing ones run;
+    //    a landed df append double-counts tonight's deltas in the
+    //    stored sum, so the cap lookup SUBTRACTS bdf back out when
+    //    the df table is already tagged (mining stays exact);
+    //  - crash mid-label-publish → staged branch snapshots are not
+    //    main ancestors, so the labels check fails and the publish
+    //    re-stages from a fresh branch (relabel min-algebra and the
+    //    batch append recompute identically — the advance guards fed
+    //    the same capped universe).
+    if (epochTag.exists(t => taggedOnMain(s, idx.labels, t))) return
+    withCommitTag(s, epochTag) {
     val bPost = shinglePostings(batchDocs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
@@ -1361,11 +1510,17 @@ object TextOps {
     // (batch-vocab-scale) frame, never the whole vocab. Checkpointed
     // BEFORE tonight's delta appends, so laziness cannot observe the
     // post-append table.
+    // replay adjustment: a crashed tagged run that already landed the
+    // df append leaves tonight's deltas inside the stored sum —
+    // subtract them back so the capped universe (and the straddle
+    // check) equal the first attempt's exactly
+    val dfAdvanced = epochTag.exists(t => taggedOnMain(s, idx.df, t))
     val joined = graft.StageTimes.timed("t_dedup_groups_indexed.refresh_cap") {
       bDf.join(s.table(s"lakeq.db.${idx.df}").toDF("sh", "dfd"),
           Seq("sh"), "left")
         .groupBy(col("sh"), col("bdf"))
-        .agg(coalesce(sum(col("dfd")), lit(0L)).as("df0"))
+        .agg((coalesce(sum(col("dfd")), lit(0L)) -
+          (if (dfAdvanced) col("bdf") else lit(0L))).as("df0"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
     // a TRUE straddle needs stored state to invalidate: the shingle
@@ -1391,6 +1546,22 @@ object TextOps {
             "affected components instead of an additive refresh " +
             "(refreshGroupIndexMined(repairStraddle = true) runs it " +
             "automatically)")
+      }
+      // the scoped rebuild recomputes df totals and rebuild-set
+      // postings straight from the stored tables, so it must start
+      // from substrate this epoch has NOT touched — a replay of a
+      // repair epoch that crashed mid-write cannot compose with the
+      // partial state and fails diagnosably instead (rare × rare:
+      // a straddle batch AND a crash inside its repair)
+      epochTag.foreach { t =>
+        val touched = Seq(idx.post, idx.df, idx.size)
+          .filter(taggedOnMain(s, _, t))
+        if (touched.nonEmpty) throw new IllegalStateException(
+          s"epoch '$t' crashed inside a straddle repair: substrate " +
+            s"table(s) ${touched.mkString(", ")} already carry this " +
+            "epoch's commits and the scoped rebuild cannot compose with " +
+            "partial state — reconcile by rolling the touched tables " +
+            "back to their pre-epoch snapshots, then replay")
       }
       rebuildAffectedComponents(s, idx, cap, batchDocs, bPost, bDf, straddle)
       return
@@ -1461,21 +1632,34 @@ object TextOps {
     // before a label failure could abort), only serialized latency.
     // Their StageTimes entries overlap in wall-clock; the enclosing
     // `refresh` stage is the honest total.
-    parSteps(
-      () => graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
-        parSteps(
-          () => bPost.writeTo(s"lakeq.db.${idx.post}").append(),
+    // per-table replay guard: in tagged mode each append is skipped
+    // when this epoch's commit already sits on the table's main
+    // history (see the epochTag contract at the top)
+    def needs(table: String): Boolean =
+      epochTag.forall(t => !taggedOnMain(s, table, t))
+    val advance = () =>
+      graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
+        parSteps(Seq[(String, () => Unit)](
+          idx.post -> (() => bPost.writeTo(s"lakeq.db.${idx.post}").append()),
           // df advance = ONE partition-aligned delta append: no
           // resident row is read or rewritten (the LSM trade — see
           // buildGroupIndex)
-          () => bDf.withColumnRenamed("bdf", "df")
-            .writeTo(s"lakeq.db.${idx.df}").append(),
-          () => bSizes.repartitionByRange(2, col("doc_id"))
-            .writeTo(s"lakeq.db.${idx.size}").append())
-      },
-      () => graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
+          idx.df -> (() => bDf.withColumnRenamed("bdf", "df")
+            .writeTo(s"lakeq.db.${idx.df}").append()),
+          idx.size -> (() => bSizes.repartitionByRange(2, col("doc_id"))
+            .writeTo(s"lakeq.db.${idx.size}").append()))
+          .collect { case (t, f) if needs(t) => f }: _*)
+      }
+    val publish = () =>
+      graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
         refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
-      })
+      }
+    // tagged mode publishes labels LAST so its tag certifies the whole
+    // epoch; the untagged nightly overlaps the two disjoint-table
+    // stages ([[parSteps]]) — ordering was never semantic there
+    if (epochTag.isDefined) { advance(); publish() }
+    else parSteps(advance, publish)
+    }
   }
 
   /** The SCOPED REBUILD the straddle guard prescribes — run
@@ -2853,6 +3037,7 @@ object TextOps {
     "t_boilerplate" -> (tBoilerplate _),
     "t_token_stats" -> (tTokenStats _),
     "t_token_bpe" -> (tTokenBpe _),
+    "t_bpe_train" -> (tBpeTrain _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),

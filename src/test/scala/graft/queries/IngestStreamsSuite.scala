@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming ingest twin (graft.streaming.IngestStreams): a
+  * documents stream maintains the SAME stored group index the nightly
+  * refresh does, micro-batch by micro-batch, with exactly-once
+  * semantics per table under foreachBatch's at-least-once replay.
+  *
+  * The batch-path algebra (mined refresh == one-shot miner) is pinned
+  * in GroupIndexSuite; here the pins are the streaming-specific
+  * claims: stream == sequential batch refreshes bit-for-bit, a fully
+  * applied epoch replays as a no-op, and a partially applied epoch
+  * (simulated crash between substrate commits) replays to the exact
+  * clean-run state — skipped appends, df double-count adjustment,
+  * label publish included.
+  */
+class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ingest-streams")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LakeOps.cat(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ready: Boolean = new java.io.File(sfDir).isDirectory
+
+  private def docs: DataFrame = graft.Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("text"))
+
+  private def labelsOf(t: String): Map[Long, Long] =
+    spark.table(s"lakeq.db.$t").select(col("doc_id"), col("group_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def snapCount(t: String): Long =
+    spark.table(s"lakeq.db.$t.snapshots").count()
+
+  private def dropIdx(idx: TextOps.GroupIndex): Unit =
+    Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streamed micro-batches equal sequential nightly refreshes") {
+    assume(ready)
+    val base = docs.filter(col("doc_id") % 10 =!= 1 && col("doc_id") % 10 =!= 2)
+    val b1 = docs.filter(col("doc_id") % 10 === 1)
+    val b2 = docs.filter(col("doc_id") % 10 === 2)
+    // reference: the pinned batch path, two sequential refreshes
+    val ref = TextOps.buildGroupIndex(spark, base)
+    TextOps.refreshGroupIndexMined(spark, ref, b1)
+    TextOps.refreshGroupIndexMined(spark, ref, b2)
+    // stream: same batches as two micro-batch epochs
+    val idx = TextOps.buildGroupIndex(spark, base)
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.IngestStreams.dedupIngest(
+      mem.toDF().toDF("doc_id", "text"), idx, tmpDir("ingest-ckpt"))
+    try {
+      mem.addData(b1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(labelsOf(idx.labels) === labelsOf(ref.labels))
+    assert(labelsOf(idx.labels).keySet ===
+      (base.unionByName(b1).unionByName(b2))
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // every epoch's commits carry its tag on main history
+    val tags = spark.table(s"lakeq.db.${idx.labels}.snapshots")
+      .select(element_at(col("summary"), lit("graft.commit.tag")))
+      .collect().flatMap(r => Option(r.getString(0))).toSet
+    assert(tags === Set("dedup-ingest-0", "dedup-ingest-1"))
+    dropIdx(ref); dropIdx(idx)
+  }
+
+  test("fully applied epoch replays as a no-op on every table") {
+    assume(ready)
+    val base = docs.filter(col("doc_id") % 10 =!= 1)
+    val b1 = docs.filter(col("doc_id") % 10 === 1)
+    val idx = TextOps.buildGroupIndex(spark, base)
+    TextOps.refreshGroupIndexMined(spark, idx, b1,
+      epochTag = Some("epoch-7"))
+    val before = Seq(idx.post, idx.df, idx.size, idx.labels)
+      .map(t => t -> snapCount(t)).toMap
+    val labels = labelsOf(idx.labels)
+    TextOps.refreshGroupIndexMined(spark, idx, b1,
+      epochTag = Some("epoch-7"))
+    Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
+      assert(snapCount(t) === before(t), s"replay committed to $t"))
+    assert(labelsOf(idx.labels) === labels)
+    dropIdx(idx)
+  }
+
+  test("partial replay: post+df landed, crash before size/labels") {
+    assume(ready)
+    val base = docs.filter(col("doc_id") % 10 =!= 1)
+    val b1 = docs.filter(col("doc_id") % 10 === 1)
+    // clean single application — the state every replay must reach
+    val ref = TextOps.buildGroupIndex(spark, base)
+    TextOps.refreshGroupIndexMined(spark, ref, b1)
+    // crashed epoch: the post and df appends landed (tagged), then the
+    // run died before the size append and the label publish
+    val idx = TextOps.buildGroupIndex(spark, base)
+    val bPost = TextOps.shinglePostings(b1)
+    val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    spark.conf.set("spark.graft.commit.tag", "epoch-3")
+    try {
+      bPost.writeTo(s"lakeq.db.${idx.post}").append()
+      bDf.writeTo(s"lakeq.db.${idx.df}").append()
+    } finally spark.conf.unset("spark.graft.commit.tag")
+    // replay: must skip the landed appends, subtract the df double
+    // count from the cap lookup, append sizes once, publish labels
+    TextOps.refreshGroupIndexMined(spark, idx, b1,
+      epochTag = Some("epoch-3"))
+    assert(labelsOf(idx.labels) === labelsOf(ref.labels))
+    def table(t: String) = spark.table(s"lakeq.db.$t")
+    // postings exactly once: identical multiset vs the clean run
+    assert(table(idx.post).count() === table(ref.post).count())
+    // df sums exactly once per shingle
+    val dfSums = (t: String) => table(t).toDF("sh", "df")
+      .groupBy("sh").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfSums(idx.df) === dfSums(ref.df))
+    // sizes exactly once
+    val sizes = (t: String) => table(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(idx.size) === sizes(ref.size))
+    // and the replayed epoch composes: a later normal refresh over a
+    // second batch still equals the batch path
+    val b2 = docs.filter(col("doc_id") % 10 === 2)
+    TextOps.refreshGroupIndexMined(spark, idx, b2)
+    TextOps.refreshGroupIndexMined(spark, ref, b2)
+    assert(labelsOf(idx.labels) === labelsOf(ref.labels))
+    dropIdx(ref); dropIdx(idx)
+  }
+}
