@@ -1500,6 +1500,13 @@ object TextOps {
     //    the same capped universe).
     if (epochTag.exists(t => taggedOnMain(s, idx.labels, t))) return
     withCommitTag(s, epochTag) {
+      refreshMinedBody(s, idx, batchDocs, cap, repairStraddle, epochTag)
+    }
+  }
+
+  private def refreshMinedBody(s: SparkSession, idx: GroupIndex,
+      batchDocs: DataFrame, cap: Int, repairStraddle: Boolean,
+      epochTag: Option[String]): Unit = {
     val bPost = shinglePostings(batchDocs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
@@ -1659,7 +1666,6 @@ object TextOps {
     // stages ([[parSteps]]) — ordering was never semantic there
     if (epochTag.isDefined) { advance(); publish() }
     else parSteps(advance, publish)
-    }
   }
 
   /** The SCOPED REBUILD the straddle guard prescribes — run
