@@ -1348,7 +1348,7 @@ object TextOps {
     * crashed run left staged on an unpublished branch do NOT count.
     * Metadata-scale: one ancestors walk joined to the `.snapshots`
     * metadata table. */
-  private def taggedOnMain(s: SparkSession, table: String,
+  private[graft] def taggedOnMain(s: SparkSession, table: String,
       tag: String): Boolean = {
     val anc = s.sql(s"CALL lakeq.system.ancestors_of(table => 'db.$table')")
       .select(col("snapshot_id"))
@@ -1364,7 +1364,7 @@ object TextOps {
     * single-flight micro-batch loop this serves; concurrent unrelated
     * writers on the SAME session would be tagged too (use a cloned
     * session to isolate them). */
-  private def withCommitTag[T](s: SparkSession, tag: Option[String])
+  private[graft] def withCommitTag[T](s: SparkSession, tag: Option[String])
       (f: => T): T = tag match {
     case None => f
     case Some(t) =>
@@ -2111,16 +2111,21 @@ object TextOps {
     // on the next score — and at vocab >> batch scale the gap is the
     // whole table vs the batch). Periodic rewrite_data_files folds
     // the deltas back in; results are bit-identical either mode.
+    // the two model tables are DISJOINT, so every lifecycle stage
+    // runs its per-table halves as parallel driver steps
+    // ([[parSteps]] — the group-index commit-overlap pattern): two
+    // creates, two additive MERGEs, two fold-ins, each one table
     graft.StageTimes.timed("t_bigram_lm_indexed.build") {
-      pairsOf(evens).groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("cb"))
-        .writeTo(s"lakeq.db.$bigT").using("lake")
-        .tableProperty("write.merge.mode", "merge-on-read")
-        .partitionedBy(bucket(8, col("w1"))).create()
-      uniOf(evens)
-        .writeTo(s"lakeq.db.$uniT").using("lake")
-        .tableProperty("write.merge.mode", "merge-on-read")
-        .partitionedBy(bucket(8, col("w2"))).create()
+      parSteps(
+        () => pairsOf(evens).groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+          .writeTo(s"lakeq.db.$bigT").using("lake")
+          .tableProperty("write.merge.mode", "merge-on-read")
+          .partitionedBy(bucket(8, col("w1"))).create(),
+        () => uniOf(evens)
+          .writeTo(s"lakeq.db.$uniT").using("lake")
+          .tableProperty("write.merge.mode", "merge-on-read")
+          .partitionedBy(bucket(8, col("w2"))).create())
     }
     graft.StageTimes.timed("t_bigram_lm_indexed.refresh") {
       val bigBatch = s"lm_batch_big_${bigT.split('_').last}"
@@ -2128,20 +2133,22 @@ object TextOps {
       pairsOf(odds).groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("cb")).createOrReplaceTempView(bigBatch)
       uniOf(odds).createOrReplaceTempView(uniBatch)
-      s.sql(s"""MERGE INTO lakeq.db.$bigT t USING $bigBatch b
-               |ON t.w1 = b.w1 AND t.w2 = b.w2
-               |WHEN MATCHED THEN UPDATE SET t.cb = t.cb + b.cb
-               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      s.sql(s"""MERGE INTO lakeq.db.$uniT t USING $uniBatch b
-               |ON t.w2 = b.w2
-               |WHEN MATCHED THEN UPDATE SET t.c2 = t.c2 + b.c2
-               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      parSteps(
+        () => s.sql(s"""MERGE INTO lakeq.db.$bigT t USING $bigBatch b
+                 |ON t.w1 = b.w1 AND t.w2 = b.w2
+                 |WHEN MATCHED THEN UPDATE SET t.cb = t.cb + b.cb
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin),
+        () => s.sql(s"""MERGE INTO lakeq.db.$uniT t USING $uniBatch b
+                 |ON t.w2 = b.w2
+                 |WHEN MATCHED THEN UPDATE SET t.c2 = t.c2 + b.c2
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
       s.catalog.dropTempView(bigBatch)
       s.catalog.dropTempView(uniBatch)
     }
     graft.StageTimes.timed("t_bigram_lm_indexed.compact") {
-      foldInModelTable(s, bigT, "t_bigram_lm_indexed.compact_big")
-      foldInModelTable(s, uniT, "t_bigram_lm_indexed.compact_uni")
+      parSteps(
+        () => foldInModelTable(s, bigT, "t_bigram_lm_indexed.compact_big"),
+        () => foldInModelTable(s, uniT, "t_bigram_lm_indexed.compact_uni"))
     }
     val result = graft.StageTimes.timed("t_bigram_lm_indexed.score") {
       val cbg = s.table(s"lakeq.db.$bigT")

@@ -618,6 +618,21 @@ object VectorOps {
     * probe query's sims); the table is the caller's to drop. */
   private[graft] def buildIncrementalIvf(s: SparkSession, d: String)
       : (String, DataFrame) = {
+    val (t, evens) = buildEvenIvf(s, d)
+    graft.StageTimes.timed("v_ann_ivf_incremental.ingest") {
+      ingestVectorBatch(s, t,
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding")))
+    }
+    (t, evens)
+  }
+
+  /** The build half of [[buildIncrementalIvf]]: even ids create the
+    * cell-partitioned index under the fixed first-8-even-id
+    * centroids; batches (the gate's odd half, or a stream's
+    * micro-batches) ingest separately via [[ingestVectorBatch]]. */
+  private[graft] def buildEvenIvf(s: SparkSession, d: String)
+      : (String, DataFrame) = {
     LakeOps.cat(s)
     val t = LakeOps.fresh("ivfincr")
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
@@ -632,12 +647,27 @@ object VectorOps {
         .writeTo(s"lakeq.db.$t").using("lake")
         .partitionedBy(col("cell")).create()
     }
-    graft.StageTimes.timed("v_ann_ivf_incremental.ingest") {
-      assignToCents(emb.filter(col("vec_id") % 2 === 1), centsRow)
-        .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-        .writeTo(s"lakeq.db.$t").append()
-    }
     (t, evens)
+  }
+
+  /** Assign a batch of raw vectors (`vec_id`, `embedding`) against a
+    * stored incremental index's FIXED build-time centroids — read
+    * back from the table's own first-8-even-id rows, so no input
+    * beyond the batch and the index is touched — and APPEND: the
+    * incremental-ingest kernel shared by the batch gate and the
+    * streaming twin (graft.streaming.IngestStreams.ivfIngest).
+    * Partition-local file appends, O(batch × K) assignment dots,
+    * no resident cell file rewritten. */
+  private[graft] def ingestVectorBatch(s: SparkSession, table: String,
+      batch: DataFrame): Unit = {
+    val stored = s.table(s"lakeq.db.$table")
+    val centsRow = stored
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+    assignToCents(batch.withColumn("nrm", norm(col("embedding"))), centsRow)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .writeTo(s"lakeq.db.$table").append()
   }
 
   /** IVF + int8 ANN — the two scale levers composed: the inverted

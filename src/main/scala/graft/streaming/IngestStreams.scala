@@ -49,4 +49,39 @@ object IngestStreams {
         ()
       }
       .start()
+
+  /** One epoch of the streaming IVF ingest — the guarded body
+    * `ivfIngest` runs per micro-batch, callable directly so replay
+    * semantics are testable without restarting a stream. The ingest
+    * is a SINGLE append commit against fixed stored centroids
+    * (VectorOps.ingestVectorBatch), so the epoch tag alone makes it
+    * exactly-once: a replayed epoch whose commit is on the table's
+    * main history is a no-op. */
+  private[graft] def ivfIngestEpoch(table: String, batch: DataFrame,
+      epoch: Long): Unit = {
+    val sp = batch.sparkSession
+    val tag = s"ivf-ingest-$epoch"
+    if (!batch.isEmpty && !TextOps.taggedOnMain(sp, table, tag))
+      TextOps.withCommitTag(sp, Some(tag)) {
+        graft.queries.VectorOps.ingestVectorBatch(sp, table, batch)
+      }
+  }
+
+  /** Start the continuous ANN-index ingest over a streaming vectors
+    * frame (`vec_id`, `embedding`): each micro-batch assigns against
+    * the stored incremental IVF's fixed centroids and appends its
+    * cell-partitioned rows — the streaming twin of
+    * [[graft.queries.VectorOps.vAnnIvfIncremental]]'s ingest stage,
+    * exactly-once under replay via the epoch tag. Probes
+    * (probeStoredIvf) serve unchanged throughout; centroid drift
+    * under sustained ingestion is repaired out-of-band by
+    * repairStoredIvf, exactly as in the batch lifecycle. */
+  private[graft] def ivfIngest(vecs: DataFrame, table: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        ivfIngestEpoch(table, batch, epoch)
+      }
+      .start()
 }

@@ -150,4 +150,40 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(labelsOf(idx.labels) === labelsOf(ref.labels))
     dropIdx(ref); dropIdx(idx)
   }
+
+  private def ivfRows(t: String): Set[(Long, Long)] =
+    spark.table(s"lakeq.db.$t").select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("streamed IVF ingest equals the batch ingest; replay is a no-op") {
+    assume(ready)
+    val odds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    // reference: the pinned batch path (build + one-shot odd ingest)
+    val (refT, _) = VectorOps.buildIncrementalIvf(spark, sfDir)
+    // stream: even-id build, then the odd ids in two micro-batches
+    val (strT, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    val sp = spark
+    import sp.implicits._
+    val oddRows = odds.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (half1, half2) = oddRows.splitAt(oddRows.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val q = graft.streaming.IngestStreams.ivfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), strT, tmpDir("ivf-ckpt"))
+    try {
+      mem.addData(half1); q.processAllAvailable()
+      mem.addData(half2); q.processAllAvailable()
+    } finally q.stop()
+    assert(ivfRows(strT) === ivfRows(refT))
+    // replayed epoch: the tag is on main, so the body is a no-op
+    val before = snapCount(strT)
+    graft.streaming.IngestStreams.ivfIngestEpoch(strT,
+      half1.toDF("vec_id", "embedding"), epoch = 0L)
+    assert(snapCount(strT) === before, "replayed epoch committed again")
+    assert(ivfRows(strT) === ivfRows(refT))
+    Seq(refT, strT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+  }
 }
