@@ -238,28 +238,51 @@ object TextOps {
     * recount keeps the loop literally equal to the reference
     * algorithm. Training stops early when no pair repeats
     * (pair_count < 2 learns nothing). */
-  private[graft] def trainBpeMerges(s: SparkSession, docs: DataFrame,
-      nMerges: Int): DataFrame = {
-    val words = docs.select(explode(regexp_extract_all(lower(col("text")),
+  /** Word-frequency vocabulary as (freq, syms): each distinct word's
+    * character symbols + the `</w>` terminal — BPE's starting state.
+    * The ONE corpus-scale pass; everything after is vocab-scale.
+    * (split("") keeps a trailing empty string under Java regex
+    * semantics — drop it.) */
+  private def bpeInitVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    // word -> character symbols + terminal marker (split("") keeps a
-    // trailing empty string under Java regex semantics — drop it)
-    var vocab = words.select(col("freq"),
+      .select(col("freq"),
         concat(filter(split(col("w"), ""), x => x =!= ""),
           array(lit("</w>"))).as("syms"))
+
+  /** Frequency-weighted adjacent-pair counts over a (freq, syms)
+    * vocabulary — the statistics every BPE iteration's argmax reads.
+    * Counts EVERY adjacency (a symbol run contributes one per
+    * position), the reference semantics. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame = {
+    val adj = zip_with(
+      slice(col("syms"), lit(1), size(col("syms")) - 1),
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    vocab.select(col("freq"), explode(adj).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Gate: the trainer's iteration-1 pair statistics — the one part
+    * of the BPE loop that IS SQL-expressible, so it carries a full
+    * DuckDB hash oracle (char-split + terminal + list_zip adjacency
+    * in both engines) while the iterative merges stay pinned by
+    * BpeSuite's independent-reference comparison. */
+  def tBpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairCounts(bpeInitVocab(Tables.documents(s, d)))
+      .orderBy(col("l"), col("r"))
+
+  private[graft] def trainBpeMerges(s: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    var vocab = bpeInitVocab(docs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var done = false
     while (rank < nMerges && !done) {
-      val adj = zip_with(
-        slice(col("syms"), lit(1), size(col("syms")) - 1),
-        slice(col("syms"), lit(2), size(col("syms")) - 1),
-        (a, b) => struct(a.as("l"), b.as("r")))
-      val best = vocab.select(col("freq"), explode(adj).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+      val best = bpePairCounts(vocab)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .head(1)
       if (best.isEmpty || best(0).getLong(2) < 2) done = true
@@ -3051,6 +3074,7 @@ object TextOps {
     "t_token_stats" -> (tTokenStats _),
     "t_token_bpe" -> (tTokenBpe _),
     "t_bpe_train" -> (tBpeTrain _),
+    "t_bpe_pairs" -> (tBpePairs _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
@@ -3204,6 +3228,20 @@ object TextOps {
          |FROM (SELECT doc_id, regexp_extract_all(lower(text),
          |        '[a-z]+|[0-9]+|[^a-z0-9\s]+') AS b FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // the BPE trainer's iteration-1 pair statistics: char-split each
+    // distinct word, append the </w> terminal, count freq-weighted
+    // adjacencies — list_zip of the two shifted slices mirrors the
+    // Spark zip_with exactly
+    "t_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text),
+        |        '[a-z]+', 0)) AS w FROM documents),
+        |f AS (SELECT w, count(*)::BIGINT AS freq FROM w0 GROUP BY w),
+        |s AS (SELECT freq, list_append(string_split(w, ''), '</w>')
+        |        AS syms FROM f),
+        |p AS (SELECT freq, unnest(list_zip(syms[1:len(syms)-1],
+        |        syms[2:len(syms)])) AS pr FROM s)
+        |SELECT pr[1] AS l, pr[2] AS r, sum(freq)::BIGINT AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY l, r""".stripMargin,
     "t_pmi_bigrams" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($tokSql, x -> x <> '') AS t
