@@ -114,35 +114,8 @@ object Procedures {
     * keep commits deterministic. NOT for loops that append to one
     * shared directory (convert_equality_deletes): concurrent
     * FileOutputCommitter jobs on one path contend on `_temporary`. */
-  private def parGroups[A, B](groups: Seq[A])(f: A => Seq[B]): Seq[B] = {
-    if (groups.lengthCompare(1) <= 0) return groups.flatMap(f)
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(8, groups.size))
-    var futures: Seq[java.util.concurrent.Future[Seq[B]]] = Nil
-    try {
-      futures = groups.map(g =>
-        pool.submit(new java.util.concurrent.Callable[Seq[B]] {
-          override def call(): Seq[B] = f(g)
-        }))
-      futures.flatMap { fu =>
-        try fu.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause }
-      }
-    } catch {
-      case t: Throwable =>
-        // a failed group aborts the whole procedure — cancel the
-        // siblings so in-flight rewrite jobs stop writing UUID-dir
-        // files the commit will never reference (they were harmless
-        // orphans, but a caller's immediate retry could overlap with
-        // the stragglers' compute), and wait for the pool to drain
-        // before rethrowing so no task outlives the call
-        futures.foreach(_.cancel(true))
-        pool.shutdownNow()
-        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
-        throw t
-    } finally pool.shutdown()
-  }
+  private def parGroups[A, B](groups: Seq[A])(f: A => Seq[B]): Seq[B] =
+    graft.Par.all(8, groups.map(g => () => f(g))).flatten
 
   private def result(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, dt) => StructField(n, dt) })

@@ -1247,8 +1247,13 @@ object TextOps {
     // parallel driver steps ([[parSteps]]), with the heavyweight
     // branch (pair mining + label propagation + labels create)
     // overlapping the three substrate creates' plan/shuffle/commit
-    // latency instead of paying it serially after them
-    parSteps(
+    // latency instead of paying it serially after them. A failed
+    // create drops every sibling table before rethrowing: the names
+    // are generated HERE, so no caller could clean a partial build
+    // (parallel creates make partial creation the normal failure
+    // shape), and a multi-run harness would otherwise measure
+    // against a polluted warehouse.
+    try parSteps(
       () => posting.writeTo(s"lakeq.db.${idx.post}").using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
       () => dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
@@ -1303,6 +1308,14 @@ object TextOps {
             .partitionedBy(bucket(8, col("doc_id"))).create()
         } finally edges.unpersist()
       })
+    catch {
+      case t: Throwable =>
+        Seq(idx.post, idx.df, idx.size, idx.labels).foreach { tbl =>
+          try s.sql(s"DROP TABLE IF EXISTS lakeq.db.$tbl PURGE")
+          catch { case _: Throwable => () }
+        }
+        throw t
+    }
     idx
   }
 
@@ -1335,31 +1348,13 @@ object TextOps {
     * is the serialized driver-side latency, which at object-store
     * round-trip cost dominates small nightly appends (measured at
     * sf0.1: refresh_advance 2.6 → 1.2 s, maintain 5.3 → 2.6 s).
-    * Cancel-on-failure mirrors parGroups: a failed step cancels its
-    * siblings and drains the pool before rethrowing, so no task
-    * outlives the call. NOT for steps that touch one table twice —
-    * racing commits on a shared table would burn CAS retries for no
-    * win. */
+    * Submission/cancel-on-failure is the shared [[graft.Par]] core
+    * (also behind the procedures' parGroups). NOT for steps that
+    * touch one table twice — racing commits on a shared table would
+    * burn CAS retries for no win. */
   private def parSteps(steps: (() => Unit)*): Unit = {
-    if (steps.lengthCompare(1) <= 0) { steps.foreach(_.apply()); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(steps.size)
-    var futures: Seq[java.util.concurrent.Future[_]] = Nil
-    try {
-      futures = steps.map(st => pool.submit(new Runnable {
-        override def run(): Unit = st()
-      }))
-      futures.foreach { fu =>
-        try fu.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause }
-      }
-    } catch {
-      case t: Throwable =>
-        futures.foreach(_.cancel(true))
-        pool.shutdownNow()
-        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
-        throw t
-    } finally pool.shutdown()
+    graft.Par.all(steps.size, steps)
+    ()
   }
 
   /** True iff a snapshot stamped with commit tag `tag` is an ancestor
@@ -1540,11 +1535,21 @@ object TextOps {
     // (batch-vocab-scale) frame, never the whole vocab. Checkpointed
     // BEFORE tonight's delta appends, so laziness cannot observe the
     // post-append table.
+    // one upfront scan of which substrate tables this epoch already
+    // touched (metadata-scale, 3 ancestors walks; only in tagged
+    // mode) — feeds the df replay adjustment below AND the per-table
+    // advance skips, so a micro-batch pays the guard exactly once
+    // per table
+    val advanced: Set[String] = epochTag match {
+      case None => Set.empty
+      case Some(t) => Seq(idx.post, idx.df, idx.size)
+        .filter(taggedOnMain(s, _, t)).toSet
+    }
     // replay adjustment: a crashed tagged run that already landed the
     // df append leaves tonight's deltas inside the stored sum —
     // subtract them back so the capped universe (and the straddle
     // check) equal the first attempt's exactly
-    val dfAdvanced = epochTag.exists(t => taggedOnMain(s, idx.df, t))
+    val dfAdvanced = advanced.contains(idx.df)
     val joined = graft.StageTimes.timed("t_dedup_groups_indexed.refresh_cap") {
       bDf.join(s.table(s"lakeq.db.${idx.df}").toDF("sh", "dfd"),
           Seq("sh"), "left")
@@ -1584,11 +1589,9 @@ object TextOps {
       // partial state and fails diagnosably instead (rare × rare:
       // a straddle batch AND a crash inside its repair)
       epochTag.foreach { t =>
-        val touched = Seq(idx.post, idx.df, idx.size)
-          .filter(taggedOnMain(s, _, t))
-        if (touched.nonEmpty) throw new IllegalStateException(
+        if (advanced.nonEmpty) throw new IllegalStateException(
           s"epoch '$t' crashed inside a straddle repair: substrate " +
-            s"table(s) ${touched.mkString(", ")} already carry this " +
+            s"table(s) ${advanced.mkString(", ")} already carry this " +
             "epoch's commits and the scoped rebuild cannot compose with " +
             "partial state — reconcile by rolling the touched tables " +
             "back to their pre-epoch snapshots, then replay")
@@ -1664,9 +1667,9 @@ object TextOps {
     // `refresh` stage is the honest total.
     // per-table replay guard: in tagged mode each append is skipped
     // when this epoch's commit already sits on the table's main
-    // history (see the epochTag contract at the top)
-    def needs(table: String): Boolean =
-      epochTag.forall(t => !taggedOnMain(s, table, t))
+    // history (the upfront `advanced` scan — see the epochTag
+    // contract at the top)
+    def needs(table: String): Boolean = !advanced.contains(table)
     val advance = () =>
       graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
         parSteps(Seq[(String, () => Unit)](

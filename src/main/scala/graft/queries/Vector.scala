@@ -660,7 +660,17 @@ object VectorOps {
     * no resident cell file rewritten. */
   private[graft] def ingestVectorBatch(s: SparkSession, table: String,
       batch: DataFrame): Unit = {
-    val stored = s.table(s"lakeq.db.$table")
+    // centroids must be IMMUTABLE under ingestion: reading them from
+    // the CURRENT table state would let any ingested batch containing
+    // an even vec_id < 16 (a re-embedded doc, an overlapping id
+    // space) silently grow/replace the centroid set for every later
+    // epoch and strand probe-cell selection. Read them from the
+    // table's BUILD snapshot — the first commit, whose rows no append
+    // can alter (spec-pinned by the centroid-pollution test).
+    val buildSnap = s.table(s"lakeq.db.$table.snapshots")
+      .agg(min(col("snapshot_id"))).head().getLong(0)
+    val stored = s.sql(
+      s"SELECT * FROM lakeq.db.$table VERSION AS OF $buildSnap")
     val centsRow = stored
       .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),

@@ -33,22 +33,43 @@ import graft.queries.TextOps
   */
 object IngestStreams {
 
+  /** Epoch tags must be unique across STREAM GENERATIONS, not just
+    * within one: they are checked against the index table's PERMANENT
+    * history, so a new query started over the same long-lived index
+    * (new checkpoint, epoch ids restarting at 0) must not collide
+    * with a previous generation's tags — a collision would silently
+    * skip the new generation's first micro-batches as "replays". The
+    * tag therefore carries a digest of the checkpoint location: same
+    * checkpoint → same tags (genuine restarts deduplicate), new
+    * checkpoint → fresh tag space (a new generation re-processes
+    * whatever its source delivers). Clearing a checkpoint IN PLACE
+    * while keeping the index is unsupported, as with any offset
+    * store. */
+  private[graft] def scopeOf(checkpoint: String): String = {
+    val canon = new java.io.File(checkpoint).getCanonicalPath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
+
   /** Start the continuous near-dup ingest over a streaming documents
     * frame (`doc_id`, `text`): each micro-batch probes the stored
     * group index, mines its edges, advances the substrate tables, and
     * publishes labels atomically — the streaming twin of
     * [[graft.queries.TextOps.tDedupGroupsIndexed]]'s refresh stage. */
   private[graft] def dedupIngest(docs: DataFrame, idx: TextOps.GroupIndex,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val scope = scopeOf(checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         if (!batch.isEmpty)
           TextOps.refreshGroupIndexMined(batch.sparkSession, idx, batch,
-            epochTag = Some(s"dedup-ingest-$epoch"))
+            epochTag = Some(s"dedup-ingest-$scope-$epoch"))
         ()
       }
       .start()
+  }
 
   /** One epoch of the streaming IVF ingest — the guarded body
     * `ivfIngest` runs per micro-batch, callable directly so replay
@@ -58,9 +79,9 @@ object IngestStreams {
     * exactly-once: a replayed epoch whose commit is on the table's
     * main history is a no-op. */
   private[graft] def ivfIngestEpoch(table: String, batch: DataFrame,
-      epoch: Long): Unit = {
+      epoch: Long, scope: String): Unit = {
     val sp = batch.sparkSession
-    val tag = s"ivf-ingest-$epoch"
+    val tag = s"ivf-ingest-$scope-$epoch"
     if (!batch.isEmpty && !TextOps.taggedOnMain(sp, table, tag))
       TextOps.withCommitTag(sp, Some(tag)) {
         graft.queries.VectorOps.ingestVectorBatch(sp, table, batch)
@@ -77,11 +98,13 @@ object IngestStreams {
     * under sustained ingestion is repaired out-of-band by
     * repairStoredIvf, exactly as in the batch lifecycle. */
   private[graft] def ivfIngest(vecs: DataFrame, table: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val scope = scopeOf(checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        ivfIngestEpoch(table, batch, epoch)
+        ivfIngestEpoch(table, batch, epoch, scope)
       }
       .start()
+  }
 }

@@ -70,8 +70,9 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark
     import sp.implicits._
     val mem = MemoryStream[(Long, String)](spark)
+    val ckpt = tmpDir("ingest-ckpt")
     val q = graft.streaming.IngestStreams.dedupIngest(
-      mem.toDF().toDF("doc_id", "text"), idx, tmpDir("ingest-ckpt"))
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt)
     try {
       mem.addData(b1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
       q.processAllAvailable()
@@ -82,11 +83,16 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(labelsOf(idx.labels).keySet ===
       (base.unionByName(b1).unionByName(b2))
         .select("doc_id").collect().map(_.getLong(0)).toSet)
-    // every epoch's commits carry its tag on main history
+    // every epoch's commits carry its CHECKPOINT-SCOPED tag on main
+    // history — the scope keeps a later stream generation (new
+    // checkpoint, epochs restarting at 0) out of this one's tag space
+    val scope = graft.streaming.IngestStreams.scopeOf(ckpt)
     val tags = spark.table(s"lakeq.db.${idx.labels}.snapshots")
       .select(element_at(col("summary"), lit("graft.commit.tag")))
       .collect().flatMap(r => Option(r.getString(0))).toSet
-    assert(tags === Set("dedup-ingest-0", "dedup-ingest-1"))
+    assert(tags === Set(s"dedup-ingest-$scope-0", s"dedup-ingest-$scope-1"))
+    assert(graft.streaming.IngestStreams.scopeOf(tmpDir("other-ckpt"))
+      !== scope, "a fresh checkpoint must open a fresh tag space")
     dropIdx(ref); dropIdx(idx)
   }
 
@@ -170,8 +176,9 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     val (half1, half2) = oddRows.splitAt(oddRows.length / 2)
     val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val ckpt = tmpDir("ivf-ckpt")
     val q = graft.streaming.IngestStreams.ivfIngest(
-      mem.toDF().toDF("vec_id", "embedding"), strT, tmpDir("ivf-ckpt"))
+      mem.toDF().toDF("vec_id", "embedding"), strT, ckpt)
     try {
       mem.addData(half1); q.processAllAvailable()
       mem.addData(half2); q.processAllAvailable()
@@ -180,10 +187,43 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     // replayed epoch: the tag is on main, so the body is a no-op
     val before = snapCount(strT)
     graft.streaming.IngestStreams.ivfIngestEpoch(strT,
-      half1.toDF("vec_id", "embedding"), epoch = 0L)
+      half1.toDF("vec_id", "embedding"), epoch = 0L,
+      scope = graft.streaming.IngestStreams.scopeOf(ckpt))
     assert(snapCount(strT) === before, "replayed epoch committed again")
     assert(ivfRows(strT) === ivfRows(refT))
     Seq(refT, strT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+  }
+
+  test("IVF centroids are pinned to the build snapshot under ingestion") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    // clean reference: build, ingest all odds, record their cells
+    val (t1, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    VectorOps.ingestVectorBatch(spark, t1, odds)
+    val clean = ivfRows(t1).toMap
+    // pick an odd vector NOT in cell 4 and ingest a doppelganger of
+    // it under centroid id 4 ("re-embedded doc with an id inside the
+    // centroid range") — if centroids drifted to current table state,
+    // that odd vector would now assign to cell 4 with csim exactly 1
+    val x = clean.collect { case (id, cell) if id % 2 == 1 && cell != 4 => id }
+      .min
+    val (t2, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    VectorOps.ingestVectorBatch(spark, t2,
+      emb.filter(col("vec_id") === x)
+        .select(lit(4L).as("vec_id"), col("embedding")))
+    VectorOps.ingestVectorBatch(spark, t2, odds)
+    val polluted = ivfRows(t2).toMap
+    assert(polluted(x) === clean(x),
+      s"vec $x re-assigned after centroid-range pollution — centroids " +
+        "drifted to current table state instead of the build snapshot")
+    assert(odds.collect().map(_.getLong(0))
+      .forall(id => polluted(id) == clean(id)))
+    Seq(t1, t2).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
   }
 }
