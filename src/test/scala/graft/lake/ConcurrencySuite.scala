@@ -227,4 +227,34 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(byWriter == Seq(("w0", 10L), ("w1", 10L), ("w2", 10L), ("w3", 10L)),
       s"every slice must carry its upserting writer's value: $byWriter")
   }
+
+  test("commit tags survive CAS retries and stay session-scoped") {
+    // the epoch-tag stamp (LakeCatalog.stampCommitTag) runs INSIDE the
+    // commit retry loop, re-stamping against the reloaded head — so a
+    // racing writer that loses the CAS and re-derives its snapshot
+    // must still publish its own session's tag, and two cloned
+    // sessions with different tags must never cross-contaminate
+    // (session conf, not global state)
+    sql("CREATE TABLE lake.db.tagrace (id bigint, v string) USING lake")
+    val sessions = Seq("tag-a", "tag-b").map { tag =>
+      val c = spark.newSession()
+      c.conf.set("spark.graft.commit.tag", tag)
+      (tag, c)
+    }
+    inThreads(sessions) { case (tag, c) =>
+      c.sql(s"INSERT INTO lake.db.tagrace VALUES (1, '$tag'), (2, '$tag')")
+    }
+    assert(count("SELECT count(*) FROM lake.db.tagrace") == 4)
+    val tags = sql("SELECT summary['graft.commit.tag'] " +
+        "FROM lake.db.tagrace.snapshots")
+      .collect().map(_.getString(0)).toSeq
+    assert(tags.sorted == Seq("tag-a", "tag-b"),
+      s"each racing commit must carry exactly its own session's tag: $tags")
+    // an untagged session's commit stays unstamped (default-off)
+    sql("INSERT INTO lake.db.tagrace VALUES (3, 'plain')")
+    val untagged = sql("SELECT summary['graft.commit.tag'] " +
+        "FROM lake.db.tagrace.snapshots ORDER BY committed_at DESC LIMIT 1")
+      .collect()(0)
+    assert(untagged.isNullAt(0), "untagged commit must carry no tag")
+  }
 }
