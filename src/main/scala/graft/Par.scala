@@ -12,13 +12,19 @@ package graft
 object Par {
   def all[T](maxThreads: Int, tasks: Seq[() => T]): Seq[T] = {
     if (tasks.lengthCompare(1) <= 0) return tasks.map(_.apply())
+    // the submitting thread's operation-scoped commit tag rides along
+    // to every task: parallel driver steps inside a tagged epoch
+    // (parSteps advance commits) must stamp like the serial path
+    // would, while the tag stays invisible to any thread outside this
+    // call ([[CommitTag]]'s scope contract)
+    val tag = CommitTag.get
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(maxThreads, tasks.size))
     var futures: Seq[java.util.concurrent.Future[T]] = Nil
     try {
       futures = tasks.map(t =>
         pool.submit(new java.util.concurrent.Callable[T] {
-          override def call(): T = t()
+          override def call(): T = CommitTag.run(tag)(t())
         }))
       futures.map { fu =>
         try fu.get()
@@ -29,8 +35,33 @@ object Par {
       case t: Throwable =>
         futures.foreach(_.cancel(true))
         pool.shutdownNow()
-        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        // the cancel path must actually DRAIN before the cause
+        // rethrows: callers clean up shared resources (drop sibling
+        // tables) right after, and a straggler task outliving this
+        // wait could commit after that cleanup. Interrupted Spark job
+        // chains can take a while to unwind, so extend the wait once;
+        // if the pool STILL holds a runaway thread, say so on the
+        // rethrown cause (as a suppressed marker) so the caller's
+        // cleanup can record what may leak instead of assuming the
+        // world is quiet.
+        if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          && !pool.awaitTermination(240,
+            java.util.concurrent.TimeUnit.SECONDS))
+          t.addSuppressed(new IllegalStateException(
+            "Par pool failed to drain within 300s of cancellation: a " +
+              "straggler task may still be running and can touch shared " +
+              "state after the caller's cleanup"))
         throw t
     } finally pool.shutdown()
   }
+
+  /** True iff `t` carries [[all]]'s failed-drain marker — callers
+    * whose failure cleanup releases shared resources check this to
+    * record a potential leak instead of cleaning silently under a
+    * still-running straggler. */
+  def drainFailed(t: Throwable): Boolean =
+    t.getSuppressed.exists(s =>
+      s.isInstanceOf[IllegalStateException] &&
+        s.getMessage != null && s.getMessage.startsWith(
+          "Par pool failed to drain"))
 }

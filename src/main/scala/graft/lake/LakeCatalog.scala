@@ -406,21 +406,26 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     }
     throw new IllegalStateException("unreachable")
   }
-  /** Opt-in commit tags: while a session holds
-    * `spark.graft.commit.tag`, every snapshot a commit APPENDS is
-    * stamped with `graft.commit.tag` in its summary — an idempotence
-    * marker readable back through the `.snapshots` metadata table
-    * (Iceberg exposes the same capability as commit-time snapshot
-    * summary properties). The streaming ingest twin
-    * (graft.queries.TextOps epoch guard) replays micro-batches
-    * against it for per-table exactly-once; with the conf unset,
-    * summaries are byte-identical to before. Stamped inside the
-    * retry loop so a CAS retry re-stamps against the reloaded head. */
+  /** Opt-in commit tags: while a tag is active — OPERATION-scoped via
+    * [[graft.CommitTag]] (the streaming epochs' path: thread-bound,
+    * invisible to concurrent writers on the same session), or
+    * SESSION-scoped via the `spark.graft.commit.tag` conf (the public
+    * session-wide opt-in; the operation scope wins when both are
+    * set) — every snapshot a commit APPENDS is stamped with
+    * `graft.commit.tag` in its summary: an idempotence marker
+    * readable back through the `.snapshots` metadata table (Iceberg
+    * exposes the same capability as commit-time snapshot summary
+    * properties). The streaming ingest twin (graft.queries.TextOps
+    * epoch guard) replays micro-batches against it for per-table
+    * exactly-once; with neither scope active, summaries are
+    * byte-identical to before. Stamped inside the retry loop so a
+    * CAS retry re-stamps against the reloaded head. */
   private def stampCommitTag(prev: TableMeta, cand: TableMeta): TableMeta = {
-    val tag =
+    val tag = graft.CommitTag.get.getOrElse {
       try org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.commit.tag", "")
       catch { case _: Throwable => "" }
+    }
     if (tag.isEmpty) cand
     else cand.copy(snapshots = cand.snapshots.map(sn =>
       if (sn.snapshotId > prev.lastSnapshotId)

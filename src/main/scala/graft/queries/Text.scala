@@ -26,6 +26,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object TextOps {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Bounded result memo for expensive stages that multiple gates
     * consume (dedup grouping, minhash/ngram pair mining) — the
     * pipeline-shaped "materialize the mining stage once" reuse.
@@ -274,6 +276,19 @@ object TextOps {
     bpePairCounts(bpeInitVocab(Tables.documents(s, d)))
       .orderBy(col("l"), col("r"))
 
+  /** Free a superseded eager localCheckpoint's materialized blocks:
+    * `Dataset.unpersist` is a no-op for checkpoints (they never enter
+    * the cache manager), so reach the checkpointed RDD through the
+    * plan's LogicalRDD and unpersist it directly. Only for frames
+    * that are never read again — an unpersisted local checkpoint is
+    * unrecoverable by design. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private[graft] def trainBpeMerges(s: SparkSession, docs: DataFrame,
       nMerges: Int): DataFrame = {
     var vocab = bpeInitVocab(docs)
@@ -291,14 +306,21 @@ object TextOps {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         rank += 1
         merges += ((rank, l, r, cnt))
+        val prev = vocab
         vocab = vocab.select(col("freq"),
             when(array_contains(col("syms"), l) &&
                 array_contains(col("syms"), r),
               mergeAdjacent(col("syms"), lit(l), lit(r)))
               .otherwise(col("syms")).as("syms"))
           .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        // the superseded checkpoint is dead once its successor has
+        // materialized — freeing it per iteration keeps the session
+        // at ONE resident vocab copy instead of one per merge (a real
+        // disk leak at production k ≈ 32 000)
+        freeLocalCheckpoint(prev)
       }
     }
+    freeLocalCheckpoint(vocab)
     import s.implicits._
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
@@ -1310,7 +1332,17 @@ object TextOps {
       })
     catch {
       case t: Throwable =>
-        Seq(idx.post, idx.df, idx.size, idx.labels).foreach { tbl =>
+        val names = Seq(idx.post, idx.df, idx.size, idx.labels)
+        // a straggler create that outlived Par's cancel drain can
+        // commit AFTER these drops — the names are generated here, so
+        // record them loudly instead of leaking a table no caller can
+        // name (the drops still run: they clean every already-
+        // committed sibling either way)
+        if (graft.Par.drainFailed(t))
+          logger.warn("group-index build cleanup is racing an undrained " +
+            s"create task: tables ${names.mkString(", ")} may be " +
+            "recreated after this drop and need manual removal")
+        names.foreach { tbl =>
           try s.sql(s"DROP TABLE IF EXISTS lakeq.db.$tbl PURGE")
           catch { case _: Throwable => () }
         }
@@ -1376,25 +1408,14 @@ object TextOps {
       .isEmpty
   }
 
-  /** Run `f` with the session's commit-tag conf set (and restored
-    * after): every lake commit inside is stamped with `tag` in its
-    * snapshot summary. Session-scoped by nature — fine for the
-    * single-flight micro-batch loop this serves; concurrent unrelated
-    * writers on the SAME session would be tagged too (use a cloned
-    * session to isolate them). */
-  private[graft] def withCommitTag[T](s: SparkSession, tag: Option[String])
-      (f: => T): T = tag match {
-    case None => f
-    case Some(t) =>
-      val key = "spark.graft.commit.tag"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, t)
-      try f
-      finally prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
-      }
-  }
+  /** Run `f` with `tag` active as the OPERATION-scoped commit tag
+    * ([[graft.CommitTag]]): every lake commit the body makes — on
+    * this thread or through [[parSteps]]' propagating worker pool —
+    * is stamped with `tag` in its snapshot summary, while concurrent
+    * unrelated writers on the same session stay unstamped (so a
+    * replay can never skip THEIR snapshots as this epoch's). */
+  private[graft] def withCommitTag[T](tag: Option[String])
+      (f: => T): T = graft.CommitTag.run(tag)(f)
 
   /** Periodic maintenance for the group index's three append-forever
     * side tables — the cadence that bounds a year of nightlies to a
@@ -1517,7 +1538,7 @@ object TextOps {
     //    batch append recompute identically — the advance guards fed
     //    the same capped universe).
     if (epochTag.exists(t => taggedOnMain(s, idx.labels, t))) return
-    withCommitTag(s, epochTag) {
+    withCommitTag(epochTag) {
       refreshMinedBody(s, idx, batchDocs, cap, repairStraddle, epochTag)
     }
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.queries.TextOps
@@ -39,16 +39,33 @@ object IngestStreams {
     * (new checkpoint, epoch ids restarting at 0) must not collide
     * with a previous generation's tags — a collision would silently
     * skip the new generation's first micro-batches as "replays". The
-    * tag therefore carries a digest of the checkpoint location: same
-    * checkpoint → same tags (genuine restarts deduplicate), new
-    * checkpoint → fresh tag space (a new generation re-processes
-    * whatever its source delivers). Clearing a checkpoint IN PLACE
-    * while keeping the index is unsupported, as with any offset
-    * store. */
-  private[graft] def scopeOf(checkpoint: String): String = {
-    val canon = new java.io.File(checkpoint).getCanonicalPath
+    * tag therefore carries a digest of the checkpoint's PERSISTENT
+    * STREAMING QUERY ID (the `id` the engine writes to
+    * `<checkpoint>/metadata` at first start and reads back on every
+    * restart): same checkpoint → same id → same tags (genuine
+    * restarts deduplicate), new checkpoint → fresh id → fresh tag
+    * space (a new generation re-processes whatever its source
+    * delivers). The id is read through the Hadoop FileSystem the
+    * checkpoint string resolves to — the SAME resolution the engine
+    * applies to `checkpointLocation` — so a driver restart with a
+    * different working directory (per-attempt container dirs under
+    * YARN/k8s) or a URI-style location (s3://, hdfs://) cannot shift
+    * the scope the way a java.io.File canonicalization would.
+    * Clearing a checkpoint IN PLACE while keeping the index is
+    * unsupported, as with any offset store. */
+  private[graft] def scopeOf(s: SparkSession, checkpoint: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = meta.getFileSystem(s.sessionState.newHadoopConf())
+    val in = fs.open(fs.makeQualified(meta))
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val id = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no streaming query id in checkpoint metadata at $meta"))
     java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8"))
+      .digest(id.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
   }
 
@@ -59,7 +76,11 @@ object IngestStreams {
     * [[graft.queries.TextOps.tDedupGroupsIndexed]]'s refresh stage. */
   private[graft] def dedupIngest(docs: DataFrame, idx: TextOps.GroupIndex,
       checkpoint: String): StreamingQuery = {
-    val scope = scopeOf(checkpoint)
+    // the scope digests the checkpoint's persistent query id, which
+    // the engine writes at query START — so it resolves lazily at the
+    // first non-empty batch (foreachBatch runs strictly after start),
+    // then stays cached for the query's lifetime
+    lazy val scope = scopeOf(docs.sparkSession, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -83,7 +104,7 @@ object IngestStreams {
     val sp = batch.sparkSession
     val tag = s"ivf-ingest-$scope-$epoch"
     if (!batch.isEmpty && !TextOps.taggedOnMain(sp, table, tag))
-      TextOps.withCommitTag(sp, Some(tag)) {
+      TextOps.withCommitTag(Some(tag)) {
         graft.queries.VectorOps.ingestVectorBatch(sp, table, batch)
       }
   }
@@ -99,7 +120,7 @@ object IngestStreams {
     * repairStoredIvf, exactly as in the batch lifecycle. */
   private[graft] def ivfIngest(vecs: DataFrame, table: String,
       checkpoint: String): StreamingQuery = {
-    val scope = scopeOf(checkpoint)
+    lazy val scope = scopeOf(vecs.sparkSession, checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>

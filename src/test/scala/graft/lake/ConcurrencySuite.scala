@@ -257,4 +257,39 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(untagged.isNullAt(0), "untagged commit must carry no tag")
   }
+
+  test("operation-scoped tag: an untagged writer racing a tagged " +
+      "epoch on the SAME session is never stamped") {
+    // graft.CommitTag binds the tag to the operation's THREAD (with
+    // Par.all propagating it to its worker pool), not to the session
+    // conf — so a concurrent unrelated writer on the same session
+    // cannot inherit the epoch's tag, be stamped, and later be
+    // skipped on a replay as if it were the epoch's own commit
+    sql("CREATE TABLE lake.db.tagopa (id bigint) USING lake")
+    sql("CREATE TABLE lake.db.tagopb (id bigint) USING lake")
+    inThreads(Seq(true, false)) { taggedSide =>
+      if (taggedSide)
+        graft.CommitTag.run(Some("epoch-42")) {
+          // two commits from Par worker threads + one from the epoch's
+          // own thread: all three must carry the scope
+          graft.Par.all(2, Seq[() => Unit](
+            () => spark.sql("INSERT INTO lake.db.tagopa VALUES (1)"),
+            () => spark.sql("INSERT INTO lake.db.tagopa VALUES (2)")))
+          spark.sql("INSERT INTO lake.db.tagopa VALUES (3)")
+        }
+      else
+        (0 until 3).foreach(i =>
+          spark.sql(s"INSERT INTO lake.db.tagopb VALUES ($i)"))
+    }
+    val aTags = sql("SELECT summary['graft.commit.tag'] " +
+        "FROM lake.db.tagopa.snapshots")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(aTags.length == 3 && aTags.forall(_.contains("epoch-42")),
+      s"every commit inside the scoped operation must be stamped: $aTags")
+    val bRows = sql("SELECT summary['graft.commit.tag'] " +
+        "FROM lake.db.tagopb.snapshots").collect()
+    assert(bRows.length == 3 && bRows.forall(_.isNullAt(0)),
+      "a concurrent untagged writer on the same session must stay " +
+        "unstamped while a tagged epoch runs")
+  }
 }

@@ -83,15 +83,26 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(labelsOf(idx.labels).keySet ===
       (base.unionByName(b1).unionByName(b2))
         .select("doc_id").collect().map(_.getLong(0)).toSet)
-    // every epoch's commits carry its CHECKPOINT-SCOPED tag on main
-    // history — the scope keeps a later stream generation (new
-    // checkpoint, epochs restarting at 0) out of this one's tag space
-    val scope = graft.streaming.IngestStreams.scopeOf(ckpt)
+    // every epoch's commits carry its QUERY-ID-SCOPED tag on main
+    // history — the scope digests the persistent streaming query id
+    // the engine wrote to <checkpoint>/metadata, keeping a later
+    // stream generation (new checkpoint → new id, epochs restarting
+    // at 0) out of this one's tag space while surviving a driver
+    // restart from a different working directory (same metadata file
+    // → same id → same scope)
+    val scope = graft.streaming.IngestStreams.scopeOf(spark, ckpt)
     val tags = spark.table(s"lakeq.db.${idx.labels}.snapshots")
       .select(element_at(col("summary"), lit("graft.commit.tag")))
       .collect().flatMap(r => Option(r.getString(0))).toSet
     assert(tags === Set(s"dedup-ingest-$scope-0", s"dedup-ingest-$scope-1"))
-    assert(graft.streaming.IngestStreams.scopeOf(tmpDir("other-ckpt"))
+    // a fresh checkpoint carries a fresh engine-assigned query id —
+    // simulate the engine's metadata write with a different uuid
+    val other = tmpDir("other-ckpt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(other, "metadata"),
+      s"""{"id":"${java.util.UUID.randomUUID()}"}"""
+        .getBytes("UTF-8"))
+    assert(graft.streaming.IngestStreams.scopeOf(spark, other)
       !== scope, "a fresh checkpoint must open a fresh tag space")
     dropIdx(ref); dropIdx(idx)
   }
@@ -188,7 +199,7 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val before = snapCount(strT)
     graft.streaming.IngestStreams.ivfIngestEpoch(strT,
       half1.toDF("vec_id", "embedding"), epoch = 0L,
-      scope = graft.streaming.IngestStreams.scopeOf(ckpt))
+      scope = graft.streaming.IngestStreams.scopeOf(spark, ckpt))
     assert(snapCount(strT) === before, "replayed epoch committed again")
     assert(ivfRows(strT) === ivfRows(refT))
     Seq(refT, strT).foreach(t =>
