@@ -1197,6 +1197,67 @@ object TextOps {
     result.orderBy(col("doc_id"))
   }
 
+  /** Gate: the STREAMING continuous-ingest dedup twin end to end —
+    * build the stored group index on 8/10 of the corpus, stream the
+    * remaining two slices through a REAL Structured-Streaming query
+    * ([[graft.streaming.IngestStreams.dedupIngest]]: MemoryStream
+    * source, foreachBatch epochs, query-id-scoped exactly-once commit
+    * tags) as two micro-batch epochs, and serve the final labels from
+    * the index. The oracle is the same one-shot full-corpus
+    * connected-components truth [[tDedupGroups]] carries: however the
+    * corpus is split between build and stream, the labels must
+    * reproduce it bit-for-bit (the IngestStreamsSuite/IngestScale
+    * stream==batch pins, now under the driver's DuckDB hash gate).
+    * The driver-side collect feeds the in-process source only — the
+    * refresh inside each epoch reads the batch as a DataFrame, same
+    * as production where the source is Kafka/files. */
+  def tIngestDedupStream(s: SparkSession, d: String): DataFrame = {
+    LakeOps.cat(s)
+    val docs = Tables.documents(s, d)
+    val idx = graft.StageTimes.timed("t_ingest_dedup_stream.build") {
+      buildGroupIndex(s,
+        docs.filter(col("doc_id") % 10 =!= 1 && col("doc_id") % 10 =!= 2))
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-gate-ckpt").toString
+    try {
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.IngestStreams.dedupIngest(
+        mem.toDF().toDF("doc_id", "text"), idx, ckpt)
+      try graft.StageTimes.timed("t_ingest_dedup_stream.epochs") {
+        Seq(1, 2).foreach { i =>
+          mem.addData(docs.filter(col("doc_id") % 10 === i)
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val result = graft.StageTimes.timed("t_ingest_dedup_stream.serve") {
+        s.table(s"lakeq.db.${idx.labels}")
+          .select(col("doc_id"), col("group_id"))
+          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      }
+      result.orderBy(col("doc_id"))
+    } finally {
+      Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+      rmTree(ckpt)
+    }
+  }
+
+  /** Recursive delete of a gate's scratch directory (stream
+    * checkpoints) — local paths only. */
+  private[queries] def rmTree(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(dir))
+  }
+
   /** Distinct-3-word-shingle postings `(doc_id, sh)` of a documents
     * frame — the mining substrate shared by the group-index build,
     * its mined refresh, and GroupIndexSuite's probe-plan pin. */
@@ -3115,6 +3176,7 @@ object TextOps {
     "t_pii_redact" -> (tPiiRedact _),
     "t_dedup_groups" -> (tDedupGroups _),
     "t_dedup_groups_indexed" -> (tDedupGroupsIndexed _),
+    "t_ingest_dedup_stream" -> (tIngestDedupStream _),
     "t_dedup_keep_best" -> (tDedupKeepBest _),
     // the LM gates hash exact-integer witnesses only: the library
     // score column (round(avg(log10),4), a transcendental-derived
@@ -3447,6 +3509,9 @@ object TextOps {
     // build (even corpus) + refresh (odd batch) shares the in-memory
     // gate's oracle verbatim
     "t_dedup_groups_indexed" -> dedupGroupsSql,
+    // the streaming twin answers to the SAME truth: build + two real
+    // micro-batch epochs must land exactly the one-shot labels
+    "t_ingest_dedup_stream" -> dedupGroupsSql,
     "t_dedup_keep_best" ->
       s"""WITH RECURSIVE p0 AS (
          |  SELECT doc_id, unnest(sh) AS shingle

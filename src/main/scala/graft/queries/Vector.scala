@@ -627,6 +627,46 @@ object VectorOps {
     (t, evens)
   }
 
+  /** Gate: the STREAMING IVF-ingest twin end to end — build the
+    * cell-partitioned inverted file on the even ids, stream the odd
+    * ids through a REAL Structured-Streaming query
+    * ([[graft.streaming.IngestStreams.ivfIngest]]: MemoryStream
+    * source, single-append epochs, exactly-once commit tags) as two
+    * micro-batches, then probe. The oracle is the one-shot truth
+    * [[vAnnIvfIncremental]] answers to: assignment against the FIXED
+    * build-time centroids is independent of how the batch side is
+    * chopped into epochs, so the probe must reproduce the same top-5
+    * bit-for-bit. */
+  def vAnnIngestStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val (t, evens) = buildEvenIvf(s, d)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ivf-gate-ckpt").toString
+    try {
+      import s.implicits._
+      val oddRows = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val (half1, half2) = oddRows.splitAt(oddRows.length / 2)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](s)
+      val q = graft.streaming.IngestStreams.ivfIngest(
+        mem.toDF().toDF("vec_id", "embedding"), t, ckpt)
+      try graft.StageTimes.timed("v_ann_ingest_stream.epochs") {
+        mem.addData(half1); q.processAllAvailable()
+        mem.addData(half2); q.processAllAvailable()
+      } finally q.stop()
+      val result = graft.StageTimes.timed("v_ann_ingest_stream.probe")(
+        probeStoredIvf(s, t, evens, qVecId = 0)
+          .localCheckpoint(true, StorageLevel.DISK_ONLY))
+      result.orderBy(col("cos_sim").desc, col("vec_id"))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+      TextOps.rmTree(ckpt)
+    }
+  }
+
   /** The build half of [[buildIncrementalIvf]]: even ids create the
     * cell-partitioned index under the fixed first-8-even-id
     * centroids; batches (the gate's odd half, or a stream's
@@ -980,6 +1020,7 @@ object VectorOps {
     "v_ann_ivf" -> (vAnnIvf _),
     "v_ann_ivf_indexed" -> (vAnnIvfIndexed _),
     "v_ann_ivf_incremental" -> (vAnnIvfIncremental _),
+    "v_ann_ingest_stream" -> (vAnnIngestStream _),
     "v_ann_ivf_k256" -> (vAnnIvfK256 _),
     "v_ann_ivf_pq" -> (vAnnIvfPq _),
     "v_ann_rerank" -> (vAnnRerank _),
@@ -1180,6 +1221,10 @@ object VectorOps {
     // centroids fixed at build time (first 8 even ids), every vector
     // assigned, same probe
     "v_ann_ivf_incremental" -> ivfFlatSql(k = 8, nprobe = 2,
+      centsWhere = "vec_id % 2 = 0 AND vec_id < 16"),
+    // the streaming twin answers to the same one-shot truth — epoch
+    // chopping cannot change an assignment against fixed centroids
+    "v_ann_ingest_stream" -> ivfFlatSql(k = 8, nprobe = 2,
       centsWhere = "vec_id % 2 = 0 AND vec_id < 16"),
     "v_ann_ivf_k256" -> ivfFlatSql(k = 256, nprobe = 64),
     "v_ann_ivf_pq" ->
