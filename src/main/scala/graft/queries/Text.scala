@@ -233,13 +233,14 @@ object TextOps {
     * 100 TB design: the vocabulary (distinct words) is Zipf-bounded
     * orders of magnitude below corpus bytes, so every post-pass
     * iteration is a small job and the corpus is read exactly once.
-    * For production merge counts (k ≈ 32 000) the full per-iteration
-    * recount should become pair-count DELTAS mined from the rewritten
-    * words alone (the df-table LSM pattern — only words containing
-    * the winning pair change any count); at gate scale the exact
-    * recount keeps the loop literally equal to the reference
-    * algorithm. Training stops early when no pair repeats
-    * (pair_count < 2 learns nothing). */
+    * The per-iteration recount is one NARROW scan + map-side-combined
+    * aggregate — its shuffle is distinct-pairs-scale, not
+    * adjacency-scale, which is why the delta-pair-statistics variant
+    * ([[trainBpeMerges]]'s `deltaPairStats`, the df-LSM pattern)
+    * measured EQUAL-or-worse at every vocabulary decade and full
+    * recount stays the default (BpeScale numbers in COVERAGE round
+    * 12). Training stops early when no pair repeats (pair_count < 2
+    * learns nothing). */
   /** Word-frequency vocabulary as (freq, syms): each distinct word's
     * character symbols + the `</w>` terminal — BPE's starting state.
     * The ONE corpus-scale pass; everything after is vocab-scale.
@@ -289,15 +290,52 @@ object TextOps {
       case _ => ()
     }
 
+  /** Train BPE merges. `deltaPairStats = true` maintains the pair
+    * statistics as a STATE TABLE updated by DELTAS mined from the
+    * rewritten words alone — the df-table LSM pattern: merging (l, r)
+    * can only change adjacency counts of words containing BOTH
+    * symbols, so each iteration re-counts exactly that affected set
+    * (subtract its old adjacencies, add its post-rewrite ones) and
+    * folds the delta into the stored pair counts. Exact integer
+    * algebra — bit-identical to the full recount (BpeSuite pins
+    * equality through k=256 plus identical natural exhaustion).
+    *
+    * It is NOT the default: the classical justification (avoid
+    * re-shuffling every adjacency) does not transfer to Spark, whose
+    * hash aggregate map-side-combines BEFORE the exchange — the full
+    * recount's per-iteration shuffle is already distinct-pairs-scale,
+    * while the delta path re-shuffles its whole pairs STATE each fold
+    * and runs 3× the jobs. Measured across vocabulary decades
+    * (BpeScale, 30 k and 300 k words): delta's marginal shuffle is
+    * 2.4× and 1.7× the full recount's and wall time is equal-or-worse
+    * at every decade; a lazy-chain variant that amortized the vocab
+    * advance write regressed >5× on plan re-analysis/codegen. Full
+    * recount therefore remains the production default, and the
+    * residual per-iteration term BOTH paths share is the vocab
+    * advance write — at true production k the next lever is a
+    * driver-resident merge loop over the collected (Zipf-bounded)
+    * vocabulary after the one distributed corpus pass, recorded in
+    * COVERAGE round 12. */
   private[graft] def trainBpeMerges(s: SparkSession, docs: DataFrame,
-      nMerges: Int): DataFrame = {
+      nMerges: Int, deltaPairStats: Boolean = false): DataFrame = {
     var vocab = bpeInitVocab(docs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // the delta path's vocab advance is a UNION of two frames; union
+    // partition counts ADD, and localCheckpoint preserves them, so
+    // without re-bounding to the initial width the count compounds
+    // per merge (4 → 8 → 16 … — measured as a 116 000-task stage by
+    // iteration 15). coalesce is narrow: no shuffle, no row change.
+    val vocabParts = math.max(vocab.rdd.getNumPartitions, 1)
+    var pairs: DataFrame =
+      if (deltaPairStats)
+        bpePairCounts(vocab).localCheckpoint(true, StorageLevel.DISK_ONLY)
+      else null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var done = false
     while (rank < nMerges && !done) {
-      val best = bpePairCounts(vocab)
+      val stats = if (deltaPairStats) pairs else bpePairCounts(vocab)
+      val best = stats
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .head(1)
       if (best.isEmpty || best(0).getLong(2) < 2) done = true
@@ -306,21 +344,61 @@ object TextOps {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         rank += 1
         merges += ((rank, l, r, cnt))
-        val prev = vocab
-        vocab = vocab.select(col("freq"),
-            when(array_contains(col("syms"), l) &&
-                array_contains(col("syms"), r),
-              mergeAdjacent(col("syms"), lit(l), lit(r)))
-              .otherwise(col("syms")).as("syms"))
-          .localCheckpoint(true, StorageLevel.DISK_ONLY)
-        // the superseded checkpoint is dead once its successor has
-        // materialized — freeing it per iteration keeps the session
-        // at ONE resident vocab copy instead of one per merge (a real
-        // disk leak at production k ≈ 32 000)
-        freeLocalCheckpoint(prev)
+        val affectedCond = array_contains(col("syms"), l) &&
+          array_contains(col("syms"), r)
+        // superseded checkpoints are dead once their successors have
+        // materialized — freeing them per iteration keeps the session
+        // at ONE resident copy of each state instead of one per merge
+        // (a real disk leak at production k ≈ 32 000)
+        if (deltaPairStats) {
+          val affected = vocab.filter(affectedCond)
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          val rewritten = affected.select(col("freq"),
+              mergeAdjacent(col("syms"), lit(l), lit(r)).as("syms"))
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          // fold = stored counts + affected-set delta; pairs whose
+          // count reaches zero DROP (matching what a recount would
+          // simply not produce). Exact long sums — no drift.
+          val newPairs = pairs
+            .union(bpePairCounts(rewritten))
+            .union(bpePairCounts(affected)
+              .select(col("l"), col("r"), (-col("cnt")).as("cnt")))
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          // vocab advance: unaffected rows filter through the
+          // previous checkpoint (narrow — no fold re-runs), rewritten
+          // rows union on, and the result CHECKPOINTS each merge.
+          // The advance write is vocabulary-scale; an attempt to
+          // amortize it by keeping the chain lazy and folding every
+          // 16 merges regressed >5× (each iteration re-analyzes and
+          // re-codegens the deepening union/filter tree — plan-
+          // compile cost swamps the saved write), so the per-merge
+          // checkpoint stays. The DELTA win is the shuffle: the full
+          // recount shuffles every adjacency of every word per
+          // iteration, the delta path only the affected words'
+          // (BpeScale measures per-iteration shuffle bytes across
+          // vocabulary decades — the term that matters on a cluster
+          // where shuffle crosses the network).
+          val newVocab = vocab.filter(!affectedCond).union(rewritten)
+            .coalesce(vocabParts)
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          Seq(pairs, vocab, affected, rewritten).foreach(freeLocalCheckpoint)
+          pairs = newPairs
+          vocab = newVocab
+        } else {
+          val prev = vocab
+          vocab = vocab.select(col("freq"),
+              when(affectedCond,
+                mergeAdjacent(col("syms"), lit(l), lit(r)))
+                .otherwise(col("syms")).as("syms"))
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          freeLocalCheckpoint(prev)
+        }
       }
     }
     freeLocalCheckpoint(vocab)
+    if (pairs != null) freeLocalCheckpoint(pairs)
     import s.implicits._
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
@@ -1469,6 +1547,39 @@ object TextOps {
       .isEmpty
   }
 
+  /** Roll `table` back to its PRE-EPOCH ancestor: the parent of the
+    * oldest main-history snapshot stamped with `tag` — discarding
+    * every commit the crashed epoch landed on this table (snapshot
+    * ids are monotonic, so "oldest tagged" is the epoch's first
+    * touch). Refuses if an UNTAGGED commit interleaved above that
+    * point: the ingest loop is single-flight per index, so a foreign
+    * commit means another writer's data would be destroyed — that
+    * reconciliation stays manual by design. Metadata-scale (one
+    * ancestors walk + one `rollback_to_snapshot`). */
+  private def rollbackEpochCommits(s: SparkSession, table: String,
+      tag: String): Unit = {
+    val anc = s.sql(s"CALL lakeq.system.ancestors_of(table => 'db.$table')")
+      .select(col("snapshot_id"))
+    val rows = s.table(s"lakeq.db.$table.snapshots")
+      .join(anc, Seq("snapshot_id"))
+      .select(col("snapshot_id"), col("parent_id"),
+        coalesce(element_at(col("summary"), lit("graft.commit.tag")) === tag,
+          lit(false)).as("is_epoch"))
+      .collect()
+    val tagged = rows.filter(_.getBoolean(2))
+    if (tagged.isEmpty) return
+    val oldest = tagged.map(_.getLong(0)).min
+    val foreign = rows.filter(r => !r.getBoolean(2) && r.getLong(0) > oldest)
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"cannot auto-rollback epoch '$tag' on $table: untagged commit(s) " +
+        s"${foreign.map(_.getLong(0)).sorted.mkString(", ")} interleaved " +
+        "above the epoch's first snapshot — rolling back would destroy " +
+        "another writer's data; reconcile manually")
+    val parent = rows.find(_.getLong(0) == oldest).get.getLong(1)
+    s.sql(s"CALL lakeq.system.rollback_to_snapshot(table => 'db.$table', " +
+      s"snapshot_id => $parent)")
+  }
+
   /** Run `f` with `tag` active as the OPERATION-scoped commit tag
     * ([[graft.CommitTag]]): every lake commit the body makes — on
     * this thread or through [[parSteps]]' propagating worker pool —
@@ -1501,7 +1612,7 @@ object TextOps {
     * run it weekly, after N nightlies, or when file counts cross a
     * threshold. Scheduled INSIDE the gate lifecycle so bench.json
     * carries its measured cost like the model-table fold-ins. */
-  private[queries] def maintainGroupIndex(s: SparkSession,
+  private[graft] def maintainGroupIndex(s: SparkSession,
       idx: GroupIndex, stage: String = null): Unit = {
     def timed[T](suffix: String)(f: => T): T =
       if (stage == null) f else graft.StageTimes.timed(s"$stage.$suffix")(f)
@@ -1579,7 +1690,8 @@ object TextOps {
   private[graft] def refreshGroupIndexMined(s: SparkSession,
       idx: GroupIndex, batchDocs: DataFrame,
       cap: Int = MaxShingleDf, repairStraddle: Boolean = true,
-      epochTag: Option[String] = None): Unit = {
+      epochTag: Option[String] = None,
+      rollbackCrashedRepair: Boolean = false): Unit = {
     // Epoch-tagged mode (the streaming ingest twin): every commit this
     // refresh makes is stamped with `epochTag` in its snapshot summary
     // — atomically with the data — and each table's write is SKIPPED
@@ -1600,13 +1712,15 @@ object TextOps {
     //    the same capped universe).
     if (epochTag.exists(t => taggedOnMain(s, idx.labels, t))) return
     withCommitTag(epochTag) {
-      refreshMinedBody(s, idx, batchDocs, cap, repairStraddle, epochTag)
+      refreshMinedBody(s, idx, batchDocs, cap, repairStraddle, epochTag,
+        rollbackCrashedRepair)
     }
   }
 
   private def refreshMinedBody(s: SparkSession, idx: GroupIndex,
       batchDocs: DataFrame, cap: Int, repairStraddle: Boolean,
-      epochTag: Option[String]): Unit = {
+      epochTag: Option[String],
+      rollbackCrashedRepair: Boolean = false): Unit = {
     val bPost = shinglePostings(batchDocs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("bdf"))
@@ -1668,15 +1782,29 @@ object TextOps {
       // postings straight from the stored tables, so it must start
       // from substrate this epoch has NOT touched — a replay of a
       // repair epoch that crashed mid-write cannot compose with the
-      // partial state and fails diagnosably instead (rare × rare:
-      // a straddle batch AND a crash inside its repair)
+      // partial state. The epoch tag identifies exactly which
+      // snapshots the crashed attempt committed, so with
+      // `rollbackCrashedRepair` the replay reconciles ITSELF: each
+      // touched table rolls back to its pre-epoch ancestor
+      // ([[rollbackEpochCommits]] — refusing if any untagged commit
+      // interleaved), and the repair re-runs from clean substrate.
+      // Flag off, the diagnosable refusal stays (rare × rare: a
+      // straddle batch AND a crash inside its repair).
       epochTag.foreach { t =>
-        if (advanced.nonEmpty) throw new IllegalStateException(
-          s"epoch '$t' crashed inside a straddle repair: substrate " +
-            s"table(s) ${advanced.mkString(", ")} already carry this " +
-            "epoch's commits and the scoped rebuild cannot compose with " +
-            "partial state — reconcile by rolling the touched tables " +
-            "back to their pre-epoch snapshots, then replay")
+        if (advanced.nonEmpty) {
+          if (!rollbackCrashedRepair) throw new IllegalStateException(
+            s"epoch '$t' crashed inside a straddle repair: substrate " +
+              s"table(s) ${advanced.mkString(", ")} already carry this " +
+              "epoch's commits and the scoped rebuild cannot compose " +
+              "with partial state — reconcile by rolling the touched " +
+              "tables back to their pre-epoch snapshots, then replay " +
+              "(rollbackCrashedRepair = true automates exactly that)")
+          // the cap/straddle math above already subtracted a landed df
+          // append back out, so the straddle set equals the clean
+          // attempt's — rolling back BEFORE the rebuild reads any
+          // substrate restores the exact pre-epoch state it needs
+          advanced.foreach(tbl => rollbackEpochCommits(s, tbl, t))
+        }
       }
       rebuildAffectedComponents(s, idx, cap, batchDocs, bPost, bDf, straddle)
       return
@@ -2563,6 +2691,31 @@ object TextOps {
       }
   }
 
+  /** Decode a single-image payload or fail LOUDLY. `ImageIO` signals
+    * an undecodable payload two ways — `null` for an unrecognized
+    * container, `IOException`/`IIOException` for a recognized-but-
+    * corrupt stream (truncation, mangled chunks) — and letting either
+    * escape raw turns a 100 TB decode job's first bad record into an
+    * executor NPE with no record identity. Both convert to ONE
+    * IllegalArgumentException naming the record and payload size: the
+    * pinned ingest-boundary contract (MultimodalSuite's corrupt-
+    * payload specs). Fail-fast is the KERNEL's contract; quarantining
+    * bad records is a pipeline policy layered above it (wrap this in
+    * the caller's try if skipping is wanted). */
+  private[queries] def decodeImageStrict(id: Long, bytes: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"undecodable image payload for doc $id " +
+            s"(${bytes.length} bytes): ${e.getMessage}", e)
+      }
+    if (img == null) throw new IllegalArgumentException(
+      s"unrecognized image container for doc $id (${bytes.length} bytes)")
+    img
+  }
+
   /** Multimodal image decode — a REAL codec kernel (JDK `ImageIO`
     * PNG): each binary payload decodes to its raster and reports
     * exact-integer witnesses — dimensions, channel count, and a
@@ -2579,8 +2732,7 @@ object TextOps {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImageStrict(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val channels = img.getRaster.getNumBands
           (id, w.toLong, h.toLong, channels.toLong,
@@ -2604,8 +2756,7 @@ object TextOps {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img = decodeImageStrict(id, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val ow = math.max(w / 2, 1)
           val oh = math.max(h / 2, 1)
@@ -2616,6 +2767,126 @@ object TextOps {
       }
       .toDF("doc_id", "out_w", "out_h", "resize_digest")
       .orderBy(col("doc_id"))
+  }
+
+  /** Pixel formula for the LOSSY ring: smooth per-channel gradients
+    * with no mod-256 wrap inside an image, unlike the lossless ring's
+    * [[mmPixel]] noise. Deliberate: mod-wrap edges are adversarial
+    * for JPEG's DCT (a faithful decode of the noise formula measures
+    * up to ~37 mean levels at these tiny sizes — indistinguishable
+    * from real defects), while smooth gradients compress near-
+    * losslessly AND keep the channels separated (b − r ≥ 59
+    * everywhere), so a faithful decode and a channel swap sit two
+    * orders apart. Photographic content is the smooth case; the
+    * noise-robust digest discipline stays with the lossless gates. */
+  private[queries] def mmJpegPixel(id: Long, x: Int, y: Int): Int = {
+    val r = (20 + (id % 8) * 2 + x * 4 + y * 3).toInt
+    val g = (90 + (id % 5) * 4 + x * 2 + y * 2).toInt
+    val b = (170 + (id % 11) * 3 + x * 2 + y).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** REAL lossy-codec payloads: doc_id-shaped smooth-gradient images
+    * ([[mmJpegPixel]]), encoded as JPEG by the JDK's own writer at
+    * explicit quality 0.95 — real corpora are JPEG-heavy, and a
+    * lossless-only ring never exercises the decode path 90% of ingest
+    * bytes take. */
+  private[queries] def mmJpegBytes(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // one writer handle per partition (the JNI-codec shape)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.95f)
+        it.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, mmJpegPixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          ios.close()
+          (id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Mean per-channel deviation budget for [[mmDecodeJpeg]], in
+    * 1/100ths of an intensity level (so 1200 = 12.0 levels).
+    * MultimodalSuite's calibration measures the faithful-decode band
+    * over the whole corpus and requires ≥ 1.6× headroom under this
+    * budget, while a channel swap (the [[mmJpegPixel]] gradients keep
+    * b − r ≥ 59 everywhere, so a swap measures ≈ 40+ mean levels),
+    * stride bug, or garbage raster must land beyond 2× the budget —
+    * the gate separates faithful from structurally wrong with margin
+    * on BOTH sides. */
+  private[queries] val MmJpegMeanTolX100 = 1200L
+
+  /** Multimodal LOSSY decode — a real JPEG kernel. The PNG/TIFF
+    * gates' formula-digest oracle cannot survive a lossy round-trip
+    * (decoded bits are codec-implementation-defined), so the
+    * witnesses are the ones that DO: exact dimensions + channel count
+    * (structure is lossless even in JPEG), and a decoded-CONTENT
+    * error bound — the mean per-channel absolute deviation of the
+    * decoded raster from the generation formula, as an exact integer
+    * ratio against [[MmJpegMeanTolX100]]. The bound passes for any
+    * faithful decode and fails structurally wrong ones (channel
+    * swaps, stride errors, wrong image); the pixel-exact digest
+    * discipline stays with the lossless gates by design — recorded in
+    * COVERAGE round 12. */
+  def mmDecodeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mmJpegBytes(s, d)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val (w, h, bands, meanX100) = jpegDecodeMeanErrX100(id, bytes)
+          (id, w.toLong, h.toLong, bands.toLong,
+            if (meanX100 <= MmJpegMeanTolX100) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "err_bounded")
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[mmDecodeJpeg]]'s per-record kernel: strict decode, then the
+    * exact-integer mean per-channel deviation (×100) of the decoded
+    * raster against the generation formula. Shared with
+    * MultimodalSuite's calibration (which records the measured
+    * faithful-decode band and its headroom under the budget). */
+  private[queries] def jpegDecodeMeanErrX100(id: Long, bytes: Array[Byte])
+      : (Int, Int, Int, Long) = {
+    val img = decodeImageStrict(id, bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var err = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val got = img.getRGB(x, y)
+        val want = mmJpegPixel(id, x, y)
+        err += math.abs(((got >> 16) & 0xFF) - ((want >> 16) & 0xFF)) +
+          math.abs(((got >> 8) & 0xFF) - ((want >> 8) & 0xFF)) +
+          math.abs((got & 0xFF) - (want & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, img.getRaster.getNumBands, err * 100L / (3L * w * h))
   }
 
   /** REAL multi-frame payloads: a 5×4 RGB "video" of 2–6 frames per
@@ -2661,6 +2932,32 @@ object TextOps {
       }
   }
 
+  /** The per-record body of [[mmFrameSample]]'s decode partition,
+    * under the SAME failure contract as [[decodeImageStrict]]: a
+    * corrupt or truncated multi-frame payload (page scan OR frame
+    * read) fails naming the record and payload size, never as a bare
+    * reader exception — pinned by MultimodalSuite. */
+  private[queries] def sampleFramesStrict(
+      reader: javax.imageio.ImageReader, id: Long, bytes: Array[Byte])
+      : Seq[(Long, Long, Long, Long)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n by 2).map { f =>
+        val img = reader.read(f)
+        (id, f.toLong, n.toLong,
+          mmDigest((x, y) => img.getRGB(x, y),
+            img.getWidth, img.getHeight))
+      }
+    } catch {
+      case e: Exception if !e.isInstanceOf[IllegalArgumentException] =>
+        throw new IllegalArgumentException(
+          s"undecodable multi-frame payload for doc $id " +
+            s"(${bytes.length} bytes): ${e.getMessage}", e)
+    }
+
   /** Multimodal frame sampling — REAL multi-frame decode (JDK TIFF
     * reader): the frame COUNT comes from the decoder's own page scan
     * (`getNumImages`), every 2nd frame is sampled, and each sampled
@@ -2677,16 +2974,7 @@ object TextOps {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("tiff").next()
         it.flatMap { case (id, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          (0 until n by 2).map { f =>
-            val img = reader.read(f)
-            (id, f.toLong, n.toLong,
-              mmDigest((x, y) => img.getRGB(x, y),
-                img.getWidth, img.getHeight))
-          }
+          sampleFramesStrict(reader, id, bytes)
         }
       }
       .toDF("doc_id", "frame_idx", "n_frames", "frame_digest")
@@ -3207,6 +3495,7 @@ object TextOps {
     "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_decode_image" -> (mmDecodeImage _),
+    "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize_image" -> (mmResizeImage _),
   )
@@ -3751,6 +4040,15 @@ object TextOps {
         |       (doc_id*13 + x*3 + y*31) % 256) *
         |      (1 + x*31 + y*7))::BIGINT AS pix_digest
         |FROM cells GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // lossy-safe witnesses only: structure is exact under JPEG
+    // (dims/channels from the generation formula), content is pinned
+    // by the Spark-side error bound whose verdict must be 1 for every
+    // row — the oracle hashes the verdict, the lossless digest
+    // discipline stays with the PNG/TIFF gates
+    "mm_decode_jpeg" ->
+      """SELECT doc_id, 4 + doc_id % 13 AS width, 3 + doc_id % 11 AS height,
+        |  3::BIGINT AS channels, 1::BIGINT AS err_bounded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH dims AS (
         |  SELECT doc_id, 2 + doc_id % 5 AS n FROM documents),

@@ -73,9 +73,26 @@ object IngestStreams {
     * frame (`doc_id`, `text`): each micro-batch probes the stored
     * group index, mines its edges, advances the substrate tables, and
     * publishes labels atomically — the streaming twin of
-    * [[graft.queries.TextOps.tDedupGroupsIndexed]]'s refresh stage. */
+    * [[graft.queries.TextOps.tDedupGroupsIndexed]]'s refresh stage.
+    * `rollbackCrashedRepair` opts a replayed epoch that crashed
+    * INSIDE a straddle repair into automatic reconciliation (roll
+    * each epoch-touched table back to its pre-epoch ancestor, re-run
+    * the repair); off, such a replay keeps the diagnosable refusal.
+    *
+    * `maintainEvery = N` (0 = off) runs the group-index maintenance
+    * cadence (TextOps.maintainGroupIndex: df fold, posting binpack,
+    * size sort-rewrite, labels mask-fold) INSIDE the loop after every
+    * N-th completed epoch, so a long-lived stream bounds its own side
+    * tables' file counts instead of depending on an external
+    * scheduler. The cadence is row-preserving pure scheduling —
+    * labels and probe results are bit-identical across a pass
+    * (GroupIndexSuite) — and runs AFTER the epoch's refresh returns,
+    * outside its tag scope: maintenance commits are untagged, so they
+    * can never satisfy (or poison) a replay's epoch guard. */
   private[graft] def dedupIngest(docs: DataFrame, idx: TextOps.GroupIndex,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      rollbackCrashedRepair: Boolean = false,
+      maintainEvery: Int = 0): StreamingQuery = {
     // the scope digests the checkpoint's persistent query id, which
     // the engine writes at query START — so it resolves lazily at the
     // first non-empty batch (foreachBatch runs strictly after start),
@@ -84,9 +101,13 @@ object IngestStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           TextOps.refreshGroupIndexMined(batch.sparkSession, idx, batch,
-            epochTag = Some(s"dedup-ingest-$scope-$epoch"))
+            epochTag = Some(s"dedup-ingest-$scope-$epoch"),
+            rollbackCrashedRepair = rollbackCrashedRepair)
+          if (maintainEvery > 0 && (epoch + 1) % maintainEvery == 0)
+            TextOps.maintainGroupIndex(batch.sparkSession, idx)
+        }
         ()
       }
       .start()

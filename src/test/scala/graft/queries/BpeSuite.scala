@@ -147,4 +147,73 @@ class BpeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("rank").collect().map(_.toString).toSeq
     assert(run() === run())
   }
+
+  test("delta pair statistics equal the full recount through k=256 " +
+      "on the real corpus") {
+    assume(ready)
+    // the production-k scale path (pair-count deltas mined from the
+    // rewritten words only) must be BIT-IDENTICAL to the direct
+    // full-vocabulary recount over a long merge schedule — deep
+    // enough (256) that merged-of-merged symbols, pair retirements
+    // (counts reaching zero), and tie-breaks on derived symbols all
+    // occur. The testdata corpus draws from a FIXED word list, so its
+    // productive schedule exhausts at ~105 merges at EVERY sf (once
+    // each distinct word is one symbol there is nothing left to
+    // learn) — pin (a) full-schedule equality including that natural
+    // exhaustion on the real corpus, and (b) k=256 equality on a
+    // wide-vocabulary corpus (3 000 distinct md5-hex pseudo-words,
+    // freq 2 each) that sustains the full schedule.
+    val docs = graft.Tables.documents(spark, sfDir)
+    val delta = TextOps.trainBpeMerges(spark, docs, 256,
+        deltaPairStats = true)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    val full = TextOps.trainBpeMerges(spark, docs, 256,
+        deltaPairStats = false)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(delta === full)
+    assert(delta.size > 64 && delta.size < 256,
+      s"real corpus must exhaust naturally mid-schedule, got " +
+        s"${delta.size}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wide = (0 until 3000).map { i =>
+      md.reset()
+      md.digest(s"w$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4 + i % 9)
+    }
+    val wideDocs = docsOf((wide ++ wide).grouped(400).map(_.mkString(" "))
+      .toSeq)
+    val dWide = TextOps.trainBpeMerges(spark, wideDocs, 256,
+        deltaPairStats = true)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    val fWide = TextOps.trainBpeMerges(spark, wideDocs, 256,
+        deltaPairStats = false)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(dWide === fWide)
+    assert(dWide.size == 256,
+      s"wide-vocab corpus must sustain all 256 merges, got " +
+        s"${dWide.size}")
+    // and identical NATURAL EXHAUSTION: on a fixture whose pairs run
+    // dry, both paths must stop at the same rank with the same table
+    // (the delta path's stop reads the maintained pairs state, not a
+    // recount — same verdict required)
+    val tiny = docsOf(Seq("ab ab cd"))
+    val dTiny = TextOps.trainBpeMerges(spark, tiny, 256,
+        deltaPairStats = true)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    val fTiny = TextOps.trainBpeMerges(spark, tiny, 256,
+        deltaPairStats = false)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(dTiny === fTiny)
+    assert(dTiny.nonEmpty && dTiny.size < 10,
+      s"fixture must exhaust early: $dTiny")
+  }
+
+  test("delta path is deterministic across partitionings") {
+    assume(ready)
+    val docs = graft.Tables.documents(spark, sfDir)
+    def run(parts: Int) = TextOps.trainBpeMerges(
+        spark, docs.repartition(parts), 24, deltaPairStats = true)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(run(7) === run(3))
+  }
 }

@@ -168,6 +168,126 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     dropIdx(ref); dropIdx(idx)
   }
 
+  private def textDocs(docs: (Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("maintainEvery bounds a long-lived stream's side-table file " +
+      "counts without changing labels") {
+    assume(ready)
+    val base = docs.filter(col("doc_id") % 10 < 6)
+    def slice(i: Int) = docs.filter(col("doc_id") % 10 === 6 + i)
+    def fileCount(t: String): Long =
+      spark.table(s"lakeq.db.$t.files").count()
+    // twin WITHOUT the trigger — the file-count baseline + label truth
+    val ref = TextOps.buildGroupIndex(spark, base)
+    (0 until 4).foreach(i =>
+      TextOps.refreshGroupIndexMined(spark, ref, slice(i)))
+    // streamed twin WITH the in-loop cadence every 2nd epoch
+    val idx = TextOps.buildGroupIndex(spark, base)
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.IngestStreams.dedupIngest(
+      mem.toDF().toDF("doc_id", "text"), idx, tmpDir("maint-ckpt"),
+      maintainEvery = 2)
+    try (0 until 4).foreach { i =>
+      mem.addData(slice(i).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the cadence is row-preserving: labels equal the untriggered twin
+    assert(labelsOf(idx.labels) === labelsOf(ref.labels))
+    // and it BOUNDS the accumulation: each un-maintained nightly adds
+    // a delta file set per table, so after 4 epochs the triggered
+    // twin must hold strictly fewer df-table files than the
+    // append-only twin
+    assert(fileCount(idx.df) < fileCount(ref.df),
+      s"trigger should fold df deltas: ${fileCount(idx.df)} vs " +
+        s"${fileCount(ref.df)}")
+    dropIdx(ref); dropIdx(idx)
+  }
+
+  test("crashed straddle-repair epoch: flag-off refuses, flag-on " +
+      "rolls back and converges") {
+    // cap=2 split fixture (GroupIndexSuite's): docs 0/2 pair only
+    // through shingle "p q r"; the batch doc pushes df("p q r")
+    // past the cap, so the replay is a REPAIR epoch
+    val corpus = textDocs(
+      0L -> "p q r s t u",
+      2L -> "p q r s t v",
+      4L -> "one two three four five six seven")
+    val batch = textDocs(1L -> "p q r aa bb")
+    // clean single application — the state every replay must reach
+    val ref = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    TextOps.refreshGroupIndexMined(spark, ref, batch, cap = 2)
+    // crashed repair epoch: tagged post + df appends landed, then the
+    // run died before the size MERGE and the label publish
+    val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    val bPost = TextOps.shinglePostings(batch)
+    val bDf = bPost.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    graft.CommitTag.run(Some("epoch-9")) {
+      bPost.writeTo(s"lakeq.db.${idx.post}").append()
+      bDf.writeTo(s"lakeq.db.${idx.df}").append()
+    }
+    // flag off: the diagnosable refusal stays pinned
+    val e = intercept[IllegalStateException] {
+      TextOps.refreshGroupIndexMined(spark, idx, batch, cap = 2,
+        epochTag = Some("epoch-9"))
+    }
+    assert(e.getMessage.contains("crashed inside a straddle repair"),
+      s"wrong failure: ${e.getMessage}")
+    // flag on: the replay rolls the touched tables back to their
+    // pre-epoch ancestors and re-runs the repair — labels AND
+    // substrate converge to the clean run, no manual step
+    TextOps.refreshGroupIndexMined(spark, idx, batch, cap = 2,
+      epochTag = Some("epoch-9"), rollbackCrashedRepair = true)
+    assert(labelsOf(idx.labels) === labelsOf(ref.labels))
+    def dfSums(t: String) = spark.table(s"lakeq.db.$t").toDF("sh", "df")
+      .groupBy("sh").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfSums(idx.df) === dfSums(ref.df))
+    assert(spark.table(s"lakeq.db.${idx.post}").count() ===
+      spark.table(s"lakeq.db.${ref.post}").count())
+    val sizes = (t: String) => spark.table(s"lakeq.db.$t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(idx.size) === sizes(ref.size))
+    // and a replay of the NOW-COMPLETED epoch is a no-op
+    val before = Seq(idx.post, idx.df, idx.size, idx.labels)
+      .map(t => t -> snapCount(t)).toMap
+    TextOps.refreshGroupIndexMined(spark, idx, batch, cap = 2,
+      epochTag = Some("epoch-9"), rollbackCrashedRepair = true)
+    Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
+      assert(snapCount(t) === before(t), s"replay committed to $t"))
+    dropIdx(ref); dropIdx(idx)
+  }
+
+  test("auto-rollback refuses when a foreign commit interleaved") {
+    // an untagged commit ABOVE the epoch's first snapshot would be
+    // destroyed by a rollback — that reconciliation must stay manual
+    val corpus = textDocs(
+      0L -> "p q r s t u",
+      2L -> "p q r s t v")
+    val batch = textDocs(1L -> "p q r aa bb")
+    val idx = TextOps.buildGroupIndex(spark, corpus, cap = 2)
+    val bPost = TextOps.shinglePostings(batch)
+    graft.CommitTag.run(Some("epoch-11")) {
+      bPost.writeTo(s"lakeq.db.${idx.post}").append()
+    }
+    // foreign writer lands on the same table after the crash
+    TextOps.shinglePostings(textDocs(6L -> "totally foreign doc text"))
+      .writeTo(s"lakeq.db.${idx.post}").append()
+    val e = intercept[IllegalStateException] {
+      TextOps.refreshGroupIndexMined(spark, idx, batch, cap = 2,
+        epochTag = Some("epoch-11"), rollbackCrashedRepair = true)
+    }
+    assert(e.getMessage.contains("untagged commit"),
+      s"wrong failure: ${e.getMessage}")
+    dropIdx(idx)
+  }
+
   private def ivfRows(t: String): Set[(Long, Long)] =
     spark.table(s"lakeq.db.$t").select(col("vec_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
