@@ -83,15 +83,18 @@ object BpeScale {
         Thread.sleep(1000)
         val b0 = shuffled.get()
         val t0 = System.nanoTime()
-        val n = graft.queries.TextOps
-          .trainBpeMerges(spark, docs, k, deltaPairStats = mode == "delta")
-          .count()
+        val n = (mode match {
+          case "driver" =>
+            graft.queries.TextOps.trainBpeMergesDriver(spark, docs, k)
+          case m => graft.queries.TextOps
+            .trainBpeMerges(spark, docs, k, deltaPairStats = m == "delta")
+        }).count()
         val secs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1000)
         (secs, n, shuffled.get() - b0)
       }
       def r3(v: Double) = math.round(v * 1000) / 1000.0
-      val parts = Seq("delta", "full").map { mode =>
+      val parts = Seq("driver", "delta", "full").map { mode =>
         val (tLo, nLo, bLo) = time(mode, kLo)
         val (tHi, nHi, bHi) = time(mode, kHi)
         require(nLo == kLo && nHi == kHi,

@@ -403,6 +403,119 @@ object TextOps {
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Driver-resident BPE merge loop — the measured production-k
+    * path. ONE distributed pass builds the word-frequency vocabulary
+    * (the only stage that grows with corpus bytes — 100 TB of text
+    * reduces here); the merge loop then runs in driver memory over
+    * the collected Zipf-bounded vocab, because BpeScale's decade
+    * measurements showed EVERY distributed variant pays a
+    * vocabulary-scale term per iteration (the recount is map-side-
+    * combined but still scans the vocab; the delta variant
+    * re-shuffles its pairs state; both re-materialize the advanced
+    * vocab) plus fixed job overhead — ×32 000 iterations, that
+    * dominates. Here an iteration is O(affected words · word length)
+    * with NO job at all: a TreeSet keyed (−count, l, r) gives the
+    * deterministic argmax in O(log P), a pair→words posting index
+    * (lazily cleaned) locates exactly the words holding the winning
+    * adjacency, and each rewrite applies its own pair-count deltas.
+    * Bit-identical to [[trainBpeMerges]] (same greedy fold, same
+    * tie-break, exact longs — BpeSuite pins equality at k=256 wide
+    * vocab and on the corpus). Memory bound is the vocabulary, not
+    * the corpus: ~10M distinct freq≥2 words ≈ low GBs on the driver;
+    * beyond that the distributed loop remains in-tree. */
+  private[graft] def trainBpeMergesDriver(s: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val collected = bpeInitVocab(docs)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val freqs = collected.map(_._1)
+    val words = collected.map(_._2)
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    val postings =
+      scala.collection.mutable.HashMap[(String, String),
+        scala.collection.mutable.HashSet[Int]]()
+    def addPost(p: (String, String), wi: Int): Unit =
+      postings.getOrElseUpdate(p,
+        scala.collection.mutable.HashSet[Int]()) += wi
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+        addPost(p, wi)
+        i += 1
+      }
+      wi += 1
+    }
+    // deterministic argmax: count desc, then (l, r) lexicographic
+    val order = scala.collection.mutable.TreeSet[(Long, String, String)]()(
+      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
+        Ordering[String]))
+    counts.foreach { case ((l, r), c) => order += ((c, l, r)) }
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order -= ((old, p._1, p._2))
+      val nw = old + delta
+      if (nw == 0L) counts.remove(p)
+      else { counts(p) = nw; order += ((nw, p._1, p._2)) }
+    }
+    // the reference greedy fold: left-to-right, a merged token never
+    // chains into the next pair unless it itself equals l
+    def rewrite(syms: Array[String], l: String, r: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      if (order.isEmpty || order.head._1 < 2) done = true
+      else {
+        val (cnt, l, r) = order.head
+        rank += 1
+        merges += ((rank, l, r, cnt))
+        val pair = (l, r)
+        // postings may hold words whose adjacency was rewritten away
+        // since insertion — verify against the CURRENT symbols
+        val cand = postings.remove(pair).getOrElse(
+          scala.collection.mutable.HashSet[Int]())
+        cand.foreach { w =>
+          val syms = words(w)
+          var has = false
+          var i = 0
+          while (!has && i + 1 < syms.length) {
+            has = syms(i) == l && syms(i + 1) == r; i += 1
+          }
+          if (has) {
+            val f = freqs(w)
+            var j = 0
+            while (j + 1 < syms.length) {
+              bump((syms(j), syms(j + 1)), -f); j += 1
+            }
+            val ns = rewrite(syms, l, r)
+            words(w) = ns
+            j = 0
+            while (j + 1 < ns.length) {
+              val p = (ns(j), ns(j + 1))
+              bump(p, f)
+              addPost(p, w)
+              j += 1
+            }
+          }
+        }
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Gate: learn 16 BPE merges from the corpus. No DuckDB oracle —
     * the greedy adjacent-merge rewrite is not SQL-expressible (string
     * replace can't reproduce greedy fold semantics on symbol runs),
@@ -1321,20 +1434,26 @@ object TextOps {
     } finally {
       Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
         s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
-      rmTree(ckpt)
+      rmTree(s, ckpt)
     }
   }
 
   /** Recursive delete of a gate's scratch directory (stream
-    * checkpoints) — local paths only. */
-  private[queries] def rmTree(dir: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rec)
-      f.delete(); ()
+    * checkpoints) via Hadoop FileSystem — error-signaling and
+    * URI-scheme-aware (checkpoint locations may be URIs), unlike a
+    * silent java.io.File walk. A failed delete logs the leak rather
+    * than failing the gate. */
+  private[queries] def rmTree(s: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p) && !fs.delete(p, true))
+        logger.warn(s"scratch directory not fully deleted: $dir")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logger.warn(s"scratch directory delete failed for $dir: " +
+          e.getMessage)
     }
-    rec(new java.io.File(dir))
-  }
 
   /** Distinct-3-word-shingle postings `(doc_id, sh)` of a documents
     * frame — the mining substrate shared by the group-index build,
@@ -1575,7 +1694,12 @@ object TextOps {
         s"${foreign.map(_.getLong(0)).sorted.mkString(", ")} interleaved " +
         "above the epoch's first snapshot — rolling back would destroy " +
         "another writer's data; reconcile manually")
-    val parent = rows.find(_.getLong(0) == oldest).get.getLong(1)
+    val oldestRow = rows.find(_.getLong(0) == oldest).get
+    if (oldestRow.isNullAt(1)) throw new IllegalStateException(
+      s"cannot auto-rollback epoch '$tag' on $table: its first tagged " +
+        "snapshot is the table's FIRST snapshot (no pre-epoch ancestor " +
+        "to roll back to) — drop and rebuild the table instead")
+    val parent = oldestRow.getLong(1)
     s.sql(s"CALL lakeq.system.rollback_to_snapshot(table => 'db.$table', " +
       s"snapshot_id => $parent)")
   }
@@ -2707,9 +2831,13 @@ object TextOps {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch {
-        case e: java.io.IOException => throw new IllegalArgumentException(
-          s"undecodable image payload for doc $id " +
-            s"(${bytes.length} bytes): ${e.getMessage}", e)
+        // NonFatal, not just IOException: JDK plugins also signal
+        // corrupt payloads with RuntimeExceptions (CMMException for a
+        // broken ICC profile, IndexOutOfBounds for mangled markers)
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"undecodable image payload for doc $id " +
+              s"(${bytes.length} bytes): ${e.getMessage}", e)
       }
     if (img == null) throw new IllegalArgumentException(
       s"unrecognized image container for doc $id (${bytes.length} bytes)")
@@ -2952,7 +3080,11 @@ object TextOps {
             img.getWidth, img.getHeight))
       }
     } catch {
-      case e: Exception if !e.isInstanceOf[IllegalArgumentException] =>
+      // every NonFatal converts — the JDK TIFF reader signals
+      // malformed tags with IllegalArgumentException too, and nothing
+      // inside the try produces this helper's own wrapper to
+      // double-wrap
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(
           s"undecodable multi-frame payload for doc $id " +
             s"(${bytes.length} bytes): ${e.getMessage}", e)

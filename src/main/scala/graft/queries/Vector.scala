@@ -663,7 +663,7 @@ object VectorOps {
       result.orderBy(col("cos_sim").desc, col("vec_id"))
     } finally {
       s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
-      TextOps.rmTree(ckpt)
+      TextOps.rmTree(s, ckpt)
     }
   }
 
@@ -708,7 +708,11 @@ object VectorOps {
     * is one collected Row (K centroid structs, K×dim floats — bytes,
     * not a frame), so the cache is driver-memory-trivial; it is
     * cleared wholesale past 64 live tables as a leak bound for
-    * long-lived sessions cycling many transient indexes. */
+    * long-lived sessions cycling many transient indexes. The key
+    * carries the build snapshot's COMMIT TIMESTAMP alongside name and
+    * id: snapshot ids are per-table counters, so a dropped-and-
+    * recreated index under the same name would otherwise collide on
+    * (name, 1) and serve the previous incarnation's centroids. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       (org.apache.spark.sql.Row, org.apache.spark.sql.types.StructType)]
@@ -725,10 +729,18 @@ object VectorOps {
     // per-epoch storage cost is one metadata-scale min-snapshot
     // lookup; the build-snapshot SCAN happens once per table via
     // [[centroidCache]] (immutability is what makes the cache sound).
-    val buildSnap = s.table(s"lakeq.db.$table.snapshots")
-      .agg(min(col("snapshot_id"))).head().getLong(0)
+    // cache identity: snapshot ids are PER-TABLE counters, so a
+    // dropped-and-recreated index under the same name would collide
+    // on (table, 1) and serve the old incarnation's centroids — the
+    // build snapshot's commit timestamp disambiguates incarnations
+    // (read in the same single metadata collect)
+    val buildRow = s.table(s"lakeq.db.$table.snapshots")
+      .orderBy(col("snapshot_id")).select(col("snapshot_id"),
+        unix_millis(col("committed_at"))).head()
+    val buildSnap = buildRow.getLong(0)
+    val buildKey = s"$table@$buildSnap@${buildRow.getLong(1)}"
     if (centroidCache.size > 64) centroidCache.clear()
-    val (row, schema) = centroidCache.computeIfAbsent((table, buildSnap),
+    val (row, schema) = centroidCache.computeIfAbsent((buildKey, buildSnap),
       { _ =>
         val stored = s.sql(
           s"SELECT * FROM lakeq.db.$table VERSION AS OF $buildSnap")

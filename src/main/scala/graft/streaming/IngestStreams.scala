@@ -98,6 +98,13 @@ object IngestStreams {
     // first non-empty batch (foreachBatch runs strictly after start),
     // then stays cached for the query's lifetime
     lazy val scope = scopeOf(docs.sparkSession, checkpoint)
+    // the trigger counts COMPLETED refreshes, not batch ids: empty
+    // micro-batches advance the epoch counter too, so a source whose
+    // data systematically lands on non-aligned epochs would otherwise
+    // never hit an id-parity trigger. foreachBatch runs serially on
+    // the stream thread, so a plain var is safe; a restart resets it
+    // (maintenance is pure scheduling — worst case one cadence shifts)
+    var refreshesSinceMaintain = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -105,8 +112,11 @@ object IngestStreams {
           TextOps.refreshGroupIndexMined(batch.sparkSession, idx, batch,
             epochTag = Some(s"dedup-ingest-$scope-$epoch"),
             rollbackCrashedRepair = rollbackCrashedRepair)
-          if (maintainEvery > 0 && (epoch + 1) % maintainEvery == 0)
+          refreshesSinceMaintain += 1
+          if (maintainEvery > 0 && refreshesSinceMaintain >= maintainEvery) {
             TextOps.maintainGroupIndex(batch.sparkSession, idx)
+            refreshesSinceMaintain = 0
+          }
         }
         ()
       }

@@ -138,6 +138,14 @@ class BpeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq
     assert(got === expect)
     assert(got.size === 12, "corpus should support 12 productive merges")
+    // the driver-resident loop answers to the same independent
+    // reference (shares the corpus pass with the Spark path but no
+    // loop machinery with either refBpe or trainBpeMerges)
+    val drv = TextOps.trainBpeMergesDriver(spark, docs, 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(drv === expect)
   }
 
   test("deterministic across runs and partitionings") {
@@ -174,11 +182,16 @@ class BpeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta.size > 64 && delta.size < 256,
       s"real corpus must exhaust naturally mid-schedule, got " +
         s"${delta.size}")
+    // letter-only pseudo-words (a..p from md5 nibbles) — hex digits
+    // would be split away by the trainer's [a-z]+ extraction and the
+    // fixture would quietly stop being wide-vocabulary
     val md = java.security.MessageDigest.getInstance("MD5")
     val wide = (0 until 3000).map { i =>
       md.reset()
       md.digest(s"w$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(4 + i % 9)
+        .flatMap(b => Seq((b >> 4) & 0xF, b & 0xF))
+        .map(nib => ('a' + nib).toChar)
+        .mkString.take(4 + i % 9)
     }
     val wideDocs = docsOf((wide ++ wide).grouped(400).map(_.mkString(" "))
       .toSeq)
@@ -192,6 +205,12 @@ class BpeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(dWide.size == 256,
       s"wide-vocab corpus must sustain all 256 merges, got " +
         s"${dWide.size}")
+    // and the driver-resident production-k loop agrees on the same
+    // deep schedule (third independent implementation shape: posting
+    // index + TreeSet argmax vs dataframe recount vs delta state)
+    val drvWide = TextOps.trainBpeMergesDriver(spark, wideDocs, 256)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(drvWide === fWide)
     // and identical NATURAL EXHAUSTION: on a fixture whose pairs run
     // dry, both paths must stop at the same rank with the same table
     // (the delta path's stop reads the maintained pairs state, not a

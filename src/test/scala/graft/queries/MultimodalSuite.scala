@@ -93,7 +93,8 @@ class MultimodalSuite extends AnyFunSuite with BeforeAndAfterAll {
     // calibration: the WORST per-doc mean deviation of a faithful
     // decode across the whole corpus must clear the budget with real
     // headroom (a budget a correct decode grazes is no budget)
-    val errs = TextOps.mmJpegBytes(spark, sfDir).collect()
+    val payloads = TextOps.mmJpegBytes(spark, sfDir).collect()
+    val errs = payloads
       .map { case (id, bytes) => TextOps.jpegDecodeMeanErrX100(id, bytes) }
     val worst = errs.map(_._4).max
     info(s"faithful-decode mean deviation band: " +
@@ -111,8 +112,7 @@ class MultimodalSuite extends AnyFunSuite with BeforeAndAfterAll {
     // the kernel had the classic BGR/RGB bug (the gradient formula
     // keeps b − r >= 59 everywhere, so the swap cannot hide) — and
     // assert it lands beyond TWICE the budget
-    val (id, bytes) = TextOps.mmJpegBytes(spark, sfDir).collect()
-      .find(_._1 == 5L).get
+    val (id, bytes) = payloads.find(_._1 == 5L).get
     val img = TextOps.decodeImageStrict(id, bytes)
     var err = 0L
     val (w, h) = (img.getWidth, img.getHeight)
