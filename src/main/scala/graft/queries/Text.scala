@@ -3017,6 +3017,118 @@ object TextOps {
     (w, h, img.getRaster.getNumBands, err * 100L / (3L * w * h))
   }
 
+  /** Deterministic synthetic audio sample: a 16-bit signed PCM value
+    * as an exact-integer function of (doc_id, channel, sample index)
+    * — like [[mmPixel]], chosen so the cross-engine oracle derives
+    * the decoded waveform WITHOUT a codec (WAV PCM is lossless). */
+  private def mmSample(id: Long, ch: Int, i: Int): Int =
+    (((id * 31 + ch * 17 + i.toLong * 7919) % 65536) - 32768).toInt
+
+  /** REAL audio bytes per document: a doc_id-shaped 2-channel 16-bit
+    * PCM clip (8 000 Hz, 120–260 samples, [[mmSample]] waveform)
+    * encoded as a RIFF/WAV container by the JDK's own
+    * `javax.sound.sampled` — the audio leg of the multimodal ring,
+    * real compressed-container files with zero external codecs. */
+  private[queries] def mmAudioBytes(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (120 + (id % 8) * 20).toInt
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2,
+            true, false) // 16-bit signed little-endian stereo
+          val pcm = new Array[Byte](n * 4)
+          var i = 0
+          while (i < n) {
+            var ch = 0
+            while (ch < 2) {
+              val v = mmSample(id, ch, i)
+              pcm(i * 4 + ch * 2) = (v & 0xFF).toByte
+              pcm(i * 4 + ch * 2 + 1) = ((v >> 8) & 0xFF).toByte
+              ch += 1
+            }
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Multimodal audio decode — a REAL codec kernel (JDK
+    * `javax.sound.sampled` WAV/PCM): each binary payload decodes
+    * through AudioSystem (container parse + frame extraction) and
+    * reports exact-integer witnesses — sample-rate, channel count,
+    * frame count from the DECODER's own header, and a
+    * position-weighted digest of the decoded 16-bit samples
+    * (weights make it transposition-sensitive, the [[mmDigest]]
+    * discipline). WAV PCM is lossless, so the oracle derives the
+    * same witnesses from the sample formula; any endianness swap,
+    * channel interleave bug, or header misparse breaks the hash.
+    * Same mapPartitions shape as the image kernels; corrupt payloads
+    * fail through the same record-naming contract
+    * ([[decodeAudioStrict]]). */
+  def mmDecodeAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mmAudioBytes(s, d)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (fmt, frames, pcm) = decodeAudioStrict(id, bytes)
+          val nCh = fmt.getChannels
+          var dig = 0L
+          var i = 0
+          while (i < frames) {
+            var ch = 0
+            while (ch < nCh) {
+              val lo = pcm(i * 2 * nCh + ch * 2) & 0xFF
+              val hi = pcm(i * 2 * nCh + ch * 2 + 1).toInt
+              val v = (hi << 8) | lo // signed 16-bit little-endian
+              dig += (v.toLong + 32768L) * (1 + i * 31 + ch * 7)
+              ch += 1
+            }
+            i += 1
+          }
+          (id, fmt.getSampleRate.toLong, nCh.toLong, frames.toLong, dig)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples",
+        "sample_digest")
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[decodeImageStrict]]'s audio twin: AudioSystem signals an
+    * unrecognized or corrupt container with
+    * UnsupportedAudioFileException / IOException / runtime
+    * exceptions — all convert to one record-naming
+    * IllegalArgumentException (MultimodalSuite pins truncated and
+    * garbage payloads). Returns (format, frame count, raw PCM). */
+  private[queries] def decodeAudioStrict(id: Long, bytes: Array[Byte])
+      : (javax.sound.sampled.AudioFormat, Int, Array[Byte]) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unexpected PCM layout: $fmt")
+      val frames = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      require(pcm.length == frames * fmt.getFrameSize,
+        s"truncated PCM body: ${pcm.length} of " +
+          s"${frames * fmt.getFrameSize} bytes")
+      (fmt, frames, pcm)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"undecodable audio payload for doc $id " +
+            s"(${bytes.length} bytes): ${e.getMessage}", e)
+    }
+
   /** REAL multi-frame payloads: a 5×4 RGB "video" of 2–6 frames per
     * document, encoded as a multi-page TIFF (the one multi-frame
     * format the JDK reads AND writes losslessly with zero external
@@ -3626,6 +3738,7 @@ object TextOps {
     "t_train_split" -> (tTrainSplit _),
     "t_tfidf" -> (tTfidf _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_decode_audio" -> (mmDecodeAudio _),
     "mm_decode_image" -> (mmDecodeImage _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -4158,6 +4271,22 @@ object TextOps {
     // position-weighted digest the executor computes from the raster
     // the real ImageIO kernels decode — a codec bug or channel swap
     // breaks the hash
+    // WAV PCM is lossless: the oracle rebuilds the decoded waveform's
+    // position-weighted digest from the sample formula, exactly the
+    // mm_decode_image discipline ((v + 32768) == the pre-offset
+    // modulus, so no negative-% divergence between engines)
+    "mm_decode_audio" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 120 + (doc_id % 8) * 20 AS n FROM documents),
+        |cells AS (
+        |  SELECT doc_id, n, ss.i, cc.ch
+        |  FROM dims, range(0, 260) ss(i), range(0, 2) cc(ch)
+        |  WHERE ss.i < n)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, 2::BIGINT AS channels,
+        |  n AS n_samples,
+        |  SUM(((doc_id*31 + ch*17 + i*7919) % 65536) *
+        |      (1 + i*31 + ch*7))::BIGINT AS sample_digest
+        |FROM cells GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "mm_decode_image" ->
       """WITH dims AS (
         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h

@@ -87,6 +87,34 @@ class MultimodalSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => (r._2, r._3)) == Seq((0L, 1L)))
   }
 
+  test("corrupt audio payloads fail naming the record") {
+    assume(ready)
+    // a valid WAV from the library's own generator, then truncations
+    val (id, wav) = TextOps.mmAudioBytes(spark, sfDir).collect()
+      .find(_._1 == 3L).get
+    // header-only truncation: container recognized, body missing
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.decodeAudioStrict(id, wav.take(50))
+    }
+    assert(e1.getMessage.contains("doc 3"), e1.getMessage)
+    // garbage: no container recognized
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.decodeAudioStrict(17L, Array.fill[Byte](64)(0x7F))
+    }
+    assert(e2.getMessage.contains("doc 17"), e2.getMessage)
+    // empty
+    val e3 = intercept[IllegalArgumentException] {
+      TextOps.decodeAudioStrict(19L, Array.emptyByteArray)
+    }
+    assert(e3.getMessage.contains("doc 19"), e3.getMessage)
+    // a valid payload still decodes through the same path, with the
+    // decoder-reported shape matching the generator's
+    val (fmt, frames, pcm) = TextOps.decodeAudioStrict(id, wav)
+    assert(fmt.getChannels == 2 && fmt.getSampleRate == 8000f)
+    assert(frames == 120 + (id % 8) * 20)
+    assert(pcm.length == frames * 4)
+  }
+
   test("JPEG error budget: faithful decodes pass with headroom; a " +
       "channel swap fails structurally") {
     assume(ready)
