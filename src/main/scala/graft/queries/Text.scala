@@ -421,8 +421,12 @@ object TextOps {
     * Bit-identical to [[trainBpeMerges]] (same greedy fold, same
     * tie-break, exact longs — BpeSuite pins equality at k=256 wide
     * vocab and on the corpus). Memory bound is the vocabulary, not
-    * the corpus: ~10M distinct freq≥2 words ≈ low GBs on the driver;
-    * beyond that the distributed loop remains in-tree. */
+    * the corpus — ALL distinct words including hapax legomena (no
+    * frequency cutoff: two freq-1 words can share a pair whose summed
+    * count reaches 2), which on web corpora roughly doubles the
+    * distinct-type count vs a freq≥2 view; size the driver for the
+    * full type count (tens of millions of types ≈ GBs), and beyond
+    * that the distributed loop remains in-tree. */
   private[graft] def trainBpeMergesDriver(s: SparkSession, docs: DataFrame,
       nMerges: Int): DataFrame = {
     val collected = bpeInitVocab(docs)

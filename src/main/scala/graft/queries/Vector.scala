@@ -714,7 +714,7 @@ object VectorOps {
     * recreated index under the same name would otherwise collide on
     * (name, 1) and serve the previous incarnation's centroids. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+    new java.util.concurrent.ConcurrentHashMap[String,
       (org.apache.spark.sql.Row, org.apache.spark.sql.types.StructType)]
 
   private[graft] def ingestVectorBatch(s: SparkSession, table: String,
@@ -740,7 +740,7 @@ object VectorOps {
     val buildSnap = buildRow.getLong(0)
     val buildKey = s"$table@$buildSnap@${buildRow.getLong(1)}"
     if (centroidCache.size > 64) centroidCache.clear()
-    val (row, schema) = centroidCache.computeIfAbsent((buildKey, buildSnap),
+    val (row, schema) = centroidCache.computeIfAbsent(buildKey,
       { _ =>
         val stored = s.sql(
           s"SELECT * FROM lakeq.db.$table VERSION AS OF $buildSnap")

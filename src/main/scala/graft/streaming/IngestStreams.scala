@@ -79,32 +79,34 @@ object IngestStreams {
     * each epoch-touched table back to its pre-epoch ancestor, re-run
     * the repair); off, such a replay keeps the diagnosable refusal.
     *
-    * `maintainEvery = N` (0 = off) runs the group-index maintenance
-    * cadence (TextOps.maintainGroupIndex: df fold, posting binpack,
-    * size sort-rewrite, labels mask-fold) INSIDE the loop after every
-    * N-th completed epoch, so a long-lived stream bounds its own side
-    * tables' file counts instead of depending on an external
-    * scheduler. The cadence is row-preserving pure scheduling —
-    * labels and probe results are bit-identical across a pass
-    * (GroupIndexSuite) — and runs AFTER the epoch's refresh returns,
-    * outside its tag scope: maintenance commits are untagged, so they
-    * can never satisfy (or poison) a replay's epoch guard. */
+    * `maintainFileThreshold = N` (0 = off) runs the group-index
+    * maintenance cadence (TextOps.maintainGroupIndex: df fold,
+    * posting binpack, size sort-rewrite, labels mask-fold) INSIDE the
+    * loop whenever the df delta table's live file count reaches N, so
+    * a long-lived stream bounds its own side tables' file counts
+    * instead of depending on an external scheduler. The trigger reads
+    * DURABLE state (a metadata-scale `.files` count on the canary
+    * table every non-empty epoch), so it is restart-stable by
+    * construction — an in-memory "every K refreshes" counter resets
+    * on every stream restart and a crash-looped or availableNow-style
+    * deployment restarting faster than its period would NEVER
+    * maintain, while epoch-id parity misfires when data lands only on
+    * non-aligned epochs; the file count is also exactly the quantity
+    * the feature exists to bound. The cadence is row-preserving pure
+    * scheduling — labels and probe results are bit-identical across a
+    * pass (GroupIndexSuite) — and runs AFTER the epoch's refresh
+    * returns, outside its tag scope: maintenance commits are
+    * untagged, so they can never satisfy (or poison) a replay's
+    * epoch guard. */
   private[graft] def dedupIngest(docs: DataFrame, idx: TextOps.GroupIndex,
       checkpoint: String,
       rollbackCrashedRepair: Boolean = false,
-      maintainEvery: Int = 0): StreamingQuery = {
+      maintainFileThreshold: Int = 0): StreamingQuery = {
     // the scope digests the checkpoint's persistent query id, which
     // the engine writes at query START — so it resolves lazily at the
     // first non-empty batch (foreachBatch runs strictly after start),
     // then stays cached for the query's lifetime
     lazy val scope = scopeOf(docs.sparkSession, checkpoint)
-    // the trigger counts COMPLETED refreshes, not batch ids: empty
-    // micro-batches advance the epoch counter too, so a source whose
-    // data systematically lands on non-aligned epochs would otherwise
-    // never hit an id-parity trigger. foreachBatch runs serially on
-    // the stream thread, so a plain var is safe; a restart resets it
-    // (maintenance is pure scheduling — worst case one cadence shifts)
-    var refreshesSinceMaintain = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
@@ -112,11 +114,10 @@ object IngestStreams {
           TextOps.refreshGroupIndexMined(batch.sparkSession, idx, batch,
             epochTag = Some(s"dedup-ingest-$scope-$epoch"),
             rollbackCrashedRepair = rollbackCrashedRepair)
-          refreshesSinceMaintain += 1
-          if (maintainEvery > 0 && refreshesSinceMaintain >= maintainEvery) {
+          if (maintainFileThreshold > 0 &&
+              batch.sparkSession.table(s"lakeq.db.${idx.df}.files").count()
+                >= maintainFileThreshold)
             TextOps.maintainGroupIndex(batch.sparkSession, idx)
-            refreshesSinceMaintain = 0
-          }
         }
         ()
       }

@@ -223,6 +223,12 @@ class BpeSuite extends AnyFunSuite with BeforeAndAfterAll {
         deltaPairStats = false)
       .orderBy("rank").collect().map(_.toString).toSeq
     assert(dTiny === fTiny)
+    // the driver loop's OWN stop mechanism (TreeSet head on maintained
+    // counts) must exhaust at the same rank with the same table —
+    // production k makes exhaustion the normal case there
+    val drvTiny = TextOps.trainBpeMergesDriver(spark, tiny, 256)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(drvTiny === fTiny)
     assert(dTiny.nonEmpty && dTiny.size < 10,
       s"fixture must exhaust early: $dTiny")
   }

@@ -174,39 +174,52 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     docs.toDF("doc_id", "text")
   }
 
-  test("maintainEvery bounds a long-lived stream's side-table file " +
-      "counts without changing labels") {
+  test("maintainFileThreshold bounds side-table file counts without " +
+      "changing labels, and survives a stream restart") {
     assume(ready)
-    val base = docs.filter(col("doc_id") % 10 < 6)
-    def slice(i: Int) = docs.filter(col("doc_id") % 10 === 6 + i)
+    val base = docs.filter(col("doc_id") % 10 < 5)
+    def slice(i: Int) = docs.filter(col("doc_id") % 10 === 5 + i)
+    def feed(mem: MemoryStream[(Long, String)], i: Int): Unit =
+      mem.addData(slice(i).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
     def fileCount(t: String): Long =
       spark.table(s"lakeq.db.$t.files").count()
     // twin WITHOUT the trigger — the file-count baseline + label truth
     val ref = TextOps.buildGroupIndex(spark, base)
-    (0 until 4).foreach(i =>
+    (0 until 5).foreach(i =>
       TextOps.refreshGroupIndexMined(spark, ref, slice(i)))
-    // streamed twin WITH the in-loop cadence every 2nd epoch
+    // streamed twin WITH the durable file-count trigger
     val idx = TextOps.buildGroupIndex(spark, base)
+    val threshold = (fileCount(idx.df) + 2).toInt
     val sp = spark
     import sp.implicits._
     val mem = MemoryStream[(Long, String)](spark)
-    val q = graft.streaming.IngestStreams.dedupIngest(
-      mem.toDF().toDF("doc_id", "text"), idx, tmpDir("maint-ckpt"),
-      maintainEvery = 2)
-    try (0 until 4).foreach { i =>
-      mem.addData(slice(i).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    val ckpt = tmpDir("maint-ckpt")
+    def start() = graft.streaming.IngestStreams.dedupIngest(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt,
+      maintainFileThreshold = threshold)
+    val q1 = start()
+    try (0 until 4).foreach { i => feed(mem, i); q1.processAllAvailable() }
+    finally q1.stop()
+    // RESTART on the same checkpoint (the trigger reads durable table
+    // state, so no in-memory cadence is lost — the failure mode an
+    // every-K-refreshes counter has under crash-looped deployments),
+    // then one more epoch that must still maintain when crossed
+    val q2 = start()
+    try { feed(mem, 4); q2.processAllAvailable() } finally q2.stop()
     // the cadence is row-preserving: labels equal the untriggered twin
     assert(labelsOf(idx.labels) === labelsOf(ref.labels))
-    // and it BOUNDS the accumulation: each un-maintained nightly adds
-    // a delta file set per table, so after 4 epochs the triggered
-    // twin must hold strictly fewer df-table files than the
-    // append-only twin
+    // and it BOUNDS the accumulation across the whole 5-epoch,
+    // one-restart run: un-maintained nightly appends accumulate a
+    // delta file set per epoch, so the triggered twin must hold
+    // strictly fewer df files than the append-only twin AND stay at
+    // most one epoch's appends past its threshold
     assert(fileCount(idx.df) < fileCount(ref.df),
       s"trigger should fold df deltas: ${fileCount(idx.df)} vs " +
         s"${fileCount(ref.df)}")
+    assert(fileCount(idx.df) <= threshold + 4,
+      s"file count must stay near the threshold: ${fileCount(idx.df)} " +
+        s"vs threshold $threshold")
     dropIdx(ref); dropIdx(idx)
   }
 
