@@ -39,18 +39,37 @@ object Par {
         // rethrows: callers clean up shared resources (drop sibling
         // tables) right after, and a straggler task outliving this
         // wait could commit after that cleanup. Interrupted Spark job
-        // chains can take a while to unwind, so extend the wait once;
-        // if the pool STILL holds a runaway thread, say so on the
-        // rethrown cause (as a suppressed marker) so the caller's
-        // cleanup can record what may leak instead of assuming the
-        // world is quiet.
-        if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
-          && !pool.awaitTermination(240,
-            java.util.concurrent.TimeUnit.SECONDS))
+        // chains can take a while to unwind, so wait up to 300s — but
+        // in short polls (awaitTermination returns the moment the
+        // pool drains), bailing out early when the active
+        // SparkContext is stopped: under a session-shutdown cascade
+        // every in-flight Par.all hits this path at once, and with
+        // the context dead no straggler can commit through Spark
+        // anyway, so paying the full drain wait per call would only
+        // stack minutes of teardown latency. If the pool still holds
+        // a runaway thread, say so on the rethrown cause (as a
+        // suppressed marker) so the caller's cleanup can record what
+        // may leak instead of assuming the world is quiet.
+        var waitedSec = 0
+        var drained = false
+        // (conservative when no session is visible from this thread:
+        // keep waiting — only a POSITIVELY stopped context cuts the
+        // drain short)
+        def contextAlive: Boolean =
+          org.apache.spark.sql.SparkSession.getDefaultSession
+            .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+            .forall(s => !s.sparkContext.isStopped)
+        while (!drained && waitedSec < 300 &&
+            (waitedSec == 0 || contextAlive)) {
+          drained =
+            pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+          waitedSec += 5
+        }
+        if (!drained)
           t.addSuppressed(new IllegalStateException(
-            "Par pool failed to drain within 300s of cancellation: a " +
-              "straggler task may still be running and can touch shared " +
-              "state after the caller's cleanup"))
+            s"Par pool failed to drain within ${waitedSec}s of " +
+              "cancellation: a straggler task may still be running and " +
+              "can touch shared state after the caller's cleanup"))
         throw t
     } finally pool.shutdown()
   }

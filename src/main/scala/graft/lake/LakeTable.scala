@@ -84,7 +84,12 @@ class LakeTable(
     (meta.properties ++ Map(
       "format" -> "lake/parquet",
       "location" -> meta.location,
-      "current-snapshot-id" -> meta.currentSnapshotId(ref).map(_.toString).getOrElse("none")
+      "current-snapshot-id" -> meta.currentSnapshotId(ref).map(_.toString).getOrElse("none"),
+      // reserved (Iceberg parity: SHOW TBLPROPERTIES exposes `uuid`):
+      // the per-incarnation identity — survives renames, changes on
+      // drop-and-recreate, so caches keyed on table CONTENT identity
+      // (e.g. the IVF centroid cache) key on this, not on the name
+      "uuid" -> meta.uuid
     )).asJava
 
   override def capabilities(): util.Set[TableCapability] = {

@@ -452,10 +452,20 @@ object TextOps {
       }
       wi += 1
     }
-    // deterministic argmax: count desc, then (l, r) lexicographic
+    // deterministic argmax: count desc, then (l, r) lexicographic —
+    // compared by UTF-8 BYTES, not JVM UTF-16 code units, so the
+    // tie-break matches Spark's binary string sort (the order
+    // trainBpeMerges's distributed argmax resolves ties under). The
+    // two diverge only for supplementary-plane symbols — today's
+    // [a-z]+ tokenization keeps symbols ASCII where they agree, but
+    // the ordering must not silently desync the three pinned-equal
+    // implementations if the tokenizer ever widens.
+    val utf8Ord: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val order = scala.collection.mutable.TreeSet[(Long, String, String)]()(
-      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
-        Ordering[String]))
+      Ordering.Tuple3(Ordering[Long].reverse, utf8Ord, utf8Ord))
     counts.foreach { case ((l, r), c) => order += ((c, l, r)) }
     def bump(p: (String, String), delta: Long): Unit = {
       val old = counts.getOrElse(p, 0L)
@@ -528,6 +538,21 @@ object TextOps {
     * implementation plus the hand-computed classic fixture. */
   def tBpeTrain(s: SparkSession, d: String): DataFrame =
     trainBpeMerges(s, Tables.documents(s, d), 16).orderBy(col("rank"))
+
+  /** Gate: the PRODUCTION-k BPE path — [[trainBpeMergesDriver]]'s
+    * driver-resident merge loop (one distributed corpus pass, then
+    * O(affected-words) in-memory iterations, 0 shuffle per merge — the
+    * measured ~10× marginal winner at 300 k vocab) at k=256, so the
+    * path users would actually run flows through a driver CORRECTNESS
+    * row like every other component. Rows-only like [[tBpeTrain]]
+    * (the greedy fold is not SQL-expressible); bit-equality with the
+    * distributed trainer AND the independent in-JVM reference at this
+    * k is pinned in BpeSuite. The fixed testdata vocabulary exhausts
+    * below k (merges stop when no pair repeats), which is itself part
+    * of the pinned behavior. */
+  def tBpeTrainDriver(s: SparkSession, d: String): DataFrame =
+    trainBpeMergesDriver(s, Tables.documents(s, d), 256)
+      .orderBy(col("rank"))
 
   /** Quality scoring: stopword ratio + lexical diversity. */
   def tQualityScore(s: SparkSession, d: String): DataFrame = {
@@ -2995,6 +3020,64 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Resize AFTER a lossy decode — the ring's last seam: [[mmResizeImage]]
+    * proves the nearest-neighbor kernel on lossless inputs and
+    * [[mmDecodeJpeg]] proves the lossy decode, but a real pipeline
+    * runs resize ON decoded-JPEG rasters, where the pixel-exact
+    * resize-digest oracle cannot survive. Witnesses are the lossy
+    * ring's ([[MmJpegMeanTolX100]] error-budget pattern): exact output
+    * dimensions (structure is lossless), plus the mean per-channel
+    * deviation of the RESIZED raster against the generation formula
+    * evaluated at the same sampled coordinates — nearest-neighbor
+    * passes decoded pixels through untouched, so a faithful
+    * decode+resize stays in the faithful-decode band while a channel
+    * swap, stride bug, or coordinate-mapping error lands beyond 2×
+    * the budget (MultimodalSuite calibrates both sides). */
+  def mmResizeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mmJpegBytes(s, d)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val (ow, oh, meanX100) = jpegResizeMeanErrX100(id, bytes)
+          (id, ow.toLong, oh.toLong,
+            if (meanX100 <= MmJpegMeanTolX100) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "err_bounded")
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[mmResizeJpeg]]'s per-record kernel: strict decode, the
+    * [[mmResizeImage]] nearest-neighbor halving (out(x,y) =
+    * in((x·w)/ow, (y·h)/oh), integer division), then the exact-integer
+    * mean per-channel deviation (×100) of the resized raster against
+    * the formula at the sampled source coordinates. Shared with
+    * MultimodalSuite's calibration. */
+  private[queries] def jpegResizeMeanErrX100(id: Long, bytes: Array[Byte])
+      : (Int, Int, Long) = {
+    val img = decodeImageStrict(id, bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val ow = math.max(w / 2, 1)
+    val oh = math.max(h / 2, 1)
+    var err = 0L
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = (x * w / ow, y * h / oh)
+        val got = img.getRGB(sx, sy)
+        val want = mmJpegPixel(id, sx, sy)
+        err += math.abs(((got >> 16) & 0xFF) - ((want >> 16) & 0xFF)) +
+          math.abs(((got >> 8) & 0xFF) - ((want >> 8) & 0xFF)) +
+          math.abs((got & 0xFF) - (want & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, err * 100L / (3L * ow * oh))
+  }
+
   /** [[mmDecodeJpeg]]'s per-record kernel: strict decode, then the
     * exact-integer mean per-channel deviation (×100) of the decoded
     * raster against the generation formula. Shared with
@@ -3695,6 +3778,7 @@ object TextOps {
     "t_token_stats" -> (tTokenStats _),
     "t_token_bpe" -> (tTokenBpe _),
     "t_bpe_train" -> (tBpeTrain _),
+    "t_bpe_train_driver" -> (tBpeTrainDriver _),
     "t_bpe_pairs" -> (tBpePairs _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
     "t_quality_score" -> (tQualityScore _),
@@ -3747,6 +3831,7 @@ object TextOps {
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize_image" -> (mmResizeImage _),
+    "mm_resize_jpeg" -> (mmResizeJpeg _),
   )
 
   /** Connected-components labels over the n-gram-Jaccard pair graph
@@ -4330,6 +4415,16 @@ object TextOps {
         |      (1 + x*31 + y*7))::BIGINT AS frame_digest
         |FROM cells GROUP BY doc_id, f, n
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // resize-after-lossy-decode: like mm_decode_jpeg, the oracle
+    // carries the structural witnesses (output dims are exact) and
+    // hashes the Spark-side error-budget verdict, which must be 1
+    // for every row
+    "mm_resize_jpeg" ->
+      """SELECT doc_id,
+        |  greatest((4 + doc_id % 13) // 2, 1) AS out_w,
+        |  greatest((3 + doc_id % 11) // 2, 1) AS out_h,
+        |  1::BIGINT AS err_bounded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_resize_image" ->
       """WITH dims AS (
         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,

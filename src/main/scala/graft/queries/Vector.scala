@@ -651,8 +651,14 @@ object VectorOps {
       val (half1, half2) = oddRows.splitAt(oddRows.length / 2)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Seq[Float])](s)
+      // the in-loop compaction trigger rides in the gate: the first
+      // epoch's appends push the index past build+4 files, so the
+      // second epoch compacts mid-stream — and the probe must still
+      // answer to the SAME oracle (the cadence is row-preserving)
+      val threshold = (s.table(s"lakeq.db.$t.files").count() + 4).toInt
       val q = graft.streaming.IngestStreams.ivfIngest(
-        mem.toDF().toDF("vec_id", "embedding"), t, ckpt)
+        mem.toDF().toDF("vec_id", "embedding"), t, ckpt,
+        maintainFileThreshold = threshold)
       try graft.StageTimes.timed("v_ann_ingest_stream.epochs") {
         mem.addData(half1); q.processAllAvailable()
         mem.addData(half2); q.processAllAvailable()
@@ -708,11 +714,14 @@ object VectorOps {
     * is one collected Row (K centroid structs, K×dim floats — bytes,
     * not a frame), so the cache is driver-memory-trivial; it is
     * cleared wholesale past 64 live tables as a leak bound for
-    * long-lived sessions cycling many transient indexes. The key
-    * carries the build snapshot's COMMIT TIMESTAMP alongside name and
-    * id: snapshot ids are per-table counters, so a dropped-and-
-    * recreated index under the same name would otherwise collide on
-    * (name, 1) and serve the previous incarnation's centroids. */
+    * long-lived sessions cycling many transient indexes. The key is
+    * the table's UUID (minted at create time, exposed as the reserved
+    * `uuid` property — the per-INCARNATION identity) plus the build
+    * snapshot id: snapshot ids are per-table counters and commit
+    * timestamps have millisecond grain, so a dropped-and-recreated
+    * index under the same name could collide on any (name, id, ts)
+    * key and serve the previous incarnation's centroids — the UUID
+    * cannot collide by construction. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       (org.apache.spark.sql.Row, org.apache.spark.sql.types.StructType)]
@@ -727,18 +736,19 @@ object VectorOps {
     // table's BUILD snapshot — the first commit, whose rows no append
     // can alter (spec-pinned by the centroid-pollution test). The
     // per-epoch storage cost is one metadata-scale min-snapshot
-    // lookup; the build-snapshot SCAN happens once per table via
-    // [[centroidCache]] (immutability is what makes the cache sound).
-    // cache identity: snapshot ids are PER-TABLE counters, so a
-    // dropped-and-recreated index under the same name would collide
-    // on (table, 1) and serve the old incarnation's centroids — the
-    // build snapshot's commit timestamp disambiguates incarnations
-    // (read in the same single metadata collect)
-    val buildRow = s.table(s"lakeq.db.$table.snapshots")
-      .orderBy(col("snapshot_id")).select(col("snapshot_id"),
-        unix_millis(col("committed_at"))).head()
-    val buildSnap = buildRow.getLong(0)
-    val buildKey = s"$table@$buildSnap@${buildRow.getLong(1)}"
+    // lookup plus one catalog property read; the build-snapshot SCAN
+    // happens once per table via [[centroidCache]] (immutability is
+    // what makes the cache sound). cache identity: the table UUID —
+    // minted at create time, so a dropped-and-recreated index under
+    // the same name is a DIFFERENT key by construction (snapshot ids
+    // are per-table counters and commit timestamps are millisecond-
+    // grained, so neither disambiguates incarnations reliably)
+    val buildSnap = s.table(s"lakeq.db.$table.snapshots")
+      .orderBy(col("snapshot_id")).select(col("snapshot_id"))
+      .head().getLong(0)
+    val uuid = s.sql(s"SHOW TBLPROPERTIES lakeq.db.$table ('uuid')")
+      .select(col("value")).head().getString(0)
+    val buildKey = s"$uuid@$buildSnap"
     if (centroidCache.size > 64) centroidCache.clear()
     val (row, schema) = centroidCache.computeIfAbsent(buildKey,
       { _ =>

@@ -52,7 +52,17 @@ object IngestStreams {
     * YARN/k8s) or a URI-style location (s3://, hdfs://) cannot shift
     * the scope the way a java.io.File canonicalization would.
     * Clearing a checkpoint IN PLACE while keeping the index is
-    * unsupported, as with any offset store. */
+    * unsupported, as with any offset store.
+    *
+    * Migration caveat (pre-release): before r12 the scope digested
+    * the CHECKPOINT PATH, so index tables + checkpoints created under
+    * that scheme carry old-scope tags — a post-upgrade restart of such
+    * a stream would treat already-committed epochs as new and append
+    * them again. No long-lived pre-r12 checkpoints exist (the scheme
+    * never shipped), so no legacy-tag matching is implemented; if one
+    * ever surfaces, start it on a FRESH checkpoint with a source
+    * offset past the committed data, or add path-digest tags to the
+    * replay check. */
   private[graft] def scopeOf(s: SparkSession, checkpoint: String): String = {
     val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
     val fs = meta.getFileSystem(s.sessionState.newHadoopConf())
@@ -82,12 +92,16 @@ object IngestStreams {
     * `maintainFileThreshold = N` (0 = off) runs the group-index
     * maintenance cadence (TextOps.maintainGroupIndex: df fold,
     * posting binpack, size sort-rewrite, labels mask-fold) INSIDE the
-    * loop whenever the df delta table's live file count reaches N, so
-    * a long-lived stream bounds its own side tables' file counts
-    * instead of depending on an external scheduler. The trigger reads
-    * DURABLE state (a metadata-scale `.files` count on the canary
-    * table every non-empty epoch), so it is restart-stable by
-    * construction — an in-memory "every K refreshes" counter resets
+    * loop whenever the MAX live file count across the four index
+    * tables reaches N, so a long-lived stream bounds its own side
+    * tables' file counts instead of depending on an external
+    * scheduler. The canary is the max, not the df table alone: an
+    * ordinary epoch appends to all four tables in step, but a
+    * repair-heavy or skew-appending workload can grow one table ahead
+    * of the others — a single-table canary would let the outliers run
+    * unbounded. The trigger reads DURABLE state (four metadata-scale
+    * `.files` counts every non-empty epoch), so it is restart-stable
+    * by construction — an in-memory "every K refreshes" counter resets
     * on every stream restart and a crash-looped or availableNow-style
     * deployment restarting faster than its period would NEVER
     * maintain, while epoch-id parity misfires when data lands only on
@@ -115,7 +129,9 @@ object IngestStreams {
             epochTag = Some(s"dedup-ingest-$scope-$epoch"),
             rollbackCrashedRepair = rollbackCrashedRepair)
           if (maintainFileThreshold > 0 &&
-              batch.sparkSession.table(s"lakeq.db.${idx.df}.files").count()
+              Seq(idx.post, idx.df, idx.size, idx.labels)
+                .map(t => batch.sparkSession
+                  .table(s"lakeq.db.$t.files").count()).max
                 >= maintainFileThreshold)
             TextOps.maintainGroupIndex(batch.sparkSession, idx)
         }
@@ -149,14 +165,41 @@ object IngestStreams {
     * exactly-once under replay via the epoch tag. Probes
     * (probeStoredIvf) serve unchanged throughout; centroid drift
     * under sustained ingestion is repaired out-of-band by
-    * repairStoredIvf, exactly as in the batch lifecycle. */
+    * repairStoredIvf, exactly as in the batch lifecycle.
+    *
+    * `maintainFileThreshold = N` (0 = off) compacts the index table
+    * INSIDE the loop whenever its live file count reaches N — the
+    * [[dedupIngest]] cadence applied to the IVF twin's own growth
+    * disease: every epoch appends one small file set per touched
+    * cell, so a month of 5-minute triggers is thousands of commits of
+    * tiny cell files degrading probe planning. The compaction is
+    * `rewrite_data_files` with the table defaults, which bin-packs
+    * WITHIN partitions — every rewritten file stays inside its `cell`
+    * partition tuple, so footer min=max stats keep pruning non-probed
+    * cells and probe results are bit-identical across a pass
+    * (spec-pinned, plan pin included). Trigger discipline is the
+    * dedup twin's exactly: DURABLE state (a metadata-scale `.files`
+    * count every non-empty epoch — restart-stable where an in-memory
+    * cadence counter is not), run AFTER the epoch body returns,
+    * OUTSIDE its tag scope — maintenance commits are untagged, so
+    * they can never satisfy (or poison) a replay's epoch guard, and
+    * the build snapshot's files are only superseded, never deleted,
+    * so the fixed-centroid read ([[graft.queries.VectorOps
+    * .ingestVectorBatch]]'s `VERSION AS OF` build-snapshot scan)
+    * survives any number of compactions. */
   private[graft] def ivfIngest(vecs: DataFrame, table: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, maintainFileThreshold: Int = 0): StreamingQuery = {
     lazy val scope = scopeOf(vecs.sparkSession, checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         ivfIngestEpoch(table, batch, epoch, scope)
+        if (maintainFileThreshold > 0 && !batch.isEmpty &&
+            batch.sparkSession.table(s"lakeq.db.$table.files").count()
+              >= maintainFileThreshold)
+          batch.sparkSession.sql(
+            s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
+        ()
       }
       .start()
   }

@@ -223,6 +223,51 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     dropIdx(ref); dropIdx(idx)
   }
 
+  test("maintenance canary spreads across all four index tables: a " +
+      "posting-only skew still fires the fold") {
+    assume(ready)
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val b1 = docs.filter(col("doc_id") % 10 === 8)
+    def fileCount(t: String): Long =
+      spark.table(s"lakeq.db.$t.files").count()
+    // untriggered twin — the label truth
+    val ref = TextOps.buildGroupIndex(spark, base)
+    TextOps.refreshGroupIndexMined(spark, ref, b1)
+    // skew-append fixture: split ONLY the posting table into many tiny
+    // files (a row-preserving rewrite-all), modeling a repair-heavy
+    // workload growing one side table ahead of the others
+    val idx = TextOps.buildGroupIndex(spark, base)
+    val postBytes = spark.table(s"lakeq.db.${idx.post}.files")
+      .agg(sum(col("file_size_in_bytes"))).head().getLong(0)
+    spark.sql(s"CALL lakeq.system.rewrite_data_files(" +
+      s"table => 'db.${idx.post}', options => map(" +
+      s"'rewrite-all','true'," +
+      s"'target-file-size-bytes','${math.max(1L, postBytes / 400)}'))")
+    val othersMax = Seq(idx.df, idx.size, idx.labels).map(fileCount).max
+    val inflated = fileCount(idx.post)
+    assert(inflated > othersMax + 4,
+      s"fixture must skew: post $inflated vs others $othersMax")
+    // threshold sits ABOVE every non-posting table (+epoch headroom):
+    // a df-only canary would never cross it — only the max does
+    val threshold = (othersMax + 3).toInt
+    val sp = spark
+    import sp.implicits._
+    val mem = MemoryStream[(Long, String)](spark)
+    val ckpt = tmpDir("canary-ckpt")
+    val q = graft.streaming.IngestStreams.dedupIngest(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt,
+      maintainFileThreshold = threshold)
+    try {
+      mem.addData(b1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(labelsOf(idx.labels) === labelsOf(ref.labels))
+    assert(fileCount(idx.post) < inflated,
+      s"posting-only skew must fire maintenance: ${fileCount(idx.post)} " +
+        s"files vs $inflated before the epoch")
+    dropIdx(ref); dropIdx(idx)
+  }
+
   test("crashed straddle-repair epoch: flag-off refuses, flag-on " +
       "rolls back and converges") {
     // cap=2 split fixture (GroupIndexSuite's): docs 0/2 pair only
@@ -337,6 +382,69 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRows(strT) === ivfRows(refT))
     Seq(refT, strT).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+  }
+
+  test("IVF maintainFileThreshold bounds index file count without " +
+      "changing probes, keeps cell pruning, and survives a restart") {
+    assume(ready)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val sp = spark
+    import sp.implicits._
+    def sliceRows(i: Int): Seq[(Long, Seq[Float])] = emb
+      .filter(col("vec_id") % 2 === 1 && col("vec_id") % 10 === (2 * i + 1))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def fileCount(t: String): Long =
+      spark.table(s"lakeq.db.$t.files").count()
+    def probeOf(t: String, ws: DataFrame): Seq[String] =
+      VectorOps.probeStoredIvf(spark, t, ws, qVecId = 0)
+        .collect().map(_.toString).toSeq
+    // twin WITHOUT the trigger — the file-count baseline + probe truth
+    val (refT, refW) = VectorOps.buildEvenIvf(spark, sfDir)
+    (0 until 5).foreach(i => graft.streaming.IngestStreams
+      .ivfIngestEpoch(refT, sliceRows(i).toDF("vec_id", "embedding"),
+        epoch = i.toLong, scope = "untriggered"))
+    // streamed twin WITH the durable file-count trigger
+    val (t, ws) = VectorOps.buildEvenIvf(spark, sfDir)
+    val threshold = (fileCount(t) + 2).toInt
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val ckpt = tmpDir("ivf-maint-ckpt")
+    def start() = graft.streaming.IngestStreams.ivfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), t, ckpt,
+      maintainFileThreshold = threshold)
+    val q1 = start()
+    try (0 until 4).foreach { i =>
+      mem.addData(sliceRows(i)); q1.processAllAvailable()
+    } finally q1.stop()
+    // RESTART on the same checkpoint (durable trigger state — no
+    // in-memory cadence to lose), one more epoch
+    val q2 = start()
+    try { mem.addData(sliceRows(4)); q2.processAllAvailable() }
+    finally q2.stop()
+    // row-preserving: same resident rows and the bit-identical probe
+    assert(ivfRows(t) === ivfRows(refT))
+    assert(probeOf(t, ws) === probeOf(refT, refW))
+    // BOUNDS the accumulation: the untriggered twin holds one file
+    // set per epoch forever; the triggered twin folds them and stays
+    // at most one epoch's appends past its threshold
+    assert(fileCount(t) < fileCount(refT),
+      s"trigger should compact: ${fileCount(t)} vs ${fileCount(refT)}")
+    assert(fileCount(t) <= threshold + 8,
+      s"file count must stay near the threshold: ${fileCount(t)} " +
+        s"vs threshold $threshold")
+    // compaction preserved the identity(cell) layout: the probe's
+    // `cell IN` still plans a strict subset of the index's files
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    spark.table(s"lakeq.db.$t").collect()
+    val total = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(VectorOps.probeStoredIvf(spark, t, ws, 0L).collect().length == 5)
+    val probed = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    assert(probed >= 1 && probed <= total / 2,
+      s"probe planned $probed of $total files after compaction — the " +
+        "rewrite must stay within cell partitions so footer stats prune")
+    Seq(refT, t).foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$x PURGE"))
   }
 
   test("IVF centroids are pinned to the build snapshot under ingestion") {

@@ -159,4 +159,63 @@ class MultimodalSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"channel swap must land far outside the budget: $swappedMeanX100 " +
         s"vs ${TextOps.MmJpegMeanTolX100}")
   }
+
+  test("resize-after-JPEG error budget: faithful pass with headroom; " +
+      "a channel swap through the resample fails structurally") {
+    assume(ready)
+    // calibration: nearest-neighbor passes decoded pixels through
+    // untouched, so the WORST per-doc mean deviation of resize-after-
+    // faithful-decode must clear the budget with the same >=1.6x
+    // headroom discipline as the decode gate
+    val payloads = TextOps.mmJpegBytes(spark, sfDir).collect()
+    val errs = payloads
+      .map { case (id, bytes) => TextOps.jpegResizeMeanErrX100(id, bytes) }
+    val worst = errs.map(_._3).max
+    info(s"resize-after-decode mean deviation band: " +
+      s"${errs.map(_._3).min / 100.0}–${worst / 100.0} levels " +
+      s"(budget ${TextOps.MmJpegMeanTolX100 / 100.0})")
+    assert(worst * 16L <= TextOps.MmJpegMeanTolX100 * 10L,
+      s"budget must hold >=1.6x headroom over the worst faithful " +
+        s"resize: worst=$worst budget=${TextOps.MmJpegMeanTolX100}")
+    // the gate's verdict column agrees end to end
+    val all = TextOps.mmResizeJpeg(spark, sfDir).collect()
+    assert(all.nonEmpty && all.forall(_.getLong(3) == 1L),
+      "every faithful resize must sit inside the error budget")
+    // a channel swap INSIDE the resize path (the classic BGR/RGB bug
+    // at the resample boundary): re-measure a faithful decode's
+    // resize against the channel-SWAPPED formula at the same sampled
+    // coordinates — the gradients keep b − r >= 59 at every source
+    // pixel, so the swap cannot hide behind the subsample — and
+    // assert it lands beyond TWICE the budget. (A transposed-axes
+    // negative would NOT separate here by design: the gradient is
+    // near-symmetric in x and y, so axis bugs are the lossless
+    // ring's pixel-exact digests' job — mm_resize_image catches
+    // them; this gate owns the channel/content failure modes.)
+    val (id, bytes) = payloads.find(_._1 == 5L).get
+    val img = TextOps.decodeImageStrict(id, bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val ow = math.max(w / 2, 1)
+    val oh = math.max(h / 2, 1)
+    var err = 0L
+    (0 until oh).foreach { y => (0 until ow).foreach { x =>
+      val (sx, sy) = (x * w / ow, y * h / oh)
+      val got = img.getRGB(sx, sy)
+      val want = { // swapped R<->B formula at the sampled coordinate
+        val p = TextOps.mmJpegPixel(id, sx, sy)
+        ((p & 0xFF) << 16) | (p & 0xFF00) | ((p >> 16) & 0xFF)
+      }
+      err += math.abs(((got >> 16) & 0xFF) - ((want >> 16) & 0xFF)) +
+        math.abs(((got >> 8) & 0xFF) - ((want >> 8) & 0xFF)) +
+        math.abs((got & 0xFF) - (want & 0xFF))
+    } }
+    val swappedMeanX100 = err * 100L / (3L * ow * oh)
+    assert(swappedMeanX100 > 2L * TextOps.MmJpegMeanTolX100,
+      s"channel swap through the resize must land far outside the " +
+        s"budget: $swappedMeanX100 vs ${TextOps.MmJpegMeanTolX100}")
+    // corrupt payloads fail naming the record through the same kernel
+    val e = intercept[IllegalArgumentException] {
+      TextOps.jpegResizeMeanErrX100(23L, bytes.take(20))
+    }
+    assert(e.getMessage.contains("doc 23"), e.getMessage)
+  }
 }
