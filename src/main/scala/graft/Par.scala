@@ -54,13 +54,17 @@ object Par {
         var drained = false
         // (conservative when no session is visible from this thread:
         // keep waiting — only a POSITIVELY stopped context cuts the
-        // drain short)
+        // drain short. The bail still grants 15s: a straggler's
+        // DRIVER-SIDE work — the catalog's metadata-JSON swap needs
+        // no live context — is ms-scale once its Spark jobs have
+        // died, so three polls cover the in-flight-commit window the
+        // full 300s used to)
         def contextAlive: Boolean =
           org.apache.spark.sql.SparkSession.getDefaultSession
             .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
             .forall(s => !s.sparkContext.isStopped)
         while (!drained && waitedSec < 300 &&
-            (waitedSec == 0 || contextAlive)) {
+            (waitedSec < 15 || contextAlive)) {
           drained =
             pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
           waitedSec += 5

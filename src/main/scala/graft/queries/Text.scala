@@ -3053,8 +3053,11 @@ object TextOps {
     * in((x·w)/ow, (y·h)/oh), integer division), then the exact-integer
     * mean per-channel deviation (×100) of the resized raster against
     * the formula at the sampled source coordinates. Shared with
-    * MultimodalSuite's calibration. */
-  private[queries] def jpegResizeMeanErrX100(id: Long, bytes: Array[Byte])
+    * MultimodalSuite's calibration, which also passes a channel-
+    * swapped `expected` so its negative measures THIS kernel, not a
+    * copy of it. */
+  private[queries] def jpegResizeMeanErrX100(id: Long, bytes: Array[Byte],
+      expected: (Long, Int, Int) => Int = mmJpegPixel)
       : (Int, Int, Long) = {
     val img = decodeImageStrict(id, bytes)
     val (w, h) = (img.getWidth, img.getHeight)
@@ -3067,7 +3070,7 @@ object TextOps {
       while (x < ow) {
         val (sx, sy) = (x * w / ow, y * h / oh)
         val got = img.getRGB(sx, sy)
-        val want = mmJpegPixel(id, sx, sy)
+        val want = expected(id, sx, sy)
         err += math.abs(((got >> 16) & 0xFF) - ((want >> 16) & 0xFF)) +
           math.abs(((got >> 8) & 0xFF) - ((want >> 8) & 0xFF)) +
           math.abs((got & 0xFF) - (want & 0xFF))

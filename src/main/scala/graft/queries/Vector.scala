@@ -652,9 +652,11 @@ object VectorOps {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Seq[Float])](s)
       // the in-loop compaction trigger rides in the gate: the first
-      // epoch's appends push the index past build+4 files, so the
-      // second epoch compacts mid-stream — and the probe must still
-      // answer to the SAME oracle (the cadence is row-preserving)
+      // epoch's appends push the index past build+4 files, so that
+      // same epoch's trailing trigger check compacts mid-stream (the
+      // second epoch then appends onto the compacted layout) — and
+      // the probe must still answer to the SAME oracle (the cadence
+      // is row-preserving)
       val threshold = (s.table(s"lakeq.db.$t.files").count() + 4).toInt
       val q = graft.streaming.IngestStreams.ivfIngest(
         mem.toDF().toDF("vec_id", "embedding"), t, ckpt,

@@ -182,33 +182,20 @@ class MultimodalSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.nonEmpty && all.forall(_.getLong(3) == 1L),
       "every faithful resize must sit inside the error budget")
     // a channel swap INSIDE the resize path (the classic BGR/RGB bug
-    // at the resample boundary): re-measure a faithful decode's
-    // resize against the channel-SWAPPED formula at the same sampled
-    // coordinates — the gradients keep b − r >= 59 at every source
-    // pixel, so the swap cannot hide behind the subsample — and
-    // assert it lands beyond TWICE the budget. (A transposed-axes
-    // negative would NOT separate here by design: the gradient is
-    // near-symmetric in x and y, so axis bugs are the lossless
-    // ring's pixel-exact digests' job — mm_resize_image catches
-    // them; this gate owns the channel/content failure modes.)
+    // at the resample boundary): run the SAME kernel with a channel-
+    // SWAPPED expected-pixel formula — the gradients keep b − r >= 59
+    // at every source pixel, so the swap cannot hide behind the
+    // subsample — and assert it lands beyond TWICE the budget. (A
+    // transposed-axes negative would NOT separate here by design: the
+    // gradient is near-symmetric in x and y, so axis bugs are the
+    // lossless ring's pixel-exact digests' job — mm_resize_image
+    // catches them; this gate owns the channel/content failure modes.)
     val (id, bytes) = payloads.find(_._1 == 5L).get
-    val img = TextOps.decodeImageStrict(id, bytes)
-    val (w, h) = (img.getWidth, img.getHeight)
-    val ow = math.max(w / 2, 1)
-    val oh = math.max(h / 2, 1)
-    var err = 0L
-    (0 until oh).foreach { y => (0 until ow).foreach { x =>
-      val (sx, sy) = (x * w / ow, y * h / oh)
-      val got = img.getRGB(sx, sy)
-      val want = { // swapped R<->B formula at the sampled coordinate
-        val p = TextOps.mmJpegPixel(id, sx, sy)
+    val (_, _, swappedMeanX100) = TextOps.jpegResizeMeanErrX100(id, bytes,
+      expected = (pid, x, y) => {
+        val p = TextOps.mmJpegPixel(pid, x, y)
         ((p & 0xFF) << 16) | (p & 0xFF00) | ((p >> 16) & 0xFF)
-      }
-      err += math.abs(((got >> 16) & 0xFF) - ((want >> 16) & 0xFF)) +
-        math.abs(((got >> 8) & 0xFF) - ((want >> 8) & 0xFF)) +
-        math.abs((got & 0xFF) - (want & 0xFF))
-    } }
-    val swappedMeanX100 = err * 100L / (3L * ow * oh)
+      })
     assert(swappedMeanX100 > 2L * TextOps.MmJpegMeanTolX100,
       s"channel swap through the resize must land far outside the " +
         s"budget: $swappedMeanX100 vs ${TextOps.MmJpegMeanTolX100}")
