@@ -695,8 +695,21 @@ object VectorOps {
         .writeTo(s"lakeq.db.$t").using("lake")
         .partitionedBy(col("cell")).create()
     }
+    // tag the build snapshot: refs protect their snapshots from
+    // expire_snapshots, so a long-lived index under a nightly expire
+    // cadence keeps the fixed-centroid source readable forever — the
+    // VERSION AS OF read in [[ingestVectorBatch]] would otherwise
+    // break the first time retention passes the build commit. (The
+    // command runs directly — `ALTER TABLE … CREATE TAG` needs the
+    // extensions parser, which plain gate sessions don't install.)
+    graft.lake.LakeRefCommand(Seq("lakeq", "db", t), "CREATE", isTag = true,
+      IvfBuildTag, version = Some(1L), ifNotExists = false,
+      ifExists = false).run(s)
     (t, evens)
   }
+
+  /** Name of the tag [[buildEvenIvf]] pins on the build snapshot. */
+  private[graft] val IvfBuildTag = "graft_ivf_build"
 
   /** Assign a batch of raw vectors (`vec_id`, `embedding`) against a
     * stored incremental index's FIXED build-time centroids — read
@@ -728,6 +741,10 @@ object VectorOps {
     new java.util.concurrent.ConcurrentHashMap[String,
       (org.apache.spark.sql.Row, org.apache.spark.sql.types.StructType)]
 
+  /** Test hook: drop every cached centroid row so the next ingest
+    * proves the STORAGE path (expire-survival specs). */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+
   private[graft] def ingestVectorBatch(s: SparkSession, table: String,
       batch: DataFrame): Unit = {
     // centroids must be IMMUTABLE under ingestion: reading them from
@@ -737,17 +754,25 @@ object VectorOps {
     // epoch and strand probe-cell selection. Read them from the
     // table's BUILD snapshot — the first commit, whose rows no append
     // can alter (spec-pinned by the centroid-pollution test). The
-    // per-epoch storage cost is one metadata-scale min-snapshot
-    // lookup plus one catalog property read; the build-snapshot SCAN
-    // happens once per table via [[centroidCache]] (immutability is
-    // what makes the cache sound). cache identity: the table UUID —
-    // minted at create time, so a dropped-and-recreated index under
-    // the same name is a DIFFERENT key by construction (snapshot ids
-    // are per-table counters and commit timestamps are millisecond-
+    // per-epoch storage cost is one metadata-scale ref lookup plus
+    // one catalog property read; the build-snapshot SCAN happens once
+    // per table via [[centroidCache]] (immutability is what makes the
+    // cache sound). The build snapshot resolves through the
+    // [[IvfBuildTag]] ref — the tag PROTECTS it from expire_snapshots
+    // (a long-lived index under a nightly expire cadence would
+    // otherwise lose the centroid source the first time retention
+    // passes the build commit) — with the oldest-snapshot fallback
+    // for pre-tag tables. cache identity: the table UUID — minted at
+    // create time, so a dropped-and-recreated index under the same
+    // name is a DIFFERENT key by construction (snapshot ids are
+    // per-table counters and commit timestamps are millisecond-
     // grained, so neither disambiguates incarnations reliably)
-    val buildSnap = s.table(s"lakeq.db.$table.snapshots")
-      .orderBy(col("snapshot_id")).select(col("snapshot_id"))
-      .head().getLong(0)
+    val buildSnap = s.table(s"lakeq.db.$table.refs")
+      .filter(col("name") === IvfBuildTag).select(col("snapshot_id"))
+      .head(1).headOption.map(_.getLong(0))
+      .getOrElse(s.table(s"lakeq.db.$table.snapshots")
+        .orderBy(col("snapshot_id")).select(col("snapshot_id"))
+        .head().getLong(0))
     val uuid = s.sql(s"SHOW TBLPROPERTIES lakeq.db.$table ('uuid')")
       .select(col("value")).head().getString(0)
     val buildKey = s"$uuid@$buildSnap"

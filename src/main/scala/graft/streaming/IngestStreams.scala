@@ -23,6 +23,18 @@ import graft.queries.TextOps
   * effect is exactly-once per table across every crash point, pinned
   * by IngestStreamsSuite's partial-replay specs.
   *
+  * Interplay with `expire_snapshots`: the epoch guard checks the tag
+  * against MAIN-HISTORY snapshots, so expiring a snapshot forgets its
+  * tag — a replay of an epoch whose commits retention no longer
+  * covers would re-append. That is unreachable under any sane
+  * configuration: foreachBatch replays at most the LAST uncommitted
+  * epoch (the checkpoint advances past an epoch only after the batch
+  * body returns), so the guard only ever needs the most recent
+  * epoch's commits, while expire retention is hours-to-days. The
+  * operational rule, stated for completeness: snapshot retention must
+  * exceed the trigger interval. (The IVF build snapshot itself is
+  * tag-PROTECTED from expiry — see VectorOps.IvfBuildTag.)
+  *
   * 100 TB shape: one long-lived query per corpus; micro-batch cost is
   * the measured nightly-refresh cost at the batch's size (GroupScale
   * decade tables — probe floor + batch-proportional stages), so
@@ -70,10 +82,14 @@ object IngestStreams {
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val id = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
-      .map(_.group(1))
-      .getOrElse(throw new IllegalStateException(
-        s"no streaming query id in checkpoint metadata at $meta"))
+    // a real JSON parse (json4s ships with Spark), not a regex: the
+    // engine writes a single flat object today, but an escaped quote
+    // inside a future sibling field must not shift the id match
+    val id = org.json4s.jackson.JsonMethods.parse(json) \ "id" match {
+      case org.json4s.JString(v) if v.nonEmpty => v
+      case _ => throw new IllegalStateException(
+        s"no streaming query id in checkpoint metadata at $meta")
+    }
     java.security.MessageDigest.getInstance("MD5")
       .digest(id.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString

@@ -447,6 +447,49 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$x PURGE"))
   }
 
+  test("IVF centroid source survives expire_snapshots via the " +
+      "build-snapshot tag") {
+    assume(ready)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    def snapIds(t: String): Set[Long] =
+      spark.table(s"lakeq.db.$t.snapshots")
+        .select(col("snapshot_id")).collect().map(_.getLong(0)).toSet
+    def expireAll(t: String): Unit = spark.sql(
+      s"CALL lakeq.system.expire_snapshots(table => 'db.$t', " +
+        "older_than => TIMESTAMP '2100-01-01 00:00:00', retain_last => 1)")
+    // clean truth: build + all odds in one batch
+    val (refT, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    VectorOps.ingestVectorBatch(spark, refT, odds)
+    // expire-cadence twin: ingest half, expire everything retention
+    // no longer covers (the 100 TB nightly), then ingest the rest
+    // THROUGH THE STORAGE PATH (centroid cache cleared): the build
+    // snapshot must still be readable and later assignments unchanged
+    val (t, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    val half = odds.select("vec_id").collect().map(_.getLong(0))
+      .sorted.apply(odds.count().toInt / 2)
+    VectorOps.ingestVectorBatch(spark, t, odds.filter(col("vec_id") < half))
+    expireAll(t)
+    assert(snapIds(t).contains(1L),
+      "the tagged build snapshot must survive the expire")
+    VectorOps.clearCentroidCache()
+    VectorOps.ingestVectorBatch(spark, t, odds.filter(col("vec_id") >= half))
+    assert(ivfRows(t) === ivfRows(refT))
+    // counterfactual: without the tag the same cadence DESTROYS the
+    // centroid source — the protection is load-bearing, not decorative
+    val (t2, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    graft.lake.LakeRefCommand(Seq("lakeq", "db", t2), "DROP", isTag = true,
+      VectorOps.IvfBuildTag, version = None, ifNotExists = false,
+      ifExists = false).run(spark)
+    VectorOps.ingestVectorBatch(spark, t2, odds.filter(col("vec_id") < half))
+    expireAll(t2)
+    assert(!snapIds(t2).contains(1L),
+      "fixture: without the tag the build snapshot must expire")
+    Seq(refT, t, t2).foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$x PURGE"))
+  }
+
   test("IVF centroids are pinned to the build snapshot under ingestion") {
     assume(ready)
     val sp = spark
