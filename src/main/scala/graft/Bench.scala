@@ -271,12 +271,17 @@ object Bench {
     // is the last same-sf entry of bench_history.jsonl (appended by
     // every full run, committed with the repo — the builder's own
     // measured band, not the possibly-contended driver artifact): any
-    // gate whose headline exceeds 2× its previous value re-times once
+    // gate whose headline exceeds 1.5× its previous value (+0.5 s
+    // absolute, so sub-second jitter can't qualify) re-times once
     // more, third-sample-wins, with the rejected value published in
-    // `env_retimed`. Deliberately diff-blind — re-timing a gate whose
-    // code REALLY got slower just reproduces the slow number one
-    // sample later, so the guard can only make the artifact more
-    // honest, never less.
+    // `env_retimed`. 1.5× not 2×: the r12 artifact's worst contended
+    // sample was 1.8× the builder's band (t_ingest_dedup_stream 58.8
+    // vs 32.4 s) — a 2× gate would have waved exactly the miss this
+    // guard exists for straight through, while legitimate run-to-run
+    // variance on multi-second gates is ±10–20 %. Deliberately
+    // diff-blind — re-timing a gate whose code REALLY got slower just
+    // reproduces the slow number one sample later, so the guard can
+    // only make the artifact more honest, never less.
     // (esc is needed both for the history needle below and the JSON
     // emission later — sfDir is environment-controlled, so the write
     // and the lookup must escape IDENTICALLY or a quote/backslash in
@@ -311,7 +316,7 @@ object Bench {
     val envCandidates = wanted.toSeq.filter { case (name, _) =>
       val w = resultsB.getOrElse(name, 0.0)
       !failed.contains(name) && !retimeFailed.contains(name) &&
-        baseline.get(name).exists(b => w > 2.0 * b && w - b > 0.5)
+        baseline.get(name).exists(b => w > 1.5 * b && w - b > 0.5)
     }
     // the env samples measure against the same warehouse state the
     // passes do: drop the tables the warm pass + first retime loop
