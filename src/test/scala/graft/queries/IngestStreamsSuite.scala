@@ -470,6 +470,13 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val half = odds.select("vec_id").collect().map(_.getLong(0))
       .sorted.apply(odds.count().toInt / 2)
     VectorOps.ingestVectorBatch(spark, t, odds.filter(col("vec_id") < half))
+    // the full nightly reality: COMPACT first (rewrites the small
+    // build+epoch files into fresh ones, so the original build files
+    // are no longer referenced by the current snapshot), THEN expire —
+    // the tag must keep both the build snapshot's metadata AND its
+    // physical files alive for the centroid read
+    spark.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.$t', " +
+      "options => map('rewrite-all','true'))")
     expireAll(t)
     assert(snapIds(t).contains(1L),
       "the tagged build snapshot must survive the expire")
