@@ -1683,17 +1683,15 @@ object TextOps {
     * `spark.graft.commit.tag` hook), so "tagged on main" is exactly
     * "this epoch's write to this table is published"; snapshots a
     * crashed run left staged on an unpublished branch do NOT count.
-    * Metadata-scale: one ancestors walk joined to the `.snapshots`
-    * metadata table. */
+    * Driver-side metadata walk (graft.lake.LakeMeta — one fresh JSON
+    * log read, no Spark jobs): this guard runs up to four times per
+    * streaming epoch, and the SQL spelling (`CALL ancestors_of` +
+    * `.snapshots` join) paid 2–3 scheduled jobs each — a measured
+    * ~3 s/epoch metadata constant inside every micro-batch wall. */
   private[graft] def taggedOnMain(s: SparkSession, table: String,
-      tag: String): Boolean = {
-    val anc = s.sql(s"CALL lakeq.system.ancestors_of(table => 'db.$table')")
-      .select(col("snapshot_id"))
-    !s.table(s"lakeq.db.$table.snapshots")
-      .join(anc, Seq("snapshot_id"))
-      .filter(element_at(col("summary"), lit("graft.commit.tag")) === tag)
-      .isEmpty
-  }
+      tag: String): Boolean =
+    graft.lake.LakeMeta.mainAncestors(s, Seq("lakeq", "db", table))
+      .exists(_.summary.get("graft.commit.tag").contains(tag))
 
   /** Roll `table` back to its PRE-EPOCH ancestor: the parent of the
     * oldest main-history snapshot stamped with `tag` — discarding
@@ -1706,29 +1704,26 @@ object TextOps {
     * ancestors walk + one `rollback_to_snapshot`). */
   private def rollbackEpochCommits(s: SparkSession, table: String,
       tag: String): Unit = {
-    val anc = s.sql(s"CALL lakeq.system.ancestors_of(table => 'db.$table')")
-      .select(col("snapshot_id"))
-    val rows = s.table(s"lakeq.db.$table.snapshots")
-      .join(anc, Seq("snapshot_id"))
-      .select(col("snapshot_id"), col("parent_id"),
-        coalesce(element_at(col("summary"), lit("graft.commit.tag")) === tag,
-          lit(false)).as("is_epoch"))
-      .collect()
-    val tagged = rows.filter(_.getBoolean(2))
+    // driver-side main-history walk (see [[taggedOnMain]]); the
+    // rollback itself stays a CALL so it keeps the procedure path's
+    // read-only veto and commit semantics
+    val anc = graft.lake.LakeMeta.mainAncestors(s, Seq("lakeq", "db", table))
+    def isEpoch(sm: graft.lake.SnapshotMeta): Boolean =
+      sm.summary.get("graft.commit.tag").contains(tag)
+    val tagged = anc.filter(isEpoch)
     if (tagged.isEmpty) return
-    val oldest = tagged.map(_.getLong(0)).min
-    val foreign = rows.filter(r => !r.getBoolean(2) && r.getLong(0) > oldest)
+    val oldest = tagged.map(_.snapshotId).min
+    val foreign = anc.filter(sm => !isEpoch(sm) && sm.snapshotId > oldest)
     if (foreign.nonEmpty) throw new IllegalStateException(
       s"cannot auto-rollback epoch '$tag' on $table: untagged commit(s) " +
-        s"${foreign.map(_.getLong(0)).sorted.mkString(", ")} interleaved " +
+        s"${foreign.map(_.snapshotId).sorted.mkString(", ")} interleaved " +
         "above the epoch's first snapshot — rolling back would destroy " +
         "another writer's data; reconcile manually")
-    val oldestRow = rows.find(_.getLong(0) == oldest).get
-    if (oldestRow.isNullAt(1)) throw new IllegalStateException(
-      s"cannot auto-rollback epoch '$tag' on $table: its first tagged " +
-        "snapshot is the table's FIRST snapshot (no pre-epoch ancestor " +
-        "to roll back to) — drop and rebuild the table instead")
-    val parent = oldestRow.getLong(1)
+    val parent = anc.find(_.snapshotId == oldest).get.parentId.getOrElse(
+      throw new IllegalStateException(
+        s"cannot auto-rollback epoch '$tag' on $table: its first tagged " +
+          "snapshot is the table's FIRST snapshot (no pre-epoch ancestor " +
+          "to roll back to) — drop and rebuild the table instead"))
     s.sql(s"CALL lakeq.system.rollback_to_snapshot(table => 'db.$table', " +
       s"snapshot_id => $parent)")
   }

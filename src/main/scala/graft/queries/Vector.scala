@@ -754,8 +754,9 @@ object VectorOps {
     // epoch and strand probe-cell selection. Read them from the
     // table's BUILD snapshot — the first commit, whose rows no append
     // can alter (spec-pinned by the centroid-pollution test). The
-    // per-epoch storage cost is one metadata-scale ref lookup plus
-    // one catalog property read; the build-snapshot SCAN happens once
+    // per-epoch storage cost is ONE driver-side metadata-log read
+    // (graft.lake.LakeMeta — ref, uuid, and snapshot floor in one
+    // JSON load, no Spark jobs); the build-snapshot SCAN happens once
     // per table via [[centroidCache]] (immutability is what makes the
     // cache sound). The build snapshot resolves through the
     // [[IvfBuildTag]] ref — the tag PROTECTS it from expire_snapshots
@@ -767,15 +768,10 @@ object VectorOps {
     // name is a DIFFERENT key by construction (snapshot ids are
     // per-table counters and commit timestamps are millisecond-
     // grained, so neither disambiguates incarnations reliably)
-    val buildSnap = s.table(s"lakeq.db.$table.refs")
-      .filter(col("name") === IvfBuildTag).select(col("snapshot_id"))
-      .head(1).headOption.map(_.getLong(0))
-      .getOrElse(s.table(s"lakeq.db.$table.snapshots")
-        .orderBy(col("snapshot_id")).select(col("snapshot_id"))
-        .head().getLong(0))
-    val uuid = s.sql(s"SHOW TBLPROPERTIES lakeq.db.$table ('uuid')")
-      .select(col("value")).head().getString(0)
-    val buildKey = s"$uuid@$buildSnap"
+    val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val buildSnap = meta.refs.get(IvfBuildTag).map(_.snapshotId)
+      .getOrElse(meta.snapshots.map(_.snapshotId).min)
+    val buildKey = s"${meta.uuid}@$buildSnap"
     if (centroidCache.size > 64) centroidCache.clear()
     val (row, schema) = centroidCache.computeIfAbsent(buildKey,
       { _ =>

@@ -115,9 +115,9 @@ object IngestStreams {
     * ordinary epoch appends to all four tables in step, but a
     * repair-heavy or skew-appending workload can grow one table ahead
     * of the others — a single-table canary would let the outliers run
-    * unbounded. The trigger reads DURABLE state (four metadata-scale
-    * `.files` counts every non-empty epoch), so it is restart-stable
-    * by construction — an in-memory "every K refreshes" counter resets
+    * unbounded. The trigger reads DURABLE state (four driver-side
+    * live-file counts off the metadata log — graft.lake.LakeMeta —
+    * every non-empty epoch), so it is restart-stable by construction — an in-memory "every K refreshes" counter resets
     * on every stream restart and a crash-looped or availableNow-style
     * deployment restarting faster than its period would NEVER
     * maintain, while epoch-id parity misfires when data lands only on
@@ -146,8 +146,8 @@ object IngestStreams {
             rollbackCrashedRepair = rollbackCrashedRepair)
           if (maintainFileThreshold > 0 &&
               Seq(idx.post, idx.df, idx.size, idx.labels)
-                .map(t => batch.sparkSession
-                  .table(s"lakeq.db.$t.files").count()).max
+                .map(t => graft.lake.LakeMeta.liveFileCount(
+                  batch.sparkSession, Seq("lakeq", "db", t))).max
                 >= maintainFileThreshold)
             TextOps.maintainGroupIndex(batch.sparkSession, idx)
         }
@@ -199,10 +199,12 @@ object IngestStreams {
     * cadence counter is not), run AFTER the epoch body returns,
     * OUTSIDE its tag scope — maintenance commits are untagged, so
     * they can never satisfy (or poison) a replay's epoch guard, and
-    * the build snapshot's files are only superseded, never deleted,
-    * so the fixed-centroid read ([[graft.queries.VectorOps
-    * .ingestVectorBatch]]'s `VERSION AS OF` build-snapshot scan)
-    * survives any number of compactions. */
+    * the build snapshot's files are only superseded, never deleted
+    * (and its tag protects them from expiry), so the fixed-centroid
+    * read ([[graft.queries.VectorOps.ingestVectorBatch]]'s
+    * `VERSION AS OF` build-snapshot scan) survives any number of
+    * compactions. Trigger state reads are driver-side metadata-log
+    * reads (graft.lake.LakeMeta), not Spark jobs. */
   private[graft] def ivfIngest(vecs: DataFrame, table: String,
       checkpoint: String, maintainFileThreshold: Int = 0): StreamingQuery = {
     lazy val scope = scopeOf(vecs.sparkSession, checkpoint)
@@ -211,8 +213,8 @@ object IngestStreams {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         ivfIngestEpoch(table, batch, epoch, scope)
         if (maintainFileThreshold > 0 && !batch.isEmpty &&
-            batch.sparkSession.table(s"lakeq.db.$table.files").count()
-              >= maintainFileThreshold)
+            graft.lake.LakeMeta.liveFileCount(batch.sparkSession,
+              Seq("lakeq", "db", table)) >= maintainFileThreshold)
           batch.sparkSession.sql(
             s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
         ()
