@@ -15,6 +15,9 @@ object MetaBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nSnaps = if (args.length > 1) args(1).toInt else 20
+    require(nSnaps >= 2,
+      s"snapshots must be >= 2 (got $nSnaps): the probe tag is the " +
+        "middle epoch's, which needs at least one tagged append")
     val iters = if (args.length > 2) args(2).toInt else 50
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

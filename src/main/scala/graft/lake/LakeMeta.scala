@@ -39,8 +39,18 @@ object LakeMeta {
   }
 
   /** Live data-file count of the current main snapshot — what the
-    * `.files` metadata table counts. */
-  def liveFileCount(spark: SparkSession, parts: Seq[String]): Long =
-    of(spark, parts).currentSnapshot("main").map(_.files.size.toLong)
-      .getOrElse(0L)
+    * `.files` metadata table counts. A spilled-manifest head (file
+    * list past the spill threshold) is counted from its parquet
+    * FOOTERS, not by forcing the manifest: the callers are per-epoch
+    * maintenance triggers, and materializing a million-entry manifest
+    * to count it would cost exactly what the trigger exists to
+    * avoid. */
+  def liveFileCount(spark: SparkSession, parts: Seq[String]): Long = {
+    val (cat, ident) = LakeDdl.resolve(spark, parts)
+    cat.loadMeta(ident).currentSnapshot("main").map(_.files match {
+      case l: LazyManifestFiles if !l.isForced =>
+        Manifests.countRows(l.dir, cat.hadoopConf)
+      case f => f.size.toLong
+    }).getOrElse(0L)
+  }
 }

@@ -245,6 +245,25 @@ object Manifests {
     raw.select(LakeWriteUtil.normPathCol(col("path")).as("path"))
   }
 
+  /** Entry count of a spilled manifest WITHOUT materializing it: sums
+    * parquet footer row counts driver-side — no Spark job, no row
+    * decode, O(part-files) footer reads. Serves metadata-scale
+    * callers (the streaming maintenance triggers' live-file counts)
+    * for which forcing a million-entry manifest would cost exactly
+    * what the caller exists to avoid. */
+  private[lake] def countRows(dir: String, conf: Configuration): Long = {
+    val cached = cache.get(dir)
+    if (cached != null) return cached.size.toLong
+    val p = new Path(dir)
+    val f = p.getFileSystem(conf)
+    f.listStatus(p).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private[lake] def read(dir: String, conf: Configuration): Seq[DataFileMeta] = {
     val cached = cache.get(dir)
     if (cached != null) return cached

@@ -702,8 +702,10 @@ object VectorOps {
     // break the first time retention passes the build commit. (The
     // command runs directly — `ALTER TABLE … CREATE TAG` needs the
     // extensions parser, which plain gate sessions don't install.)
+    // version = None resolves to the current main head — at this
+    // point exactly the build snapshot, without assuming its id
     graft.lake.LakeRefCommand(Seq("lakeq", "db", t), "CREATE", isTag = true,
-      IvfBuildTag, version = Some(1L), ifNotExists = false,
+      IvfBuildTag, version = None, ifNotExists = false,
       ifExists = false).run(s)
     (t, evens)
   }
@@ -770,7 +772,22 @@ object VectorOps {
     // grained, so neither disambiguates incarnations reliably)
     val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
     val buildSnap = meta.refs.get(IvfBuildTag).map(_.snapshotId)
-      .getOrElse(meta.snapshots.map(_.snapshotId).min)
+      .getOrElse {
+        // pre-tag fallback: legitimate ONLY while the table's history
+        // still reaches back to the build commit (snapshot ids are
+        // per-table counters starting at 1, so the build IS id 1).
+        // After an expire has passed the untagged build commit, the
+        // oldest SURVIVING snapshot contains ingested rows — reading
+        // centroids from it would silently mis-assign every later
+        // batch, so fail loudly instead.
+        val oldest = meta.snapshots.map(_.snapshotId).min
+        if (oldest != 1L) throw new IllegalStateException(
+          s"index $table has no '$IvfBuildTag' tag and its build " +
+            s"snapshot is expired (oldest surviving id $oldest): the " +
+            "fixed-centroid source is gone — re-tag before expiring, " +
+            "or rebuild the index")
+        oldest
+      }
     val buildKey = s"${meta.uuid}@$buildSnap"
     if (centroidCache.size > 64) centroidCache.clear()
     val (row, schema) = centroidCache.computeIfAbsent(buildKey,

@@ -84,8 +84,18 @@ object IngestStreams {
       finally in.close()
     // a real JSON parse (json4s ships with Spark), not a regex: the
     // engine writes a single flat object today, but an escaped quote
-    // inside a future sibling field must not shift the id match
-    val id = org.json4s.jackson.JsonMethods.parse(json) \ "id" match {
+    // inside a future sibling field must not shift the id match. Both
+    // failure shapes — unparseable file AND well-formed JSON missing
+    // the id — must name the checkpoint, or a truncated metadata file
+    // (partial write during a crash) surfaces as a bare parser error
+    // with no path to act on.
+    val parsed =
+      try org.json4s.jackson.JsonMethods.parse(json)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"unparseable checkpoint metadata at $meta", e)
+      }
+    val id = parsed \ "id" match {
       case org.json4s.JString(v) if v.nonEmpty => v
       case _ => throw new IllegalStateException(
         s"no streaming query id in checkpoint metadata at $meta")

@@ -493,6 +493,16 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     expireAll(t2)
     assert(!snapIds(t2).contains(1L),
       "fixture: without the tag the build snapshot must expire")
+    // and the ingest path must fail LOUDLY on that state — the oldest
+    // surviving snapshot contains ingested rows, so a silent fallback
+    // would mis-assign every later batch
+    VectorOps.clearCentroidCache()
+    val e = intercept[IllegalStateException] {
+      VectorOps.ingestVectorBatch(spark, t2,
+        odds.filter(col("vec_id") >= half))
+    }
+    assert(e.getMessage.contains("build snapshot is expired"),
+      s"wrong failure: ${e.getMessage}")
     Seq(refT, t, t2).foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$x PURGE"))
   }
