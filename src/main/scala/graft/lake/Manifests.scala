@@ -40,6 +40,12 @@ object Manifests {
           size() > MaxCacheEntries
       })
 
+  /** Spec observability: whether `dir`'s content is materialized in
+    * the process-wide cache (a forced read puts it there;
+    * [[countRows]]' footer path never does). */
+  private[lake] def cachedForTesting(dir: String): Boolean =
+    cache.containsKey(dir)
+
   def threshold(meta: TableMeta): Int =
     meta.properties.get(ThresholdKey).map(_.toInt).getOrElse(DefaultThreshold)
 

@@ -442,6 +442,26 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("SELECT count(*) FROM lake.db.lazyman") == 24)
   }
 
+  test("LakeMeta.liveFileCount counts a spilled head from parquet " +
+      "footers without forcing the manifest") {
+    sql("""CREATE TABLE lake.db.lazycount (id bigint) USING lake
+        |TBLPROPERTIES ('write.metadata.manifest.spill-threshold'='2')""".stripMargin)
+    sql("INSERT INTO lake.db.lazycount SELECT id FROM range(0, 12, 1, 4)")
+    val expected = count("SELECT count(*) FROM lake.db.lazycount.files")
+    assert(expected >= 4, s"fixture must spill (threshold 2): $expected")
+    Manifests.clearCacheForTesting()
+    val got = LakeMeta.liveFileCount(spark, Seq("lake", "db", "lazycount"))
+    assert(got == expected,
+      s"footer count must equal the .files count: $got vs $expected")
+    // the count must come from footers: a forced manifest read would
+    // have materialized the dir into the process-wide cache
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = MetadataLog.load(s"$wh/db/lazycount", conf)
+      .currentSnapshot("main").get.manifestPath.get
+    assert(!Manifests.cachedForTesting(dir),
+      "liveFileCount forced the spilled manifest instead of reading footers")
+  }
+
   test("rewrite_manifests rewrites spill dirs and clusters by partition") {
     sql("""CREATE TABLE lake.db.rwman (id bigint, p bigint) USING lake
         |PARTITIONED BY (p)
