@@ -347,6 +347,10 @@ object Bench {
         if (compsWarm.getOrElse(name, 0L) == 0L && dc > 0) {
           envRetimeFailed += name
           if (dc > 0) envRetimeComps(name) = dc
+          // discard the rejected sample's stage timings too — without
+          // this they'd be swept into stagesB by the next ACCEPTED
+          // candidate's drain and misattributed to it
+          graft.StageTimes.drain()
           System.err.println(s"BENCH ENV-RETIME SKIP $name: re-sample " +
             s"paid $dc memo computes the warm sample did not")
         } else {
@@ -464,11 +468,17 @@ object Bench {
     // partial map would shadow the full baseline for every gate it
     // omits. Failed gates' garbage samples stay out of the entry.
     if (args.isEmpty) try {
+      // the entry's total sums the SAME filtered map its "queries"
+      // publishes — the headline `total` above keeps failed gates'
+      // elapsed-to-crash time (an honest wall clock), but a baseline
+      // whose total disagreed with its own query map would make the
+      // next round's delta math inconsistent
+      val histQueries = results.view.filterKeys(
+        k => !failed.contains(k)).toMap
       val entry = s"""{"ts":${System.currentTimeMillis()},""" +
         s""""sf":"${esc(sfDir)}","env":$envJson,""" +
-        s""""total":${r3(total)},""" +
-        s""""queries":${json(results.view.filterKeys(
-          k => !failed.contains(k)).toMap)}}""" + "\n"
+        s""""total":${r3(histQueries.values.sum)},""" +
+        s""""queries":${json(histQueries)}}""" + "\n"
       java.nio.file.Files.write(histPath,
         entry.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

@@ -32,6 +32,12 @@ object IngestSoak {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nEpochs = if (args.length > 1) args(1).toInt else 50
+    // the epoch split is doc_id % 100: past 100 the base filter
+    // selects NOTHING and every epoch filter targets a negative
+    // residue — the soak would stream empty epochs for its full
+    // duration and only fail at the end-state require
+    require(nEpochs >= 1 && nEpochs <= 100,
+      s"nEpochs must be in [1, 100] (doc_id %% 100 split), got $nEpochs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

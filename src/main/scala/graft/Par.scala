@@ -59,10 +59,18 @@ object Par {
         // no live context — is ms-scale once its Spark jobs have
         // died, so three polls cover the in-flight-commit window the
         // full 300s used to)
-        def contextAlive: Boolean =
-          org.apache.spark.sql.SparkSession.getDefaultSession
-            .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
-            .forall(s => !s.sparkContext.isStopped)
+        // "alive" = ANY resolvable session has a live context, not
+        // just the first one found: in a multi-session JVM the
+        // default can still point at a just-stopped session while a
+        // live one exists — stragglers scheduled on the live context
+        // can still commit, so the drain must keep waiting
+        def contextAlive: Boolean = {
+          val sessions = Seq(
+            org.apache.spark.sql.SparkSession.getActiveSession,
+            org.apache.spark.sql.SparkSession.getDefaultSession).flatten
+          sessions.isEmpty ||
+            sessions.exists(s => !s.sparkContext.isStopped)
+        }
         while (!drained && waitedSec < 300 &&
             (waitedSec < 15 || contextAlive)) {
           drained =

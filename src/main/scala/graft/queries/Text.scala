@@ -453,17 +453,30 @@ object TextOps {
       wi += 1
     }
     // deterministic argmax: count desc, then (l, r) lexicographic —
-    // compared by UTF-8 BYTES, not JVM UTF-16 code units, so the
-    // tie-break matches Spark's binary string sort (the order
-    // trainBpeMerges's distributed argmax resolves ties under). The
-    // two diverge only for supplementary-plane symbols — today's
-    // [a-z]+ tokenization keeps symbols ASCII where they agree, but
-    // the ordering must not silently desync the three pinned-equal
-    // implementations if the tokenizer ever widens.
-    val utf8Ord: Ordering[String] = (a: String, b: String) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // compared by CODE POINT, not JVM UTF-16 code units, which equals
+    // UTF-8 byte order for well-formed strings, so the tie-break
+    // matches Spark's binary string sort (the order trainBpeMerges's
+    // distributed argmax resolves ties under). The two diverge only
+    // for supplementary-plane symbols — today's [a-z]+ tokenization
+    // keeps symbols ASCII where they agree, but the ordering must not
+    // silently desync the three pinned-equal implementations if the
+    // tokenizer ever widens. Code points rather than getBytes(UTF_8):
+    // the encoder replaces unpaired surrogates with '?', so a
+    // byte-compare is not consistent-with-equals for malformed
+    // tokens — two DISTINCT symbols could compare equal and silently
+    // coalesce in the TreeSet (mis-removing candidate pairs); code
+    // points keep every distinct string distinct.
+    val utf8Ord: Ordering[String] = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        var i = 0; var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca); j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
     val order = scala.collection.mutable.TreeSet[(Long, String, String)]()(
       Ordering.Tuple3(Ordering[Long].reverse, utf8Ord, utf8Ord))
     counts.foreach { case ((l, r), c) => order += ((c, l, r)) }
