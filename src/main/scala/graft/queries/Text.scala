@@ -543,12 +543,15 @@ object TextOps {
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
 
-  /** Gate: learn 16 BPE merges from the corpus. No DuckDB oracle —
-    * the greedy adjacent-merge rewrite is not SQL-expressible (string
-    * replace can't reproduce greedy fold semantics on symbol runs),
-    * so the driver records the weaker rows-only check; correctness is
-    * pinned in BpeSuite against an independent in-JVM reference
-    * implementation plus the hand-computed classic fixture. */
+  /** Gate: learn 16 BPE merges from the corpus. The greedy
+    * adjacent-merge rewrite is not SQL-expressible (string replace
+    * can't reproduce greedy fold semantics on symbol runs), so the
+    * driver-level content check is a committed SELF-ORACLE fixture
+    * (see the oracle entry) rather than a DuckDB re-derivation;
+    * independent correctness is pinned in BpeSuite against an in-JVM
+    * reference implementation plus the hand-computed classic
+    * fixture, and the iteration-1 pair stats are fully oracled as
+    * `t_bpe_pairs`. */
   def tBpeTrain(s: SparkSession, d: String): DataFrame =
     trainBpeMerges(s, Tables.documents(s, d), 16).orderBy(col("rank"))
 
@@ -557,12 +560,12 @@ object TextOps {
     * O(affected-words) in-memory iterations, 0 shuffle per merge — the
     * measured ~10× marginal winner at 300 k vocab) at k=256, so the
     * path users would actually run flows through a driver CORRECTNESS
-    * row like every other component. Rows-only like [[tBpeTrain]]
-    * (the greedy fold is not SQL-expressible); bit-equality with the
-    * distributed trainer AND the independent in-JVM reference at this
-    * k is pinned in BpeSuite. The fixed testdata vocabulary exhausts
-    * below k (merges stop when no pair repeats), which is itself part
-    * of the pinned behavior. */
+    * row like every other component. Committed-fixture self-oracle
+    * like [[tBpeTrain]] (the greedy fold is not SQL-expressible);
+    * bit-equality with the distributed trainer AND the independent
+    * in-JVM reference at this k is pinned in BpeSuite. The fixed
+    * testdata vocabulary exhausts below k (merges stop when no pair
+    * repeats), which is itself part of the pinned behavior. */
   def tBpeTrainDriver(s: SparkSession, d: String): DataFrame =
     trainBpeMergesDriver(s, Tables.documents(s, d), 256)
       .orderBy(col("rank"))
@@ -3962,6 +3965,105 @@ object TextOps {
         |        syms[2:len(syms)])) AS pr FROM s)
         |SELECT pr[1] AS l, pr[2] AS r, sum(freq)::BIGINT AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY l, r""".stripMargin,
+    // SELF-ORACLES (committed fixtures), not DuckDB re-derivations:
+    // the greedy adjacent-merge fold is not SQL-expressible, so the
+    // merge tables — independently pinned bit-equal to an in-JVM
+    // reference implementation in BpeSuite, with iteration-1 pair
+    // stats fully oracled above — are committed as VALUES fixtures
+    // dispatched on a corpus fingerprint (sum(length(text))), one
+    // block per known testdata sf. A content regression in either
+    // trainer now turns the DRIVER gate red instead of passing the
+    // old rows-only check. Regenerate after an intentional trainer
+    // change with tools/gen_bpe_oracle.py (an unknown sf matches no
+    // block and fails loudly — add its fixture the same way).
+    "t_bpe_train" -> (
+        "SELECT rank::INTEGER AS rank, l AS \"left\", r AS \"right\", c::BIGINT A" +
+        "S pair_count FROM (VALUES (1,'e','r',4650),(2,'e','</w>',4644),(3,'n" +
+        "','</w>',2898),(4,'o','r',2880),(5,'t','</w>',2850),(6,'er','</w>',2" +
+        "781),(7,'o','w',2763),(8,'ow','</w>',2763),(9,'l','u',1928),(10,'i'," +
+        "'n',1922),(11,'y','</w>',1879),(12,'a','r',1873),(13,'p','ar',1873)," +
+        "(14,'g','</w>',1843),(15,'a','s',1836),(16,'h','</w>',1833)) fix(ran" +
+        "k, l, r, c) WHERE (SELECT sum(length(text)) FROM documents) = 153156" +
+        " UNION ALL SELECT rank::INTEGER AS rank, l AS \"left\", r AS \"right\", " +
+        "c::BIGINT AS pair_count FROM (VALUES (1,'e','r',4568),(2,'e','</w>'," +
+        "4473),(3,'n','</w>',2834),(4,'er','</w>',2779),(5,'o','w',2747),(6,'" +
+        "ow','</w>',2747),(7,'o','r',2696),(8,'s','t',2676),(9,'h','</w>',188" +
+        "4),(10,'a','t',1845),(11,'l','u',1831),(12,'i','n',1796),(13,'a','</" +
+        "w>',1788),(14,'g','</w>',1777),(15,'y','</w>',1767),(16,'a','r',1758" +
+        ")) fix(rank, l, r, c) WHERE (SELECT sum(length(text)) FROM documents" +
+        ") = 149174 ORDER BY rank"),
+    "t_bpe_train_driver" -> (
+        "SELECT rank::INTEGER AS rank, l AS \"left\", r AS \"right\", c::BIGINT A" +
+        "S pair_count FROM (VALUES (1,'e','r',4650),(2,'e','</w>',4644),(3,'n" +
+        "','</w>',2898),(4,'o','r',2880),(5,'t','</w>',2850),(6,'er','</w>',2" +
+        "781),(7,'o','w',2763),(8,'ow','</w>',2763),(9,'l','u',1928),(10,'i'," +
+        "'n',1922),(11,'y','</w>',1879),(12,'a','r',1873),(13,'p','ar',1873)," +
+        "(14,'g','</w>',1843),(15,'a','s',1836),(16,'h','</w>',1833),(17,'a'," +
+        "'</w>',1827),(18,'s','t',1808),(19,'a','t',1806),(20,'a','n</w>',984" +
+        "),(21,'c','an</w>',984),(22,'s','can</w>',984),(23,'c','o',978),(24," +
+        "'co','lu',978),(25,'colu','m',978),(26,'colum','n</w>',978),(27,'d'," +
+        "'ow</w>',976),(28,'in','dow</w>',976),(29,'w','indow</w>',976),(30,'" +
+        "d','er</w>',975),(31,'or','der</w>',975),(32,'or','t</w>',974),(33,'" +
+        "s','ort</w>',974),(34,'p','</w>',963),(35,'par','t</w>',963),(36,'u'" +
+        ",'p</w>',963),(37,'a','g',953),(38,'ag','g</w>',953),(39,'a','lu',95" +
+        "0),(40,'alu','e</w>',950),(41,'v','alue</w>',950),(42,'in','e</w>',9" +
+        "46),(43,'l','ine</w>',946),(44,'e','y</w>',945),(45,'k','ey</w>',945" +
+        "),(46,'i','n</w>',936),(47,'j','o',936),(48,'jo','in</w>',936),(49,'" +
+        "er','g',935),(50,'erg','e</w>',935),(51,'m','erge</w>',935),(52,'er'" +
+        ",'y</w>',934),(53,'g','r',934),(54,'gr','o',934),(55,'gro','up</w>'," +
+        "934),(56,'q','u',934),(57,'qu','ery</w>',934),(58,'c','t',931),(59,'" +
+        "ct','or',931),(60,'ctor','</w>',931),(61,'e','ctor</w>',931),(62,'v'" +
+        ",'ector</w>',931),(63,'as','h</w>',923),(64,'h','ash</w>',923),(65,'" +
+        "l','ow</w>',921),(66,'s','low</w>',921),(67,'a','m',919),(68,'am','<" +
+        "/w>',919),(69,'e','am</w>',919),(70,'r','eam</w>',919),(71,'st','rea" +
+        "m</w>',919),(72,'f','i',917),(73,'fi','l',917),(74,'fil','t',917),(7" +
+        "5,'filt','er</w>',917),(76,'as','t</w>',913),(77,'f','ast</w>',913)," +
+        "(78,'at','c',910),(79,'atc','h</w>',910),(80,'b','atch</w>',910),(81" +
+        ",'h','e</w>',910),(82,'k','</w>',910),(83,'par','k</w>',910),(84,'s'" +
+        ",'park</w>',910),(85,'t','he</w>',910),(86,'a','b',903),(87,'ab','l'" +
+        ",903),(88,'abl','e</w>',903),(89,'t','able</w>',903),(90,'a','l',898" +
+        "),(91,'al','l',898),(92,'all','</w>',898),(93,'m','all</w>',898),(94" +
+        ",'s','mall</w>',898),(95,'at','a</w>',896),(96,'d','ata</w>',896),(9" +
+        "7,'b','i',890),(98,'bi','g</w>',890),(99,'c','u',889),(100,'cu','st'" +
+        ",889),(101,'cust','o',889),(102,'custo','m',889),(103,'custom','er</" +
+        "w>',889),(104,'r','ow</w>',866),(105,'d','up</w>',29)) fix(rank, l, " +
+        "r, c) WHERE (SELECT sum(length(text)) FROM documents) = 153156 UNION" +
+        " ALL SELECT rank::INTEGER AS rank, l AS \"left\", r AS \"right\", c::BIG" +
+        "INT AS pair_count FROM (VALUES (1,'e','r',4568),(2,'e','</w>',4473)," +
+        "(3,'n','</w>',2834),(4,'er','</w>',2779),(5,'o','w',2747),(6,'ow','<" +
+        "/w>',2747),(7,'o','r',2696),(8,'s','t',2676),(9,'h','</w>',1884),(10" +
+        ",'a','t',1845),(11,'l','u',1831),(12,'i','n',1796),(13,'a','</w>',17" +
+        "88),(14,'g','</w>',1777),(15,'y','</w>',1767),(16,'a','r',1758),(17," +
+        "'p','ar',1758),(18,'t','</w>',1750),(19,'i','n</w>',964),(20,'j','o'" +
+        ",964),(21,'jo','in</w>',964),(22,'a','s',947),(23,'as','h</w>',947)," +
+        "(24,'h','ash</w>',947),(25,'r','ow</w>',943),(26,'at','c',937),(27,'" +
+        "atc','h</w>',937),(28,'b','atch</w>',937),(29,'a','n</w>',936),(30,'" +
+        "c','an</w>',936),(31,'s','can</w>',936),(32,'c','o',934),(33,'c','u'" +
+        ",934),(34,'co','lu',934),(35,'colu','m',934),(36,'colum','n</w>',934" +
+        "),(37,'cu','st',934),(38,'cust','o',934),(39,'custo','m',934),(40,'c" +
+        "ustom','er</w>',934),(41,'f','i',933),(42,'fi','l',933),(43,'fil','t" +
+        "',933),(44,'filt','er</w>',933),(45,'a','l',928),(46,'al','l',928),(" +
+        "47,'all','</w>',928),(48,'m','all</w>',928),(49,'s','mall</w>',928)," +
+        "(50,'er','g',918),(51,'erg','e</w>',918),(52,'l','ow</w>',918),(53,'" +
+        "m','erge</w>',918),(54,'s','low</w>',918),(55,'c','t',912),(56,'ct'," +
+        "'or',912),(57,'ctor','</w>',912),(58,'d','er</w>',912),(59,'e','ctor" +
+        "</w>',912),(60,'or','der</w>',912),(61,'v','ector</w>',912),(62,'in'" +
+        ",'e</w>',910),(63,'l','ine</w>',910),(64,'a','b',908),(65,'ab','l',9" +
+        "08),(66,'abl','e</w>',908),(67,'at','a</w>',908),(68,'d','ata</w>',9" +
+        "08),(69,'t','able</w>',908),(70,'p','</w>',904),(71,'u','p</w>',904)" +
+        ",(72,'a','g',901),(73,'ag','g</w>',901),(74,'a','lu',897),(75,'alu'," +
+        "'e</w>',897),(76,'v','alue</w>',897),(77,'e','y</w>',896),(78,'k','e" +
+        "y</w>',896),(79,'a','m',888),(80,'am','</w>',888),(81,'e','am</w>',8" +
+        "88),(82,'r','eam</w>',888),(83,'st','ream</w>',888),(84,'d','ow</w>'" +
+        ",886),(85,'in','dow</w>',886),(86,'w','indow</w>',886),(87,'k','</w>" +
+        "',880),(88,'par','k</w>',880),(89,'s','park</w>',880),(90,'g','r',87" +
+        "8),(91,'gr','o',878),(92,'gro','up</w>',878),(93,'par','t</w>',878)," +
+        "(94,'b','i',876),(95,'bi','g</w>',876),(96,'or','t</w>',872),(97,'s'" +
+        ",'ort</w>',872),(98,'er','y</w>',871),(99,'q','u',871),(100,'qu','er" +
+        "y</w>',871),(101,'a','st',854),(102,'ast','</w>',854),(103,'f','ast<" +
+        "/w>',854),(104,'h','e</w>',840),(105,'t','he</w>',840),(106,'d','up<" +
+        "/w>',26)) fix(rank, l, r, c) WHERE (SELECT sum(length(text)) FROM do" +
+        "cuments) = 149174 ORDER BY rank"),
     "t_pmi_bigrams" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($tokSql, x -> x <> '') AS t
