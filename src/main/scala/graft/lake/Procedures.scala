@@ -276,7 +276,8 @@ object Procedures {
     "expire_snapshots" -> (c => new Proc(c, "expire_snapshots") {
       val params = Seq(in("table", StringType),
         opt("older_than", TimestampType), opt("retain_last", IntegerType),
-        opt("snapshot_ids", ArrayType(LongType)))
+        opt("snapshot_ids", ArrayType(LongType)),
+        opt("ignore_replay_guard", BooleanType))
       val resultSchema = result("deleted_data_files_count" -> LongType,
         "deleted_manifest_files_count" -> LongType,
         "deleted_snapshots_count" -> LongType)
@@ -317,6 +318,36 @@ object Procedures {
               (explicit.isEmpty && s.timestampMs < olderThanMs))
         }
         val expIds = expired.map(_.snapshotId).toSet
+        // Replay guard (ReplayGuard.scala): the NEWEST epoch-tagged
+        // main-history snapshot of each ingest scope is the one whose
+        // tag a crash replay may still need — expiring it would make
+        // the replay re-append its epoch silently. Refuse unless the
+        // caller overrides; an override records the forgotten epoch
+        // as a replay watermark atomically with this expire's commit,
+        // so the guarded ingest paths fail loudly on that replay.
+        val mainAnc = m.currentSnapshotId("main")
+          .map(m.ancestorsOf).getOrElse(Nil)
+        val guarded = ReplayGuard.newestTagged(mainAnc)
+          .filter { case (_, (_, sid)) => expIds(sid) }
+        if (guarded.nonEmpty &&
+            !a.boolOpt("ignore_replay_guard").getOrElse(false))
+          throw new IllegalStateException(
+            "expire_snapshots would expire the NEWEST epoch-tagged " +
+              "snapshot of ingest " +
+              guarded.toSeq.sortBy(_._1).map { case (sc, (ep, sid)) =>
+                s"scope '$sc' (epoch $ep, snapshot $sid)" }
+                .mkString("; ") +
+              ": a crash replay of that epoch could no longer prove it " +
+              "already committed and would re-append it. Raise snapshot " +
+              "retention past the stream's trigger interval, or pass " +
+              "ignore_replay_guard => true — the override records a " +
+              "replay watermark so a later replay of the forgotten " +
+              "epoch fails loudly instead of silently duplicating.")
+        val guardProps = guarded.map { case (scope, (ep, _)) =>
+          val k = ReplayGuard.watermarkKey(scope)
+          k -> math.max(ep, ReplayGuard.watermarkOf(m, scope)
+            .getOrElse(Long.MinValue)).toString
+        }
         val remaining = m.snapshots.filterNot(s => expIds(s.snapshotId))
         // spilled manifests and position-delete files referenced only
         // by expired snapshots retire with them
@@ -338,7 +369,8 @@ object Procedures {
         // destroyed files (time travel/changelog permanently broken).
         // A crash between commit and delete merely strands files for
         // remove_orphan_files, matching the spill-dir invariant.
-        catalog.commitMeta(m.copy(snapshots = patched, refs = liveRefs))
+        catalog.commitMeta(m.copy(snapshots = patched, refs = liveRefs,
+          properties = m.properties ++ guardProps))
         // Dead data files = expired minus remaining, differenced as a
         // distributed anti-join over the spilled manifests (read as a
         // parquet scan, never hydrated to the driver) and deleted

@@ -1709,6 +1709,39 @@ object TextOps {
     graft.lake.LakeMeta.mainAncestors(s, Seq("lakeq", "db", table))
       .exists(_.summary.get("graft.commit.tag").contains(tag))
 
+  /** [[taggedOnMain]] hardened against permitted tag expiry: the
+    * replay guard the INGEST paths use. When the tag is absent but
+    * the table's replay watermark (stamped by an
+    * `ignore_replay_guard => true` expire_snapshots — see
+    * graft.lake.ReplayGuard) covers this epoch, the epoch DID commit
+    * and its snapshot was deliberately forgotten — re-running it
+    * would duplicate data, and skipping it would mask an operator
+    * error (a rolled-back epoch never reaches a watermark: rollback
+    * only applies to tags still on main, which the guard refuses to
+    * expire without the override). Fail loudly naming the recovery:
+    * resume from a fresh checkpoint whose offsets start past the
+    * forgotten epoch. */
+  private[graft] def epochCommittedOnMain(s: SparkSession, table: String,
+      tag: String): Boolean = {
+    val m = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val tagged = m.currentSnapshotId("main").map(m.ancestorsOf)
+      .getOrElse(Nil)
+      .exists(_.summary.get("graft.commit.tag").contains(tag))
+    if (!tagged) graft.lake.ReplayGuard.parseEpochTag(tag).foreach {
+      case (scope, ep) =>
+        if (graft.lake.ReplayGuard.watermarkOf(m, scope).exists(_ >= ep))
+          throw new IllegalStateException(
+            s"replay of epoch '$tag' on $table: the replay watermark " +
+              s"(${graft.lake.ReplayGuard.watermarkKey(scope)}) covers " +
+              s"epoch $ep but no tagged snapshot survives on main — the " +
+              "epoch's commit was expired under ignore_replay_guard, so " +
+              "this replay cannot prove idempotence. Restart the stream " +
+              "from a fresh checkpoint whose source offsets are past " +
+              "this epoch.")
+    }
+    tagged
+  }
+
   /** Roll `table` back to its PRE-EPOCH ancestor: the parent of the
     * oldest main-history snapshot stamped with `tag` — discarding
     * every commit the crashed epoch landed on this table (snapshot
@@ -1874,7 +1907,7 @@ object TextOps {
     //    re-stages from a fresh branch (relabel min-algebra and the
     //    batch append recompute identically — the advance guards fed
     //    the same capped universe).
-    if (epochTag.exists(t => taggedOnMain(s, idx.labels, t))) return
+    if (epochTag.exists(t => epochCommittedOnMain(s, idx.labels, t))) return
     withCommitTag(epochTag) {
       refreshMinedBody(s, idx, batchDocs, cap, repairStraddle, epochTag,
         rollbackCrashedRepair)
@@ -1903,7 +1936,7 @@ object TextOps {
     val advanced: Set[String] = epochTag match {
       case None => Set.empty
       case Some(t) => Seq(idx.post, idx.df, idx.size)
-        .filter(taggedOnMain(s, _, t)).toSet
+        .filter(epochCommittedOnMain(s, _, t)).toSet
     }
     // replay adjustment: a crashed tagged run that already landed the
     // df append leaves tonight's deltas inside the stored sum —

@@ -26,14 +26,17 @@ import graft.queries.TextOps
   * Interplay with `expire_snapshots`: the epoch guard checks the tag
   * against MAIN-HISTORY snapshots, so expiring a snapshot forgets its
   * tag — a replay of an epoch whose commits retention no longer
-  * covers would re-append. That is unreachable under any sane
-  * configuration: foreachBatch replays at most the LAST uncommitted
-  * epoch (the checkpoint advances past an epoch only after the batch
-  * body returns), so the guard only ever needs the most recent
-  * epoch's commits, while expire retention is hours-to-days. The
-  * operational rule, stated for completeness: snapshot retention must
-  * exceed the trigger interval. (The IVF build snapshot itself is
-  * tag-PROTECTED from expiry — see VectorOps.IvfBuildTag.)
+  * covers would re-append. foreachBatch replays at most the LAST
+  * uncommitted epoch (the checkpoint advances past an epoch only
+  * after the batch body returns), so the guard only ever needs the
+  * most recent epoch's commits, while expire retention is
+  * hours-to-days — and the rule is ENFORCED, not just operational:
+  * `expire_snapshots` refuses to expire a scope's newest epoch-tagged
+  * snapshot unless overridden, and an override stamps a replay
+  * watermark that turns the bad replay into a loud failure instead of
+  * silent duplicates (graft.lake.ReplayGuard). (The IVF build
+  * snapshot itself is tag-PROTECTED from expiry — see
+  * VectorOps.IvfBuildTag.)
   *
   * 100 TB shape: one long-lived query per corpus; micro-batch cost is
   * the measured nightly-refresh cost at the batch's size (GroupScale
@@ -177,7 +180,7 @@ object IngestStreams {
       epoch: Long, scope: String): Unit = {
     val sp = batch.sparkSession
     val tag = s"ivf-ingest-$scope-$epoch"
-    if (!batch.isEmpty && !TextOps.taggedOnMain(sp, table, tag))
+    if (!batch.isEmpty && !TextOps.epochCommittedOnMain(sp, table, tag))
       TextOps.withCommitTag(Some(tag)) {
         graft.queries.VectorOps.ingestVectorBatch(sp, table, batch)
       }

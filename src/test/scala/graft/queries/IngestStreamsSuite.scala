@@ -538,4 +538,63 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     Seq(t1, t2).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
   }
+
+  test("expire_snapshots refuses to expire a scope's newest " +
+      "epoch-tagged snapshot; the override stamps a watermark that " +
+      "fails the bad replay loudly") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    val odds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val oddRows = odds.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (half1, half2) = oddRows.splitAt(oddRows.length / 2)
+    val (t, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    // epoch 0 through the guarded ingest path (tagged commit)
+    graft.streaming.IngestStreams.ivfIngestEpoch(t,
+      half1.toDF("vec_id", "embedding"), epoch = 0L, scope = "guardspec")
+    // untagged maintenance on top pushes the tagged snapshot out of
+    // the retain_last=1 window — the exact nightly cadence that used
+    // to strand a crash replay
+    spark.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.$t', " +
+      "options => map('rewrite-all','true'))")
+    val before = snapCount(t)
+    val rowsBefore = ivfRows(t)
+    def expire(extra: String = ""): Unit = spark.sql(
+      s"CALL lakeq.system.expire_snapshots(table => 'db.$t', " +
+        "older_than => TIMESTAMP '2100-01-01 00:00:00', " +
+        s"retain_last => 1$extra)")
+    val e = intercept[IllegalStateException] { expire() }
+    assert(e.getMessage.contains("ignore_replay_guard") &&
+      e.getMessage.contains("ivf-ingest-guardspec"),
+      s"wrong refusal: ${e.getMessage}")
+    // the refusal is pre-commit: nothing expired, nothing deleted
+    assert(snapCount(t) === before, "refusal must not commit")
+    // override: proceeds, forgets the tagged snapshot, stamps the
+    // watermark atomically with the expire commit
+    expire(", ignore_replay_guard => true")
+    assert(snapCount(t) < before, "override must expire")
+    val m = graft.lake.LakeMeta.of(spark, Seq("lakeq", "db", t))
+    assert(graft.lake.ReplayGuard.watermarkOf(m, "ivf-ingest-guardspec")
+      === Some(0L), "override must stamp the replay watermark")
+    // the bad replay (epoch 0 again, tag forgotten) fails LOUDLY
+    // instead of silently re-appending
+    val r = intercept[IllegalStateException] {
+      graft.streaming.IngestStreams.ivfIngestEpoch(t,
+        half1.toDF("vec_id", "embedding"), epoch = 0L,
+        scope = "guardspec")
+    }
+    assert(r.getMessage.contains("cannot prove idempotence"),
+      s"wrong replay failure: ${r.getMessage}")
+    assert(ivfRows(t) === rowsBefore,
+      "the refused replay must not duplicate rows")
+    // epochs past the watermark ingest normally — the ring converges
+    // forward once the operator restarts past the forgotten epoch
+    graft.streaming.IngestStreams.ivfIngestEpoch(t,
+      half2.toDF("vec_id", "embedding"), epoch = 1L, scope = "guardspec")
+    assert(ivfRows(t).size === rowsBefore.size + half2.size)
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
 }
