@@ -482,30 +482,17 @@ object VectorOps {
     (t, corpusAssigned.unionByName(batchAssigned))
   }
 
-  /** Centroid-drift REPAIR for a stored inverted file — the rebuild
-    * leg of the index lifecycle that [[vAnnIvfIncremental]]
-    * deliberately defers out of the nightly path (ingestion assigns
-    * against FIXED build-time centroids; sustained drifted ingestion
-    * degrades cell locality until a rebuild): re-derive the K
-    * centroids from the CURRENT resident vectors with Lloyd
-    * iterations seeded by the existing assignment's own per-cell
-    * means (the [[vKmeans]] kernel — per-iteration exchange is
-    * (cell, dim)-bounded partial sums, centroids quantized to 4 dp
-    * for reproducibility), re-assign every vector, and REPLACE the
-    * cell-partitioned table. Cost = iterations × one corpus scan plus
-    * one partitioned rewrite. Returns the new assignment frame (the
-    * `withSims` shape [[probeStoredIvf]] takes), so probes continue
-    * against the repaired index unchanged. VectorQualitySuite drives
-    * build → drifted ingest → repair and measures the recall
-    * recovery. */
-  private[graft] def repairStoredIvf(s: SparkSession, table: String,
-      iters: Int = 2): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val resident = s.table(s"lakeq.db.$table")
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+  /** Per-cell 4 dp mean centroids of an assignment frame, as the
+    * one-row cents frame [[assignToCents]] broadcasts — the Lloyd
+    * update kernel shared by [[repairStoredIvf]] (iteration step) and
+    * [[storedCentsRow]] (re-deriving a REPAIRED index's centroids
+    * from its stored rows: the repair's publish convention is exactly
+    * "centroids = per-cell means of the published assignment", so the
+    * source snapshot's rows alone reproduce them — no sidecar
+    * state). */
+  private def centsOfAssigned(assigned: DataFrame): DataFrame = {
     val m0 = round(avg(col("col").cast("double")), 4)
-    def centsOf(assigned: DataFrame): DataFrame = assigned
+    assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(when(m0 === 0.0, lit(0.0)).otherwise(m0).as("m"))
@@ -516,16 +503,72 @@ object VectorOps {
       .withColumn("cn", norm(col("cv")))
       .agg(sort_array(collect_list(struct(col("cid"), col("cv"),
         col("cn")))).as("cents"))
-    var cents = centsOf(resident)
+  }
+
+  /** Centroid-drift REPAIR for a stored inverted file — the rebuild
+    * leg of the index lifecycle that [[vAnnIvfIncremental]] defers
+    * out of the nightly path (ingestion assigns against FIXED
+    * centroids; sustained drifted ingestion degrades cell locality
+    * until a rebuild): re-derive the K centroids from the CURRENT
+    * resident vectors with Lloyd iterations seeded by the existing
+    * assignment's own per-cell means (the [[vKmeans]] kernel —
+    * per-iteration exchange is (cell, dim)-bounded partial sums,
+    * centroids quantized to 4 dp for reproducibility), re-assign
+    * every vector, and publish IN PLACE:
+    *
+    *  - ONE atomic full-overwrite commit on the SAME table
+    *    incarnation (identity, uuid, snapshot counter, refs, and any
+    *    live streaming query's view of the table all survive — the
+    *    previous createOrReplace re-founded the table, which under a
+    *    live ingest stream would have invalidated every identity the
+    *    exactly-once machinery keys on), stamped with the
+    *    [[graft.lake.ReplayGuard.IvfRepairTag]] commit marker so
+    *    centroid-source resolution ([[storedCentsRow]]) sees the
+    *    repair ATOMICALLY with its data — the repaired snapshot's
+    *    per-cell means ARE the index's centroids from this commit on;
+    *  - then the [[IvfBuildTag]] ref moves onto the repair snapshot
+    *    (expiry protection, same as the build's). The one-commit
+    *    window where the marker exists but the ref hasn't moved is
+    *    covered by expire_snapshots' replay guard, which refuses to
+    *    expire the newest repair-marked snapshot without an override.
+    *
+    * The marker cannot satisfy or poison a streaming epoch's replay
+    * guard — it is not an `<ring>-ingest-<scope>-<epoch>` tag. Cost =
+    * iterations × one corpus scan plus one partitioned rewrite.
+    * Returns the new assignment frame (the `withSims` shape
+    * [[probeStoredIvf]] takes), so probes continue against the
+    * repaired index unchanged. VectorQualitySuite drives build →
+    * drifted ingest → repair and measures the recall recovery;
+    * IngestStreamsSuite drives it through the in-loop drift
+    * trigger. */
+  private[graft] def repairStoredIvf(s: SparkSession, table: String,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val resident = s.table(s"lakeq.db.$table")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var cents = centsOfAssigned(resident)
     var assigned = resident
     for (_ <- 1 to iters) {
       assigned = assignToCents(
         resident.select(col("vec_id"), col("embedding"), col("nrm")), cents)
-      cents = centsOf(assigned)
+      cents = centsOfAssigned(assigned)
     }
-    assigned.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"lakeq.db.$table").using("lake")
-      .partitionedBy(col("cell")).createOrReplace()
+    // publish convention (storedCentsRow's read side): the LAST Lloyd
+    // re-assignment is what lands, so "per-cell means of the stored
+    // rows" re-derives the centroids that will assign FUTURE batches
+    // — one more centsOfAssigned over the published state, which is
+    // exactly `cents` computed above
+    TextOps.withCommitTag(Some(graft.lake.ReplayGuard.IvfRepairTag)) {
+      assigned.select(col("vec_id"), col("cell"), col("embedding"),
+          col("nrm"))
+        .writeTo(s"lakeq.db.$table").overwrite(lit(true))
+    }
+    val m = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    graft.lake.LakeRefCommand(Seq("lakeq", "db", table),
+      if (m.refs.contains(IvfBuildTag)) "REPLACE" else "CREATE",
+      isTag = true, IvfBuildTag, version = None, ifNotExists = false,
+      ifExists = false).run(s)
     assigned
   }
 
@@ -747,64 +790,165 @@ object VectorOps {
     * proves the STORAGE path (expire-survival specs). */
   private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
 
-  private[graft] def ingestVectorBatch(s: SparkSession, table: String,
-      batch: DataFrame): Unit = {
-    // centroids must be IMMUTABLE under ingestion: reading them from
-    // the CURRENT table state would let any ingested batch containing
-    // an even vec_id < 16 (a re-embedded doc, an overlapping id
-    // space) silently grow/replace the centroid set for every later
-    // epoch and strand probe-cell selection. Read them from the
-    // table's BUILD snapshot — the first commit, whose rows no append
-    // can alter (spec-pinned by the centroid-pollution test). The
-    // per-epoch storage cost is ONE driver-side metadata-log read
-    // (graft.lake.LakeMeta — ref, uuid, and snapshot floor in one
-    // JSON load, no Spark jobs); the build-snapshot SCAN happens once
-    // per table via [[centroidCache]] (immutability is what makes the
-    // cache sound). The build snapshot resolves through the
-    // [[IvfBuildTag]] ref — the tag PROTECTS it from expire_snapshots
-    // (a long-lived index under a nightly expire cadence would
-    // otherwise lose the centroid source the first time retention
-    // passes the build commit) — with the oldest-snapshot fallback
-    // for pre-tag tables. cache identity: the table UUID — minted at
-    // create time, so a dropped-and-recreated index under the same
-    // name is a DIFFERENT key by construction (snapshot ids are
-    // per-table counters and commit timestamps are millisecond-
-    // grained, so neither disambiguates incarnations reliably)
-    val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
-    val buildSnap = meta.refs.get(IvfBuildTag).map(_.snapshotId)
+  /** Resolve a stored incremental index's CENTROID SOURCE snapshot:
+    * the newest main-history snapshot carrying the
+    * [[graft.lake.ReplayGuard.IvfRepairTag]] commit marker (a repair
+    * re-founds the centroids — see [[repairStoredIvf]]), else the
+    * [[IvfBuildTag]] ref, else the pre-tag oldest==1 fallback.
+    * Fails loudly when a replay watermark shows the newest repair was
+    * expired under ignore_replay_guard (falling back to the build's
+    * centroids against repaired rows would silently mis-assign every
+    * later batch), and when the untagged build snapshot is gone. */
+  private def centroidSourceSnap(meta: graft.lake.TableMeta,
+      table: String): Long = {
+    val mainAnc = meta.currentSnapshotId("main")
+      .map(meta.ancestorsOf).getOrElse(Nil)
+    // nearest-first walk → the first repair marker is the newest
+    mainAnc.find(_.summary.get("graft.commit.tag")
+        .contains(graft.lake.ReplayGuard.IvfRepairTag))
+      .map(_.snapshotId)
       .getOrElse {
-        // pre-tag fallback: legitimate ONLY while the table's history
-        // still reaches back to the build commit (snapshot ids are
-        // per-table counters starting at 1, so the build IS id 1).
-        // After an expire has passed the untagged build commit, the
-        // oldest SURVIVING snapshot contains ingested rows — reading
-        // centroids from it would silently mis-assign every later
-        // batch, so fail loudly instead.
-        val oldest = meta.snapshots.map(_.snapshotId).min
-        if (oldest != 1L) throw new IllegalStateException(
-          s"index $table has no '$IvfBuildTag' tag and its build " +
-            s"snapshot is expired (oldest surviving id $oldest): the " +
-            "fixed-centroid source is gone — re-tag before expiring, " +
-            "or rebuild the index")
-        oldest
+        graft.lake.ReplayGuard
+          .watermarkOf(meta, graft.lake.ReplayGuard.IvfRepairTag)
+          .foreach(wid => throw new IllegalStateException(
+            s"index $table: repair snapshot $wid was expired under " +
+              "ignore_replay_guard and no newer repair exists — the " +
+              "centroid source is gone; re-run repairStoredIvf or " +
+              "rebuild the index"))
+        meta.refs.get(IvfBuildTag).map(_.snapshotId).getOrElse {
+          // pre-tag fallback: legitimate ONLY while the table's
+          // history still reaches back to the build commit (snapshot
+          // ids are per-table counters starting at 1, so the build IS
+          // id 1). After an expire has passed the untagged build
+          // commit, the oldest SURVIVING snapshot contains ingested
+          // rows — reading centroids from it would silently
+          // mis-assign every later batch, so fail loudly instead.
+          val oldest = meta.snapshots.map(_.snapshotId).min
+          if (oldest != 1L) throw new IllegalStateException(
+            s"index $table has no '$IvfBuildTag' tag and its build " +
+              s"snapshot is expired (oldest surviving id $oldest): the " +
+              "fixed-centroid source is gone — re-tag before expiring, " +
+              "or rebuild the index")
+          oldest
+        }
       }
-    val buildKey = s"${meta.uuid}@$buildSnap"
+  }
+
+  /** The one-row cents frame of `table`'s current centroid source —
+    * what every ingest epoch assigns against and what
+    * [[storedWithSims]] scores queries against.
+    *
+    * Centroids must be IMMUTABLE under ingestion: reading them from
+    * the CURRENT table state would let any ingested batch containing
+    * an even vec_id < 16 (a re-embedded doc, an overlapping id space)
+    * silently grow/replace the centroid set for every later epoch and
+    * strand probe-cell selection. They come from the resolved SOURCE
+    * snapshot ([[centroidSourceSnap]]), whose rows no append can
+    * alter (spec-pinned by the centroid-pollution test):
+    *
+    *  - a BUILD source stores the centroids as its first-8-even-id
+    *    rows (the [[buildEvenIvf]] convention);
+    *  - a REPAIR source's centroids are the per-cell 4 dp means of
+    *    its published assignment ([[centsOfAssigned]] — the repair's
+    *    publish convention, so the snapshot's rows alone reproduce
+    *    them, no sidecar state to lose).
+    *
+    * The per-epoch storage cost is ONE driver-side metadata-log read
+    * (graft.lake.LakeMeta — ref, uuid, repair marker, and snapshot
+    * floor in one JSON load, no Spark jobs); the source-snapshot SCAN
+    * happens once per source via [[centroidCache]] (immutability is
+    * what makes the cache sound). Cache identity: the table UUID —
+    * minted at create time, so a dropped-and-recreated index under
+    * the same name is a DIFFERENT key by construction — plus the
+    * source snapshot id. */
+  private def storedCentsRow(s: SparkSession, table: String): DataFrame = {
+    val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val srcSnap = centroidSourceSnap(meta, table)
+    val isRepair = meta.snapshotById(srcSnap)
+      .exists(_.summary.get("graft.commit.tag")
+        .contains(graft.lake.ReplayGuard.IvfRepairTag))
+    val srcKey = s"${meta.uuid}@$srcSnap"
     if (centroidCache.size > 64) centroidCache.clear()
-    val (row, schema) = centroidCache.computeIfAbsent(buildKey,
+    val (row, schema) = centroidCache.computeIfAbsent(srcKey,
       { _ =>
         val stored = s.sql(
-          s"SELECT * FROM lakeq.db.$table VERSION AS OF $buildSnap")
-        val cents = stored
-          .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
-          .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-            col("embedding").as("cv"), col("nrm").as("cn")))).as("cents"))
+          s"SELECT * FROM lakeq.db.$table VERSION AS OF $srcSnap")
+        val cents =
+          if (isRepair) centsOfAssigned(stored)
+          else stored
+            .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+            .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+              col("embedding").as("cv"), col("nrm").as("cn"))))
+              .as("cents"))
         (cents.head(), cents.schema)
       })
-    val centsRow = s.createDataFrame(
-      java.util.Collections.singletonList(row), schema)
-    assignToCents(batch.withColumn("nrm", norm(col("embedding"))), centsRow)
+    s.createDataFrame(java.util.Collections.singletonList(row), schema)
+  }
+
+  /** Assign raw vectors (`vec_id`, `embedding`) against `table`'s
+    * current centroid source — the `withSims` frame
+    * [[probeStoredIvf]] takes, repair-aware: after a drift repair,
+    * probe-cell selection follows the repaired centroids exactly as
+    * ingestion does. */
+  private[graft] def storedWithSims(s: SparkSession, table: String,
+      vecs: DataFrame): DataFrame =
+    assignToCents(vecs.withColumn("nrm", norm(col("embedding"))),
+      storedCentsRow(s, table))
+
+  private[graft] def ingestVectorBatch(s: SparkSession, table: String,
+      batch: DataFrame): Unit = {
+    ingestVectorBatchStat(s, table, batch, wantStat = false)
+    ()
+  }
+
+  /** [[ingestVectorBatch]] returning the batch's mean best-centroid
+    * cosine when `wantStat` — the O(batch × K) drift statistic the
+    * streaming twin's repair trigger compares against
+    * [[centroidRefStat]]. The stat is one extra batch-scale
+    * aggregation job (recomputing the assignment from the batch
+    * source), paid only when a caller opted into drift tracking —
+    * plain gates and batch ingests stay one write job. */
+  private[graft] def ingestVectorBatchStat(s: SparkSession, table: String,
+      batch: DataFrame, wantStat: Boolean): Option[Double] = {
+    val assigned = assignToCents(
+      batch.withColumn("nrm", norm(col("embedding"))),
+      storedCentsRow(s, table))
+    val stat = if (!wantStat) None else Some(
+      assigned.agg(avg(array_max(transform(col("sims"),
+        s0 => s0.getField("csim"))))).head().getDouble(0))
+    assigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
       .writeTo(s"lakeq.db.$table").append()
+    stat
+  }
+
+  /** Driver-side cache of [[centroidRefStat]] per (uuid, source
+    * snapshot) — same immutability argument as [[centroidCache]]. */
+  private val refStatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+
+  /** Reference assignment quality of `table`'s centroid source: the
+    * mean best-centroid cosine of the SOURCE snapshot's own residents
+    * against its centroids. A drifted incoming batch scores well
+    * below this (its vectors don't resemble any centroid); the
+    * streaming repair trigger fires when the per-epoch statistic
+    * falls under `threshold × this`. One source-snapshot scan per
+    * source, cached — amortized across the stream's lifetime like the
+    * centroid read itself. */
+  private[graft] def centroidRefStat(s: SparkSession,
+      table: String): Double = {
+    val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val srcSnap = centroidSourceSnap(meta, table)
+    val key = s"${meta.uuid}@$srcSnap"
+    if (refStatCache.size > 64) refStatCache.clear()
+    refStatCache.computeIfAbsent(key, { _ =>
+      val stored = s.sql(
+        s"SELECT * FROM lakeq.db.$table VERSION AS OF $srcSnap")
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      assignToCents(stored, storedCentsRow(s, table))
+        .agg(avg(array_max(transform(col("sims"),
+          s0 => s0.getField("csim"))))).head().getDouble(0)
+    })
   }
 
   /** IVF + int8 ANN — the two scale levers composed: the inverted

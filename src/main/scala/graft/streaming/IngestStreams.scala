@@ -177,13 +177,16 @@ object IngestStreams {
     * exactly-once: a replayed epoch whose commit is on the table's
     * main history is a no-op. */
   private[graft] def ivfIngestEpoch(table: String, batch: DataFrame,
-      epoch: Long, scope: String): Unit = {
+      epoch: Long, scope: String,
+      wantDriftStat: Boolean = false): Option[Double] = {
     val sp = batch.sparkSession
     val tag = s"ivf-ingest-$scope-$epoch"
     if (!batch.isEmpty && !TextOps.epochCommittedOnMain(sp, table, tag))
       TextOps.withCommitTag(Some(tag)) {
-        graft.queries.VectorOps.ingestVectorBatch(sp, table, batch)
+        graft.queries.VectorOps.ingestVectorBatchStat(sp, table, batch,
+          wantStat = wantDriftStat)
       }
+    else None
   }
 
   /** Start the continuous ANN-index ingest over a streaming vectors
@@ -217,18 +220,51 @@ object IngestStreams {
     * read ([[graft.queries.VectorOps.ingestVectorBatch]]'s
     * `VERSION AS OF` build-snapshot scan) survives any number of
     * compactions. Trigger state reads are driver-side metadata-log
-    * reads (graft.lake.LakeMeta), not Spark jobs. */
+    * reads (graft.lake.LakeMeta), not Spark jobs.
+    *
+    * `driftRepairThreshold = r` (0 = off) closes the twin's LAST
+    * self-maintenance gap — recall: each ingested epoch's mean
+    * best-centroid cosine (computed from the epoch's OWN assignment,
+    * O(batch × K), one extra batch-scale job only when the feature is
+    * on) is compared against the centroid source's reference quality
+    * (VectorOps.centroidRefStat — the source snapshot's residents
+    * against their own centroids, one amortized scan per source);
+    * an epoch scoring below r × reference means incoming data no
+    * longer resembles ANY centroid, and the loop runs
+    * VectorOps.repairStoredIvf in place. Trigger discipline matches
+    * the compaction trigger: the statistic is restart-stable by
+    * construction (each epoch's stat derives from that epoch's own
+    * data — no in-memory counter to lose), the repair runs AFTER the
+    * epoch body returns, OUTSIDE its tag scope (the repair's own
+    * commit marker is not an epoch tag, so it can never satisfy or
+    * poison a replay's epoch guard), and probes stay compatible —
+    * the repair re-founds the centroid source atomically, so later
+    * epochs assign (and storedWithSims scores queries) against the
+    * repaired centroids. A crash between the epoch commit and the
+    * repair merely defers the repair to the next drifted epoch (the
+    * replayed epoch skips as committed and returns no stat). A
+    * replayed-then-skipped epoch never re-evaluates the trigger. */
   private[graft] def ivfIngest(vecs: DataFrame, table: String,
-      checkpoint: String, maintainFileThreshold: Int = 0): StreamingQuery = {
+      checkpoint: String, maintainFileThreshold: Int = 0,
+      driftRepairThreshold: Double = 0.0): StreamingQuery = {
     lazy val scope = scopeOf(vecs.sparkSession, checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        ivfIngestEpoch(table, batch, epoch, scope)
+        val sp = batch.sparkSession
+        val stat = ivfIngestEpoch(table, batch, epoch, scope,
+          wantDriftStat = driftRepairThreshold > 0)
+        stat.foreach { mean =>
+          val ref = graft.queries.VectorOps.centroidRefStat(sp, table)
+          if (ref > 0 && mean < driftRepairThreshold * ref) {
+            graft.queries.VectorOps.repairStoredIvf(sp, table)
+            ()
+          }
+        }
         if (maintainFileThreshold > 0 && !batch.isEmpty &&
-            graft.lake.LakeMeta.liveFileCount(batch.sparkSession,
+            graft.lake.LakeMeta.liveFileCount(sp,
               Seq("lakeq", "db", table)) >= maintainFileThreshold)
-          batch.sparkSession.sql(
+          sp.sql(
             s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
         ()
       }

@@ -597,4 +597,120 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRows(t).size === rowsBefore.size + half2.size)
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
+  test("drift trigger: a Rademacher-masked stream repairs in place " +
+      "and recovers recall; a clean stream never triggers") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    // Manufactured CLUSTERED corpus: the testdata embeddings are
+    // isotropic random vectors, where a Rademacher mask is
+    // UNDETECTABLE IN PRINCIPLE (sign-flipping an isotropic
+    // distribution yields the same distribution, so no assignment
+    // statistic separates clean from masked — measured: mean
+    // best-csim ratio 0.87 clean vs 0.83 masked). Real embedding
+    // corpora live on a manifold, which is what makes drift a
+    // geometric event — so the spec builds one: 8 unit centers,
+    // members = center + noise, with the even ids < 16 placed ON the
+    // centers (the buildEvenIvf centroid convention).
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    def member(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq
+    val rows: Seq[(Long, Seq[Float], Int)] = (0 until 400).map { i =>
+      val c = (i % 16) / 2
+      val emb = if (i < 16 && i % 2 == 0) centers(c).map(_.toFloat).toSeq
+                else member(c)
+      (i.toLong, emb, c)
+    }
+    val corpusDir = tmpDir("ivf-drift-corpus")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    val odds = rows.filter(_._1 % 2 == 1).map(r => (r._1, r._2))
+    val mask = Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val masked = odds.map { case (id, v) =>
+      (id, v.zip(mask).map { case (x, m) => x * m }) }
+    def repairCount(t: String): Long = graft.lake.LakeMeta
+      .mainAncestors(spark, Seq("lakeq", "db", t))
+      .count(_.summary.get("graft.commit.tag")
+        .contains(graft.lake.ReplayGuard.IvfRepairTag))
+    def stream(t: String, rs: Seq[(Long, Seq[Float])],
+        threshold: Double): Unit = {
+      val (h1, h2) = rs.splitAt(rs.length / 2)
+      val mem = MemoryStream[(Long, Seq[Float])](spark)
+      val q = graft.streaming.IngestStreams.ivfIngest(
+        mem.toDF().toDF("vec_id", "embedding"), t,
+        tmpDir("ivf-drift-ckpt"), driftRepairThreshold = threshold)
+      try {
+        mem.addData(h1); q.processAllAvailable()
+        mem.addData(h2); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // clean stream: same-manifold epochs score ~the reference quality
+    // and must NEVER trigger
+    val (tc, _) = VectorOps.buildEvenIvf(spark, corpusDir)
+    stream(tc, odds, threshold = 0.8)
+    assert(repairCount(tc) === 0, "no-drift stream must never trigger")
+    // drifted stream: the mask tears the batch off the manifold (best
+    // csim ~N(0, 1/sqrt(dim)) vs ~0.95 reference) and the loop
+    // repairs IN the loop
+    val (td, _) = VectorOps.buildEvenIvf(spark, corpusDir)
+    stream(td, masked, threshold = 0.8)
+    assert(repairCount(td) >= 1, "drifted stream must trigger repair")
+    // the build ref moved onto a repair snapshot (expiry protection
+    // restored for the new centroid source)
+    val md = graft.lake.LakeMeta.of(spark, Seq("lakeq", "db", td))
+    val refSnap = md.refs(VectorOps.IvfBuildTag).snapshotId
+    assert(md.snapshotById(refSnap).exists(_.summary
+        .get("graft.commit.tag")
+        .contains(graft.lake.ReplayGuard.IvfRepairTag)),
+      "IvfBuildTag must move onto the repair snapshot")
+    // counterfactual twin: same drifted stream, trigger OFF — recall
+    // against exact driver-side truth must not beat the repaired twin
+    val (toff, _) = VectorOps.buildEvenIvf(spark, corpusDir)
+    val memOff = MemoryStream[(Long, Seq[Float])](spark)
+    val qOff = graft.streaming.IngestStreams.ivfIngest(
+      memOff.toDF().toDF("vec_id", "embedding"), toff,
+      tmpDir("ivf-driftoff-ckpt"))
+    try {
+      memOff.addData(masked); qOff.processAllAvailable()
+    } finally qOff.stop()
+    val all: Map[Long, Array[Double]] =
+      (rows.filter(_._1 % 2 == 0).map(r => (r._1, r._2)) ++ masked)
+        .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dt(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s0, i) => s0 + x(i) * y(i))
+      dt(a, b) / (math.sqrt(dt(a, a)) * math.sqrt(dt(b, b)))
+    }
+    def truth(q: Long): Set[Long] = all.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, BigDecimal(cos(all(q), v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val queries = masked.map(_._1).sorted.take(8)
+    def recall(t: String): Double = {
+      val qv = masked.filter(q => queries.contains(q._1))
+        .toDF("vec_id", "embedding")
+      val ws = VectorOps.storedWithSims(spark, t, qv)
+      queries.map { q =>
+        val got = VectorOps.probeStoredIvf(spark, t, ws, q).collect()
+          .map(_.getLong(0)).toSet
+        (got intersect truth(q)).size / 5.0
+      }.sum / queries.length
+    }
+    val (before, after) = (recall(toff), recall(td))
+    info(f"in-loop drift repair recall@5: $before%.2f -> $after%.2f")
+    assert(after >= before,
+      f"triggered repair must not lose recall: $before%.2f -> $after%.2f")
+    // row preservation: the repair rewrites, never drops or invents
+    assert(spark.table(s"lakeq.db.$td").count() ===
+      spark.table(s"lakeq.db.$toff").count())
+    Seq(tc, td, toff).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+  }
 }
