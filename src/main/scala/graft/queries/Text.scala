@@ -833,7 +833,7 @@ object TextOps {
       val sg = minhashSigsCk(s, d)
       val post = sg.select(col("doc_id"), explode(minhashBands).as("band_hash"))
       post.filter(col("doc_id") % 2 === 0)
-        .writeTo(s"lakeq.db.$postT").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, postT)}").using("lake")
         .partitionedBy(bucket(8, col("band_hash"))).create()
       // the doc_id bloom is what lets the verify join's runtime filter
       // reach the scan (filterAttributes reports bloomed columns);
@@ -841,7 +841,7 @@ object TextOps {
       // the bloom for fully-dictionary-encoded columns
       sg.filter(col("doc_id") % 2 === 0)
         .repartitionByRange(8, col("doc_id"))
-        .writeTo(s"lakeq.db.$sigT").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, sigT)}").using("lake")
         .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
           "true")
         .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
@@ -849,7 +849,7 @@ object TextOps {
         .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
         .create()
       post.filter(col("doc_id") % 2 === 1)
-        .writeTo(s"lakeq.db.$batchT").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, batchT)}").using("lake")
         .partitionedBy(bucket(8, col("band_hash"))).create()
       sg
     }
@@ -865,10 +865,11 @@ object TextOps {
       // tables through its own catalog instance.
       val sc = s.newSession()
       LakeOps.cat(sc)
+      graft.lake.Names.carryTo(s, sc)
       sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val cand = sc.table(s"lakeq.db.$batchT")
-        .join(sc.table(s"lakeq.db.$postT").toDF("dup_of", "band_hash"),
+      val cand = sc.table(s"${graft.lake.Names.q(s, batchT)}")
+        .join(sc.table(s"${graft.lake.Names.q(s, postT)}").toDF("dup_of", "band_hash"),
           Seq("band_hash"))
         .select(col("doc_id"), col("dup_of"))
         .distinct()
@@ -880,7 +881,7 @@ object TextOps {
       // non-negative) — it is the selective predicate the runtime-filter
       // planner requires on the build side before it hands the candidate
       // ids to the sig scan for file skipping
-      val withB = s.table(s"lakeq.db.$sigT")
+      val withB = s.table(s"${graft.lake.Names.q(s, sigT)}")
         .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
         .join(broadcast(cand.filter(col("dup_of") >= 0)), Seq("dup_of"))
       withB
@@ -901,7 +902,7 @@ object TextOps {
     }
     // result is materialized — the per-invocation scratch tables can go
     Seq(postT, sigT, batchT).foreach(t =>
-      s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+      s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE"))
     result.orderBy(col("doc_id"))
   }
 
@@ -1425,11 +1426,11 @@ object TextOps {
       maintainGroupIndex(s, idx, "t_dedup_groups_indexed.maintain")
     }
     val result = graft.StageTimes.timed("t_dedup_groups_indexed.serve") {
-      s.table(s"lakeq.db.${idx.labels}").select(col("doc_id"), col("group_id"))
+      s.table(s"${graft.lake.Names.q(s, idx.labels)}").select(col("doc_id"), col("group_id"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
     Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
-      s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+      s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE"))
     result.orderBy(col("doc_id"))
   }
 
@@ -1471,14 +1472,14 @@ object TextOps {
         }
       } finally q.stop()
       val result = graft.StageTimes.timed("t_ingest_dedup_stream.serve") {
-        s.table(s"lakeq.db.${idx.labels}")
+        s.table(s"${graft.lake.Names.q(s, idx.labels)}")
           .select(col("doc_id"), col("group_id"))
           .localCheckpoint(true, StorageLevel.DISK_ONLY)
       }
       result.orderBy(col("doc_id"))
     } finally {
       Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
-        s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+        s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE"))
       rmTree(s, ckpt)
     }
   }
@@ -1579,16 +1580,16 @@ object TextOps {
     // shape), and a multi-run harness would otherwise measure
     // against a polluted warehouse.
     try parSteps(
-      () => posting.writeTo(s"lakeq.db.${idx.post}").using("lake")
+      () => posting.writeTo(s"${graft.lake.Names.q(s, idx.post)}").using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
-      () => dfreq.writeTo(s"lakeq.db.${idx.df}").using("lake")
+      () => dfreq.writeTo(s"${graft.lake.Names.q(s, idx.df)}").using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
       // sizes range-cluster by doc_id with a doc_id bloom so candidate
       // fetches skip files (the [[tIncrementalDedupIndexed]] sig-store
       // layout; dictionary encoding off because parquet drops blooms
       // for fully-dictionary-encoded columns)
       () => sizes.repartitionByRange(8, col("doc_id"))
-        .writeTo(s"lakeq.db.${idx.size}").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, idx.size)}").using("lake")
         .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
           "true")
         .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
@@ -1628,7 +1629,7 @@ object TextOps {
             .join(labels, Seq("doc_id"), "left")
             .select(col("doc_id"),
               coalesce(col("group_id"), col("doc_id")).as("group_id"))
-            .writeTo(s"lakeq.db.${idx.labels}").using("lake")
+            .writeTo(s"${graft.lake.Names.q(s, idx.labels)}").using("lake")
             .tableProperty("write.merge.mode", "merge-on-read")
             .partitionedBy(bucket(8, col("doc_id"))).create()
         } finally edges.unpersist()
@@ -1646,7 +1647,7 @@ object TextOps {
             s"create task: tables ${names.mkString(", ")} may be " +
             "recreated after this drop and need manual removal")
         names.foreach { tbl =>
-          try s.sql(s"DROP TABLE IF EXISTS lakeq.db.$tbl PURGE")
+          try s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, tbl)} PURGE")
           catch { case _: Throwable => () }
         }
         throw t
@@ -1666,10 +1667,10 @@ object TextOps {
     // materialize the fold BEFORE the replace: the source is the very
     // table being replaced, and a lazy self-referential RTAS would
     // read mid-swap state
-    s.table(s"lakeq.db.$table").toDF("sh", "df")
+    s.table(s"${graft.lake.Names.q(s, table)}").toDF("sh", "df")
       .groupBy(col("sh")).agg(sum(col("df")).as("df"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-      .writeTo(s"lakeq.db.$table").using("lake")
+      .writeTo(s"${graft.lake.Names.q(s, table)}").using("lake")
       .partitionedBy(bucket(GroupIdxBuckets, col("sh")))
       .createOrReplace()
 
@@ -1706,7 +1707,7 @@ object TextOps {
     * ~3 s/epoch metadata constant inside every micro-batch wall. */
   private[graft] def taggedOnMain(s: SparkSession, table: String,
       tag: String): Boolean =
-    graft.lake.LakeMeta.mainAncestors(s, Seq("lakeq", "db", table))
+    graft.lake.LakeMeta.mainAncestors(s, graft.lake.Names.parts(s, table))
       .exists(_.summary.get("graft.commit.tag").contains(tag))
 
   /** [[taggedOnMain]] hardened against permitted tag expiry: the
@@ -1723,7 +1724,7 @@ object TextOps {
     * forgotten epoch. */
   private[graft] def epochCommittedOnMain(s: SparkSession, table: String,
       tag: String): Boolean = {
-    val m = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val m = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
     val tagged = m.currentSnapshotId("main").map(m.ancestorsOf)
       .getOrElse(Nil)
       .exists(_.summary.get("graft.commit.tag").contains(tag))
@@ -1756,7 +1757,7 @@ object TextOps {
     // driver-side main-history walk (see [[taggedOnMain]]); the
     // rollback itself stays a CALL so it keeps the procedure path's
     // read-only veto and commit semantics
-    val anc = graft.lake.LakeMeta.mainAncestors(s, Seq("lakeq", "db", table))
+    val anc = graft.lake.LakeMeta.mainAncestors(s, graft.lake.Names.parts(s, table))
     def isEpoch(sm: graft.lake.SnapshotMeta): Boolean =
       sm.summary.get("graft.commit.tag").contains(tag)
     val tagged = anc.filter(isEpoch)
@@ -1773,7 +1774,7 @@ object TextOps {
         s"cannot auto-rollback epoch '$tag' on $table: its first tagged " +
           "snapshot is the table's FIRST snapshot (no pre-epoch ancestor " +
           "to roll back to) — drop and rebuild the table instead"))
-    s.sql(s"CALL lakeq.system.rollback_to_snapshot(table => 'db.$table', " +
+    s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.rollback_to_snapshot(table => '${graft.lake.Names.rel(s, table)}', " +
       s"snapshot_id => $parent)")
   }
 
@@ -1824,10 +1825,10 @@ object TextOps {
       () => timed("fold_df") { foldDeltaCounts(s, idx.df) },
       () => timed("binpack_post") {
         s.sql(
-          s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.post}')")
+          s"CALL ${graft.lake.Names.catalog(s)}.system.rewrite_data_files(table => '${graft.lake.Names.rel(s, idx.post)}')")
       },
       () => timed("sort_size") {
-        s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.${idx.size}'"
+        s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.rewrite_data_files(table => '${graft.lake.Names.rel(s, idx.size)}'"
           + s", strategy => 'sort', sort_order => 'doc_id')")
       },
       () => timed("fold_labels") { foldInModelTable(s, idx.labels) })
@@ -1845,10 +1846,11 @@ object TextOps {
       scratchT: String, postT: String): DataFrame = {
     val sc = s.newSession()
     LakeOps.cat(sc)
+    graft.lake.Names.carryTo(s, sc)
     sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sc.table(s"lakeq.db.$scratchT")
-      .join(sc.table(s"lakeq.db.$postT").toDF("doc_b", "sh"), Seq("sh"))
+    sc.table(s"${graft.lake.Names.q(s, scratchT)}")
+      .join(sc.table(s"${graft.lake.Names.q(s, postT)}").toDF("doc_b", "sh"), Seq("sh"))
       .groupBy(col("doc_id"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
   }
@@ -1944,7 +1946,7 @@ object TextOps {
     // check) equal the first attempt's exactly
     val dfAdvanced = advanced.contains(idx.df)
     val joined = graft.StageTimes.timed("t_dedup_groups_indexed.refresh_cap") {
-      bDf.join(s.table(s"lakeq.db.${idx.df}").toDF("sh", "dfd"),
+      bDf.join(s.table(s"${graft.lake.Names.q(s, idx.df)}").toDF("sh", "dfd"),
           Seq("sh"), "left")
         .groupBy(col("sh"), col("bdf"))
         .agg((coalesce(sum(col("dfd")), lit(0L)) -
@@ -2016,10 +2018,10 @@ object TextOps {
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh_mine") {
       bPost.join(cappedSh, Seq("sh"))
         .select(col("doc_id"), col("sh"))
-        .writeTo(s"lakeq.db.$scratch").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, scratch)}").using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     }
-    val bCapped = s.table(s"lakeq.db.$scratch")
+    val bCapped = s.table(s"${graft.lake.Names.q(s, scratch)}")
     val bSizes = bCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // batch×corpus: scratch postings share the index bucketing → SPJ
@@ -2032,7 +2034,7 @@ object TextOps {
     // candidate ids broadcast onto the size store; `>= 0` is the
     // selective build-side predicate the runtime-filter planner needs
     // before it hands the ids to the scan for bloom file skipping
-    val nbFetch = s.table(s"lakeq.db.${idx.size}").toDF("doc_b", "nb")
+    val nbFetch = s.table(s"${graft.lake.Names.q(s, idx.size)}").toDF("doc_b", "nb")
       .join(broadcast(candIds.filter(col("doc_b") >= 0)), Seq("doc_b"))
     val jac = (inter: Column, na: Column, nb: Column) =>
       round(inter.cast("double") / (na + nb - inter), 4)
@@ -2058,7 +2060,7 @@ object TextOps {
       .select(col("ba").as("doc_a"), col("bb").as("doc_b"))
     val mined = mixedPairs.union(batchPairs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$scratch PURGE")
+    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, scratch)} PURGE")
     // advance the index for the NEXT batch — postings append (the
     // probe above already ran, so tonight's docs never self-pair
     // through storage), df deltas append, sizes append. Three
@@ -2080,14 +2082,14 @@ object TextOps {
     val advance = () =>
       graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
         parSteps(Seq[(String, () => Unit)](
-          idx.post -> (() => bPost.writeTo(s"lakeq.db.${idx.post}").append()),
+          idx.post -> (() => bPost.writeTo(s"${graft.lake.Names.q(s, idx.post)}").append()),
           // df advance = ONE partition-aligned delta append: no
           // resident row is read or rewritten (the LSM trade — see
           // buildGroupIndex)
           idx.df -> (() => bDf.withColumnRenamed("bdf", "df")
-            .writeTo(s"lakeq.db.${idx.df}").append()),
+            .writeTo(s"${graft.lake.Names.q(s, idx.df)}").append()),
           idx.size -> (() => bSizes.repartitionByRange(2, col("doc_id"))
-            .writeTo(s"lakeq.db.${idx.size}").append()))
+            .writeTo(s"${graft.lake.Names.q(s, idx.size)}").append()))
           .collect { case (t, f) if needs(t) => f }: _*)
       }
     val publish = () =>
@@ -2150,8 +2152,8 @@ object TextOps {
       bPost: DataFrame, bDf: DataFrame, straddle: DataFrame): Unit = {
     val sSh = straddle.select(col("sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    val postT = s.table(s"lakeq.db.${idx.post}")
-    val labelsT = s.table(s"lakeq.db.${idx.labels}")
+    val postT = s.table(s"${graft.lake.Names.q(s, idx.post)}")
+    val labelsT = s.table(s"${graft.lake.Names.q(s, idx.labels)}")
       .select(col("doc_id"), col("group_id"))
     // affected docs: straddling shingles are ≤ cap in the store, so
     // each posting list here is cap-bounded — broadcast-sized
@@ -2167,7 +2169,7 @@ object TextOps {
     // rebuild can see — stored df is delta rows, summed per shingle
     val mPost = postT.join(mDocs.hint("broadcast"), Seq("doc_id"))
     val rawPost = mPost.unionByName(bPost)
-    val dfT = s.table(s"lakeq.db.${idx.df}").toDF("sh", "dfd")
+    val dfT = s.table(s"${graft.lake.Names.q(s, idx.df)}").toDF("sh", "dfd")
     val totals = rawPost.select(col("sh")).distinct()
       .join(dfT, Seq("sh"), "left")
       .groupBy(col("sh")).agg(coalesce(sum(col("dfd")), lit(0L)).as("df0"))
@@ -2205,7 +2207,7 @@ object TextOps {
       .agg(count(lit(1)).as("inter"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val candIds = probeInter.select(col("doc_b")).distinct()
-    val nbFetch = s.table(s"lakeq.db.${idx.size}").toDF("doc_b", "nb")
+    val nbFetch = s.table(s"${graft.lake.Names.q(s, idx.size)}").toDF("doc_b", "nb")
       .join(broadcast(candIds.filter(col("doc_b") >= 0)), Seq("doc_b"))
     val outPairs = probeInter
       .join(rSizes.toDF("doc_id", "na"), Seq("doc_id"))
@@ -2245,7 +2247,7 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("n_sh"), lit(0L)).as("n_sh"))
     val sv = LakeOps.fresh("grpidx_repair_sizes")
     rAll.createOrReplaceTempView(sv)
-    s.sql(s"""MERGE INTO lakeq.db.${idx.size} t USING $sv m
+    s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, idx.size)} t USING $sv m
              |ON t.doc_id = m.doc_id
              |WHEN MATCHED AND m.n_sh = 0 THEN DELETE
              |WHEN MATCHED THEN UPDATE SET t.n_sh = m.n_sh
@@ -2256,34 +2258,34 @@ object TextOps {
     // (postings stay UNCAPPED by design; the straddling shingles'
     // batch counts append too — df rows are true counts, cap
     // membership is derived per refresh)
-    bPost.writeTo(s"lakeq.db.${idx.post}").append()
-    bDf.withColumnRenamed("bdf", "df").writeTo(s"lakeq.db.${idx.df}").append()
+    bPost.writeTo(s"${graft.lake.Names.q(s, idx.post)}").append()
+    bDf.withColumnRenamed("bdf", "df").writeTo(s"${graft.lake.Names.q(s, idx.df)}").append()
     // labels: same staged-branch atomic publish as the normal nightly
     // — rebuild members' rows are replaced wholesale (delete + append
     // with final labels), merged outside components relabel through
     // the group_id-keyed MERGE, one fast-forward publishes all three
     val br = s"repair_${java.util.UUID.randomUUID().toString.take(8)}"
-    s.sql(s"CALL lakeq.system.create_branch(table => 'db.${idx.labels}', " +
+    s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.create_branch(table => '${graft.lake.Names.rel(s, idx.labels)}', " +
       s"branch => '$br')")
     try {
       val dv = LakeOps.fresh("grpidx_repair_docs")
       mDocs.createOrReplaceTempView(dv)
-      s.sql(s"""MERGE INTO lakeq.db.${idx.labels}.branch_$br t USING $dv m
+      s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, idx.labels)}.branch_$br t USING $dv m
                |ON t.doc_id = m.doc_id
                |WHEN MATCHED THEN DELETE""".stripMargin)
       s.catalog.dropTempView(dv)
       val mv = LakeOps.fresh("grpidx_repair_map")
       outMap.createOrReplaceTempView(mv)
-      s.sql(s"""MERGE INTO lakeq.db.${idx.labels}.branch_$br t USING $mv m
+      s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, idx.labels)}.branch_$br t USING $mv m
                |ON t.group_id = m.old_label
                |WHEN MATCHED THEN UPDATE SET t.group_id = m.new_label"""
         .stripMargin)
       s.catalog.dropTempView(mv)
-      rFinal.writeTo(s"lakeq.db.${idx.labels}.branch_$br").append()
-      s.sql(s"CALL lakeq.system.fast_forward(table => 'db.${idx.labels}', " +
+      rFinal.writeTo(s"${graft.lake.Names.q(s, idx.labels)}.branch_$br").append()
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.fast_forward(table => '${graft.lake.Names.rel(s, idx.labels)}', " +
         s"branch => 'main', to => '$br')")
     } finally {
-      s.sql(s"CALL lakeq.system.drop_branch(table => 'db.${idx.labels}', " +
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.drop_branch(table => '${graft.lake.Names.rel(s, idx.labels)}', " +
         s"branch => '$br')")
     }
   }
@@ -2310,7 +2312,7 @@ object TextOps {
     * next refresh, not serving state. */
   private[queries] def refreshGroupIndex(s: SparkSession, table: String,
       batchPairs: DataFrame, batchDocs: DataFrame): Unit = {
-    val stored = s.table(s"lakeq.db.$table")
+    val stored = s.table(s"${graft.lake.Names.q(s, table)}")
       .select(col("doc_id"), col("group_id"))
     // initial label per endpoint: stored component label, self for
     // docs the store has never seen (tonight's batch)
@@ -2328,14 +2330,14 @@ object TextOps {
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     cEdges.unpersist()
     val br = s"nightly_${java.util.UUID.randomUUID().toString.take(8)}"
-    s.sql(s"CALL lakeq.system.create_branch(table => 'db.$table', " +
+    s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.create_branch(table => '${graft.lake.Names.rel(s, table)}', " +
       s"branch => '$br')")
     try {
       // relabel every member of a merged component in ONE merge keyed
       // on the component label — no per-doc edge ever touches storage
       val mv = LakeOps.fresh("grpidx_map")
       mapping.createOrReplaceTempView(mv)
-      s.sql(s"""MERGE INTO lakeq.db.$table.branch_$br t USING $mv m
+      s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, table)}.branch_$br t USING $mv m
                |ON t.group_id = m.old_label
                |WHEN MATCHED THEN UPDATE SET t.group_id = m.new_label"""
         .stripMargin)
@@ -2344,12 +2346,12 @@ object TextOps {
         .join(mapping.toDF("doc_id", "new_label"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("new_label"), col("doc_id")).as("group_id"))
-        .writeTo(s"lakeq.db.$table.branch_$br").append()
+        .writeTo(s"${graft.lake.Names.q(s, table)}.branch_$br").append()
       // atomic publish: one ref move, both changes or neither
-      s.sql(s"CALL lakeq.system.fast_forward(table => 'db.$table', " +
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.fast_forward(table => '${graft.lake.Names.rel(s, table)}', " +
         s"branch => 'main', to => '$br')")
     } finally {
-      s.sql(s"CALL lakeq.system.drop_branch(table => 'db.$table', " +
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.drop_branch(table => '${graft.lake.Names.rel(s, table)}', " +
         s"branch => '$br')")
     }
   }
@@ -2511,11 +2513,11 @@ object TextOps {
     def timed[T](suffix: String)(f: => T): T =
       if (stage == null) f else graft.StageTimes.timed(s"$stage.$suffix")(f)
     timed("masks") {
-      s.sql(s"CALL lakeq.system.rewrite_position_delete_files(" +
-        s"table => 'db.$table')")
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.rewrite_position_delete_files(" +
+        s"table => '${graft.lake.Names.rel(s, table)}')")
     }
     timed("binpack") {
-      s.sql(s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.rewrite_data_files(table => '${graft.lake.Names.rel(s, table)}')")
     }
   }
 
@@ -2552,11 +2554,11 @@ object TextOps {
       parSteps(
         () => pairsOf(evens).groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("cb"))
-          .writeTo(s"lakeq.db.$bigT").using("lake")
+          .writeTo(s"${graft.lake.Names.q(s, bigT)}").using("lake")
           .tableProperty("write.merge.mode", "merge-on-read")
           .partitionedBy(bucket(8, col("w1"))).create(),
         () => uniOf(evens)
-          .writeTo(s"lakeq.db.$uniT").using("lake")
+          .writeTo(s"${graft.lake.Names.q(s, uniT)}").using("lake")
           .tableProperty("write.merge.mode", "merge-on-read")
           .partitionedBy(bucket(8, col("w2"))).create())
     }
@@ -2567,11 +2569,11 @@ object TextOps {
         .agg(count(lit(1)).as("cb")).createOrReplaceTempView(bigBatch)
       uniOf(odds).createOrReplaceTempView(uniBatch)
       parSteps(
-        () => s.sql(s"""MERGE INTO lakeq.db.$bigT t USING $bigBatch b
+        () => s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, bigT)} t USING $bigBatch b
                  |ON t.w1 = b.w1 AND t.w2 = b.w2
                  |WHEN MATCHED THEN UPDATE SET t.cb = t.cb + b.cb
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin),
-        () => s.sql(s"""MERGE INTO lakeq.db.$uniT t USING $uniBatch b
+        () => s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, uniT)} t USING $uniBatch b
                  |ON t.w2 = b.w2
                  |WHEN MATCHED THEN UPDATE SET t.c2 = t.c2 + b.c2
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
@@ -2584,9 +2586,9 @@ object TextOps {
         () => foldInModelTable(s, uniT, "t_bigram_lm_indexed.compact_uni"))
     }
     val result = graft.StageTimes.timed("t_bigram_lm_indexed.score") {
-      val cbg = s.table(s"lakeq.db.$bigT")
+      val cbg = s.table(s"${graft.lake.Names.q(s, bigT)}")
       val hist = cbg.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
-      val cu = s.table(s"lakeq.db.$uniT")
+      val cu = s.table(s"${graft.lake.Names.q(s, uniT)}")
       val n = cu.agg(sum(col("c2")).as("total"))
       pairsOf(docs)
         .join(cbg, Seq("w1", "w2"))
@@ -2605,8 +2607,8 @@ object TextOps {
           sum(col("c2")).as("sum_c2"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$uniT PURGE")
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$bigT PURGE")
+    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, uniT)} PURGE")
+    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, bigT)} PURGE")
     result.orderBy(col("doc_id"))
   }
 
@@ -3527,7 +3529,7 @@ object TextOps {
     val odds = docs.filter(col("doc_id") % 2 === 1)
     graft.StageTimes.timed("t_ngram_novelty_indexed.build") {
       shOf(evens).groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .writeTo(s"lakeq.db.$dfT").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, dfT)}").using("lake")
         .tableProperty("write.merge.mode", "merge-on-read")
         .partitionedBy(bucket(8, col("sh"))).create()
     }
@@ -3535,7 +3537,7 @@ object TextOps {
       val v = s"shdf_batch_${dfT.split('_').last}"
       shOf(odds).groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .createOrReplaceTempView(v)
-      s.sql(s"""MERGE INTO lakeq.db.$dfT t USING $v b ON t.sh = b.sh
+      s.sql(s"""MERGE INTO ${graft.lake.Names.q(s, dfT)} t USING $v b ON t.sh = b.sh
                |WHEN MATCHED THEN UPDATE SET t.df = t.df + b.df
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       s.catalog.dropTempView(v)
@@ -3544,7 +3546,7 @@ object TextOps {
       foldInModelTable(s, dfT, "t_ngram_novelty_indexed.compact")
     }
     val result = graft.StageTimes.timed("t_ngram_novelty_indexed.score") {
-      shOf(docs).join(s.table(s"lakeq.db.$dfT"), Seq("sh"))
+      shOf(docs).join(s.table(s"${graft.lake.Names.q(s, dfT)}"), Seq("sh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
@@ -3555,7 +3557,7 @@ object TextOps {
           col("novelty_bp"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$dfT PURGE")
+    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, dfT)} PURGE")
     result.orderBy(col("doc_id"))
   }
 

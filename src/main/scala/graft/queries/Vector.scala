@@ -413,7 +413,7 @@ object VectorOps {
       graft.StageTimes.timed(s"v_ann_ivf_indexed.$stage")(
         probeStoredIvf(s, t, withSims, qid).count())
     }
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE")
     result.orderBy(col("cos_sim").desc, col("vec_id"))
   }
 
@@ -427,7 +427,7 @@ object VectorOps {
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
     val withSims = ivfAssign(emb, 8)
     withSims.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"lakeq.db.$t").using("lake")
+      .writeTo(s"${graft.lake.Names.q(s, t)}").using("lake")
       .partitionedBy(col("cell")).create()
     (t, withSims)
   }
@@ -444,7 +444,7 @@ object VectorOps {
       .select(col("t.cid")).collect().map(_.getLong(0))
     val q = withSims.filter(col("vec_id") === qVecId)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    s.table(s"lakeq.db.$table")
+    s.table(s"${graft.lake.Names.q(s, table)}")
       .where(col("cell").isin(probeCells.map(c => c: Any): _*))
       .filter(col("vec_id") =!= qVecId)
       .crossJoin(broadcast(q))
@@ -473,12 +473,12 @@ object VectorOps {
     val corpusAssigned = assignToCents(c, centsRow)
     corpusAssigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"lakeq.db.$t").using("lake")
+      .writeTo(s"${graft.lake.Names.q(s, t)}").using("lake")
       .partitionedBy(col("cell")).create()
     val batchAssigned = assignToCents(b, centsRow)
     batchAssigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"lakeq.db.$t").append()
+      .writeTo(s"${graft.lake.Names.q(s, t)}").append()
     (t, corpusAssigned.unionByName(batchAssigned))
   }
 
@@ -544,7 +544,7 @@ object VectorOps {
   private[graft] def repairStoredIvf(s: SparkSession, table: String,
       iters: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val resident = s.table(s"lakeq.db.$table")
+    val resident = s.table(s"${graft.lake.Names.q(s, table)}")
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var cents = centsOfAssigned(resident)
@@ -562,10 +562,10 @@ object VectorOps {
     TextOps.withCommitTag(Some(graft.lake.ReplayGuard.IvfRepairTag)) {
       assigned.select(col("vec_id"), col("cell"), col("embedding"),
           col("nrm"))
-        .writeTo(s"lakeq.db.$table").overwrite(lit(true))
+        .writeTo(s"${graft.lake.Names.q(s, table)}").overwrite(lit(true))
     }
-    val m = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
-    graft.lake.LakeRefCommand(Seq("lakeq", "db", table),
+    val m = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
+    graft.lake.LakeRefCommand(graft.lake.Names.parts(s, table),
       if (m.refs.contains(IvfBuildTag)) "REPLACE" else "CREATE",
       isTag = true, IvfBuildTag, version = None, ifNotExists = false,
       ifExists = false).run(s)
@@ -650,7 +650,7 @@ object VectorOps {
     val result = graft.StageTimes.timed("v_ann_ivf_incremental.probe")(
       probeStoredIvf(s, t, evens, qVecId = 0)
         .localCheckpoint(true, StorageLevel.DISK_ONLY))
-    s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE")
     result.orderBy(col("cos_sim").desc, col("vec_id"))
   }
 
@@ -700,7 +700,7 @@ object VectorOps {
       // second epoch then appends onto the compacted layout) — and
       // the probe must still answer to the SAME oracle (the cadence
       // is row-preserving)
-      val threshold = (s.table(s"lakeq.db.$t.files").count() + 4).toInt
+      val threshold = (s.table(s"${graft.lake.Names.q(s, t)}.files").count() + 4).toInt
       val q = graft.streaming.IngestStreams.ivfIngest(
         mem.toDF().toDF("vec_id", "embedding"), t, ckpt,
         maintainFileThreshold = threshold)
@@ -713,7 +713,7 @@ object VectorOps {
           .localCheckpoint(true, StorageLevel.DISK_ONLY))
       result.orderBy(col("cos_sim").desc, col("vec_id"))
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+      s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE")
       TextOps.rmTree(s, ckpt)
     }
   }
@@ -735,7 +735,7 @@ object VectorOps {
     val evens = assignToCents(emb.filter(col("vec_id") % 2 === 0), centsRow)
     graft.StageTimes.timed("v_ann_ivf_incremental.build") {
       evens.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-        .writeTo(s"lakeq.db.$t").using("lake")
+        .writeTo(s"${graft.lake.Names.q(s, t)}").using("lake")
         .partitionedBy(col("cell")).create()
     }
     // tag the build snapshot: refs protect their snapshots from
@@ -747,7 +747,7 @@ object VectorOps {
     // extensions parser, which plain gate sessions don't install.)
     // version = None resolves to the current main head — at this
     // point exactly the build snapshot, without assuming its id
-    graft.lake.LakeRefCommand(Seq("lakeq", "db", t), "CREATE", isTag = true,
+    graft.lake.LakeRefCommand(graft.lake.Names.parts(s, t), "CREATE", isTag = true,
       IvfBuildTag, version = None, ifNotExists = false,
       ifExists = false).run(s)
     (t, evens)
@@ -862,7 +862,7 @@ object VectorOps {
     * the same name is a DIFFERENT key by construction — plus the
     * source snapshot id. */
   private def storedCentsRow(s: SparkSession, table: String): DataFrame = {
-    val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val meta = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
     val srcSnap = centroidSourceSnap(meta, table)
     val isRepair = meta.snapshotById(srcSnap)
       .exists(_.summary.get("graft.commit.tag")
@@ -872,7 +872,7 @@ object VectorOps {
     val (row, schema) = centroidCache.computeIfAbsent(srcKey,
       { _ =>
         val stored = s.sql(
-          s"SELECT * FROM lakeq.db.$table VERSION AS OF $srcSnap")
+          s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
         val cents =
           if (isRepair) centsOfAssigned(stored)
           else stored
@@ -918,7 +918,7 @@ object VectorOps {
         s0 => s0.getField("csim"))))).head().getDouble(0))
     assigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"lakeq.db.$table").append()
+      .writeTo(s"${graft.lake.Names.q(s, table)}").append()
     stat
   }
 
@@ -937,13 +937,13 @@ object VectorOps {
     * centroid read itself. */
   private[graft] def centroidRefStat(s: SparkSession,
       table: String): Double = {
-    val meta = graft.lake.LakeMeta.of(s, Seq("lakeq", "db", table))
+    val meta = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
     val srcSnap = centroidSourceSnap(meta, table)
     val key = s"${meta.uuid}@$srcSnap"
     if (refStatCache.size > 64) refStatCache.clear()
     refStatCache.computeIfAbsent(key, { _ =>
       val stored = s.sql(
-        s"SELECT * FROM lakeq.db.$table VERSION AS OF $srcSnap")
+        s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
         .select(col("vec_id"), col("embedding"), col("nrm"))
       assignToCents(stored, storedCentsRow(s, table))
         .agg(avg(array_max(transform(col("sims"),

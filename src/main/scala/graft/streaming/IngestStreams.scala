@@ -45,6 +45,14 @@ import graft.queries.TextOps
   * floor. State lives in the INDEX TABLES, not the stream — the
   * checkpoint holds only source offsets, so executors stay
   * stateless and the query restarts anywhere.
+  *
+  * Namespace: every table these loops touch (the index tables, the
+  * trigger state reads, the maintenance procedure calls) resolves
+  * through `spark.graft.lake.namespace` (graft.lake.Names, default
+  * `lakeq.db`) — a deployment points the whole ring at its own
+  * catalog/namespace with one conf, after registering that catalog
+  * and creating the namespace exactly as for the default
+  * (IngestStreamsSuite's alternate-namespace spec is the template).
   */
 object IngestStreams {
 
@@ -160,7 +168,8 @@ object IngestStreams {
           if (maintainFileThreshold > 0 &&
               Seq(idx.post, idx.df, idx.size, idx.labels)
                 .map(t => graft.lake.LakeMeta.liveFileCount(
-                  batch.sparkSession, Seq("lakeq", "db", t))).max
+                  batch.sparkSession,
+                  graft.lake.Names.parts(batch.sparkSession, t))).max
                 >= maintainFileThreshold)
             TextOps.maintainGroupIndex(batch.sparkSession, idx)
         }
@@ -263,9 +272,9 @@ object IngestStreams {
         }
         if (maintainFileThreshold > 0 && !batch.isEmpty &&
             graft.lake.LakeMeta.liveFileCount(sp,
-              Seq("lakeq", "db", table)) >= maintainFileThreshold)
-          sp.sql(
-            s"CALL lakeq.system.rewrite_data_files(table => 'db.$table')")
+              graft.lake.Names.parts(sp, table)) >= maintainFileThreshold)
+          sp.sql(s"CALL ${graft.lake.Names.catalog(sp)}.system." +
+            s"rewrite_data_files(table => '${graft.lake.Names.rel(sp, table)}')")
         ()
       }
       .start()

@@ -713,4 +713,84 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     Seq(tc, td, toff).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
   }
+
+  /** Register a second LakeCatalog over its own warehouse and point
+    * `spark.graft.lake.namespace` at it — the deployment move the
+    * conf exists for. Callers provision catalog + namespace exactly
+    * as LakeOps.cat does for the default. */
+  // one warehouse for the suite: a session instantiates a catalog
+  // ONCE from conf, so re-registering altcat with a different
+  // warehouse mid-session would split cached instances from clones
+  private lazy val altWh = tmpDir("altwh")
+
+  private def withAltNamespace[A](body: => A): A = {
+    spark.conf.set("spark.sql.catalog.altcat",
+      classOf[graft.lake.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.altcat.warehouse", altWh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS altcat.ml")
+    spark.conf.set(graft.lake.Names.ConfKey, "altcat.ml")
+    try body finally spark.conf.unset(graft.lake.Names.ConfKey)
+  }
+
+  test("namespace conf: IVF build + streamed epoch + probe run in an " +
+      "alternate catalog, bit-equal to the default-namespace ring") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    val oddRows = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def lifecycle(scope: String): (String, Seq[(Long, Long, Double)]) = {
+      val (t, ws) = VectorOps.buildEvenIvf(spark, sfDir)
+      graft.streaming.IngestStreams.ivfIngestEpoch(t,
+        oddRows.toDF("vec_id", "embedding"), epoch = 0L, scope = scope)
+      val rows = VectorOps.probeStoredIvf(spark, t, ws, qVecId = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      (t, rows)
+    }
+    val (defT, defRows) = lifecycle("nsdef")
+    val (altT, altRows) = withAltNamespace {
+      val (t, rows) = lifecycle("nsalt")
+      // the whole ring landed in the alternate namespace...
+      assert(spark.table(s"altcat.ml.$t").count() > 0)
+      // ...and nothing leaked into the default one
+      intercept[Exception](spark.table(s"lakeq.db.$t").count())
+      (t, rows)
+    }
+    // the ring is equivalent wherever the conf points it
+    assert(altRows === defRows)
+    spark.sql(s"DROP TABLE IF EXISTS altcat.ml.$altT PURGE")
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$defT PURGE")
+  }
+
+  test("namespace conf: the dedup group-index ring (build, mined " +
+      "refresh, maintenance) follows the conf, labels bit-equal") {
+    assume(ready)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    def ring(maintain: Boolean): (TextOps.GroupIndex, Map[Long, Long]) = {
+      val idx = TextOps.buildGroupIndex(spark, corpus)
+      TextOps.refreshGroupIndexMined(spark, idx, batch)
+      // exercises the conf-resolved system-procedure calls too
+      if (maintain) TextOps.maintainGroupIndex(spark, idx)
+      val labels = spark.table(graft.lake.Names.q(spark, idx.labels))
+        .select(col("doc_id"), col("group_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (idx, labels)
+    }
+    val (defIdx, defLabels) = ring(maintain = false)
+    val (altIdx, altLabels) = withAltNamespace {
+      val (idx, labels) = ring(maintain = true)
+      assert(spark.table(s"altcat.ml.${idx.labels}").count() > 0)
+      intercept[Exception](spark.table(s"lakeq.db.${idx.labels}").count())
+      (idx, labels)
+    }
+    assert(altLabels === defLabels)
+    Seq(defIdx.post, defIdx.df, defIdx.size, defIdx.labels).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))
+    Seq(altIdx.post, altIdx.df, altIdx.size, altIdx.labels).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS altcat.ml.$t PURGE"))
+  }
 }
