@@ -8,7 +8,7 @@ package graft
   * (the catalog's `stampCommitTag` hook — Iceberg exposes the same
   * capability as commit-time snapshot summary properties), readable
   * back through the `.snapshots` metadata table. The epoch replay
-  * guard (TextOps.taggedOnMain) checks it for per-table exactly-once
+  * guard (TextOps.epochCommittedOnMain) checks it for per-table exactly-once
   * under foreachBatch's at-least-once delivery.
   *
   * Scope: the tag lives in a THREAD-LOCAL, not the session conf, so

@@ -32,12 +32,14 @@ object IngestSoak {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nEpochs = if (args.length > 1) args(1).toInt else 50
-    // the epoch split is doc_id % 100: past 100 the base filter
-    // selects NOTHING and every epoch filter targets a negative
-    // residue — the soak would stream empty epochs for its full
-    // duration and only fail at the end-state require
-    require(nEpochs >= 1 && nEpochs <= 100,
-      s"nEpochs must be in [1, 100] (doc_id %% 100 split), got $nEpochs")
+    // the epoch split is doc_id % 100: AT 100 the base filter
+    // (doc_id % 100 < 100 - nEpochs) is `< 0` and the build corpus is
+    // empty, and past 100 epoch filters target negative residues —
+    // either way the soak would measure a degenerate ring and only
+    // fail at the end-state require
+    require(nEpochs >= 1 && nEpochs <= 99,
+      s"nEpochs must be in [1, 99] (doc_id %% 100 split needs a " +
+        s"non-empty build residue), got $nEpochs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

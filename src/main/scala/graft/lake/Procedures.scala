@@ -327,13 +327,24 @@ object Procedures {
         // so the guarded ingest paths fail loudly on that replay.
         val mainAnc = m.currentSnapshotId("main")
           .map(m.ancestorsOf).getOrElse(Nil)
+        // The danger is REACHABILITY, not just membership in expIds:
+        // expiring a mid-ancestry snapshot severs the parent chain at
+        // the earliest survivor (`patched` below sets its parentId to
+        // None), so a tagged snapshot BELOW the cut survives yet
+        // vanishes from every future main-ancestry walk — the replay
+        // guard reads exactly those walks. Post-expiry reachability
+        // from head is the prefix of the current ancestry up to the
+        // first expired snapshot (head itself is always protected).
+        val reachableAfter = mainAnc
+          .takeWhile(s => !expIds(s.snapshotId))
+          .map(_.snapshotId).toSet
         val guarded = ReplayGuard.newestTagged(mainAnc)
-          .filter { case (_, (_, sid)) => expIds(sid) }
+          .filter { case (_, (_, sid)) => !reachableAfter(sid) }
         if (guarded.nonEmpty &&
             !a.boolOpt("ignore_replay_guard").getOrElse(false))
           throw new IllegalStateException(
-            "expire_snapshots would expire the NEWEST epoch-tagged " +
-              "snapshot of ingest " +
+            "expire_snapshots would expire or sever from main history " +
+              "the NEWEST epoch-tagged snapshot of ingest " +
               guarded.toSeq.sortBy(_._1).map { case (sc, (ep, sid)) =>
                 s"scope '$sc' (epoch $ep, snapshot $sid)" }
                 .mkString("; ") +

@@ -16,8 +16,10 @@ package graft.lake
   * object is its enforcement:
   *
   *  - `expire_snapshots` REFUSES to expire a scope's newest tagged
-  *    main-history snapshot unless called with
-  *    `ignore_replay_guard => true`;
+  *    main-history snapshot — or to expire any snapshot BETWEEN it
+  *    and the main head, which severs the parent chain and makes the
+  *    surviving tag equally invisible to every future main-ancestry
+  *    walk — unless called with `ignore_replay_guard => true`;
   *  - a permitted (override) expire records the forgotten epoch as a
   *    replay WATERMARK in the table properties — atomically with the
   *    expire's metadata commit — so a later replay of that epoch

@@ -1695,23 +1695,19 @@ object TextOps {
 
   /** True iff a snapshot stamped with commit tag `tag` is an ancestor
     * of `table`'s MAIN head — the replay guard for epoch-tagged
-    * ingest ([[refreshGroupIndexMined]]'s `epochTag`). Commits stamp
-    * the tag atomically with their data (the catalog's
-    * `spark.graft.commit.tag` hook), so "tagged on main" is exactly
-    * "this epoch's write to this table is published"; snapshots a
-    * crashed run left staged on an unpublished branch do NOT count.
-    * Driver-side metadata walk (graft.lake.LakeMeta — one fresh JSON
-    * log read, no Spark jobs): this guard runs up to four times per
-    * streaming epoch, and the SQL spelling (`CALL ancestors_of` +
-    * `.snapshots` join) paid 2–3 scheduled jobs each — a measured
-    * ~3 s/epoch metadata constant inside every micro-batch wall. */
-  private[graft] def taggedOnMain(s: SparkSession, table: String,
-      tag: String): Boolean =
-    graft.lake.LakeMeta.mainAncestors(s, graft.lake.Names.parts(s, table))
-      .exists(_.summary.get("graft.commit.tag").contains(tag))
-
-  /** [[taggedOnMain]] hardened against permitted tag expiry: the
-    * replay guard the INGEST paths use. When the tag is absent but
+    * ingest ([[refreshGroupIndexMined]]'s `epochTag`), hardened
+    * against permitted tag expiry. Commits stamp the tag atomically
+    * with their data (the catalog's `spark.graft.commit.tag` hook),
+    * so "tagged on main" is exactly "this epoch's write to this
+    * table is published"; snapshots a crashed run left staged on an
+    * unpublished branch do NOT count. Driver-side metadata walk
+    * (graft.lake.LakeMeta — one fresh JSON log read, no Spark jobs):
+    * this guard runs up to four times per streaming epoch, and the
+    * SQL spelling (`CALL ancestors_of` + `.snapshots` join) paid 2–3
+    * scheduled jobs each — a measured ~3 s/epoch metadata constant
+    * inside every micro-batch wall.
+    *
+    * The expiry hardening: when the tag is absent but
     * the table's replay watermark (stamped by an
     * `ignore_replay_guard => true` expire_snapshots — see
     * graft.lake.ReplayGuard) covers this epoch, the epoch DID commit
@@ -1754,7 +1750,7 @@ object TextOps {
     * ancestors walk + one `rollback_to_snapshot`). */
   private def rollbackEpochCommits(s: SparkSession, table: String,
       tag: String): Unit = {
-    // driver-side main-history walk (see [[taggedOnMain]]); the
+    // driver-side main-history walk (see [[epochCommittedOnMain]]); the
     // rollback itself stays a CALL so it keeps the procedure path's
     // read-only veto and commit semantics
     val anc = graft.lake.LakeMeta.mainAncestors(s, graft.lake.Names.parts(s, table))

@@ -869,19 +869,26 @@ object VectorOps {
         .contains(graft.lake.ReplayGuard.IvfRepairTag))
     val srcKey = s"${meta.uuid}@$srcSnap"
     if (centroidCache.size > 64) centroidCache.clear()
-    val (row, schema) = centroidCache.computeIfAbsent(srcKey,
-      { _ =>
-        val stored = s.sql(
-          s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
-        val cents =
-          if (isRepair) centsOfAssigned(stored)
-          else stored
-            .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
-            .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-              col("embedding").as("cv"), col("nrm").as("cn"))))
-              .as("cents"))
-        (cents.head(), cents.schema)
-      })
+    // compute OUTSIDE the map (vs computeIfAbsent): the centroid read
+    // is a Spark job, and holding the bin lock for its duration would
+    // block an unrelated index whose key shares the bin; duplicate
+    // concurrent misses compute the same immutable value and
+    // putIfAbsent keeps the first
+    val cachedRow = centroidCache.get(srcKey)
+    val (row, schema) = if (cachedRow != null) cachedRow else {
+      val stored = s.sql(
+        s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
+      val cents =
+        if (isRepair) centsOfAssigned(stored)
+        else stored
+          .filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+          .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+            col("embedding").as("cv"), col("nrm").as("cn"))))
+            .as("cents"))
+      val v = (cents.head(), cents.schema)
+      centroidCache.putIfAbsent(srcKey, v)
+      v
+    }
     s.createDataFrame(java.util.Collections.singletonList(row), schema)
   }
 
@@ -941,14 +948,23 @@ object VectorOps {
     val srcSnap = centroidSourceSnap(meta, table)
     val key = s"${meta.uuid}@$srcSnap"
     if (refStatCache.size > 64) refStatCache.clear()
-    refStatCache.computeIfAbsent(key, { _ =>
+    val cached = refStatCache.get(key)
+    if (cached != null) cached.doubleValue()
+    else {
+      // compute OUTSIDE the map: this is a multi-second Spark job,
+      // and computeIfAbsent would hold the bin lock for its whole
+      // duration, blocking an unrelated stream whose key shares the
+      // bin. Two concurrent misses both compute (same immutable
+      // value); putIfAbsent keeps the first.
       val stored = s.sql(
         s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
         .select(col("vec_id"), col("embedding"), col("nrm"))
-      assignToCents(stored, storedCentsRow(s, table))
+      val v = assignToCents(stored, storedCentsRow(s, table))
         .agg(avg(array_max(transform(col("sims"),
           s0 => s0.getField("csim"))))).head().getDouble(0)
-    })
+      refStatCache.putIfAbsent(key, v)
+      v
+    }
   }
 
   /** IVF + int8 ANN — the two scale levers composed: the inverted

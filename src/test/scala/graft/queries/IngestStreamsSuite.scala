@@ -597,6 +597,66 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRows(t).size === rowsBefore.size + half2.size)
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
+  test("expire_snapshots equally refuses to SEVER the newest " +
+      "epoch-tagged snapshot from main history (mid-ancestry " +
+      "snapshot_ids expire); the override still stamps the watermark") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    val oddRows = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (half1, half2) = oddRows.splitAt(oddRows.length / 2)
+    val (t, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    graft.streaming.IngestStreams.ivfIngestEpoch(t,
+      half1.toDF("vec_id", "embedding"), epoch = 0L, scope = "sevspec")
+    // two untagged row-preserving commits ABOVE the tagged epoch, so
+    // the epoch snapshot sits mid-ancestry with room to cut between
+    // it and head
+    (1 to 2).foreach(_ => spark.sql(
+      s"CALL lakeq.system.rewrite_data_files(table => 'db.$t', " +
+        "options => map('rewrite-all','true'))"))
+    val anc = graft.lake.LakeMeta.mainAncestors(spark,
+      Seq("lakeq", "db", t))
+    // ancestry nearest-first: [compact2, compact1, epoch0, build];
+    // cut the untagged compact1 BETWEEN the tag and head
+    val cut = anc(1).snapshotId
+    assert(!anc(1).summary.contains("graft.commit.tag"))
+    val before = snapCount(t)
+    val rowsBefore = ivfRows(t)
+    def expire(extra: String = ""): Unit = spark.sql(
+      s"CALL lakeq.system.expire_snapshots(table => 'db.$t', " +
+        s"snapshot_ids => array($cut)$extra)")
+    // the tagged snapshot is NOT in snapshot_ids — pre-fix this
+    // passed the guard, silently severed the tag from main history,
+    // and re-opened the silent-duplicate replay window
+    val e = intercept[IllegalStateException] { expire() }
+    assert(e.getMessage.contains("ivf-ingest-sevspec") &&
+      e.getMessage.contains("ignore_replay_guard"),
+      s"wrong refusal: ${e.getMessage}")
+    assert(snapCount(t) === before, "refusal must not commit")
+    expire(", ignore_replay_guard => true")
+    val m = graft.lake.LakeMeta.of(spark, Seq("lakeq", "db", t))
+    assert(graft.lake.ReplayGuard.watermarkOf(m, "ivf-ingest-sevspec")
+      === Some(0L),
+      "severing override must stamp the replay watermark too")
+    // the severed replay fails loudly, no duplicates
+    val r = intercept[IllegalStateException] {
+      graft.streaming.IngestStreams.ivfIngestEpoch(t,
+        half1.toDF("vec_id", "embedding"), epoch = 0L, scope = "sevspec")
+    }
+    assert(r.getMessage.contains("cannot prove idempotence"),
+      s"wrong replay failure: ${r.getMessage}")
+    assert(ivfRows(t) === rowsBefore,
+      "the refused replay must not duplicate rows")
+    // the ring converges forward past the watermark
+    graft.streaming.IngestStreams.ivfIngestEpoch(t,
+      half2.toDF("vec_id", "embedding"), epoch = 1L, scope = "sevspec")
+    assert(ivfRows(t).size === rowsBefore.size + half2.size)
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
+
   test("drift trigger: a Rademacher-masked stream repairs in place " +
       "and recovers recall; a clean stream never triggers") {
     assume(ready)
