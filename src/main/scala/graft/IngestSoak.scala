@@ -156,6 +156,48 @@ object IngestSoak {
         s""""epoch_secs":[${vWalls.map(r3).mkString(",")}],""" +
         s""""index_files":[${vFiles.mkString(",")}],""" +
         s""""probe_equal":true}""")
+
+      // ---------------- IVF twin, drift stat ON ----------------
+      // Same clean slices with driftRepairThreshold armed: the
+      // per-epoch walls vs the twin above price the drift statistic
+      // (one extra batch-scale aggregation per epoch), and a clean
+      // stream must never trigger the repair at soak length.
+      val (td, evensD) = graft.queries.VectorOps.buildEvenIvf(spark, dir)
+      cleanup ++= Seq(td)
+      val dWallsD = scala.collection.mutable.ArrayBuffer[Double]()
+      val dMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])](spark)
+      val dCkpt = java.nio.file.Files
+        .createTempDirectory("ingest-soak-ivfdrift-ckpt").toString
+      val dq = graft.streaming.IngestStreams.ivfIngest(
+        dMem.toDF().toDF("vec_id", "embedding"), td, dCkpt,
+        maintainFileThreshold = ivfThreshold,
+        driftRepairThreshold = 0.6)
+      try {
+        (0 until nIvf).foreach { i =>
+          val rows = emb.filter(col("vec_id") % 100 === (2 * i + 1))
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+          val t0 = System.nanoTime()
+          dMem.addData(rows)
+          dq.processAllAvailable()
+          dWallsD += secs(t0)
+        }
+      } finally dq.stop()
+      val repairs = graft.lake.LakeMeta
+        .mainAncestors(spark, Seq("lakeq", "db", td))
+        .count(_.summary.get("graft.commit.tag")
+          .contains(graft.lake.ReplayGuard.IvfRepairTag))
+      require(repairs == 0,
+        s"clean soak stream must never trigger the drift repair, got $repairs")
+      val gotD = graft.queries.VectorOps.probeStoredIvf(spark, td, evensD, 0L)
+        .collect().map(_.toString).toSeq
+      require(gotD == want,
+        s"drift-stat soak probe diverges from the batch twin:\n$gotD\nvs\n$want")
+      println(s"""{"harness":"ingest_soak","twin":"ivf_drift_stat",""" +
+        s""""sf":"$dir","n_epochs":$nIvf,"drift_threshold":0.6,""" +
+        s""""epoch_secs":[${dWallsD.map(r3).mkString(",")}],""" +
+        s""""repairs":0,"probe_equal":true}""")
     } finally {
       cleanup.foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE"))

@@ -657,6 +657,83 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 
+  test("both IVF triggers in ONE stream: a drifted epoch repairs " +
+      "in-loop, the file trigger still bounds files around the " +
+      "repair, and probes stay cell-pruned") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    // clustered corpus — drift is a geometric event (see the drift
+    // spec's isotropy note)
+    val dim = 32
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    def member(c: Int): Seq[Float] =
+      centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq
+    val rows: Seq[(Long, Seq[Float])] = (0 until 400).map { i =>
+      val c = (i % 16) / 2
+      val emb = if (i < 16 && i % 2 == 0) centers(c).map(_.toFloat).toSeq
+                else member(c)
+      (i.toLong, emb)
+    }
+    val corpusDir = tmpDir("ivf-combo-corpus")
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+    val odds = rows.filter(_._1 % 2 == 1)
+    val mask = Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val thirds = odds.grouped((odds.length + 2) / 3).toSeq
+    val epochs = Seq(
+      thirds(0),                                          // clean
+      thirds(1).map { case (id, v) =>                     // drifted
+        (id, v.zip(mask).map { case (x, m) => x * m }) },
+      thirds(2))                                          // clean
+    def fileCount(t: String): Long =
+      spark.table(s"lakeq.db.$t.files").count()
+    def repairCount(t: String): Long = graft.lake.LakeMeta
+      .mainAncestors(spark, Seq("lakeq", "db", t))
+      .count(_.summary.get("graft.commit.tag")
+        .contains(graft.lake.ReplayGuard.IvfRepairTag))
+    val (t, _) = VectorOps.buildEvenIvf(spark, corpusDir)
+    val threshold = (fileCount(t) + 2).toInt
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val q = graft.streaming.IngestStreams.ivfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), t, tmpDir("ivf-combo-ckpt"),
+      maintainFileThreshold = threshold, driftRepairThreshold = 0.8)
+    try epochs.foreach { e => mem.addData(e); q.processAllAvailable() }
+    finally q.stop()
+    // the drifted middle epoch triggered the in-loop repair
+    assert(repairCount(t) >= 1, "drifted epoch must trigger repair")
+    // no rows lost or invented across repair + compactions
+    assert(spark.table(s"lakeq.db.$t").count() ===
+      rows.count(_._1 % 2 == 0) + odds.length)
+    // the file trigger still bounds accumulation around the repair's
+    // full overwrite (compaction commits and the repair are both
+    // untagged, both outside the epoch scope — neither starves the
+    // other's trigger state)
+    assert(fileCount(t) <= threshold + 8,
+      s"file count must stay near the threshold: ${fileCount(t)} " +
+        s"vs threshold $threshold")
+    // probes after repair + compaction: repair-aware assignment, and
+    // the cell IN pushdown still plans a strict file subset
+    val qv = epochs(1).take(4).toDF("vec_id", "embedding")
+    val ws = VectorOps.storedWithSims(spark, t, qv)
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    spark.table(s"lakeq.db.$t").collect()
+    val total = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    graft.lake.LakeScanBuilder.lastPlannedFileCount.set(-1)
+    assert(VectorOps.probeStoredIvf(spark, t, ws,
+      epochs(1).head._1).collect().length == 5)
+    val probed = graft.lake.LakeScanBuilder.lastPlannedFileCount.get()
+    assert(probed >= 1 && probed <= total / 2,
+      s"probe planned $probed of $total files after repair+compaction")
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
+
   test("drift trigger: a Rademacher-masked stream repairs in place " +
       "and recovers recall; a clean stream never triggers") {
     assume(ready)
