@@ -772,9 +772,10 @@ object VectorOps {
     * every micro-batch epoch — keeping the documented O(batch × K)
     * epoch cost independent of the build-time corpus size. The value
     * is one collected Row (K centroid structs, K×dim floats — bytes,
-    * not a frame), so the cache is driver-memory-trivial; it is
-    * cleared wholesale past 64 live tables as a leak bound for
-    * long-lived sessions cycling many transient indexes. The key is
+    * not a frame), so the cache is driver-memory-trivial; a 64-entry
+    * access-ordered LRU bounds long-lived sessions cycling many
+    * transient indexes WITHOUT the old wholesale clear (which made a
+    * session with >64 live indexes re-scan all of them). The key is
     * the table's UUID (minted at create time, exposed as the reserved
     * `uuid` property — the per-INCARNATION identity) plus the build
     * snapshot id: snapshot ids are per-table counters and commit
@@ -782,9 +783,25 @@ object VectorOps {
     * index under the same name could collide on any (name, id, ts)
     * key and serve the previous incarnation's centroids — the UUID
     * cannot collide by construction. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (org.apache.spark.sql.Row, org.apache.spark.sql.types.StructType)]
+  /** Driver-side bounded LRU for per-source immutable values. Values
+    * are recomputable and immutable per key, so locking is only the
+    * map's own integrity: reads/writes synchronize briefly, the
+    * multi-second Spark computes stay OUTSIDE (two concurrent misses
+    * both compute the same value; the first put wins). */
+  private[graft] final class LruCache[V](capacity: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f,
+        /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = size > capacity
+    }
+    def get(k: String): V = m.synchronized(m.get(k))
+    def putIfAbsent(k: String, v: V): Unit =
+      m.synchronized { m.putIfAbsent(k, v); () }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
+
+  private val centroidCache = new LruCache[
+    (org.apache.spark.sql.Row, org.apache.spark.sql.types.StructType)](64)
 
   /** Test hook: drop every cached centroid row so the next ingest
     * proves the STORAGE path (expire-survival specs). */
@@ -868,12 +885,6 @@ object VectorOps {
       .exists(_.summary.get("graft.commit.tag")
         .contains(graft.lake.ReplayGuard.IvfRepairTag))
     val srcKey = s"${meta.uuid}@$srcSnap"
-    if (centroidCache.size > 64) centroidCache.clear()
-    // compute OUTSIDE the map (vs computeIfAbsent): the centroid read
-    // is a Spark job, and holding the bin lock for its duration would
-    // block an unrelated index whose key shares the bin; duplicate
-    // concurrent misses compute the same immutable value and
-    // putIfAbsent keeps the first
     val cachedRow = centroidCache.get(srcKey)
     val (row, schema) = if (cachedRow != null) cachedRow else {
       val stored = s.sql(
@@ -931,8 +942,7 @@ object VectorOps {
 
   /** Driver-side cache of [[centroidRefStat]] per (uuid, source
     * snapshot) — same immutability argument as [[centroidCache]]. */
-  private val refStatCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+  private val refStatCache = new LruCache[java.lang.Double](64)
 
   /** Reference assignment quality of `table`'s centroid source: the
     * mean best-centroid cosine of the SOURCE snapshot's own residents
@@ -947,15 +957,9 @@ object VectorOps {
     val meta = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
     val srcSnap = centroidSourceSnap(meta, table)
     val key = s"${meta.uuid}@$srcSnap"
-    if (refStatCache.size > 64) refStatCache.clear()
     val cached = refStatCache.get(key)
     if (cached != null) cached.doubleValue()
     else {
-      // compute OUTSIDE the map: this is a multi-second Spark job,
-      // and computeIfAbsent would hold the bin lock for its whole
-      // duration, blocking an unrelated stream whose key shares the
-      // bin. Two concurrent misses both compute (same immutable
-      // value); putIfAbsent keeps the first.
       val stored = s.sql(
         s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
         .select(col("vec_id"), col("embedding"), col("nrm"))

@@ -126,6 +126,14 @@ object IngestStreams {
     * each epoch-touched table back to its pre-epoch ancestor, re-run
     * the repair); off, such a replay keeps the diagnosable refusal.
     *
+    * SINGLE-FLIGHT per index: the refresh is a multi-table
+    * read-modify-write, so exactly one dedup stream may feed a given
+    * group index (the crashed-repair rollback refuses on any foreign
+    * interleaved commit for the same reason). Contrast [[ivfIngest]],
+    * whose epoch is one append against fixed centroids — multiple
+    * scope-distinct IVF streams may legally share one index
+    * (spec-pinned).
+    *
     * `maintainFileThreshold = N` (0 = off) runs the group-index
     * maintenance cadence (TextOps.maintainGroupIndex: df fold,
     * posting binpack, size sort-rewrite, labels mask-fold) INSIDE the

@@ -416,4 +416,19 @@ class VectorQualitySuite extends AnyFunSuite with BeforeAndAfterAll {
         s"cluster $cell: tie at the cutoff was dropped")
     }
   }
+
+  test("centroid LRU cache: access-ordered eviction, not wholesale clear") {
+    // r13 watch item: past 64 live indexes the old cache cleared
+    // WHOLESALE, re-scanning every hot index; the LRU keeps the hot
+    // set and evicts only the coldest entry
+    val c = new graft.queries.VectorOps.LruCache[Integer](3)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (k, i) =>
+      c.putIfAbsent(k, i) }
+    assert(c.get("a") == 0)        // touch "a" -> "b" becomes eldest
+    c.putIfAbsent("d", 3)          // evicts "b", not "a"
+    assert(c.get("a") == 0 && c.get("d") == 3)
+    assert(c.get("b") == null, "eldest-by-access must be evicted")
+    c.putIfAbsent("a", 99)         // putIfAbsent never overwrites
+    assert(c.get("a") == 0)
+  }
 }

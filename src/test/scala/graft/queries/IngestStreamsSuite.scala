@@ -657,6 +657,63 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 
+  test("two concurrent IVF ingest streams (distinct scopes) over ONE " +
+      "index converge to the union; each scope's replay still no-ops") {
+    assume(ready)
+    // The IVF epoch is a single append against fixed centroids, so
+    // unlike the dedup ring (multi-table read-modify-write,
+    // single-flight per index by contract — TextOps.
+    // rollbackEpochCommits) TWO streams may legally feed one index:
+    // scope-distinct tags never collide, appends serialize through
+    // the commit CAS, and each scope's replay guard reads only its
+    // own tags off the shared main history.
+    val sp = spark
+    import sp.implicits._
+    val odds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // writer A takes vec_id % 4 == 1, writer B takes % 4 == 3, two
+    // epochs each, epochs interleaved A0 B0 A1 B1
+    val aRows = odds.filter(_._1 % 4 == 1)
+    val bRows = odds.filter(_._1 % 4 == 3)
+    val (a1, a2) = aRows.splitAt(aRows.length / 2)
+    val (b1, b2) = bRows.splitAt(bRows.length / 2)
+    val (t, ws) = VectorOps.buildEvenIvf(spark, sfDir)
+    val memA = MemoryStream[(Long, Seq[Float])](spark)
+    val memB = MemoryStream[(Long, Seq[Float])](spark)
+    val ckptA = tmpDir("ivf-two-a")
+    val qA = graft.streaming.IngestStreams.ivfIngest(
+      memA.toDF().toDF("vec_id", "embedding"), t, ckptA)
+    val qB = graft.streaming.IngestStreams.ivfIngest(
+      memB.toDF().toDF("vec_id", "embedding"), t, tmpDir("ivf-two-b"))
+    try {
+      memA.addData(a1); qA.processAllAvailable()
+      memB.addData(b1); qB.processAllAvailable()
+      memA.addData(a2); qA.processAllAvailable()
+      memB.addData(b2); qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    // union of both writers, nothing lost between interleaved commits
+    assert(ivfRows(t) === {
+      val (refT, _) = VectorOps.buildEvenIvf(spark, sfDir)
+      VectorOps.ingestVectorBatch(spark, refT,
+        (aRows ++ bRows).toDF("vec_id", "embedding"))
+      val r = ivfRows(refT)
+      spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$refT PURGE")
+      r
+    })
+    // replay of A's epoch 0 is a no-op even though B's commits now
+    // interleave above it on the shared history
+    val before = snapCount(t)
+    graft.streaming.IngestStreams.ivfIngestEpoch(t,
+      a1.toDF("vec_id", "embedding"), epoch = 0L,
+      scope = graft.streaming.IngestStreams.scopeOf(spark, ckptA))
+    assert(snapCount(t) === before,
+      "a replayed epoch must no-op under interleaved foreign scopes")
+    assert(VectorOps.probeStoredIvf(spark, t, ws, 0L).collect().length == 5)
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
+
   test("both IVF triggers in ONE stream: a drifted epoch repairs " +
       "in-loop, the file trigger still bounds files around the " +
       "repair, and probes stay cell-pruned") {
