@@ -366,6 +366,9 @@ object LakeWriteUtil {
     // the new snapshot's id, so the commit's own equality-delete file
     // (seq = same id) never applies to it — and does apply to all
     // older files.
+    // ids are 1-based sequential per table BY CONTRACT (spec-pinned in
+    // LakeSuite): centroidSourceSnap's pre-tag fallback keys on the
+    // build being id 1 — change the scheme and that spec names you
     val nextId = metaWithRef.lastSnapshotId + 1
     val stamped = staged.map(_.copy(seq = nextId))
 

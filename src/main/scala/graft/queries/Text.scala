@@ -1741,13 +1741,13 @@ object TextOps {
 
   /** Roll `table` back to its PRE-EPOCH ancestor: the parent of the
     * oldest main-history snapshot stamped with `tag` — discarding
-    * every commit the crashed epoch landed on this table (snapshot
-    * ids are monotonic, so "oldest tagged" is the epoch's first
-    * touch). Refuses if an UNTAGGED commit interleaved above that
-    * point: the ingest loop is single-flight per index, so a foreign
-    * commit means another writer's data would be destroyed — that
-    * reconciliation stays manual by design. Metadata-scale (one
-    * ancestors walk + one `rollback_to_snapshot`). */
+    * every commit the crashed epoch landed on this table ("oldest"
+    * by ANCESTRY POSITION, not id value, so the logic is independent
+    * of the id scheme). Refuses if an UNTAGGED commit interleaved
+    * above that point: the ingest loop is single-flight per index, so
+    * a foreign commit means another writer's data would be destroyed
+    * — that reconciliation stays manual by design. Metadata-scale
+    * (one ancestors walk + one `rollback_to_snapshot`). */
   private def rollbackEpochCommits(s: SparkSession, table: String,
       tag: String): Unit = {
     // driver-side main-history walk (see [[epochCommittedOnMain]]); the
@@ -1756,16 +1756,17 @@ object TextOps {
     val anc = graft.lake.LakeMeta.mainAncestors(s, graft.lake.Names.parts(s, table))
     def isEpoch(sm: graft.lake.SnapshotMeta): Boolean =
       sm.summary.get("graft.commit.tag").contains(tag)
-    val tagged = anc.filter(isEpoch)
-    if (tagged.isEmpty) return
-    val oldest = tagged.map(_.snapshotId).min
-    val foreign = anc.filter(sm => !isEpoch(sm) && sm.snapshotId > oldest)
+    // anc is nearest-first: the LAST tagged index is the epoch's
+    // first touch; anything at a smaller index sits above it
+    val idxOldest = anc.lastIndexWhere(isEpoch)
+    if (idxOldest < 0) return
+    val foreign = anc.take(idxOldest).filterNot(isEpoch)
     if (foreign.nonEmpty) throw new IllegalStateException(
       s"cannot auto-rollback epoch '$tag' on $table: untagged commit(s) " +
         s"${foreign.map(_.snapshotId).sorted.mkString(", ")} interleaved " +
         "above the epoch's first snapshot — rolling back would destroy " +
         "another writer's data; reconcile manually")
-    val parent = anc.find(_.snapshotId == oldest).get.parentId.getOrElse(
+    val parent = anc(idxOldest).parentId.getOrElse(
       throw new IllegalStateException(
         s"cannot auto-rollback epoch '$tag' on $table: its first tagged " +
           "snapshot is the table's FIRST snapshot (no pre-epoch ancestor " +

@@ -2193,4 +2193,34 @@ class LakeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM lake.db.ro").collect()(0).getLong(0) == 3)
     sql("DROP TABLE lake.db.ro")
   }
+
+  test("CONTRACT: snapshot ids are 1-based sequential in parent order " +
+      "across every commit kind") {
+    // Two read sites key on this scheme: VectorOps.centroidSourceSnap's
+    // pre-tag fallback (build == id 1, expiry detectable as min != 1)
+    // and historically the rollback helper (now position-based). If the
+    // id scheme ever changes (random/uuid ids), this spec is the loud
+    // failure that names the dependents — see the mint-site comment in
+    // LakeWrite.
+    sql("CREATE TABLE lake.db.seqids (id bigint) USING lake")
+    sql("INSERT INTO lake.db.seqids VALUES (1), (2), (3)")        // 1
+    sql("INSERT INTO lake.db.seqids VALUES (4)")                  // 2
+    sql("DELETE FROM lake.db.seqids WHERE id = 2")                // 3
+    sql("UPDATE lake.db.seqids SET id = 40 WHERE id = 4")         // 4
+    sql("CALL lake.system.rewrite_data_files(table => 'db.seqids', " +
+      "options => map('rewrite-all','true'))")                    // 5
+    sql("INSERT OVERWRITE lake.db.seqids VALUES (7)")             // 6
+    val m = LakeMeta.of(spark, Seq("lake", "db", "seqids"))
+    val ids = m.snapshots.map(_.snapshotId).sorted
+    assert(ids == (1L to ids.length.toLong).toSeq,
+      s"ids must be 1-based sequential, got $ids")
+    // parent order agrees with id order: each snapshot's parent is
+    // exactly the previous id
+    m.snapshots.sortBy(_.snapshotId).foreach { s0 =>
+      assert(s0.parentId == (if (s0.snapshotId == 1L) None
+                             else Some(s0.snapshotId - 1)),
+        s"snapshot ${s0.snapshotId} parent ${s0.parentId}")
+    }
+    sql("DROP TABLE lake.db.seqids")
+  }
 }
