@@ -38,7 +38,7 @@ object IngestSoak {
     // either way the soak would measure a degenerate ring and only
     // fail at the end-state require
     require(nEpochs >= 1 && nEpochs <= 99,
-      s"nEpochs must be in [1, 99] (doc_id %% 100 split needs a " +
+      s"nEpochs must be in [1, 99] (doc_id % 100 split needs a " +
         s"non-empty build residue), got $nEpochs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -833,7 +833,7 @@ object TextOps {
       val sg = minhashSigsCk(s, d)
       val post = sg.select(col("doc_id"), explode(minhashBands).as("band_hash"))
       post.filter(col("doc_id") % 2 === 0)
-        .writeTo(s"${graft.lake.Names.q(s, postT)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, postT)).using("lake")
         .partitionedBy(bucket(8, col("band_hash"))).create()
       // the doc_id bloom is what lets the verify join's runtime filter
       // reach the scan (filterAttributes reports bloomed columns);
@@ -841,7 +841,7 @@ object TextOps {
       // the bloom for fully-dictionary-encoded columns
       sg.filter(col("doc_id") % 2 === 0)
         .repartitionByRange(8, col("doc_id"))
-        .writeTo(s"${graft.lake.Names.q(s, sigT)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, sigT)).using("lake")
         .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
           "true")
         .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
@@ -849,7 +849,7 @@ object TextOps {
         .tableProperty("write.parquet.dict-enabled.column.doc_id", "false")
         .create()
       post.filter(col("doc_id") % 2 === 1)
-        .writeTo(s"${graft.lake.Names.q(s, batchT)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, batchT)).using("lake")
         .partitionedBy(bucket(8, col("band_hash"))).create()
       sg
     }
@@ -868,8 +868,8 @@ object TextOps {
       graft.lake.Names.carryTo(s, sc)
       sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val cand = sc.table(s"${graft.lake.Names.q(s, batchT)}")
-        .join(sc.table(s"${graft.lake.Names.q(s, postT)}").toDF("dup_of", "band_hash"),
+      val cand = sc.table(graft.lake.Names.q(s, batchT))
+        .join(sc.table(graft.lake.Names.q(s, postT)).toDF("dup_of", "band_hash"),
           Seq("band_hash"))
         .select(col("doc_id"), col("dup_of"))
         .distinct()
@@ -881,7 +881,7 @@ object TextOps {
       // non-negative) — it is the selective predicate the runtime-filter
       // planner requires on the build side before it hands the candidate
       // ids to the sig scan for file skipping
-      val withB = s.table(s"${graft.lake.Names.q(s, sigT)}")
+      val withB = s.table(graft.lake.Names.q(s, sigT))
         .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
         .join(broadcast(cand.filter(col("dup_of") >= 0)), Seq("dup_of"))
       withB
@@ -1426,7 +1426,7 @@ object TextOps {
       maintainGroupIndex(s, idx, "t_dedup_groups_indexed.maintain")
     }
     val result = graft.StageTimes.timed("t_dedup_groups_indexed.serve") {
-      s.table(s"${graft.lake.Names.q(s, idx.labels)}").select(col("doc_id"), col("group_id"))
+      s.table(graft.lake.Names.q(s, idx.labels)).select(col("doc_id"), col("group_id"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
     Seq(idx.post, idx.df, idx.size, idx.labels).foreach(t =>
@@ -1472,7 +1472,7 @@ object TextOps {
         }
       } finally q.stop()
       val result = graft.StageTimes.timed("t_ingest_dedup_stream.serve") {
-        s.table(s"${graft.lake.Names.q(s, idx.labels)}")
+        s.table(graft.lake.Names.q(s, idx.labels))
           .select(col("doc_id"), col("group_id"))
           .localCheckpoint(true, StorageLevel.DISK_ONLY)
       }
@@ -1580,16 +1580,16 @@ object TextOps {
     // shape), and a multi-run harness would otherwise measure
     // against a polluted warehouse.
     try parSteps(
-      () => posting.writeTo(s"${graft.lake.Names.q(s, idx.post)}").using("lake")
+      () => posting.writeTo(graft.lake.Names.q(s, idx.post)).using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
-      () => dfreq.writeTo(s"${graft.lake.Names.q(s, idx.df)}").using("lake")
+      () => dfreq.writeTo(graft.lake.Names.q(s, idx.df)).using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create(),
       // sizes range-cluster by doc_id with a doc_id bloom so candidate
       // fetches skip files (the [[tIncrementalDedupIndexed]] sig-store
       // layout; dictionary encoding off because parquet drops blooms
       // for fully-dictionary-encoded columns)
       () => sizes.repartitionByRange(8, col("doc_id"))
-        .writeTo(s"${graft.lake.Names.q(s, idx.size)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, idx.size)).using("lake")
         .tableProperty("write.parquet.bloom-filter-enabled.column.doc_id",
           "true")
         .tableProperty("write.parquet.bloom-filter-expected-ndv.column.doc_id",
@@ -1629,7 +1629,7 @@ object TextOps {
             .join(labels, Seq("doc_id"), "left")
             .select(col("doc_id"),
               coalesce(col("group_id"), col("doc_id")).as("group_id"))
-            .writeTo(s"${graft.lake.Names.q(s, idx.labels)}").using("lake")
+            .writeTo(graft.lake.Names.q(s, idx.labels)).using("lake")
             .tableProperty("write.merge.mode", "merge-on-read")
             .partitionedBy(bucket(8, col("doc_id"))).create()
         } finally edges.unpersist()
@@ -1667,10 +1667,10 @@ object TextOps {
     // materialize the fold BEFORE the replace: the source is the very
     // table being replaced, and a lazy self-referential RTAS would
     // read mid-swap state
-    s.table(s"${graft.lake.Names.q(s, table)}").toDF("sh", "df")
+    s.table(graft.lake.Names.q(s, table)).toDF("sh", "df")
       .groupBy(col("sh")).agg(sum(col("df")).as("df"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-      .writeTo(s"${graft.lake.Names.q(s, table)}").using("lake")
+      .writeTo(graft.lake.Names.q(s, table)).using("lake")
       .partitionedBy(bucket(GroupIdxBuckets, col("sh")))
       .createOrReplace()
 
@@ -1846,8 +1846,8 @@ object TextOps {
     graft.lake.Names.carryTo(s, sc)
     sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sc.table(s"${graft.lake.Names.q(s, scratchT)}")
-      .join(sc.table(s"${graft.lake.Names.q(s, postT)}").toDF("doc_b", "sh"), Seq("sh"))
+    sc.table(graft.lake.Names.q(s, scratchT))
+      .join(sc.table(graft.lake.Names.q(s, postT)).toDF("doc_b", "sh"), Seq("sh"))
       .groupBy(col("doc_id"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
   }
@@ -1943,7 +1943,7 @@ object TextOps {
     // check) equal the first attempt's exactly
     val dfAdvanced = advanced.contains(idx.df)
     val joined = graft.StageTimes.timed("t_dedup_groups_indexed.refresh_cap") {
-      bDf.join(s.table(s"${graft.lake.Names.q(s, idx.df)}").toDF("sh", "dfd"),
+      bDf.join(s.table(graft.lake.Names.q(s, idx.df)).toDF("sh", "dfd"),
           Seq("sh"), "left")
         .groupBy(col("sh"), col("bdf"))
         .agg((coalesce(sum(col("dfd")), lit(0L)) -
@@ -2015,10 +2015,10 @@ object TextOps {
     graft.StageTimes.timed("t_dedup_groups_indexed.refresh_mine") {
       bPost.join(cappedSh, Seq("sh"))
         .select(col("doc_id"), col("sh"))
-        .writeTo(s"${graft.lake.Names.q(s, scratch)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, scratch)).using("lake")
         .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
     }
-    val bCapped = s.table(s"${graft.lake.Names.q(s, scratch)}")
+    val bCapped = s.table(graft.lake.Names.q(s, scratch))
     val bSizes = bCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // batch×corpus: scratch postings share the index bucketing → SPJ
@@ -2031,7 +2031,7 @@ object TextOps {
     // candidate ids broadcast onto the size store; `>= 0` is the
     // selective build-side predicate the runtime-filter planner needs
     // before it hands the ids to the scan for bloom file skipping
-    val nbFetch = s.table(s"${graft.lake.Names.q(s, idx.size)}").toDF("doc_b", "nb")
+    val nbFetch = s.table(graft.lake.Names.q(s, idx.size)).toDF("doc_b", "nb")
       .join(broadcast(candIds.filter(col("doc_b") >= 0)), Seq("doc_b"))
     val jac = (inter: Column, na: Column, nb: Column) =>
       round(inter.cast("double") / (na + nb - inter), 4)
@@ -2079,14 +2079,14 @@ object TextOps {
     val advance = () =>
       graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
         parSteps(Seq[(String, () => Unit)](
-          idx.post -> (() => bPost.writeTo(s"${graft.lake.Names.q(s, idx.post)}").append()),
+          idx.post -> (() => bPost.writeTo(graft.lake.Names.q(s, idx.post)).append()),
           // df advance = ONE partition-aligned delta append: no
           // resident row is read or rewritten (the LSM trade — see
           // buildGroupIndex)
           idx.df -> (() => bDf.withColumnRenamed("bdf", "df")
-            .writeTo(s"${graft.lake.Names.q(s, idx.df)}").append()),
+            .writeTo(graft.lake.Names.q(s, idx.df)).append()),
           idx.size -> (() => bSizes.repartitionByRange(2, col("doc_id"))
-            .writeTo(s"${graft.lake.Names.q(s, idx.size)}").append()))
+            .writeTo(graft.lake.Names.q(s, idx.size)).append()))
           .collect { case (t, f) if needs(t) => f }: _*)
       }
     val publish = () =>
@@ -2149,8 +2149,8 @@ object TextOps {
       bPost: DataFrame, bDf: DataFrame, straddle: DataFrame): Unit = {
     val sSh = straddle.select(col("sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    val postT = s.table(s"${graft.lake.Names.q(s, idx.post)}")
-    val labelsT = s.table(s"${graft.lake.Names.q(s, idx.labels)}")
+    val postT = s.table(graft.lake.Names.q(s, idx.post))
+    val labelsT = s.table(graft.lake.Names.q(s, idx.labels))
       .select(col("doc_id"), col("group_id"))
     // affected docs: straddling shingles are ≤ cap in the store, so
     // each posting list here is cap-bounded — broadcast-sized
@@ -2166,7 +2166,7 @@ object TextOps {
     // rebuild can see — stored df is delta rows, summed per shingle
     val mPost = postT.join(mDocs.hint("broadcast"), Seq("doc_id"))
     val rawPost = mPost.unionByName(bPost)
-    val dfT = s.table(s"${graft.lake.Names.q(s, idx.df)}").toDF("sh", "dfd")
+    val dfT = s.table(graft.lake.Names.q(s, idx.df)).toDF("sh", "dfd")
     val totals = rawPost.select(col("sh")).distinct()
       .join(dfT, Seq("sh"), "left")
       .groupBy(col("sh")).agg(coalesce(sum(col("dfd")), lit(0L)).as("df0"))
@@ -2204,7 +2204,7 @@ object TextOps {
       .agg(count(lit(1)).as("inter"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val candIds = probeInter.select(col("doc_b")).distinct()
-    val nbFetch = s.table(s"${graft.lake.Names.q(s, idx.size)}").toDF("doc_b", "nb")
+    val nbFetch = s.table(graft.lake.Names.q(s, idx.size)).toDF("doc_b", "nb")
       .join(broadcast(candIds.filter(col("doc_b") >= 0)), Seq("doc_b"))
     val outPairs = probeInter
       .join(rSizes.toDF("doc_id", "na"), Seq("doc_id"))
@@ -2255,8 +2255,8 @@ object TextOps {
     // (postings stay UNCAPPED by design; the straddling shingles'
     // batch counts append too — df rows are true counts, cap
     // membership is derived per refresh)
-    bPost.writeTo(s"${graft.lake.Names.q(s, idx.post)}").append()
-    bDf.withColumnRenamed("bdf", "df").writeTo(s"${graft.lake.Names.q(s, idx.df)}").append()
+    bPost.writeTo(graft.lake.Names.q(s, idx.post)).append()
+    bDf.withColumnRenamed("bdf", "df").writeTo(graft.lake.Names.q(s, idx.df)).append()
     // labels: same staged-branch atomic publish as the normal nightly
     // — rebuild members' rows are replaced wholesale (delete + append
     // with final labels), merged outside components relabel through
@@ -2309,7 +2309,7 @@ object TextOps {
     * next refresh, not serving state. */
   private[queries] def refreshGroupIndex(s: SparkSession, table: String,
       batchPairs: DataFrame, batchDocs: DataFrame): Unit = {
-    val stored = s.table(s"${graft.lake.Names.q(s, table)}")
+    val stored = s.table(graft.lake.Names.q(s, table))
       .select(col("doc_id"), col("group_id"))
     // initial label per endpoint: stored component label, self for
     // docs the store has never seen (tonight's batch)
@@ -2551,11 +2551,11 @@ object TextOps {
       parSteps(
         () => pairsOf(evens).groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("cb"))
-          .writeTo(s"${graft.lake.Names.q(s, bigT)}").using("lake")
+          .writeTo(graft.lake.Names.q(s, bigT)).using("lake")
           .tableProperty("write.merge.mode", "merge-on-read")
           .partitionedBy(bucket(8, col("w1"))).create(),
         () => uniOf(evens)
-          .writeTo(s"${graft.lake.Names.q(s, uniT)}").using("lake")
+          .writeTo(graft.lake.Names.q(s, uniT)).using("lake")
           .tableProperty("write.merge.mode", "merge-on-read")
           .partitionedBy(bucket(8, col("w2"))).create())
     }
@@ -2583,9 +2583,9 @@ object TextOps {
         () => foldInModelTable(s, uniT, "t_bigram_lm_indexed.compact_uni"))
     }
     val result = graft.StageTimes.timed("t_bigram_lm_indexed.score") {
-      val cbg = s.table(s"${graft.lake.Names.q(s, bigT)}")
+      val cbg = s.table(graft.lake.Names.q(s, bigT))
       val hist = cbg.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
-      val cu = s.table(s"${graft.lake.Names.q(s, uniT)}")
+      val cu = s.table(graft.lake.Names.q(s, uniT))
       val n = cu.agg(sum(col("c2")).as("total"))
       pairsOf(docs)
         .join(cbg, Seq("w1", "w2"))
@@ -3526,7 +3526,7 @@ object TextOps {
     val odds = docs.filter(col("doc_id") % 2 === 1)
     graft.StageTimes.timed("t_ngram_novelty_indexed.build") {
       shOf(evens).groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .writeTo(s"${graft.lake.Names.q(s, dfT)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, dfT)).using("lake")
         .tableProperty("write.merge.mode", "merge-on-read")
         .partitionedBy(bucket(8, col("sh"))).create()
     }
@@ -3543,7 +3543,7 @@ object TextOps {
       foldInModelTable(s, dfT, "t_ngram_novelty_indexed.compact")
     }
     val result = graft.StageTimes.timed("t_ngram_novelty_indexed.score") {
-      shOf(docs).join(s.table(s"${graft.lake.Names.q(s, dfT)}"), Seq("sh"))
+      shOf(docs).join(s.table(graft.lake.Names.q(s, dfT)), Seq("sh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

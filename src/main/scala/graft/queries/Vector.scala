@@ -427,7 +427,7 @@ object VectorOps {
     val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
     val withSims = ivfAssign(emb, 8)
     withSims.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"${graft.lake.Names.q(s, t)}").using("lake")
+      .writeTo(graft.lake.Names.q(s, t)).using("lake")
       .partitionedBy(col("cell")).create()
     (t, withSims)
   }
@@ -444,7 +444,7 @@ object VectorOps {
       .select(col("t.cid")).collect().map(_.getLong(0))
     val q = withSims.filter(col("vec_id") === qVecId)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    s.table(s"${graft.lake.Names.q(s, table)}")
+    s.table(graft.lake.Names.q(s, table))
       .where(col("cell").isin(probeCells.map(c => c: Any): _*))
       .filter(col("vec_id") =!= qVecId)
       .crossJoin(broadcast(q))
@@ -473,12 +473,12 @@ object VectorOps {
     val corpusAssigned = assignToCents(c, centsRow)
     corpusAssigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"${graft.lake.Names.q(s, t)}").using("lake")
+      .writeTo(graft.lake.Names.q(s, t)).using("lake")
       .partitionedBy(col("cell")).create()
     val batchAssigned = assignToCents(b, centsRow)
     batchAssigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"${graft.lake.Names.q(s, t)}").append()
+      .writeTo(graft.lake.Names.q(s, t)).append()
     (t, corpusAssigned.unionByName(batchAssigned))
   }
 
@@ -542,34 +542,74 @@ object VectorOps {
     * IngestStreamsSuite drives it through the in-loop drift
     * trigger. */
   private[graft] def repairStoredIvf(s: SparkSession, table: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      afterWrite: () => Unit = () => ()): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val resident = s.table(s"${graft.lake.Names.q(s, table)}")
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    var cents = centsOfAssigned(resident)
-    var assigned = resident
-    for (_ <- 1 to iters) {
-      assigned = assignToCents(
-        resident.select(col("vec_id"), col("embedding"), col("nrm")), cents)
-      cents = centsOfAssigned(assigned)
-    }
-    // publish convention (storedCentsRow's read side): the LAST Lloyd
-    // re-assignment is what lands, so "per-cell means of the stored
-    // rows" re-derives the centroids that will assign FUTURE batches
-    // — one more centsOfAssigned over the published state, which is
-    // exactly `cents` computed above
-    TextOps.withCommitTag(Some(graft.lake.ReplayGuard.IvfRepairTag)) {
-      assigned.select(col("vec_id"), col("cell"), col("embedding"),
-          col("nrm"))
-        .writeTo(s"${graft.lake.Names.q(s, table)}").overwrite(lit(true))
+    // Publish via branch + fast-forward, NOT a direct overwrite of
+    // main: the overwrite commit path re-derives on a lost CAS
+    // without conflict validation, so a concurrent scope's epoch
+    // append landing between this repair's resident read and its
+    // commit would be silently truncated away — with the append's
+    // epoch tag SURVIVING on history, so the replay guard would
+    // swear the lost epoch committed (the exact hole the
+    // multi-stream sharing contract must not have). fast_forward
+    // refuses any non-fast-forward move, turning that interleaving
+    // into a detected race: the repair re-reads the grown resident
+    // set and retries. `afterWrite` is the spec's injection point
+    // for a deterministic interleaved append.
+    var attempt = 0
+    var published: DataFrame = null
+    while (published == null) {
+      attempt += 1
+      if (attempt > 5) throw new IllegalStateException(
+        s"repair of $table lost the publish race $attempt times — " +
+          "pause ingestion or raise the retry bound")
+      val resident = s.table(graft.lake.Names.q(s, table))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      var cents = centsOfAssigned(resident)
+      var assigned = resident
+      for (_ <- 1 to iters) {
+        assigned = assignToCents(
+          resident.select(col("vec_id"), col("embedding"), col("nrm")), cents)
+        cents = centsOfAssigned(assigned)
+      }
+      // publish convention (storedCentsRow's read side): the LAST
+      // Lloyd re-assignment is what lands, so "per-cell means of the
+      // stored rows" re-derives the centroids that will assign FUTURE
+      // batches — one more centsOfAssigned over the published state,
+      // which is exactly `cents` computed above
+      val br = s"ivfrepair_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.create_branch(" +
+        s"table => '${graft.lake.Names.rel(s, table)}', branch => '$br')")
+      try {
+        TextOps.withCommitTag(Some(graft.lake.ReplayGuard.IvfRepairTag)) {
+          assigned.select(col("vec_id"), col("cell"), col("embedding"),
+              col("nrm"))
+            .writeTo(s"${graft.lake.Names.q(s, table)}.branch_$br")
+            .overwrite(lit(true))
+        }
+        afterWrite()
+        try {
+          s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.fast_forward(" +
+            s"table => '${graft.lake.Names.rel(s, table)}', " +
+            s"branch => 'main', to => '$br')")
+          published = assigned
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("Cannot fast-forward") =>
+            () // a foreign commit interleaved — re-read and retry
+        }
+      } finally
+        s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.drop_branch(" +
+          s"table => '${graft.lake.Names.rel(s, table)}', branch => '$br')")
     }
     val m = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
     graft.lake.LakeRefCommand(graft.lake.Names.parts(s, table),
       if (m.refs.contains(IvfBuildTag)) "REPLACE" else "CREATE",
       isTag = true, IvfBuildTag, version = None, ifNotExists = false,
       ifExists = false).run(s)
-    assigned
+    published
   }
 
   /** Pick a banded-LSH configuration for a corpus size — the sizing
@@ -735,7 +775,7 @@ object VectorOps {
     val evens = assignToCents(emb.filter(col("vec_id") % 2 === 0), centsRow)
     graft.StageTimes.timed("v_ann_ivf_incremental.build") {
       evens.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-        .writeTo(s"${graft.lake.Names.q(s, t)}").using("lake")
+        .writeTo(graft.lake.Names.q(s, t)).using("lake")
         .partitionedBy(col("cell")).create()
     }
     // tag the build snapshot: refs protect their snapshots from
@@ -798,6 +838,13 @@ object VectorOps {
     def putIfAbsent(k: String, v: V): Unit =
       m.synchronized { m.putIfAbsent(k, v); () }
     def clear(): Unit = m.synchronized(m.clear())
+    /** The one miss-handling dance both caches share: compute runs
+      * OUTSIDE the lock (it is a Spark job), duplicate concurrent
+      * misses both compute the same immutable value, first put wins. */
+    def getOrCompute(k: String)(f: => V): V = {
+      val c = get(k)
+      if (c != null) c else { val v = f; putIfAbsent(k, v); v }
+    }
   }
 
   private val centroidCache = new LruCache[
@@ -885,8 +932,7 @@ object VectorOps {
       .exists(_.summary.get("graft.commit.tag")
         .contains(graft.lake.ReplayGuard.IvfRepairTag))
     val srcKey = s"${meta.uuid}@$srcSnap"
-    val cachedRow = centroidCache.get(srcKey)
-    val (row, schema) = if (cachedRow != null) cachedRow else {
+    val (row, schema) = centroidCache.getOrCompute(srcKey) {
       val stored = s.sql(
         s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
       val cents =
@@ -896,9 +942,7 @@ object VectorOps {
           .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
             col("embedding").as("cv"), col("nrm").as("cn"))))
             .as("cents"))
-      val v = (cents.head(), cents.schema)
-      centroidCache.putIfAbsent(srcKey, v)
-      v
+      (cents.head(), cents.schema)
     }
     s.createDataFrame(java.util.Collections.singletonList(row), schema)
   }
@@ -936,7 +980,7 @@ object VectorOps {
         s0 => s0.getField("csim"))))).head().getDouble(0))
     assigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(s"${graft.lake.Names.q(s, table)}").append()
+      .writeTo(graft.lake.Names.q(s, table)).append()
     stat
   }
 
@@ -957,18 +1001,14 @@ object VectorOps {
     val meta = graft.lake.LakeMeta.of(s, graft.lake.Names.parts(s, table))
     val srcSnap = centroidSourceSnap(meta, table)
     val key = s"${meta.uuid}@$srcSnap"
-    val cached = refStatCache.get(key)
-    if (cached != null) cached.doubleValue()
-    else {
+    refStatCache.getOrCompute(key) {
       val stored = s.sql(
         s"SELECT * FROM ${graft.lake.Names.q(s, table)} VERSION AS OF $srcSnap")
         .select(col("vec_id"), col("embedding"), col("nrm"))
-      val v = assignToCents(stored, storedCentsRow(s, table))
+      assignToCents(stored, storedCentsRow(s, table))
         .agg(avg(array_max(transform(col("sims"),
           s0 => s0.getField("csim"))))).head().getDouble(0)
-      refStatCache.putIfAbsent(key, v)
-      v
-    }
+    }.doubleValue()
   }
 
   /** IVF + int8 ANN — the two scale levers composed: the inverted

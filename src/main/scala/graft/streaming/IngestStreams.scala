@@ -260,7 +260,18 @@ object IngestStreams {
     * repaired centroids. A crash between the epoch commit and the
     * repair merely defers the repair to the next drifted epoch (the
     * replayed epoch skips as committed and returns no stat). A
-    * replayed-then-skipped epoch never re-evaluates the trigger. */
+    * replayed-then-skipped epoch never re-evaluates the trigger.
+    *
+    * MULTI-STREAM sharing: unlike [[dedupIngest]] (single-flight),
+    * several scope-distinct IVF streams may feed one index — each
+    * epoch is one append, scope-distinct tags never collide, and
+    * appends serialize through the commit CAS (spec-pinned). The
+    * maintenance paths are sharing-safe too: a repair publishes via
+    * branch + fast-forward, so an epoch appended mid-repair makes
+    * the publish non-fast-forward and the repair re-reads and
+    * retries instead of truncating the append away; racing
+    * compactions let the loser yield (the winner already achieved
+    * the bounded-files goal state). */
   private[graft] def ivfIngest(vecs: DataFrame, table: String,
       checkpoint: String, maintainFileThreshold: Int = 0,
       driftRepairThreshold: Double = 0.0): StreamingQuery = {
@@ -281,8 +292,17 @@ object IngestStreams {
         if (maintainFileThreshold > 0 && !batch.isEmpty &&
             graft.lake.LakeMeta.liveFileCount(sp,
               graft.lake.Names.parts(sp, table)) >= maintainFileThreshold)
-          sp.sql(s"CALL ${graft.lake.Names.catalog(sp)}.system." +
+          try sp.sql(s"CALL ${graft.lake.Names.catalog(sp)}.system." +
             s"rewrite_data_files(table => '${graft.lake.Names.rel(sp, table)}')")
+          catch {
+            // two sharing streams crossing the threshold on the same
+            // cadence race their compactions; the loser's scanned
+            // files were already rewritten by the winner. The GOAL
+            // state (bounded files) is achieved by whoever won — a
+            // lost maintenance race must not kill a production
+            // stream, and the count is re-checked next epoch anyway
+            case _: java.util.ConcurrentModificationException => ()
+          }
         ()
       }
       .start()

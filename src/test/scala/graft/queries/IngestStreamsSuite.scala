@@ -657,6 +657,58 @@ class IngestStreamsSuite extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
   }
 
+  test("repair publish is a CAS: an epoch appended mid-repair " +
+      "survives, the repair detects the race and retries over it") {
+    assume(ready)
+    val sp = spark
+    import sp.implicits._
+    val odds = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (h1, h2) = odds.splitAt(odds.length / 2)
+    val (t, _) = VectorOps.buildEvenIvf(spark, sfDir)
+    val evens = spark.table(s"lakeq.db.$t").count()
+    graft.streaming.IngestStreams.ivfIngestEpoch(t,
+      h1.toDF("vec_id", "embedding"), epoch = 0L, scope = "racespec")
+    // inject a concurrent scope's epoch BETWEEN the repair's branch
+    // write and its fast-forward publish — the exact window where the
+    // old direct-overwrite publish silently truncated the append away
+    // while its tag survived (a permanently lost epoch the replay
+    // guard would swear had committed)
+    var injections = 0
+    VectorOps.repairStoredIvf(spark, t, iters = 2, afterWrite = () => {
+      if (injections == 0) {
+        injections += 1
+        graft.streaming.IngestStreams.ivfIngestEpoch(t,
+          h2.toDF("vec_id", "embedding"), epoch = 0L, scope = "racer")
+      }
+    })
+    assert(injections == 1)
+    // nothing lost: build + both epochs all present after the repair
+    assert(spark.table(s"lakeq.db.$t").count() ===
+      evens + h1.size + h2.size,
+      "the mid-repair epoch's rows must survive the repair publish")
+    val ids = spark.table(s"lakeq.db.$t").select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(h2.map(_._1).forall(ids), "every interleaved row survives")
+    // the interleaved epoch's guard still holds (tag on main)
+    assert(TextOps.epochCommittedOnMain(spark, t, "ivf-ingest-racer-0"))
+    // exactly ONE repair published (the lost first attempt's branch
+    // was dropped, not fast-forwarded)
+    val repairs = graft.lake.LakeMeta
+      .mainAncestors(spark, Seq("lakeq", "db", t))
+      .count(_.summary.get("graft.commit.tag")
+        .contains(graft.lake.ReplayGuard.IvfRepairTag))
+    assert(repairs === 1, s"one published repair expected, got $repairs")
+    // probes serve the repaired centroids over the complete row set
+    assert(VectorOps.probeStoredIvf(spark, t,
+      VectorOps.storedWithSims(spark, t,
+        h2.take(1).toDF("vec_id", "embedding")),
+      h2.head._1).collect().length == 5)
+    spark.sql(s"DROP TABLE IF EXISTS lakeq.db.$t PURGE")
+  }
+
   test("two concurrent IVF ingest streams (distinct scopes) over ONE " +
       "index converge to the union; each scope's replay still no-ops") {
     assume(ready)
