@@ -15,10 +15,20 @@ object StageTimes {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   def timed[T](stage: String)(f: => T): T = {
+    // label the stage's jobs (thread-local, guide §1.5): the Spark UI
+    // and the Profile harness attribute job time to gate stages
+    // instead of an anonymous job parade. Restore the outer label so
+    // nested timed() blocks re-expose their parent's on exit.
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext)
+    val prev = sc.flatMap(c =>
+      Option(c.getLocalProperty("spark.job.description")))
+    sc.foreach(_.setJobDescription(stage))
     val t0 = System.nanoTime()
-    val r = f
-    record(stage, (System.nanoTime() - t0) / 1e9)
-    r
+    try f finally {
+      record(stage, (System.nanoTime() - t0) / 1e9)
+      sc.foreach(_.setJobDescription(prev.orNull))
+    }
   }
 
   def record(stage: String, sec: Double): Unit = m.put(stage, sec)

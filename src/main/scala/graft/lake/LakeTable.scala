@@ -891,12 +891,25 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
             val grouped = kf.groupBy(_._1).toSeq.map { case (k, fs) =>
               (k, fs.map(_._2))
             }
+            // Every group builds over the UNION leaf layout and reads
+            // through ONE shared reader factory (built once, from the
+            // union file set): a reader factory is file-agnostic — the
+            // partitions carry the files — while each per-group
+            // factory paid a full Hadoop-conf broadcast
+            // (ParquetScan.createReaderFactory serializes the conf),
+            // measured as ~10-20 ms × nGroups of job-free driver time
+            // per SPJ probe plan (the dominant cost of keyed planning
+            // at any group count).
+            val unionLayout = LakeScans.leafKeysFor(files, deleted, eqDeleted)
             val groups = grouped.map { case (k, fs) =>
               val row: org.apache.spark.sql.catalyst.InternalRow =
                 new org.apache.spark.sql.catalyst.expressions
                   .GenericInternalRow(k.toArray[Any])
-              row -> LakeScans.build(table, fs, required, pushed, options)
+              row -> LakeScans.build(table, fs, required, pushed, options,
+                layout = Some(unionLayout))
             }
+            val factoryScan = () => LakeScans.build(table, files, required,
+              pushed, options, layout = Some(unionLayout))
             // Bucket-key sort-free SPJ claim: when every key group is
             // exactly ONE file whose write-order provenance covers the
             // table's current sort order (translated to that file's
@@ -923,7 +936,8 @@ class LakeBatchScan(table: LakeTable, initial: Seq[DataFileMeta],
                 }
               }) so
               else Nil
-            (ex.map(_._1).toArray, new KeyedBatch(groups, sortClaim))
+            (ex.map(_._1).toArray,
+              new KeyedBatch(groups, sortClaim, Some(factoryScan)))
           }
         }
       }
@@ -1747,10 +1761,20 @@ case class KeyedPartition(inner: InputPartition, leaf: String,
 }
 
 /** One delegate scan per partition tuple; every input partition is
-  * tagged with its tuple's key row. Mirrors CompositeScan's routing. */
+  * tagged with its tuple's key row. Mirrors CompositeScan's routing.
+  *
+  * `sharedFactory`: when every group was built over the SAME pinned
+  * leaf layout (LakeScans.build `layout`), their partitions are
+  * leaf-keyed EpochPartitions and ANY factory built over that layout
+  * routes them — so the batch reads through ONE factory (built from
+  * the union file set) instead of one per group, eliminating the
+  * per-group Hadoop-conf broadcast that dominated keyed planning.
+  * The inner leaf key is hoisted into [[KeyedPartition.leaf]] so the
+  * shared CompositeReaderFactory routes directly. */
 class KeyedBatch(
     groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Scan)],
-    fileSortClaim: Seq[String] = Nil)
+    fileSortClaim: Seq[String] = Nil,
+    sharedFactory: Option[() => Scan] = None)
   extends Batch {
 
   private lazy val delegates: Seq[Batch] = groups.map(_._2.toBatch)
@@ -1768,21 +1792,38 @@ class KeyedBatch(
       fileSortClaim
     else Nil
 
+  // shared mode applies only when every group partition is leaf-keyed
+  // (a metadata-column scan routes through PosDeleteScan, whose
+  // partitions the union factory could not route — keep per-group
+  // factories there)
+  private lazy val canShare: Boolean = sharedFactory.isDefined &&
+    partitionsByDelegate.forall(_.forall(_.isInstanceOf[EpochPartition]))
+
   override def planInputPartitions(): Array[InputPartition] =
     partitionsByDelegate.zipWithIndex.flatMap { case (ps, i) =>
-      ps.map(p => KeyedPartition(p, s"g$i", groups(i)._1): InputPartition)
+      ps.map {
+        // shared-factory mode: hoist the group scan's own leaf key so
+        // the one factory routes by it (the group wrapper adds nothing
+        // the key row doesn't already carry)
+        case EpochPartition(inner, leaf) if canShare =>
+          KeyedPartition(inner, leaf, groups(i)._1): InputPartition
+        case p =>
+          KeyedPartition(p, s"g$i", groups(i)._1): InputPartition
+      }
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val factories = delegates.zipWithIndex.map { case (b, i) =>
-      s"g$i" -> b.createReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (canShare) sharedFactory.get.apply().toBatch.createReaderFactory()
+    else {
+      val factories = delegates.zipWithIndex.map { case (b, i) =>
+        s"g$i" -> b.createReaderFactory()
+      }
+      val support = factories.map(_._2).zip(partitionsByDelegate).flatMap {
+        case (f, ps) => ps.map(f.supportColumnarReads)
+      }
+      val mixed = support.contains(true) && support.contains(false)
+      new CompositeReaderFactory(factories.toMap, forceRows = mixed)
     }
-    val support = factories.map(_._2).zip(partitionsByDelegate).flatMap {
-      case (f, ps) => ps.map(f.supportColumnarReads)
-    }
-    val mixed = support.contains(true) && support.contains(false)
-    new CompositeReaderFactory(factories.toMap, forceRows = mixed)
-  }
 }
 
 class CompositeReaderFactory(factories: Map[String, PartitionReaderFactory],

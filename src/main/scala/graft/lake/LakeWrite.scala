@@ -690,7 +690,8 @@ object LakeWriteUtil {
       applyDeletes: Map[String, Array[Long]] = Map.empty,
       applyEqs: Seq[EqDeleteMeta] = Nil,
       newSeq: Long = 0L,
-      sortedWith: Seq[String] = Nil): Seq[DataFileMeta] = {
+      sortedWith: Seq[String] = Nil,
+      knownTuple: Option[Map[String, String]] = None): Seq[DataFileMeta] = {
     val outDir = s"${meta.location}/data/${java.util.UUID.randomUUID().toString.take(12)}"
     val schema = meta.schema
     // files with different data sequence numbers are subject to
@@ -730,16 +731,27 @@ object LakeWriteUtil {
     }
     val epoch = meta.currentSchemaEpoch
     val outPaths = listParquet(outDir, conf)
-    val tuples = partitionTuples(spark, outPaths, meta)
-    FileStats.fromFooters(outPaths, conf, schema, epoch,
-      p => {
-        val t = tuples.getOrElse(normPath(p), Set.empty)
-        if (t.size == 1) t.head else Map.empty
-      // sortedWith: only sort-strategy compaction passes it (its xform
-      // ends in sortWithinPartitions over exactly these entries, one
-      // output file per df partition) — binpack/zorder/delete-applying
-      // rewrites stamp nothing
-      }).map(_.copy(seq = newSeq, sortedBy = sortedWith))
+    // knownTuple: a per-partition-group rewrite (compaction, MoR mask
+    // fold) transforms rows WITHIN one partition tuple, so the caller
+    // already knows every output file's tuple — re-deriving it with a
+    // partitionTuples job (scan + distinct + collect PER GROUP) was
+    // one of the two Spark jobs each compaction group paid at any
+    // scale (guide §2.4: remove shuffles/jobs outright)
+    val tupleOf: String => Map[String, String] = knownTuple match {
+      case Some(t) => _ => t
+      case None =>
+        val tuples = partitionTuples(spark, outPaths, meta)
+        p => {
+          val t = tuples.getOrElse(normPath(p), Set.empty)
+          if (t.size == 1) t.head else Map.empty
+        }
+    }
+    // sortedWith: only sort-strategy compaction passes it (its xform
+    // ends in sortWithinPartitions over exactly these entries, one
+    // output file per df partition) — binpack/zorder/delete-applying
+    // rewrites stamp nothing
+    FileStats.fromFooters(outPaths, conf, schema, epoch, tupleOf)
+      .map(_.copy(seq = newSeq, sortedBy = sortedWith))
   }
 
   /** Dynamic partition overwrite: drop/rewrite parent files that

@@ -535,7 +535,12 @@ object Procedures {
             case _ if strategy.equalsIgnoreCase("sort") && sortCols.nonEmpty =>
               df => df.repartitionByRange(nOut, sortCols: _*)
                 .sortWithinPartitions(sortCols: _*)
-            case _ => df => df.repartition(nOut)
+            // binpack concatenates small files into ~target-sized ones;
+            // coalesce does that with a narrow dependency (no shuffle,
+            // no sort-before-repartition pass — guide §2.4), exactly
+            // like Iceberg's binpack which packs input files into
+            // tasks without moving rows between them
+            case _ => df => df.coalesce(nOut)
           }
         }
         // Compact WITHIN partitions (like the reference's per-partition
@@ -558,10 +563,17 @@ object Procedures {
               .map(_.trim).filter(_.nonEmpty).map(SortSpec.normalize)
           else Nil
         val rewritten = parGroups(small.groupBy(_.partitionValues).toSeq) {
-          case (_, group) =>
+          case (tuple, group) =>
+            // within-partition rewrite: outputs inherit the group's
+            // recorded tuple, so pass it through instead of paying a
+            // per-group partitionTuples job (files with NO recorded
+            // tuple — tuple.isEmpty on a partitioned table — still
+            // re-derive, they may genuinely span tuples)
+            val known = if (tuple.nonEmpty || m.partitionSpec.isEmpty)
+              Some(tuple) else None
             LakeWriteUtil.rewriteFiles(spark, m, group, xform(group),
               catalog.hadoopConf, applyEqs = parentEqs, newSeq = nextId,
-              sortedWith = sortedStamp)
+              sortedWith = sortedStamp, knownTuple = known)
         }
         val untouched = files.filterNot(f => small.exists(_.path == f.path))
         val newFiles = untouched ++ rewritten
@@ -690,10 +702,14 @@ object Procedures {
           val nextId = m.lastSnapshotId + 1
           val parentEqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
           val rewritten = parGroups(dirty.groupBy(_.partitionValues).toSeq) {
-            case (_, group) =>
+            case (tuple, group) =>
+              // same within-partition contract as rewrite_data_files:
+              // the identity rewrite keeps rows in their tuple
+              val known = if (tuple.nonEmpty || m.partitionSpec.isEmpty)
+                Some(tuple) else None
               LakeWriteUtil.rewriteFiles(spark, m, group, identity,
                 catalog.hadoopConf, applyDeletes = delMap,
-                applyEqs = parentEqs, newSeq = nextId)
+                applyEqs = parentEqs, newSeq = nextId, knownTuple = known)
           }
           val newFiles = clean ++ rewritten
           val snap = SnapshotMeta(nextId,

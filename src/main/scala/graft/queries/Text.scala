@@ -861,13 +861,10 @@ object TextOps {
       // their own SESSION (shared SparkContext, separate SQLConf) —
       // never on the caller's, where a concurrently planned query
       // would inherit a disabled broadcast threshold. The catalog is
-      // disk-backed, so the new session sees the freshly created
-      // tables through its own catalog instance.
-      val sc = s.newSession()
-      LakeOps.cat(sc)
-      graft.lake.Names.carryTo(s, sc)
-      sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // disk-backed, so the probe session sees the freshly created
+      // tables through its own catalog instance
+      // ([[spjProbeSession]] — memoized per parent session).
+      val sc = spjProbeSession(s)
       val cand = sc.table(graft.lake.Names.q(s, batchT))
         .join(sc.table(graft.lake.Names.q(s, postT)).toDF("dup_of", "band_hash"),
           Seq("band_hash"))
@@ -905,6 +902,35 @@ object TextOps {
       s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, t)} PURGE"))
     result.orderBy(col("doc_id"))
   }
+
+  /** The SPJ probe session, memoized per parent session: the probe
+    * confs (v2 bucketing on, broadcast off) must not leak to
+    * concurrently planned queries, so probes run on a CLONED session —
+    * but cloning per probe made every storage-partitioned probe pay a
+    * cold SessionState (fresh analyzer/optimizer caches, catalog
+    * re-registration, namespace DDL round-trip): measured ~2.3 s of
+    * job-free driver time per mined-refresh probe at sf0.1, paid once
+    * per streaming epoch. One clone per parent session keeps the
+    * isolation (the parent never sees the confs) and the metadata
+    * stays fresh — the lake catalog reads the metadata log from disk
+    * on every loadTable, so a cached session observes every commit
+    * the parent makes between probes. Namespace conf is re-carried on
+    * every call (tests repoint it per spec). */
+  private val probeSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private[queries] def spjProbeSession(s: SparkSession): SparkSession =
+    probeSessions.synchronized {
+      var sc = probeSessions.get(s)
+      if (sc == null || sc.sparkContext.isStopped) {
+        sc = s.newSession()
+        LakeOps.cat(sc)
+        sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probeSessions.put(s, sc)
+      }
+      graft.lake.Names.carryTo(s, sc)
+      sc
+    }
 
   /** Max document frequency for a shingle to stay in the inverted
     * index: a shingle appearing in more than MaxShingleDf docs is a
@@ -1841,11 +1867,7 @@ object TextOps {
     * code path. */
   private[queries] def groupProbeCandidates(s: SparkSession,
       scratchT: String, postT: String): DataFrame = {
-    val sc = s.newSession()
-    LakeOps.cat(sc)
-    graft.lake.Names.carryTo(s, sc)
-    sc.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sc = spjProbeSession(s)
     sc.table(graft.lake.Names.q(s, scratchT))
       .join(sc.table(graft.lake.Names.q(s, postT)).toDF("doc_b", "sh"), Seq("sh"))
       .groupBy(col("doc_id"), col("doc_b"))
