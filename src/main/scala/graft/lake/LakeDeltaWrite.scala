@@ -132,9 +132,19 @@ class LakeDeltaBatchWrite(table: LakeTable, info: LogicalWriteInfo,
       new SerializableConfiguration(job.getConfiguration))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // insert files stage through the fanout writer, so their partition
+    // tuples ride the commit messages (same job-skip as LakeBatchWrite)
+    val ms = messages.toSeq.filter(_ != null)
+    val fan = ms.collect { case m: LakeFanoutCommit => m }
+    val msgTuples: Option[Map[String, Map[String, String]]] =
+      if (fan.size == ms.size && fan.forall(m => m.files.size == m.tuples.size))
+        Some(fan.flatMap(m => m.files.map(LakeWriteUtil.normPath)
+          .zip(m.tuples)).toMap)
+      else None
     LakeWriteUtil.commitDelta(table, stagingDir, deleteDir, operation,
-      scannedFiles(), scanFilters())
+      scannedFiles(), scanFilters(), stagedTuples = msgTuples)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = MetadataLog.fs(table.meta.location, table.catalog.hadoopConf)

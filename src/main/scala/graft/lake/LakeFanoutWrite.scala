@@ -81,14 +81,16 @@ object LakeFanoutWrite {
     new LakeFanoutWriterFactory(owf, bound, schema, stagingDir,
       new SerializableConfiguration(job.getConfiguration),
       WriteTuning.targetFileSize(meta),
-      specTruncated = resolvable.size != meta.partitionSpec.size)
+      specTruncated = resolvable.size != meta.partitionSpec.size,
+      tupleNames = resolvable.map(_.name))
   }
 }
 
 class LakeFanoutWriterFactory(owf: OutputWriterFactory,
     tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
     conf: SerializableConfiguration, targetBytes: Long,
-    specTruncated: Boolean = false) extends DataWriterFactory {
+    specTruncated: Boolean = false,
+    tupleNames: Seq[String] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     if (specTruncated)
@@ -103,16 +105,26 @@ class LakeFanoutWriterFactory(owf: OutputWriterFactory,
         override def close(): Unit = ()
       }
     new LakeFanoutDataWriter(owf, tupleExprs, schema, stagingDir,
-      conf.value, partitionId, taskId, targetBytes)
+      conf.value, partitionId, taskId, targetBytes, tupleNames)
   }
 }
 
-case class LakeFanoutCommit(files: Seq[String]) extends WriterCommitMessage
+/** `files` zips with `tuples`: each staged file's partition tuple,
+  * recorded AT WRITE TIME (the writer rolls per tuple, so every file
+  * is single-tuple by construction). Carrying the tuple in the commit
+  * message lets the snapshot commit skip the partitionTuples Spark job
+  * (a scan + distinct + collect of everything just staged) every
+  * partitioned write used to pay. Values use the same formatting that
+  * job produced (`String.valueOf` of the stringified transform), so
+  * stored partitionValues stay byte-identical either way. */
+case class LakeFanoutCommit(files: Seq[String],
+    tuples: Seq[Map[String, String]] = Nil) extends WriterCommitMessage
 
 class LakeFanoutDataWriter(owf: OutputWriterFactory,
     tupleExprs: Seq[Expression], schema: StructType, stagingDir: String,
     conf: Configuration, partitionId: Int, taskId: Long,
-    targetBytes: Long = WriteTuning.DefaultTargetFileSize)
+    targetBytes: Long = WriteTuning.DefaultTargetFileSize,
+    tupleNames: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(stagingDir).getFileSystem(conf)
@@ -125,12 +137,23 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
   private var bytesSinceSizeCheck = 0L
   private var fileCount = 0
   private val written = Seq.newBuilder[Path]
+  // per-file partition tuple, in `written` order (null values keep the
+  // "null" string partitionTuples' String.valueOf produced)
+  private val tuples = Seq.newBuilder[Map[String, String]]
+  private var currentTuple: Map[String, String] = Map.empty
 
   private def tupleKey(row: InternalRow): String = {
     val t = proj(row) // all transforms are cast to string in Transforms.eval
     (0 until tupleExprs.size).map(i =>
       if (t.isNullAt(i)) "__NULL__" else t.getUTF8String(i).toString)
       .mkString("//|//")
+  }
+
+  private def tupleOf(row: InternalRow): Map[String, String] = {
+    val t = proj(row)
+    tupleNames.zipWithIndex.map { case (n, i) =>
+      n -> (if (t.isNullAt(i)) "null" else t.getUTF8String(i).toString)
+    }.toMap
   }
 
   private def roll(): Unit = {
@@ -148,7 +171,10 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
 
   override def write(row: InternalRow): Unit = {
     val key = tupleKey(row)
-    if (current == null || key != currentKey) { roll(); currentKey = key }
+    if (current == null || key != currentKey) {
+      roll(); currentKey = key; currentTuple = tupleOf(row)
+      tuples += currentTuple
+    }
     current.write(row)
     // Target-file-size roll-over (write.target-file-size-bytes): a
     // partition tuple receiving many gigabytes in one task must not
@@ -170,7 +196,12 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
     if (bytesSinceSizeCheck >= targetBytes) {
       bytesSinceSizeCheck = 0L
       if (scala.util.Try(fs.getFileStatus(currentPath).getLen)
-          .getOrElse(0L) >= targetBytes) roll()
+          .getOrElse(0L) >= targetBytes) {
+        // size roll-over within one tuple: the new file keeps the
+        // current tuple (tuples stays aligned with written)
+        roll()
+        tuples += currentTuple
+      }
     }
   }
 
@@ -187,7 +218,8 @@ class LakeFanoutDataWriter(owf: OutputWriterFactory,
         throw new java.io.IOException(s"failed to promote $f to $dest")
     }
     fs.delete(attemptDir, true)
-    LakeFanoutCommit(files.map(f => new Path(stagingDir, f.getName).toString))
+    LakeFanoutCommit(files.map(f => new Path(stagingDir, f.getName).toString),
+      tuples.result())
   }
 
   override def abort(): Unit = {

@@ -154,9 +154,22 @@ class LakeBatchWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (!partitioned) delegate.commit(messages)
+    // fanout writes already know every staged file's partition tuple
+    // (recorded per roll) — hand them to the commit so it skips the
+    // partitionTuples re-derivation job
+    val msgTuples: Option[Map[String, Map[String, String]]] =
+      if (!partitioned) None
+      else {
+        val ms = messages.toSeq.filter(_ != null)
+        val fan = ms.collect { case m: LakeFanoutCommit => m }
+        if (fan.size == ms.size && fan.forall(m => m.files.size == m.tuples.size))
+          Some(fan.flatMap(m => m.files.map(LakeWriteUtil.normPath)
+            .zip(m.tuples)).toMap)
+        else None
+      }
     val committed = LakeWriteUtil.commitStaged(table, stagingDir, mode,
       overwriteFilters, info.schema(), operationOverride, replacedFiles(),
-      sortedWith)
+      sortedWith, stagedTuples = msgTuples)
     onCommit.foreach(_(committed))
   }
 
@@ -290,7 +303,9 @@ object LakeWriteUtil {
       overwriteFilters: Array[Filter], writeSchema: StructType,
       operationOverride: Option[String],
       replaced: Option[Seq[String]] = None,
-      sortedWith: Seq[String] = Nil): TableMeta = {
+      sortedWith: Seq[String] = Nil,
+      stagedTuples: Option[Map[String, Map[String, String]]] = None)
+      : TableMeta = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
     // per-commit phase timings (LakeCommitMetrics): a CAS retry
@@ -325,8 +340,22 @@ object LakeWriteUtil {
 
     val stagedPaths = timed(listNs += _)(listParquet(stagingDir, conf))
     stagedCount = stagedPaths.size
-    val specTuples = timed(tuplesNs += _)(
-      partitionTuples(spark, stagedPaths, evolved))
+    // message-carried tuples (fanout writes) cover the whole staged set
+    // in the common case — the partitionTuples job is the fallback for
+    // writes that didn't carry them (non-fanout stages, older paths) or
+    // any listed file the messages somehow missed
+    val specTuples = timed(tuplesNs += _)(stagedTuples match {
+      // trust write-time tuples only while the commit-time spec still
+      // matches the field names they were evaluated under (a concurrent
+      // REPLACE PARTITION FIELD between write and CAS retry re-derives)
+      case Some(mt) if stagedPaths.forall(p => mt.contains(normPath(p))) &&
+          mt.values.forall(_.keySet ==
+            evolved.partitionSpec.map(_.name).toSet) =>
+        stagedPaths.map { p =>
+          val np = normPath(p); np -> Set(mt(np))
+        }.toMap
+      case _ => partitionTuples(spark, stagedPaths, evolved)
+    })
     val harvested = timed(statsNs += _)(
       FileStats.fromFooters(stagedPaths, conf, schema, epoch,
         p => {
@@ -800,7 +829,8 @@ object LakeWriteUtil {
     * nothing else in the snapshot changes. */
   def commitDelta(table: LakeTable, stagingDir: String, deleteDir: String,
       operation: String, scannedFiles: Option[Seq[String]] = None,
-      scanFilters: Array[Filter] = Array.empty): Unit = {
+      scanFilters: Array[Filter] = Array.empty,
+      stagedTuples: Option[Map[String, Map[String, String]]] = None): Unit = {
     val spark = SparkSession.active
     val conf = table.catalog.hadoopConf
 
@@ -818,7 +848,18 @@ object LakeWriteUtil {
     table.catalog.commitRetrying(table.ident) { fresh =>
     val epoch = fresh.currentSchemaEpoch
     val schema = fresh.schema
-    val tuples = partitionTuples(spark, dataPaths, fresh)
+    // message-carried tuples skip the partitionTuples job (see
+    // commitStaged); fall back when they don't cover the listing
+    val tuples = stagedTuples match {
+      // same spec-drift guard as commitStaged
+      case Some(mt) if dataPaths.forall(p => mt.contains(normPath(p))) &&
+          mt.values.forall(_.keySet ==
+            fresh.partitionSpec.map(_.name).toSet) =>
+        dataPaths.map { p =>
+          val np = normPath(p); np -> Set(mt(np))
+        }.toMap
+      case _ => partitionTuples(spark, dataPaths, fresh)
+    }
     val staged = FileStats.fromFooters(dataPaths, conf, schema, epoch,
       p => {
         val t = tuples.getOrElse(normPath(p), Set.empty)

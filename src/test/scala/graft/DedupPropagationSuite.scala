@@ -50,14 +50,36 @@ class DedupPropagationSuite extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("chain of diameter 40 converges to one component (pointer-halving)") {
-    val rows = TextOps.tDedupGroups(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(rows.length == 41)
-    // every doc labels to the chain minimum — plain neighbor-min
-    // needs 40 rounds for the far end; the halving rung must get
-    // there well inside the 64-round failsafe
-    assert(rows.forall(_._2 == 0L),
-      s"non-minimum labels: ${rows.filterNot(_._2 == 0L).take(5).toSeq}")
+    // force the DISTRIBUTED loop (the driver union-find fast path
+    // would absorb a 41-doc graph and never exercise the halving rung
+    // this suite exists to pin)
+    spark.conf.set("spark.graft.cc.driverEdgeLimit", "0")
+    try {
+      val rows = TextOps.tDedupGroups(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(rows.length == 41)
+      // every doc labels to the chain minimum — plain neighbor-min
+      // needs 40 rounds for the far end; the halving rung must get
+      // there well inside the 64-round failsafe
+      assert(rows.forall(_._2 == 0L),
+        s"non-minimum labels: ${rows.filterNot(_._2 == 0L).take(5).toSeq}")
+    } finally spark.conf.unset("spark.graft.cc.driverEdgeLimit")
+  }
+
+  test("driver union-find fast path labels exactly like the loop") {
+    // same corpus through both algorithms: the size-gated driver path
+    // (default conf admits the 40-edge chain) must reproduce the
+    // distributed loop's labels bit-for-bit
+    TextOps.clearMemos()
+    val viaDriver = TextOps.tDedupGroups(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    TextOps.clearMemos()
+    spark.conf.set("spark.graft.cc.driverEdgeLimit", "0")
+    try {
+      val viaLoop = TextOps.tDedupGroups(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      assert(viaDriver.toSeq == viaLoop.toSeq)
+    } finally spark.conf.unset("spark.graft.cc.driverEdgeLimit")
   }
 
   test("keep_best consumes the memoized grouping (no second propagation)") {
