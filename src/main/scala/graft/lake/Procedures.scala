@@ -535,12 +535,16 @@ object Procedures {
             case _ if strategy.equalsIgnoreCase("sort") && sortCols.nonEmpty =>
               df => df.repartitionByRange(nOut, sortCols: _*)
                 .sortWithinPartitions(sortCols: _*)
-            // binpack concatenates small files into ~target-sized ones;
-            // coalesce does that with a narrow dependency (no shuffle,
-            // no sort-before-repartition pass — guide §2.4), exactly
-            // like Iceberg's binpack which packs input files into
-            // tasks without moving rows between them
-            case _ => df => df.coalesce(nOut)
+            // binpack MERGING small files into ~target-sized ones uses
+            // coalesce: a narrow dependency (no shuffle, no
+            // sort-before-repartition pass — guide §2.4), exactly like
+            // Iceberg's binpack which packs input files into tasks
+            // without moving rows between them. SPLITTING (more
+            // outputs than input files — an undersized target) still
+            // needs the round-robin shuffle, since coalesce can never
+            // raise the partition count.
+            case _ if nOut <= group.size => df => df.coalesce(nOut)
+            case _ => df => df.repartition(nOut)
           }
         }
         // Compact WITHIN partitions (like the reference's per-partition

@@ -2151,15 +2151,48 @@ object TextOps {
             .writeTo(graft.lake.Names.q(s, idx.size)).append()))
           .collect { case (t, f) if needs(t) => f }: _*)
       }
-    val publish = () =>
-      graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
-        refreshGroupIndex(s, idx.labels, mined, batchDocs.select(col("doc_id")))
-      }
     // tagged mode publishes labels LAST so its tag certifies the whole
-    // epoch; the untagged nightly overlaps the two disjoint-table
-    // stages ([[parSteps]]) — ordering was never semantic there
-    if (epochTag.isDefined) { advance(); publish() }
-    else parSteps(advance, publish)
+    // epoch — but "last" is a property of the CERTIFYING ref move
+    // (fast_forward), not of the branch staging: the label MERGE +
+    // batch append land on an unpublished branch, touch a table the
+    // advance never writes, and read only checkpointed frames. So the
+    // tagged epoch overlaps the advance with the staging exactly like
+    // the untagged nightly, and only the fast_forward joins the
+    // advance first (the commit tag rides to the worker thread the
+    // same way parSteps propagates it). The advance is ALWAYS joined
+    // before this body returns — a staging failure must not leave a
+    // straggler advance commit racing the replay's upfront guard scan.
+    // The untagged nightly keeps the wholesale parSteps overlap.
+    epochTag match {
+      case Some(_) =>
+        val ctag = graft.CommitTag.get
+        val adv = new java.util.concurrent.FutureTask[Unit](
+          () => graft.CommitTag.run(ctag)(advance()))
+        val advThread = new Thread(adv, "graft-epoch-advance")
+        advThread.setDaemon(true)
+        advThread.start()
+        def joinAdvance(): Unit =
+          try adv.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        try graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
+          refreshGroupIndex(s, idx.labels, mined,
+            batchDocs.select(col("doc_id")),
+            beforePublish = () => joinAdvance())
+        } finally {
+          try adv.get()
+          catch { case _: Throwable => () } // primary failure wins; the
+          // advance's own failure already surfaced through the
+          // beforePublish join if staging got that far
+        }
+      case None =>
+        val publish = () =>
+          graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
+            refreshGroupIndex(s, idx.labels, mined,
+              batchDocs.select(col("doc_id")))
+          }
+        parSteps(advance, publish)
+    }
   }
 
   /** The SCOPED REBUILD the straddle guard prescribes — run
@@ -2369,8 +2402,15 @@ object TextOps {
     * two-commit variant). The posting/df/size side-tables need no
     * such staging: they are additive refresh INPUTS read only by the
     * next refresh, not serving state. */
+  /** `beforePublish` runs after the branch staging (MERGE + append)
+    * completes and BEFORE the certifying fast_forward — the tagged
+    * epoch path passes a join on its concurrently running substrate
+    * advance here, so the tag's "labels last on main" contract holds
+    * while the two disjoint-table stages overlap (the untagged
+    * nightly already overlaps them wholesale via parSteps). */
   private[queries] def refreshGroupIndex(s: SparkSession, table: String,
-      batchPairs: DataFrame, batchDocs: DataFrame): Unit = {
+      batchPairs: DataFrame, batchDocs: DataFrame,
+      beforePublish: () => Unit = () => ()): Unit = {
     val stored = s.table(graft.lake.Names.q(s, table))
       .select(col("doc_id"), col("group_id"))
     // initial label per endpoint: stored component label, self for
@@ -2406,6 +2446,7 @@ object TextOps {
         .select(col("doc_id"),
           coalesce(col("new_label"), col("doc_id")).as("group_id"))
         .writeTo(s"${graft.lake.Names.q(s, table)}.branch_$br").append()
+      beforePublish()
       // atomic publish: one ref move, both changes or neither
       s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.fast_forward(table => '${graft.lake.Names.rel(s, table)}', " +
         s"branch => 'main', to => '$br')")
