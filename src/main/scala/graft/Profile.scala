@@ -17,14 +17,21 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.lake.LakeExtensions)
       .withExtensions(new graft.mv.MvExtensions)
       .withExtensions(new graft.readonly.ReadOnlyExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiments: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" overlays
+    // session confs so config hypotheses measure here before touching
+    // the Bench session
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class JobRec(id: Int, desc: String, t0: Long,
