@@ -35,7 +35,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class JobRec(id: Int, desc: String, t0: Long,
-        var t1: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
+        var t1: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
+        var stageNames: String = "")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
@@ -45,7 +46,9 @@ object Profile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
         jobs.put(e.jobId, JobRec(e.jobId, d, e.time,
-          stages = e.stageInfos.size))
+          stages = e.stageInfos.size,
+          stageNames = e.stageInfos.map(_.name.takeWhile(_ != ' '))
+            .mkString(",").take(120)))
         e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -98,10 +101,12 @@ object Profile {
           println(f"  $sec%7.3fs jobs=$n%3d tasks=$tasks%5d  " +
             (if (d.isEmpty) "<unlabeled>" else d.take(80)))
         }
-      recs.filter(r => r.t1 - r.t0 >= 300).foreach { r =>
+      val jobFloorMs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_JOB_MS", "300").toInt
+      recs.filter(r => r.t1 - r.t0 >= jobFloorMs).foreach { r =>
         val ms = math.max(0L, r.t1 - r.t0)
         println(f"  job ${r.id}%4d ${ms / 1e3}%7.3fs stages=${r.stages}%2d " +
-          f"tasks=${r.tasks}%4d  ${r.desc.take(90)}%s")
+          f"tasks=${r.tasks}%4d  ${r.desc.replace('\n', ' ').take(60)}%s " +
+          f"[${r.stageNames}%s]")
       }
       val st = graft.StageTimes.drain()
       if (st.nonEmpty) {

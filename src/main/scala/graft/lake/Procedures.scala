@@ -566,7 +566,47 @@ object Procedures {
             sortSpec.toSeq.flatMap(_.split(","))
               .map(_.trim).filter(_.nonEmpty).map(SortSpec.normalize)
           else Nil
-        val rewritten = parGroups(small.groupBy(_.partitionValues).toSeq) {
+        val groupedAll = small.groupBy(_.partitionValues).toSeq
+        // singleton no-op cut: a binpack group that is ONE file
+        // already under target merges nothing — rewriting it copies
+        // bytes and burns a job for an identical table. Skipped unless
+        // the caller forced rewrite-all or deletes must fold in.
+        val grouped =
+          if (strategy.equalsIgnoreCase("binpack") && !rewriteAll &&
+              parentEqs.isEmpty)
+            groupedAll.filterNot { case (_, g) =>
+              g.size == 1 && g.map(_.sizeBytes).sum <= target }
+          else groupedAll
+        // binpack groups that need no eq-delete sub-grouping, know
+        // their tuple, read one schema epoch, and target ONE output
+        // file fuse into ONE Spark job (LakeWriteUtil.rewriteFilesFused)
+        // instead of one job per group. The fused job hash-clusters
+        // rows by group (one shuffle of the rewrite bytes), so fusion
+        // is gated by total bytes — small-file maintenance fuses, bulk
+        // compaction keeps the shuffle-free per-group path. Sort/
+        // zorder strategies and eq-delete tables always stay per-group.
+        val fusedMaxBytes = spark.conf
+          .get("spark.graft.lake.fusedRewriteMaxBytes", "1073741824").toLong
+        val fusible = !strategy.equalsIgnoreCase("sort") &&
+          zorderCols.isEmpty && parentEqs.isEmpty &&
+          grouped.flatMap(_._2).map(_.schemaEpoch).distinct.size <= 1 &&
+          grouped.flatMap(_._2).map(_.sizeBytes).sum <= fusedMaxBytes
+        val (fused, perGroup) = grouped.partition { case (tuple, group) =>
+          fusible && (tuple.nonEmpty || m.partitionSpec.isEmpty) &&
+            math.max(1, (group.map(_.sizeBytes).sum / target).toInt) == 1
+        }
+        // the singleton cut may skip every group — nothing to rewrite,
+        // so commit nothing (a no-op replace snapshot would still cost
+        // a commit round-trip and a history entry)
+        val rewriteInputs = grouped.flatMap(_._2)
+        if (rewriteInputs.isEmpty) return Seq(Row(0, 0, 0L))
+        val useFused = fused.size >= 2
+        val rewritten = (if (useFused)
+          LakeWriteUtil.rewriteFilesFused(spark, m,
+            fused.map { case (t, g) => (t, g) },
+            catalog.hadoopConf, newSeq = nextId)
+        else Nil) ++
+        parGroups(if (useFused) perGroup else grouped) {
           case (tuple, group) =>
             // within-partition rewrite: outputs inherit the group's
             // recorded tuple, so pass it through instead of paying a
@@ -579,7 +619,8 @@ object Procedures {
               catalog.hadoopConf, applyEqs = parentEqs, newSeq = nextId,
               sortedWith = sortedStamp, knownTuple = known)
         }
-        val untouched = files.filterNot(f => small.exists(_.path == f.path))
+        val untouched = files.filterNot(f =>
+          rewriteInputs.exists(_.path == f.path))
         val newFiles = untouched ++ rewritten
         // masked files were excluded from compaction, so their masks
         // must survive the commit: carry the parent's delete files
@@ -588,12 +629,13 @@ object Procedures {
         // enough for them
         val snap = SnapshotMeta(nextId, head.map(_.snapshotId),
           System.currentTimeMillis(), "replace",
-          Map("rewritten-data-files" -> small.size.toString),
+          Map("rewritten-data-files" -> rewriteInputs.size.toString),
           newFiles, m.currentSchemaEpoch,
           deleteFiles = head.map(_.deleteFiles).getOrElse(Nil),
           eqDeleteFiles = EqDeletes.retire(parentEqs, newFiles))
         catalog.commitMeta(m.withSnapshot(snap, Some("main")))
-        Seq(Row(small.size, rewritten.size, small.map(_.sizeBytes).sum))
+        Seq(Row(rewriteInputs.size, rewritten.size,
+          rewriteInputs.map(_.sizeBytes).sum))
       }
     }),
 
@@ -705,7 +747,30 @@ object Procedures {
             delMap.contains(PosDeletes.norm(f.path)))
           val nextId = m.lastSnapshotId + 1
           val parentEqs = head.map(_.eqDeleteFiles).getOrElse(Nil)
-          val rewritten = parGroups(dirty.groupBy(_.partitionValues).toSeq) {
+          val grouped = dirty.groupBy(_.partitionValues).toSeq
+          // same fusion as rewrite_data_files: mask-applying rewrites
+          // over tuple-known groups run as ONE Spark job when every
+          // fused file shares a schema epoch and the total is under
+          // the fused-bytes gate (the shared mask frame anti-joins on
+          // (file, pos), so cross-group pairs are inert). The fused
+          // job writes ONE file per group — the mask fold's file split
+          // is not contractual, and the binpack that follows it in
+          // every fold-in call site was merging those files anyway.
+          val fusedMaxBytes = spark.conf
+            .get("spark.graft.lake.fusedRewriteMaxBytes", "1073741824").toLong
+          val fusible = parentEqs.isEmpty &&
+            grouped.flatMap(_._2).map(_.schemaEpoch).distinct.size <= 1 &&
+            grouped.flatMap(_._2).map(_.sizeBytes).sum <= fusedMaxBytes
+          val (fused, perGroup) = grouped.partition { case (tuple, _) =>
+            fusible && (tuple.nonEmpty || m.partitionSpec.isEmpty)
+          }
+          val useFused = fused.size >= 2
+          val rewritten = (if (useFused)
+            LakeWriteUtil.rewriteFilesFused(spark, m,
+              fused.map { case (t, g) => (t, g) },
+              catalog.hadoopConf, applyDeletes = delMap, newSeq = nextId)
+          else Nil) ++
+          parGroups(if (useFused) perGroup else grouped) {
             case (tuple, group) =>
               // same within-partition contract as rewrite_data_files:
               // the identity rewrite keeps rows in their tuple

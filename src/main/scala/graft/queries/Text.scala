@@ -2023,7 +2023,17 @@ object TextOps {
     // exact (spec-pinned both ways in GroupIndexSuite).
     val straddle = joined.filter(col("df0") > 0 &&
       col("df0") <= cap && col("df0") + col("bdf") > cap)
-    val nStraddle = straddle.count()
+    // ONE aggregate over the checkpointed lookup returns both the
+    // straddle count (the guard) and tonight's capped posting volume
+    // (the probe-strategy gate below) — the second statistic rides the
+    // job the guard already paid instead of scheduling its own
+    val statsRow = joined.agg(
+      coalesce(sum(when(col("df0") > 0 && col("df0") <= cap &&
+        col("df0") + col("bdf") > cap, lit(1L))), lit(0L)),
+      coalesce(sum(when(col("df0") + col("bdf") <= cap, col("bdf"))),
+        lit(0L))).head()
+    val nStraddle = statsRow.getLong(0)
+    val nCappedPost = statsRow.getLong(1)
     if (nStraddle > 0) {
       if (!repairStraddle) {
         val sample = straddle.select(col("sh")).head(5).map(_.getString(0))
@@ -2069,25 +2079,60 @@ object TextOps {
     }
     val cappedSh = joined.filter(col("df0") + col("bdf") <= cap)
       .select(col("sh"))
-    // the capped batch postings materialize ONCE, directly as the
-    // bucket-aligned scratch table the SPJ probe needs — every other
-    // consumer (sizes, the batch self-join) reads it back from there
-    // instead of a second checkpoint of the same rows
-    val scratch = LakeOps.fresh("grpidx_probe")
-    graft.StageTimes.timed("t_dedup_groups_indexed.refresh_mine") {
-      bPost.join(cappedSh, Seq("sh"))
+    // Probe strategy gate (guide §3.1: broadcast the side that fits):
+    // the batch×corpus intersection join is identical either way —
+    // what differs is HOW the batch side reaches the corpus postings.
+    //  - BROADCAST (batch fits `spark.graft.probe.broadcastPostingLimit`
+    //    rows, default 4M ≈ a few hundred MB framed): the capped batch
+    //    postings checkpoint once and broadcast onto the stored
+    //    posting scan — the corpus side is never shuffled, and the
+    //    scratch-table create + SPJ probe session + DROP all vanish
+    //    (measured ~0.5-0.7 s of per-epoch commit/session constants).
+    //  - SPJ (bigger batches, or the limit set ≤ 0): the batch
+    //    materializes as a bucket-aligned scratch table and probes via
+    //    the storage-partitioned join, exactly as before — a nightly
+    //    batch past broadcast size must not hold the whole frame on
+    //    every executor.
+    // nCappedPost (computed above, job-free) IS the broadcast row
+    // count, so the gate is exact, not an estimate. Both paths produce
+    // the same (doc_id, doc_b, inter) rows; GroupIndexSuite pins the
+    // refresh == one-shot equality across the gate.
+    val broadcastLimit = s.conf
+      .get("spark.graft.probe.broadcastPostingLimit", "4000000").toLong
+    val useBroadcastProbe = nCappedPost <= broadcastLimit
+    // the capped batch postings materialize ONCE — as an eager
+    // checkpoint on the broadcast path, or directly as the
+    // bucket-aligned scratch table the SPJ probe needs — and every
+    // other consumer (sizes, the batch self-join) reads that
+    // materialization instead of re-running the capping join
+    val scratchOpt: Option[String] =
+      if (useBroadcastProbe) None else Some(LakeOps.fresh("grpidx_probe"))
+    val bCapped = graft.StageTimes.timed(
+        "t_dedup_groups_indexed.refresh_mine") {
+      val capped = bPost.join(cappedSh, Seq("sh"))
         .select(col("doc_id"), col("sh"))
-        .writeTo(graft.lake.Names.q(s, scratch)).using("lake")
-        .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
+      scratchOpt match {
+        case None => capped.localCheckpoint(true, StorageLevel.DISK_ONLY)
+        case Some(scratch) =>
+          capped.writeTo(graft.lake.Names.q(s, scratch)).using("lake")
+            .partitionedBy(bucket(GroupIdxBuckets, col("sh"))).create()
+          s.table(graft.lake.Names.q(s, scratch))
+      }
     }
-    val bCapped = s.table(graft.lake.Names.q(s, scratch))
     val bSizes = bCapped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    // batch×corpus: scratch postings share the index bucketing → SPJ
+    // batch×corpus: broadcast-hash onto the stored postings, or SPJ
+    // over the shared bucketing — same join, same aggregation
     val interMixed = graft.StageTimes.timed(
         "t_dedup_groups_indexed.refresh_probe") {
-      groupProbeCandidates(s, scratch, idx.post)
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      (scratchOpt match {
+        case None =>
+          s.table(graft.lake.Names.q(s, idx.post)).toDF("doc_b", "sh")
+            .join(broadcast(bCapped), Seq("sh"))
+            .groupBy(col("doc_id"), col("doc_b"))
+            .agg(count(lit(1)).as("inter"))
+        case Some(scratch) => groupProbeCandidates(s, scratch, idx.post)
+      }).localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
     val candIds = interMixed.select(col("doc_b")).distinct()
     // candidate ids broadcast onto the size store; `>= 0` is the
@@ -2119,7 +2164,8 @@ object TextOps {
       .select(col("ba").as("doc_a"), col("bb").as("doc_b"))
     val mined = mixedPairs.union(batchPairs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, scratch)} PURGE")
+    scratchOpt.foreach(scratch =>
+      s.sql(s"DROP TABLE IF EXISTS ${graft.lake.Names.q(s, scratch)} PURGE"))
     // advance the index for the NEXT batch — postings append (the
     // probe above already ran, so tonight's docs never self-pair
     // through storage), df deltas append, sizes append. Three
@@ -2147,7 +2193,15 @@ object TextOps {
           // buildGroupIndex)
           idx.df -> (() => bDf.withColumnRenamed("bdf", "df")
             .writeTo(graft.lake.Names.q(s, idx.df)).append()),
-          idx.size -> (() => bSizes.repartitionByRange(2, col("doc_id"))
+          // sizes append: ONE doc_id-sorted file via a narrow coalesce
+          // — rows identical to the former repartitionByRange(2), but
+          // without the RangePartitioner's sampling job + shuffle per
+          // epoch (guide §2.4). min/max skipping sees one file covering
+          // the batch's doc_id range instead of two halves; sizes are
+          // one row per batch DOC, so the file stays small at any
+          // nightly scale.
+          idx.size -> (() => bSizes.coalesce(1)
+            .sortWithinPartitions(col("doc_id"))
             .writeTo(graft.lake.Names.q(s, idx.size)).append()))
           .collect { case (t, f) if needs(t) => f }: _*)
       }
@@ -2423,10 +2477,22 @@ object TextOps {
     // contracted, label-space edges: vertices are component labels
     val cEdges = symmetrize(
       withLabels.filter(col("doc_a") =!= col("doc_b")).distinct()).persist()
-    val mapping = propagateMin(cEdges)
+    val mappingRaw = propagateMin(cEdges)
       .filter(col("group_id") =!= col("doc_id"))
       .select(col("doc_id").as("old_label"), col("group_id").as("new_label"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // propagateMin's driver union-find fast path returns a
+    // LocalRelation-backed frame, and Catalyst folds the filter +
+    // rename into the local rows (ConvertToLocalRelation) — a
+    // checkpoint there would schedule a job just to persist rows the
+    // driver already holds, and it would hide the local shape from the
+    // MERGE/join planners (a LocalRelation build side broadcasts for
+    // free). Only the distributed-loop result keeps the checkpoint
+    // that truncates its per-round lineage.
+    val mapping = mappingRaw.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        mappingRaw
+      case _ => mappingRaw.localCheckpoint(true, StorageLevel.DISK_ONLY)
+    }
     cEdges.unpersist()
     val br = s"nightly_${java.util.UUID.randomUUID().toString.take(8)}"
     s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.create_branch(table => '${graft.lake.Names.rel(s, table)}', " +
