@@ -45,4 +45,27 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Floor a narrow scan's parallelism before per-row-HEAVY map work
+    * (tokenize + shingle explodes, per-vector dot products): a small
+    * corpus arrives as one parquet file with one row group, so the
+    * scan is one split and every downstream map side runs on ONE core
+    * (measured: the shingle-posting materialization at sf0.1 is 1.1 s
+    * serial vs 0.4 s spread). The gate is the ACTUAL partition count,
+    * not a constant: at production scale the scan already carries >=
+    * default-parallelism splits and this is a no-op — no conf tuned
+    * to local mode, no shuffle added where the data is already wide.
+    * Only for consumers whose per-row work dwarfs one exchange of the
+    * input; narrow aggregates keep the raw scan. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    // hash on the leading column (doc_id / vec_id — unique keys), not
+    // round-robin: keyless repartition first pays a LOCAL SORT of the
+    // full rows (sortBeforeRepartition, needed for deterministic
+    // retries) — on text-carrying rows that sort costs more than the
+    // exchange itself. A deterministic hash key needs no such sort.
+    else df.repartition(target,
+      org.apache.spark.sql.functions.col(df.columns.head))
+  }
 }

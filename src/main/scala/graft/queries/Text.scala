@@ -247,7 +247,7 @@ object TextOps {
     * (split("") keeps a trailing empty string under Java regex
     * semantics — drop it.) */
   private def bpeInitVocab(docs: DataFrame): DataFrame =
-    docs.select(explode(regexp_extract_all(lower(col("text")),
+    Tables.spread(docs).select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),
@@ -681,7 +681,7 @@ object TextOps {
           4 * i).bitwiseOR(shiftright(col("c"), 60 - 4 * i))
       min(w).as(s"w$i")
     }
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
       .withColumn("m", md5(col("shingle").cast("binary")))
@@ -972,7 +972,7 @@ object TextOps {
     // joined onto the pair results — carrying them through a
     // Window.partitionBy(doc_id) would reshuffle the whole posting a
     // second time just to move one long per row.
-    val posting = Tables.documents(s, d)
+    val posting = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
       .withColumn("dfreq", count(lit(1)).over(wSh))
@@ -1065,7 +1065,7 @@ object TextOps {
           .otherwise(0)
       }.reduce(_ + _).as(s"band$b")
     }
-    val sig = Tables.documents(s, d)
+    val sig = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("sh"))
       .withColumn("h", md5(col("sh").cast("binary")))
@@ -1608,7 +1608,9 @@ object TextOps {
     val idx = GroupIndex(LakeOps.fresh("grpidx_post"),
       LakeOps.fresh("grpidx_df"), LakeOps.fresh("grpidx_size"),
       LakeOps.fresh("grpidx_lab"))
-    val posting = shinglePostings(corpusDocs)
+    // corpus-scale tokenize+shingle: spread a narrow scan first
+    // (Tables.spread — no-op once the scan has real splits)
+    val posting = shinglePostings(Tables.spread(corpusDocs))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // postings persist UNCAPPED: cap membership is a function of the
     // CURRENT df and shifts as batches land, so the stored posting
@@ -2614,14 +2616,14 @@ object TextOps {
     val n1 = greatest(size(t) - 1, lit(0))
     val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val pairs = Tables.documents(s, d)
+    val pairs = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), explode(bg).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cbg = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val hist = cbg.groupBy(col("w1")).agg(sum(col("cb")).as("c1"))
-    val cu = Tables.documents(s, d)
+    val cu = Tables.spread(Tables.documents(s, d))
       .select(explode(toks(col("text"))).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
@@ -2695,10 +2697,10 @@ object TextOps {
     val n1 = greatest(size(t) - 1, lit(0))
     val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    def pairsOf(df: DataFrame): DataFrame = df
+    def pairsOf(df: DataFrame): DataFrame = Tables.spread(df)
       .select(col("doc_id"), explode(bg).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    def uniOf(df: DataFrame): DataFrame = df
+    def uniOf(df: DataFrame): DataFrame = Tables.spread(df)
       .select(explode(toks(col("text"))).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
     val docs = Tables.documents(s, d)
@@ -2965,7 +2967,7 @@ object TextOps {
   }
 
   def tContamination(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val sh = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(shingles3(toks(col("text")))).as("shingle"))
     val bench = sh.filter(col("doc_id") % 97 === 0)
@@ -3658,7 +3660,7 @@ object TextOps {
     * half-up basis points via exact integer arithmetic) — no float
     * ever reaches the driver hash. */
   def tNgramNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val sh = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), explode(shingles3(toks(col("text")))).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("sh"))
@@ -3688,7 +3690,7 @@ object TextOps {
   def tNgramNoveltyIndexed(s: SparkSession, d: String): DataFrame = {
     LakeOps.cat(s)
     val dfT = LakeOps.fresh("shdf")
-    def shOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    def shOf(df: DataFrame): DataFrame = Tables.spread(df).select(col("doc_id"),
       explode(shingles3(toks(col("text")))).as("sh"))
     val docs = Tables.documents(s, d)
     val evens = docs.filter(col("doc_id") % 2 === 0)
