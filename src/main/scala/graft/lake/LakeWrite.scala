@@ -62,7 +62,17 @@ class LakeWrite(table: LakeTable, info: LogicalWriteInfo, mode: String,
 
   override def requiredDistribution(): Distribution =
     if (table.meta.partitionSpec.isEmpty) Distributions.unspecified()
-    else table.meta.properties.getOrElse("write.distribution-mode", "hash") match {
+    // per-write override first (the `distribution-mode` WRITE option —
+    // Iceberg's spelling): a caller appending a SMALL batch (one
+    // streaming epoch) opts out of the cluster-by-transform exchange
+    // it would pay on every micro-batch; the fanout writer still
+    // splits per tuple and requiredOrdering still sorts tuple-major
+    // within each task, so the file count per present tuple is
+    // unchanged when the caller coalesces to one task. Table property
+    // keeps governing every write that doesn't say otherwise.
+    else Option(info.options.get("distribution-mode"))
+      .getOrElse(table.meta.properties
+        .getOrElse("write.distribution-mode", "hash")) match {
       // reference semantics (docs/spark-writes.md:410-425): `none`
       // requests no shuffle — callers pre-sort/cluster themselves and
       // the fanout writer still splits per tuple (more open files,

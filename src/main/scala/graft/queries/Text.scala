@@ -2186,15 +2186,28 @@ object TextOps {
     // history (the upfront `advanced` scan — see the epochTag
     // contract at the top)
     def needs(table: String): Boolean = !advanced.contains(table)
+    // small-batch appends (the broadcast-probe regime) skip the
+    // cluster-by-bucket exchange each append would otherwise pay
+    // (write-option distribution-mode override): one coalesced task
+    // writes the same one-file-per-present-bucket layout the hash
+    // exchange produced, without the per-epoch shuffle. Big batches
+    // keep the clustered write — a corpus-scale append WANTS the
+    // exchange.
+    def appendSmall(df: DataFrame, table: String): Unit = {
+      val w = (if (useBroadcastProbe) df.coalesce(1) else df)
+        .writeTo(graft.lake.Names.q(s, table))
+      (if (useBroadcastProbe) w.option("distribution-mode", "none") else w)
+        .append()
+    }
     val advance = () =>
       graft.StageTimes.timed("t_dedup_groups_indexed.refresh_advance") {
         parSteps(Seq[(String, () => Unit)](
-          idx.post -> (() => bPost.writeTo(graft.lake.Names.q(s, idx.post)).append()),
+          idx.post -> (() => appendSmall(bPost, idx.post)),
           // df advance = ONE partition-aligned delta append: no
           // resident row is read or rewritten (the LSM trade — see
           // buildGroupIndex)
-          idx.df -> (() => bDf.withColumnRenamed("bdf", "df")
-            .writeTo(graft.lake.Names.q(s, idx.df)).append()),
+          idx.df -> (() => appendSmall(
+            bDf.withColumnRenamed("bdf", "df"), idx.df)),
           // sizes append: ONE doc_id-sorted file via a narrow coalesce
           // — rows identical to the former repartitionByRange(2), but
           // without the RangePartitioner's sampling job + shuffle per
@@ -2234,7 +2247,8 @@ object TextOps {
         try graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
           refreshGroupIndex(s, idx.labels, mined,
             batchDocs.select(col("doc_id")),
-            beforePublish = () => joinAdvance())
+            beforePublish = () => joinAdvance(),
+            smallBatch = useBroadcastProbe)
         } finally {
           try adv.get()
           catch { case _: Throwable => () } // primary failure wins; the
@@ -2245,7 +2259,8 @@ object TextOps {
         val publish = () =>
           graft.StageTimes.timed("t_dedup_groups_indexed.refresh_labels") {
             refreshGroupIndex(s, idx.labels, mined,
-              batchDocs.select(col("doc_id")))
+              batchDocs.select(col("doc_id")),
+              smallBatch = useBroadcastProbe)
           }
         parSteps(advance, publish)
     }
@@ -2466,7 +2481,8 @@ object TextOps {
     * nightly already overlaps them wholesale via parSteps). */
   private[queries] def refreshGroupIndex(s: SparkSession, table: String,
       batchPairs: DataFrame, batchDocs: DataFrame,
-      beforePublish: () => Unit = () => ()): Unit = {
+      beforePublish: () => Unit = () => (),
+      smallBatch: Boolean = false): Unit = {
     val stored = s.table(graft.lake.Names.q(s, table))
       .select(col("doc_id"), col("group_id"))
     // initial label per endpoint: stored component label, self for
@@ -2509,11 +2525,16 @@ object TextOps {
                |WHEN MATCHED THEN UPDATE SET t.group_id = m.new_label"""
         .stripMargin)
       s.catalog.dropTempView(mv)
-      batchDocs
+      // small epochs skip the cluster-by-bucket exchange on the batch
+      // label append (write-option distribution-mode override — same
+      // trade as the substrate advance's appendSmall)
+      val batchLabels = batchDocs
         .join(mapping.toDF("doc_id", "new_label"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("new_label"), col("doc_id")).as("group_id"))
-        .writeTo(s"${graft.lake.Names.q(s, table)}.branch_$br").append()
+      val w = (if (smallBatch) batchLabels.coalesce(1) else batchLabels)
+        .writeTo(s"${graft.lake.Names.q(s, table)}.branch_$br")
+      (if (smallBatch) w.option("distribution-mode", "none") else w).append()
       beforePublish()
       // atomic publish: one ref move, both changes or neither
       s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.fast_forward(table => '${graft.lake.Names.rel(s, table)}', " +

@@ -971,16 +971,24 @@ object VectorOps {
     * source), paid only when a caller opted into drift tracking —
     * plain gates and batch ingests stay one write job. */
   private[graft] def ingestVectorBatchStat(s: SparkSession, table: String,
-      batch: DataFrame, wantStat: Boolean): Option[Double] = {
+      batch: DataFrame, wantStat: Boolean,
+      smallBatch: Boolean = false): Option[Double] = {
     val assigned = assignToCents(
       batch.withColumn("nrm", norm(col("embedding"))),
       storedCentsRow(s, table))
     val stat = if (!wantStat) None else Some(
       assigned.agg(avg(array_max(transform(col("sims"),
         s0 => s0.getField("csim"))))).head().getDouble(0))
-    assigned
+    // streaming micro-batches (smallBatch) skip the cluster-by-cell
+    // exchange the partitioned append would otherwise pay per epoch:
+    // one coalesced task writes the same one-file-per-touched-cell
+    // layout (requiredOrdering still sorts tuple-major in-task). Bulk
+    // ingests keep the clustered write.
+    val out = assigned
       .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-      .writeTo(graft.lake.Names.q(s, table)).append()
+    val w = (if (smallBatch) out.coalesce(1) else out)
+      .writeTo(graft.lake.Names.q(s, table))
+    (if (smallBatch) w.option("distribution-mode", "none") else w).append()
     stat
   }
 

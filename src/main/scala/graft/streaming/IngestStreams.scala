@@ -201,7 +201,7 @@ object IngestStreams {
     if (!batch.isEmpty && !TextOps.epochCommittedOnMain(sp, table, tag))
       TextOps.withCommitTag(Some(tag)) {
         graft.queries.VectorOps.ingestVectorBatchStat(sp, table, batch,
-          wantStat = wantDriftStat)
+          wantStat = wantDriftStat, smallBatch = true)
       }
     else None
   }
