@@ -2486,10 +2486,23 @@ object TextOps {
     val stored = s.table(graft.lake.Names.q(s, table))
       .select(col("doc_id"), col("group_id"))
     // initial label per endpoint: stored component label, self for
-    // docs the store has never seen (tonight's batch)
+    // docs the store has never seen (tonight's batch). The lookup
+    // FETCHES only the endpoints' labels: the mined pair list is
+    // batch-bounded while the stored labels are corpus-scale, so
+    // left-joining the corpus table directly exchanged it TWICE per
+    // refresh (the §8 anti-pattern — heavy side shuffled to attach a
+    // small decision). The broadcast endpoint set prunes the label
+    // scan (runtime file skipping, the size-fetch pattern), and the
+    // endpoint-bounded fetch then broadcasts into both attachments.
+    val endpoints = batchPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val fetched = stored
+      .join(broadcast(endpoints.filter(col("doc_id") >= 0)), Seq("doc_id"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val withLabels = batchPairs
-      .join(stored.toDF("doc_a", "la0"), Seq("doc_a"), "left")
-      .join(stored.toDF("doc_b", "lb0"), Seq("doc_b"), "left")
+      .join(broadcast(fetched.toDF("doc_a", "la0")), Seq("doc_a"), "left")
+      .join(broadcast(fetched.toDF("doc_b", "lb0")), Seq("doc_b"), "left")
       .select(coalesce(col("la0"), col("doc_a")).as("doc_a"),
         coalesce(col("lb0"), col("doc_b")).as("doc_b"))
     // contracted, label-space edges: vertices are component labels
@@ -2506,12 +2519,30 @@ object TextOps {
     // MERGE/join planners (a LocalRelation build side broadcasts for
     // free). Only the distributed-loop result keeps the checkpoint
     // that truncates its per-round lineage.
-    val mapping = mappingRaw.queryExecution.optimizedPlan match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        mappingRaw
-      case _ => mappingRaw.localCheckpoint(true, StorageLevel.DISK_ONLY)
-    }
+    val (mapping, mappingKnownEmpty) =
+      mappingRaw.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          (mappingRaw, lr.data.isEmpty)
+        case _ =>
+          (mappingRaw.localCheckpoint(true, StorageLevel.DISK_ONLY), false)
+      }
     cEdges.unpersist()
+    // No contraction tonight (every batch doc is a singleton and no
+    // stored components merge — known job-free when the union-find
+    // path ran): the batch append IS the whole publish, atomic as a
+    // single (tagged) commit, so the branch + corpus-table MERGE +
+    // fast_forward scaffolding (3 metadata commits + a row-level
+    // write) drops out. beforePublish still precedes the certifying
+    // commit, preserving the tagged epoch's "labels last" contract.
+    if (mappingKnownEmpty) {
+      beforePublish()
+      val batchLabels = batchDocs
+        .select(col("doc_id"), col("doc_id").as("group_id"))
+      val w = (if (smallBatch) batchLabels.coalesce(1) else batchLabels)
+        .writeTo(graft.lake.Names.q(s, table))
+      (if (smallBatch) w.option("distribution-mode", "none") else w).append()
+      return
+    }
     val br = s"nightly_${java.util.UUID.randomUUID().toString.take(8)}"
     s.sql(s"CALL ${graft.lake.Names.catalog(s)}.system.create_branch(table => '${graft.lake.Names.rel(s, table)}', " +
       s"branch => '$br')")
