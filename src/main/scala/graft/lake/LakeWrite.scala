@@ -850,7 +850,13 @@ object LakeWriteUtil {
     val tagged = masked.select(
       epochProjection(meta, epoch, epochSchema) :+
         element_at(typedLit(pathTk), col("__fp")).as(tk): _*)
-    tagged.repartition(col(tk))
+    // explicit partition count (REPARTITION_BY_NUM): a bare
+    // repartition(col) is AQE-coalescible, and at maintenance scale
+    // AQE folded the whole shuffle into ONE partition — a single task
+    // then wrote every group's file serially (measured ~1.7 s for 32
+    // groups vs ~0.3 s parallel). One partition per group keeps the
+    // write as wide as the group count.
+    tagged.repartition(math.max(1, groups.size), col(tk))
       .write.mode("append").partitionBy(tk).parquet(outDir)
     val epochNow = meta.currentSchemaEpoch
     locally {

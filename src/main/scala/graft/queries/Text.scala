@@ -316,8 +316,116 @@ object TextOps {
     * driver-resident merge loop over the collected (Zipf-bounded)
     * vocabulary after the one distributed corpus pass, recorded in
     * COVERAGE round 12. */
+  // deterministic argmax tie-break: count desc, then (l, r)
+  // lexicographic — compared by CODE POINT, not JVM UTF-16 code units,
+  // which equals UTF-8 byte order for well-formed strings, so the
+  // tie-break matches Spark's binary string sort (the order the
+  // DataFrame argmax resolved ties under before the loop moved off
+  // Catalyst). The two diverge only for supplementary-plane symbols —
+  // today's [a-z]+ tokenization keeps symbols ASCII where they agree,
+  // but the ordering must not silently desync the pinned-equal
+  // implementations if the tokenizer ever widens. Code points rather
+  // than getBytes(UTF_8): the encoder replaces unpaired surrogates
+  // with '?', so a byte-compare is not consistent-with-equals for
+  // malformed tokens; code points keep every distinct string distinct.
+  private[queries] val utf8Ord: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
+  /** The reference greedy fold: left-to-right, a merged token never
+    * chains into the next pair unless it itself equals l — the JVM
+    * twin of [[mergeAdjacent]], shared by the driver-resident trainer
+    * and the RDD merge loop. */
+  private def bpeRewrite(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** The default (full-recount) distributed merge loop, driven over
+    * RDDs: the loop's per-iteration DATA cost was already right (a
+    * map-side-combined pair count plus a vocab-scale rewrite), but the
+    * DataFrame spelling re-entered Catalyst every round — analysis,
+    * optimization and codegen of two structurally identical plans per
+    * merge, measured as ~60% of the gate's wall at sf0.1 (1.6 s of
+    * job-free driver gaps against 1.1 s of jobs, ×16 rounds; at
+    * production k ≈ 32 000 the constant is the whole runtime). The
+    * same loop over RDDs compiles nothing per round: flatMap adjacency
+    * counts → reduceByKey (map-side combine, same shuffle bytes) →
+    * takeOrdered(1) under the same count-desc/code-point ordering →
+    * gated [[bpeRewrite]] advance, persisted DISK_ONLY per round with
+    * the predecessor freed (the localCheckpoint discipline, RDD-
+    * spelled). Bit-identical by construction and pinned by BpeSuite
+    * against the independent reference and the driver trainer. */
+  private def trainBpeMergesRdd(s: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val pairOrd = new Ordering[((String, String), Long)] {
+      def compare(a: ((String, String), Long),
+          b: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(b._2, a._2)
+        if (c != 0) c
+        else {
+          val cl = utf8Ord.compare(a._1._1, b._1._1)
+          if (cl != 0) cl else utf8Ord.compare(a._1._2, b._1._2)
+        }
+      }
+    }
+    var vocab = bpeInitVocab(docs).rdd
+      .map(row => (row.getLong(0), row.getSeq[String](1).toArray))
+      .persist(StorageLevel.DISK_ONLY)
+    vocab.count()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = vocab.flatMap { case (f, syms) =>
+        (0 until syms.length - 1).iterator
+          .map(i => ((syms(i), syms(i + 1)), f))
+      }.reduceByKey(_ + _).takeOrdered(1)(pairOrd)
+      if (best.isEmpty || best(0)._2 < 2) done = true
+      else {
+        val ((l, r), cnt) = best(0)
+        rank += 1
+        merges += ((rank, l, r, cnt))
+        val prev = vocab
+        vocab = vocab.map { case (f, syms) =>
+          var has = false
+          var i = 0
+          while (!has && i + 1 < syms.length) {
+            has = syms(i) == l && syms(i + 1) == r; i += 1
+          }
+          if (has) (f, bpeRewrite(syms, l, r)) else (f, syms)
+        }.persist(StorageLevel.DISK_ONLY)
+        vocab.count()
+        prev.unpersist(false)
+      }
+    }
+    vocab.unpersist(false)
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
   private[graft] def trainBpeMerges(s: SparkSession, docs: DataFrame,
       nMerges: Int, deltaPairStats: Boolean = false): DataFrame = {
+    // the default path runs the RDD-spelled loop (no per-round plan
+    // compile); the delta-pair-stats variant below keeps its DataFrame
+    // spelling — it exists as the measured-and-rejected comparison
+    // point (BpeScale), not a production path
+    if (!deltaPairStats) return trainBpeMergesRdd(s, docs, nMerges)
     var vocab = bpeInitVocab(docs)
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // the delta path's vocab advance is a UNION of two frames; union
@@ -452,31 +560,6 @@ object TextOps {
       }
       wi += 1
     }
-    // deterministic argmax: count desc, then (l, r) lexicographic —
-    // compared by CODE POINT, not JVM UTF-16 code units, which equals
-    // UTF-8 byte order for well-formed strings, so the tie-break
-    // matches Spark's binary string sort (the order trainBpeMerges's
-    // distributed argmax resolves ties under). The two diverge only
-    // for supplementary-plane symbols — today's [a-z]+ tokenization
-    // keeps symbols ASCII where they agree, but the ordering must not
-    // silently desync the three pinned-equal implementations if the
-    // tokenizer ever widens. Code points rather than getBytes(UTF_8):
-    // the encoder replaces unpaired surrogates with '?', so a
-    // byte-compare is not consistent-with-equals for malformed
-    // tokens — two DISTINCT symbols could compare equal and silently
-    // coalesce in the TreeSet (mis-removing candidate pairs); code
-    // points keep every distinct string distinct.
-    val utf8Ord: Ordering[String] = new Ordering[String] {
-      def compare(a: String, b: String): Int = {
-        var i = 0; var j = 0
-        while (i < a.length && j < b.length) {
-          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-          if (ca != cb) return Integer.compare(ca, cb)
-          i += Character.charCount(ca); j += Character.charCount(cb)
-        }
-        Integer.compare(a.length - i, b.length - j)
-      }
-    }
     val order = scala.collection.mutable.TreeSet[(Long, String, String)]()(
       Ordering.Tuple3(Ordering[Long].reverse, utf8Ord, utf8Ord))
     counts.foreach { case ((l, r), c) => order += ((c, l, r)) }
@@ -487,18 +570,8 @@ object TextOps {
       if (nw == 0L) counts.remove(p)
       else { counts(p) = nw; order += ((nw, p._1, p._2)) }
     }
-    // the reference greedy fold: left-to-right, a merged token never
-    // chains into the next pair unless it itself equals l
-    def rewrite(syms: Array[String], l: String, r: String): Array[String] = {
-      val b = Array.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          b += (l + r); i += 2
-        } else { b += syms(i); i += 1 }
-      }
-      b.result()
-    }
+    def rewrite(syms: Array[String], l: String, r: String): Array[String] =
+      bpeRewrite(syms, l, r)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var done = false

@@ -740,7 +740,10 @@ object VectorOps {
       // second epoch then appends onto the compacted layout) — and
       // the probe must still answer to the SAME oracle (the cadence
       // is row-preserving)
-      val threshold = (s.table(s"${graft.lake.Names.q(s, t)}.files").count() + 4).toInt
+      // driver-side metadata count (no Spark job — the `.files` table
+      // scan paid a scheduled job just to size the trigger)
+      val threshold = (graft.lake.LakeMeta.liveFileCount(s,
+        graft.lake.Names.parts(s, t)) + 4).toInt
       val q = graft.streaming.IngestStreams.ivfIngest(
         mem.toDF().toDF("vec_id", "embedding"), t, ckpt,
         maintainFileThreshold = threshold)
